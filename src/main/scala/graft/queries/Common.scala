@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A declared query: Spark implementation + (where SQL-expressible) the
+  * byte-equivalent DuckDB oracle SQL the driver hash-checks against
+  * (SURVEY §5.4). `oracle = None` → driver records a rows-only check.
+  */
+final case class Q(
+    name: String,
+    describe: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+/** Shared helpers for the query surface.
+  *
+  * Determinism discipline: plain double SUM/AVG is order-dependent (IEEE
+  * addition is not associative; Spark's 32-way partial aggregation and
+  * DuckDB's single-threaded scan add in different orders), so any floating
+  * aggregate would hash-mismatch the oracle in the last ULP. We therefore
+  * aggregate through exact decimals — `SUM(CAST(x AS DECIMAL(30,s)))` is
+  * associative and bit-identical in both engines — and cast the final
+  * value back to double. Per-row double arithmetic (a*b, a/b, sqrt) IS
+  * deterministic and needs no such treatment.
+  */
+object Common {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects. Read nanos as long and truncate to
+    * microseconds — exactly what DuckDB does when it reads the same file
+    * (verified: epoch_us(ts) == epoch_us(CAST(ts AS TIMESTAMP))), so both
+    * sides see identical µs timestamps.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Order-insensitive exact double sum (see class doc). */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  /** Exact average = decimal sum / row count, computed identically in the
+    * oracle via [[sqlDavg]].
+    */
+  def davg(c: Column, scale: Int = 6): Column = dsum(c, scale) / count(lit(1))
+
+  /** Windowed variant of [[dsum]]. */
+  def dsumOver(c: Column, scale: Int, w: WindowSpec): Column =
+    sum(c.cast(DecimalType(30, scale))).over(w).cast("double")
+
+  // ---- DuckDB-SQL twins of the helpers above ----
+  def sqlDsum(e: String, scale: Int): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(30,$scale))) AS DOUBLE)"
+  def sqlDavg(e: String, scale: Int = 6): String =
+    s"${sqlDsum(e, scale)}/COUNT(*)"
+
+  /** Portable 32-bit string hash: first 8 hex chars of md5 as a BIGINT.
+    * Spark and DuckDB md5 agree byte-for-byte, which gives us one
+    * deterministic hash family usable on both sides (minhash, simhash,
+    * LSH). Spark side: [[hash32]].
+    */
+  def sqlHash32(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  def hash32(c: Column): Column =
+    conv(substring(md5(encode(c, "UTF-8")), 1, 8), 16, 10).cast("long")
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import Common._
+import graft.ops.Flatten
+
+/** Event-stream-shaped queries over the `events` table: JSON structuring
+  * (the engine's P1 flatten on real data), sessionization, tumbling
+  * windows, lag/lead. The same aggregations run under Structured
+  * Streaming (graft.streaming) — these are the batch twins the oracle can
+  * check.
+  */
+object Events {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  val qs: Seq[Q] = Seq(
+    Q("q21_json_flatten",
+      "from_json + struct flatten (P1) + grouped aggregation",
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        val flat = Flatten.flatten(
+          events(s, d).withColumn("props", from_json(col("props"), propsSchema)))
+        flat.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("props_k")).as("sum_k"),
+            min(col("props_k")).as("min_k"),
+            max(col("props_k")).as("max_k"))
+          .orderBy("event_type")
+      }),
+
+    Q("q22_sessionize",
+      "gap-based sessionization (30 min) via lag + cumulative flag",
+      Some("""WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts, event_id,
+            CAST(SUM(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("new_session",
+            when(lag(col("ts"), 1).over(w).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+              lit(1)).otherwise(lit(0)))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      }),
+
+    Q("q23_tumbling_windows",
+      "epoch-aligned 1-hour tumbling window aggregation per event type",
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+          event_type, COUNT(*) AS n, ${sqlDsum("value", 4)} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    Q("q24_lag_gaps",
+      "lag/lead: inter-event gap statistics per user",
+      Some("""WITH gaps AS (
+          SELECT user_id,
+            epoch_us(ts) - epoch_us(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM events)
+        SELECT user_id, COUNT(gap_us) AS n_gaps,
+          CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+          CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE)/COUNT(gap_us) AS avg_gap_us
+        FROM gaps GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+          .groupBy(col("user_id"))
+          .agg(count(col("gap_us")).as("n_gaps"),
+            sum(col("gap_us")).as("total_gap_us"),
+            (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
+          .orderBy("user_id")
+      })
+  )
+}
