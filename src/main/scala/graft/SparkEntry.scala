@@ -15,10 +15,8 @@ import graft.queries.{Common, Q}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    queries_relational ++ queries_events
-
-  private def queries_relational = graft.queries.Relational.qs
-  private def queries_events = graft.queries.Events.qs
+    graft.queries.Relational.qs ++ graft.queries.Events.qs ++
+      graft.queries.TextOps.qs ++ graft.queries.Embeddings.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

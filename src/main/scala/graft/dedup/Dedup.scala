@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Hashing
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines, exact and
+  * approximate, designed around Spark's shuffle model:
+  *
+  *  - exact: hash-groupBy on a content digest — one shuffle keyed by the
+  *    digest, partial aggregation map-side; at 100 TB the digest (16 B)
+  *    shuffles, never the document bytes.
+  *  - MinHash + LSH banding: per-document signatures are a narrow
+  *    codegen'd map (no shuffle); candidate generation shuffles only
+  *    (doc_id, band_value) pairs, and genuinely-similar docs collide in
+  *    ≥1 band with high probability. This is the scale path — the
+  *    all-pairs Jaccard join is O(n²) and exists for verification only.
+  *  - SimHash: 32-bit locality-sensitive digest; near-dup candidates =
+  *    small Hamming distance (bit_count(xor)).
+  *
+  * All expressions are oracle-reproducible (md5-based hash family,
+  * [[Hashing]]).
+  */
+object Dedup {
+
+  import Hashing.P
+
+  /** Content digest for exact dedup. */
+  def digest(c: Column): Column = md5(encode(c, "UTF-8"))
+
+  /** Exact dedup: keep the smallest id per identical content. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(digest(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** j-th minhash of a shingle set: min over shingles of
+    * (a_j * hash32(s) + b_j) mod P.
+    */
+  def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles,
+      s => Hashing.affine(Hashing.hash32(s), Hashing.HashA(j), Hashing.HashB(j))))
+
+  /** n-hash minhash signature as named columns h0..h(n-1). */
+  def minhashSignature(shingles: Column, n: Int): Seq[Column] =
+    (0 until n).map(j => minhash(shingles, j).as(s"h$j"))
+
+  /** LSH band values from a signature: consecutive pairs of minhashes
+    * combined into one band key (r=2 rows/band). Docs sharing any band
+    * value are near-dup candidates.
+    */
+  def bandValues(sig: Seq[Column]): Seq[Column] =
+    sig.grouped(2).map(pair => pair.head * P + pair(1)).toSeq
+
+  /** 32-bit SimHash over a token array (token multiplicity counts, as in
+    * the original Charikar construction).
+    */
+  def simhash32(ws: Column): Column = {
+    val hs = transform(ws, w => Hashing.hash32(w))
+    aggregate(
+      sequence(lit(0L), lit(31L)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hs, lit(0L),
+          (a, h) => a + (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Convenience: doc frame → (id, shingle-set) frame. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), TextFunctions.shingleSet(col(textCol), k).as("sh"))
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.similarity.Vectors
+
+/** Similarity-search query surface over `embeddings` (64-dim float
+  * vectors): brute-force cosine top-k (exact baseline), deterministic
+  * random-hyperplane LSH ANN (the scale path), and per-label vector
+  * statistics.
+  */
+object Embeddings {
+
+  /** DuckDB twin of Vectors.dot: sequential left fold over index range. */
+  private def sqlDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65),
+          i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE))),
+        (x, y) -> x + y)"""
+
+  /** DuckDB twin of Vectors.planeDot for plane variable p (0-based dims). */
+  private def sqlPlaneDot(emb: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(0, 64),
+          d -> CAST(($emb)[CAST(d+1 AS INT)] AS DOUBLE) *
+            (CAST(((p*64 + d) * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+              / 2147483648.0 - 0.5))),
+        (x, y) -> x + y)"""
+
+  private val sqlBucket =
+    s"""CAST(list_sum(list_transform(range(0, 8), p ->
+        CASE WHEN ${sqlPlaneDot("embedding")} > 0
+        THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS BIGINT)"""
+
+  private val sqlNormed =
+    s"""v AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q36_cosine_topk",
+      "exact brute-force cosine top-5 neighbors for query vectors",
+      Some(s"""WITH $sqlNormed,
+        p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM v a JOIN v b ON a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        SELECT q_id, n_id, rn, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rn FROM p) t
+        WHERE rn <= 5 ORDER BY q_id, rn"""),
+      (s, d) => {
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", Vectors.norm(col("e")))
+        val q = v.toDF("q_id", "qe", "qn").filter(col("q_id") < 20)
+        val c = v.toDF("n_id", "ne", "nn")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+        q.join(c, col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            Vectors.cosinePre(Vectors.dot(col("qe"), col("ne")),
+              col("qn"), col("nn")).as("cosine"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("q_id", "n_id", "rn", "cosine")
+          .orderBy("q_id", "rn")
+      }),
+
+    Q("q37_ann_lsh",
+      "ANN via deterministic 8-plane sign-LSH buckets, top-3 in-bucket",
+      Some(s"""WITH $sqlNormed,
+        vb AS (SELECT vec_id, embedding, nrm, $sqlBucket AS bucket FROM v),
+        p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, a.bucket,
+            ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM vb a JOIN vb b ON a.bucket = b.bucket
+            AND a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        SELECT q_id, n_id, bucket, rn, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rn FROM p) t
+        WHERE rn <= 3 ORDER BY q_id, rn"""),
+      (s, d) => {
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", Vectors.norm(col("e")))
+          .withColumn("bucket", Vectors.lshBucket(col("e"), 8))
+        val q = v.toDF("q_id", "qe", "qn", "bucket").filter(col("q_id") < 20)
+        val c = v.toDF("n_id", "ne", "nn", "nbucket")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+        q.join(c, col("bucket") === col("nbucket") && col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), col("bucket"),
+            Vectors.cosinePre(Vectors.dot(col("qe"), col("ne")),
+              col("qn"), col("nn")).as("cosine"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("q_id", "n_id", "bucket", "rn", "cosine")
+          .orderBy("q_id", "rn")
+      }),
+
+    Q("q38_embedding_stats",
+      "per-label vector statistics (norm distribution)",
+      Some(s"""WITH $sqlNormed,
+        l AS (SELECT label, nrm FROM v JOIN embeddings USING (vec_id))
+        SELECT label, COUNT(*) AS n,
+          ${sqlDsum("nrm", 12)} AS sum_norm,
+          ${sqlDsum("nrm", 12)}/COUNT(*) AS avg_norm,
+          MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+        FROM l GROUP BY label ORDER BY label"""),
+      (s, d) => table(s, d, "embeddings")
+        .select(col("label"),
+          Vectors.norm(col("embedding").cast("array<double>")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("nrm"), 12).as("sum_norm"),
+          davg(col("nrm"), 12).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy("label"))
+  )
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.dedup.Dedup
+import graft.ops.Hashing
+import graft.text.TextFunctions._
+
+/** Text-analysis + deduplication query surface over `documents`
+  * (the LLM-training-data operators: token stats, quality scoring,
+  * fingerprinting, exact dedup, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Oracle notes: every hash is the md5-derived [[Hashing]] family so the
+  * DuckDB SQL reproduces values exactly; folds use
+  * list_reduce(list_prepend(init, ...)) to mirror Spark's sequential
+  * `aggregate`.
+  */
+object TextOps {
+
+  private val P = Hashing.P
+
+  /** DuckDB twin of TextFunctions.words. */
+  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
+
+  /** DuckDB twin of TextFunctions.shingleSet (distinct 3-word shingles). */
+  private def sqlShingles(ws: String) =
+    s"list_distinct(list_transform(range(1, len($ws)-1), i -> array_to_string(($ws)[i:i+2], ' ')))"
+
+  /** DuckDB twin of Dedup.minhash for family member j. */
+  private def sqlMinhash(sh: String, j: Int) =
+    s"list_min(list_transform($sh, s -> (CAST('0x' || substr(md5(s),1,8) AS BIGINT) % $P * ${Hashing.HashA(j)} + ${Hashing.HashB(j)}) % $P))"
+
+  private val sigSql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh)"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q25_token_stats",
+      "tokenization: token / distinct-token counts per document",
+      Some("""WITH w AS (SELECT doc_id, n_chars, regexp_split_to_array(text, '\s+') AS ws
+          FROM documents)
+        SELECT doc_id, n_chars, len(ws) AS n_tokens,
+          len(list_distinct(ws)) AS n_distinct
+        FROM w ORDER BY doc_id"""),
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(words(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(words(col("text")))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")),
+
+    Q("q26_word_freq",
+      "explode + global top-50 word frequencies",
+      Some("""SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents) t
+        GROUP BY word ORDER BY n DESC, word LIMIT 50"""),
+      (s, d) => table(s, d, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)),
+
+    Q("q27_quality_score",
+      "document quality signals: stopword ratio, mean token length",
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+          FROM documents)
+        SELECT doc_id, len(ws) AS n_tokens,
+          CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE)/len(ws)
+            AS stop_ratio,
+          CAST(CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+            AS DOUBLE)/len(ws) AS avg_word_len,
+          (len(ws) < 30) AS low_quality
+        FROM w ORDER BY doc_id"""),
+      (s, d) => {
+        val ws = words(col("text"))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            size(ws).cast("long").as("n_tokens"),
+            stopwordRatio(ws, Seq("the", "a")).as("stop_ratio"),
+            avgWordLen(ws).as("avg_word_len"),
+            (size(ws).cast("long") < 30).as("low_quality"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q28_lang_stats",
+      "per-language corpus statistics",
+      Some("""SELECT lang, COUNT(*) AS n,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)/COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      (s, d) => table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")),
+
+    Q("q29_fingerprint",
+      "rolling polynomial document fingerprint (order-sensitive hash)",
+      Some(s"""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text)+1),
+              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+            (a, b) -> (a*31 + b) % $P) AS fp
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    Q("q30_dedup_exact",
+      "exact dedup groups: md5 digest → keeper id + multiplicity",
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM documents GROUP BY h ORDER BY h"""),
+      (s, d) => Dedup.exactGroups(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("h")),
+
+    Q("q31_shingle_stats",
+      "3-word shingle sets per document (n-gram dedup unit)",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents)
+        SELECT doc_id, len(ws) AS n_tokens,
+          len(${sqlShingles("ws")}) AS n_shingles
+        FROM w ORDER BY doc_id"""),
+      (s, d) => {
+        val ws = words(col("text"))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            size(ws).cast("long").as("n_tokens"),
+            size(array_distinct(wordShingles(ws, 3))).cast("long").as("n_shingles"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q32_jaccard_pairs",
+      "all-pairs n-gram Jaccard on a doc_id sample, top-20 most similar",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents
+          WHERE doc_id % 20 = 0),
+        s AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(a.sh || b.sh)) AS jacc
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ORDER BY jacc DESC, a_id, b_id LIMIT 20"""),
+      (s, d) => {
+        val sh = Dedup.withShingles(
+          table(s, d, "documents").filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        val a = sh.toDF("a_id", "a_sh")
+        val b = sh.toDF("b_id", "b_sh")
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            Dedup.jaccard(col("a_sh"), col("b_sh")).as("jacc"))
+          .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      }),
+
+    Q("q33_minhash_signatures",
+      "8-hash MinHash signature per document",
+      Some(s"""$sigSql SELECT * FROM sig ORDER BY doc_id"""),
+      (s, d) => Dedup.withShingles(table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+        .orderBy("doc_id")),
+
+    Q("q34_minhash_lsh_pairs",
+      "MinHash-LSH candidate pairs (4 bands × 2 rows) — the scale path",
+      Some(s"""$sigSql,
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+          AND a.doc_id < b.doc_id
+        GROUP BY a_id, b_id ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val sig = Dedup.withShingles(table(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(Dedup.bandValues((0 until 8).map(j => col(s"h$j"))): _*)))
+          .toDF("doc_id", "bi", "bv")
+        bands.as("a").join(bands.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+      }),
+
+    Q("q35_simhash",
+      "32-bit SimHash digest per document (Charikar construction)",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        h AS (SELECT doc_id,
+          list_transform(ws, x -> CAST('0x' || substr(md5(x),1,8) AS BIGINT)) AS hs
+          FROM w)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN CAST(list_sum(list_transform(hs,
+                h2 -> ((h2 >> b) & 1)*2 - 1)) AS BIGINT) > 0
+            THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+            AS simhash
+        FROM h ORDER BY doc_id"""),
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash32(words(col("text"))).as("simhash"))
+        .orderBy("doc_id"))
+  )
+}

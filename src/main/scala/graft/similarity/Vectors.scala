@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector similarity primitives: exact cosine (sequential-fold
+  * dot products, so the oracle reproduces the same IEEE doubles) and a
+  * deterministic random-hyperplane LSH for approximate nearest-neighbor
+  * search.
+  *
+  * Scale design: brute-force top-k is a cross join — O(Q·N·dim), fine
+  * when Q is small or N fits a broadcast, wrong at corpus scale. The LSH
+  * path buckets vectors by hyperplane sign pattern (a narrow map), then
+  * joins query↔candidate only within buckets — the shuffle carries
+  * (bucket, id, vector) once instead of N×Q pairs. Recall/latency trades
+  * via number of planes (fewer planes → bigger buckets → higher recall).
+  *
+  * The "random" hyperplanes are derived from a public LCG formula
+  * (plane p, dim d → coefficient in [-0.5, 0.5)) so any engine can
+  * re-derive them — no stored model state.
+  */
+object Vectors {
+
+  /** Sequential-fold dot product (matches DuckDB list_reduce order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine with precomputed norms (pass norm columns to avoid
+    * recomputing the fold per pair).
+    */
+  def cosinePre(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
+  def cosine(a: Column, b: Column): Column = cosinePre(dot(a, b), norm(a), norm(b))
+
+  /** LCG-derived hyperplane coefficient for (plane p, dimension d). */
+  def planeCoef(p: Column, d: Column): Column =
+    (((p * 64 + d) * 1103515245L + 12345L) % 2147483648L).cast("double") /
+      2147483648.0 - 0.5
+
+  /** Dot of a vector with deterministic hyperplane p (0-based getItem). */
+  def planeDot(emb: Column, p: Column): Column =
+    aggregate(sequence(lit(0L), lit(63L)), lit(0.0),
+      (acc, d) => acc + emb.getItem(d.cast("int")) * planeCoef(p, d))
+
+  /** Sign-pattern LSH bucket id over nPlanes hyperplanes. */
+  def lshBucket(emb: Column, nPlanes: Int): Column =
+    aggregate(sequence(lit(0L), lit(nPlanes - 1L)), lit(0L),
+      (acc, p) => acc + when(planeDot(emb, p) > 0,
+        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+}

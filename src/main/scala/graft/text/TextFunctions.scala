@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.ops.Hashing
+
+/** Text-analysis operators for large-scale document pipelines: token
+  * counting, shingling, quality scoring, language-ID heuristics, and
+  * rolling-hash fingerprints.
+  *
+  * All of these are pure Catalyst `Column` expressions built from
+  * higher-order array functions — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with document bytes. At 100 TB
+  * the cost is one narrow map stage over the corpus; nothing here
+  * shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def words(c: Column): Column = split(c, "\\s+")
+
+  def tokenCount(c: Column): Column = size(words(c)).cast("long")
+
+  /** k-word shingles ("w1 w2 w3" strings). Empty array when the document
+    * has fewer than k tokens (guard needed: Spark `sequence(1, n)` with
+    * n < 1 counts *down*, unlike DuckDB's empty `range`).
+    */
+  def wordShingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+      .otherwise(lit(Array.empty[String]))
+
+  /** Distinct shingle set — the unit of Jaccard/minhash dedup. */
+  def shingleSet(text: Column, k: Int = 3): Column =
+    array_distinct(wordShingles(words(text), k))
+
+  /** Fraction of tokens drawn from a stopword list (quality signal). */
+  def stopwordRatio(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stop: _*))).cast("double") / size(ws)
+
+  /** Mean token length (quality signal). */
+  def avgWordLen(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws)
+
+  /** Rolling polynomial fingerprint over characters:
+    * h = fold(h*31 + codepoint) mod P. Deterministic, order-sensitive,
+    * and cheap — the classic document-fingerprint primitive.
+    */
+  def fingerprint(c: Column): Column =
+    when(length(c) > 0,
+      aggregate(
+        sequence(lit(1), length(c)),
+        lit(0L),
+        (acc, i) => (acc * 31 + ascii(c.substr(i, lit(1)))) % Hashing.P))
+      .otherwise(lit(0L))
+
+  /** Stopword profiles for the language-ID heuristic (public common-word
+    * lists, a few per language).
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "los", "y", "es", "una", "que", "en", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "que", "dans", "pour"),
+  )
+
+  /** Stopword-profile language ID: score = stopword hits per language,
+    * winner = argmax (ties broken toward the lexicographically largest
+    * language code — the struct-max tiebreak, identical in the oracle).
+    * Returns null-safe "und" (undetermined) when no profile scores.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val ws = words(lower(text))
+    val scored = LangStopwords.map { case (lang, stops) =>
+      struct(
+        size(filter(ws, w => w.isin(stops: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    when(array_max(array(scored: _*)).getField("score") > 0,
+      array_max(array(scored: _*)).getField("lang"))
+      .otherwise(lit("und"))
+  }
+}
