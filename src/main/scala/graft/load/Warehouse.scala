@@ -1,0 +1,42 @@
+package graft.load
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse load patterns (SURVEY §2.5 W3-W5).
+  *
+  * The reference's temp-table dance (`CREATE temp` → `COPY` → `TRUNCATE`
+  * → `INSERT SELECT` → `DROP`) is a Redshift-COPY artifact; in Spark the
+  * staged parquet is directly readable, so a full refresh is one atomic
+  * `saveAsTable(Overwrite)` — no window of emptiness between TRUNCATE
+  * and INSERT (SURVEY §4), no leaked temp table (qb_purchases.py never
+  * drops its temp, §0.1).
+  */
+object Warehouse {
+
+  /** W4: full-refresh load (TRUNCATE + reload ≡ atomic overwrite). */
+  def fullRefresh(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** W5: monthly append, made idempotent with dynamic partition
+    * overwrite on `month` — re-running a month replaces that month
+    * instead of double-loading it (fixes the reference's re-run hole,
+    * qb_profit&loss.py:136-151).
+    */
+  def appendMonth(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (!spark.catalog.tableExists(table)) {
+      df.write.partitionBy("month").format("parquet").saveAsTable(table)
+    } else {
+      // insertInto matches by position; align to the table's column
+      // order with month (the partition column) last.
+      val cols = spark.table(table).columns
+      df.select(cols.map(col).toSeq: _*).write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** C5-style load audit: staged vs loaded row counts. */
+  def auditCounts(staged: DataFrame, table: String): (Long, Long) =
+    (staged.count(), staged.sparkSession.table(table).count())
+}

@@ -16,11 +16,18 @@ import org.apache.spark.sql.types._
   */
 object Casts {
 
-  /** `pd.to_numeric(errors='coerce')` — C2. Non-ANSI cast nulls bad input. */
-  def coerce(c: Column, t: DataType): Column = c.cast(t)
+  /** `pd.to_numeric(errors='coerce')` — C2: null on malformed input.
+    * Spark 4 runs ANSI-on by default (plain cast raises, like pandas
+    * `astype` C1), so coerce semantics = `try_cast`.
+    */
+  def coerce(c: Column, t: String): Column = c.try_cast(t)
 
   /** `fillna(v)` before a cast — C3 (qb_billpayments.py:111-112). */
   def fillThenCast(c: Column, fill: Any, t: DataType): Column =
+    coalesce(c, lit(fill)).cast(t)
+
+  /** fillThenCast with a DDL type string. */
+  def fillThenCast(c: Column, fill: Any, t: String): Column =
     coalesce(c, lit(fill)).cast(t)
 
   /** `replace('', pd.NA)` — C4 (qb_profit&loss.py:111). */

@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
 object Lines {
 
   /** P2+P3: one row per `Line` element, child fields flattened next to the
-    * parent columns with a `prefix` (default mirrors the reference's
-    * `line_`-prefixed rename targets, qb_jounalentry.py:119-134).
-    * Output child column names: `prefix + snakeCase(childPath)`.
+    * parent columns. Child column names are `snakeCase(childPath)` mapped
+    * through `renames` (the reference's R3 rename table,
+    * qb_jounalentry.py:119-134) — applied at select time so child names
+    * like `id` never transiently collide with parent columns (pandas
+    * avoids the collision only because its children stay CamelCase until
+    * the rename; Spark resolves by name, so we rename eagerly).
     */
-  def explodeLines(df: DataFrame, lineCol: String, prefix: String = ""): DataFrame = {
+  def explodeLines(df: DataFrame, lineCol: String,
+      renames: Map[String, String] = Map.empty): DataFrame = {
     val elemType = df.schema(lineCol).dataType match {
       case ArrayType(st: StructType, _) => st
       case other =>
@@ -32,7 +36,8 @@ object Lines {
     val parents = df.columns.filterNot(_ == lineCol).map(col).toSeq
     val exploded = df.withColumn("__line", explode_outer(col(lineCol)))
     val children = Flatten.leafPaths(elemType).map { path =>
-      col(s"__line.$path").alias(prefix + Names.snakeCase(path))
+      val snake = Names.snakeCase(path)
+      col(s"__line.$path").alias(renames.getOrElse(snake, snake))
     }
     exploded.select(parents ++ children: _*)
   }

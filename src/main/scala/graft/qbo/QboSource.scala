@@ -1,0 +1,71 @@
+package graft.qbo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** QBO entity-query source (SURVEY §2.1 S2-S4).
+  *
+  * The reference POSTs `SELECT * FROM <Entity>` to `/query` and loops
+  * `STARTPOSITION` in pages of 100 (qb_billpayments.py:63-79). We model
+  * a page as one `QueryResponse` envelope JSON; the fetch loop lives in
+  * [[fetchAll]] behind the [[QboApi]] trait (so a live HTTP client can
+  * plug in, and tests use a fake), and the structuring lives in
+  * [[entityFrame]] — declared-schema JSON parsing, no inference pass.
+  *
+  * Scale note: with a real paginated API the pages become input
+  * partitions (each executor task fetches its own page range); here the
+  * page envelopes are already strings, and parsing is distributed.
+  */
+trait QboApi {
+  /** One page of entity-query results, 1-based start position. */
+  def queryPage(entity: String, startPosition: Int): String
+}
+
+object QboSource {
+
+  val PageSize = 100
+
+  /** S3/S4 pagination loop. Uses the length-based stop predicate
+    * (`len(page) == 100`, qb_purchases.py:77) — the robust variant; the
+    * `maxResults == 100` form (qb_billpayments.py:79) breaks when the
+    * API omits maxResults (SURVEY §0.1). Also fixes qb_bills.py:55,
+    * which never paginates at all.
+    */
+  def fetchAll(api: QboApi, entity: String, schema: StructType,
+      spark: SparkSession): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 1
+    var more = true
+    while (more) {
+      val page = api.queryPage(entity, pos)
+      val n = countRows(page, entity)
+      buf += page
+      pos += n
+      more = n == PageSize
+    }
+    entityFrame(spark, entity, buf.toSeq, schema)
+  }
+
+  /** Cheap driver-side row count of a page (stop predicate only). */
+  private def countRows(pageJson: String, entity: String): Int = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.readTree(pageJson).path("QueryResponse").path(entity)
+    if (arr.isArray) arr.size() else 0
+  }
+
+  /** Page envelopes → one entity row per element (union of pages = the
+    * reference's `all_data.extend(page)`, SURVEY §2.6 set-op analog).
+    */
+  def entityFrame(spark: SparkSession, entity: String, pages: Seq[String],
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    val envelope = StructType(Seq(StructField("QueryResponse", StructType(Seq(
+      StructField(entity, ArrayType(schema)),
+      StructField("maxResults", IntegerType),
+      StructField("startPosition", IntegerType))))))
+    spark.read.schema(envelope).json(spark.createDataset(pages))
+      .select(explode(col(s"QueryResponse.`$entity`")).as("e"))
+      .select("e.*")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.qbo._
+import graft.qbo.Entities._
+
+/** End-to-end QBO pipeline queries: fixture pages → declared-schema JSON
+  * parse → stage (select/snake/rename/fill/astype) → warehouse cast
+  * layer (SURVEY §3 E1-E3). These run the same code paths a live QBO
+  * source would feed; the oracle side reconstructs the expected typed
+  * output as a VALUES relation, making each pipeline a driver-checked
+  * golden test.
+  */
+object QboPipelines {
+
+  private def entity(s: SparkSession, name: String, pages: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    QboSource.entityFrame(s, name, pages, schema)
+
+  def billsWarehouse(s: SparkSession): DataFrame =
+    Bills.warehouse(Bills.stage(entity(s, "Bill", Fixtures.billPages, Schemas.bill)))
+      .orderBy("id")
+
+  def billPaymentsWarehouse(s: SparkSession): DataFrame =
+    BillPayments.warehouse(BillPayments.stage(
+      entity(s, "BillPayment", Fixtures.billPaymentPages, Schemas.billPayment)))
+      .orderBy("id")
+
+  def journalEntriesWarehouse(s: SparkSession): DataFrame =
+    JournalEntries.warehouse(JournalEntries.stage(
+      entity(s, "JournalEntry", Fixtures.journalEntryPages, Schemas.journalEntry)))
+      .orderBy(col("id"), col("line_id").asc_nulls_first)
+
+  def purchasesWarehouse(s: SparkSession): DataFrame =
+    Purchases.warehouse(Purchases.stage(
+      entity(s, "Purchase", Fixtures.purchasePages, Schemas.purchase)))
+      .orderBy(col("id"), col("line_id"))
+
+  def depositsWarehouse(s: SparkSession): DataFrame =
+    Deposits.warehouse(Deposits.stage(
+      entity(s, "Deposit", Fixtures.depositPages, Schemas.deposit)))
+      .orderBy("id")
+
+  def pnlWarehouse(s: SparkSession): DataFrame =
+    Reports.ProfitAndLoss.warehouse(Reports.ProfitAndLoss.stage(
+      Reports.ProfitAndLoss.flatten(s, Fixtures.pnlReports).toDF()))
+      .orderBy("month", "category", "total_amount")
+
+  def transactionListWarehouse(s: SparkSession): DataFrame =
+    Reports.TransactionList.warehouse(
+      Reports.TransactionList.parse(s, Fixtures.transactionListReport))
+      .orderBy("date", "doc_num")
+
+  def byVendorWarehouse(s: SparkSession): DataFrame =
+    Reports.TransactionListByVendor.warehouse(
+      Reports.TransactionListByVendor.parse(s, Fixtures.byVendorReport))
+      .orderBy(col("vendor_id"), col("date").asc_nulls_first)
+
+  val qs: Seq[Q] = Seq(
+    Q("qbo_bills", "Bill pipeline: S2+P1+P5+R1-R3+C1+C6+W4 end-to-end",
+      Some(Oracles.bills), (s, _) => billsWarehouse(s)),
+    Q("qbo_billpayments", "BillPayment pipeline: S3+P1+R2-R3 patch+C3+C7+W4",
+      Some(Oracles.billPayments), (s, _) => billPaymentsWarehouse(s)),
+    Q("qbo_journalentries", "JournalEntry pipeline: explode_outer P2-P4+R5+W4",
+      Some(Oracles.journalEntries), (s, _) => journalEntriesWarehouse(s)),
+    Q("qbo_purchases", "Purchase pipeline: S4+P2-P4+C2 coerce+C6+W4",
+      Some(Oracles.purchases), (s, _) => purchasesWarehouse(s)),
+    Q("qbo_deposits", "Deposit pipeline: S3+P1+P5+C7+W4",
+      Some(Oracles.deposits), (s, _) => depositsWarehouse(s)),
+    Q("qbo_profit_and_loss", "P&L report: S5+P6 recursive flatten+C8+W5",
+      Some(Oracles.pnl), (s, _) => pnlWarehouse(s)),
+    Q("qbo_transaction_list", "TransactionList report: S6+P7+P9+C2+C6+W4",
+      Some(Oracles.transactionList), (s, _) => transactionListWarehouse(s)),
+    Q("qbo_txnlist_by_vendor", "ByVendor report: S7+P8 intended semantics+W4",
+      Some(Oracles.byVendor), (s, _) => byVendorWarehouse(s))
+  )
+}
