@@ -17,7 +17,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     graft.queries.Relational.qs ++ graft.queries.Events.qs ++
       graft.queries.TextOps.qs ++ graft.queries.Embeddings.qs ++
-      graft.queries.QboPipelines.qs
+      graft.queries.QboPipelines.qs ++ graft.queries.MultimodalOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

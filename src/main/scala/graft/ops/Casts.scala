@@ -54,7 +54,8 @@ object Casts {
     * the cast lost it. Run on the *pre-cast* frame.
     */
   def failedCasts(df: DataFrame, column: String, t: DataType): Long =
-    df.filter(col(column).isNotNull && col(column).cast(t).isNull).count()
+    df.filter(col(column).isNotNull &&
+      col(column).try_cast(t.catalogString).isNull).count()
 
   /** Null count data-quality check — C5 (qb_transactionlist.py:99-101). */
   def nullCount(df: DataFrame, column: String): Long =

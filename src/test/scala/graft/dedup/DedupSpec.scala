@@ -1,0 +1,116 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.Vectors
+import graft.text.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val near2 = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+  private val far = "completely different content about spark shuffles and catalyst optimizer rules"
+
+  private def docs = Seq((1L, near1), (2L, near2), (3L, far), (4L, near1))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts (doc 1 and 4)") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1L) // keeper = min id
+  }
+
+  test("minhash signatures agree more for near-duplicates") {
+    val sig = Dedup.withShingles(docs, "doc_id", "text")
+      .select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val agreeNear = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    val agreeFar = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(sig(1L) == sig(4L)) // identical docs → identical signature
+    assert(agreeNear > agreeFar)
+    assert(agreeFar == 0)
+  }
+
+  test("LSH bands: identical docs collide, unrelated docs do not") {
+    val sig = Dedup.withShingles(docs, "doc_id", "text")
+      .select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(Dedup.bandValues((0 until 8).map(j => col(s"h$j"))): _*)))
+      .toDF("doc_id", "bi", "bv")
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming distance: near < far") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhash32(TextFunctions.words(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("jaccard: identity 1.0, near-dup high, unrelated low") {
+    val withSh = Dedup.withShingles(docs, "doc_id", "text")
+    val a = withSh.toDF("a_id", "a_sh")
+    val b = withSh.toDF("b_id", "b_sh")
+    val j = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), Dedup.jaccard(col("a_sh"), col("b_sh")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8)
+    assert(j((1L, 3L)) == 0.0)
+  }
+}
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(2.0, 0.0, 0.0))).toDF("id", "v")
+    val a = df.toDF("a_id", "a")
+    val b = df.toDF("b_id", "b")
+    val cos = a.join(b)
+      .select(col("a_id"), col("b_id"), Vectors.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((1L, 2L))) < 1e-12)
+  }
+
+  test("LSH ANN finds planted near-duplicate vectors") {
+    // 40 deterministic base vectors; ids 1000+i are tiny perturbations of
+    // base i (cosine ≈ 0.9999) — a real near-dup workload, unlike the
+    // uncorrelated random corpus.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian()))
+    val planted = base.map { case (i, v) =>
+      (1000L + i) -> v.map(_ + rnd.nextGaussian() * 0.01)
+    }
+    val emb = (base ++ planted).toDF("vec_id", "e")
+      .withColumn("bucket", Vectors.lshBucket(col("e"), 8))
+    val queries = emb.filter(col("vec_id") < 1000).toDF("q_id", "qe", "qb")
+    val cands = emb.filter(col("vec_id") >= 1000).toDF("n_id", "ne", "nb")
+    val lshTop1 = queries.join(cands,
+        col("qb") === col("nb") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", Vectors.cosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") === 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 40).count(i => lshTop1.get(i.toLong).contains(1000L + i))
+    // a 0.01-noise twin flips any of 8 hyperplane signs only rarely
+    assert(hits >= 30, s"planted-twin recall too low: $hits/40")
+  }
+}

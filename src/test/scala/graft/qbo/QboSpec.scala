@@ -1,0 +1,96 @@
+package graft.qbo
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QboSourceSpec extends SparkSpec {
+
+  /** Fake paginated API: `total` rows of a minimal Deposit entity. */
+  private class FakeApi(total: Int) extends QboApi {
+    var calls = 0
+    def queryPage(entity: String, startPosition: Int): String = {
+      calls += 1
+      val n = math.max(0, math.min(QboSource.PageSize, total - (startPosition - 1)))
+      val rows = (0 until n).map { i =>
+        s"""{"Id": "${startPosition + i}", "TotalAmt": 1.0, "TxnDate": "2024-01-01"}"""
+      }.mkString(",")
+      s"""{"QueryResponse": {"$entity": [$rows], "startPosition": $startPosition}}"""
+    }
+  }
+
+  test("fetchAll paginates to exhaustion with len-based predicate (S3/S4)") {
+    val api = new FakeApi(207)
+    val df = QboSource.fetchAll(api, "Deposit", Schemas.deposit, spark)
+    assert(df.count() == 207)
+    assert(api.calls == 3) // 100 + 100 + 7
+    // robust even though the fake omits maxResults (SURVEY §0.1)
+    assert(df.select(countDistinct(col("Id"))).head.getLong(0) == 207)
+  }
+
+  test("fetchAll handles an exact page-multiple result set") {
+    val api = new FakeApi(200)
+    val df = QboSource.fetchAll(api, "Deposit", Schemas.deposit, spark)
+    assert(df.count() == 200)
+    assert(api.calls == 3) // trailing empty page terminates
+  }
+}
+
+class ReportsSpec extends SparkSpec {
+
+  test("P&L tree flatten reproduces process_row paths exactly (P6)") {
+    val flat = Reports.ProfitAndLoss.flatten(spark, Fixtures.pnlReports.take(1))
+      .collect().map(r => (r.path, r.account, r.total)).toSeq
+    assert(flat.contains(("", "Income", "")))
+    assert(flat.contains((" -> Income", "Sales", "1000.00")))
+    assert(flat.contains((" -> Income", "Services", "")))
+    assert(flat.contains((" -> Income -> Services", "Consulting", "250.00")))
+    // Summary of a nested section carries the parent path + suffix
+    assert(flat.contains((" -> Income (Summary)", "Total Services", "250.00")))
+    assert(flat.contains((" (Summary)", "Total Income", "1250.00")))
+    assert(flat.size == 10)
+  }
+
+  test("ByVendor keeps vendors with no transactions (P8 intended semantics)") {
+    val df = Reports.TransactionListByVendor.parse(spark, Fixtures.byVendorReport)
+    val beta = df.filter(col("vendor_id") === 57).collect()
+    assert(beta.length == 1)
+    assert(beta.head.isNullAt(beta.head.fieldIndex("date")))
+    assert(beta.head.getString(beta.head.fieldIndex("vendor_name")) == "Beta Parts")
+  }
+
+  test("TransactionList positional parse + coerced amount (P7/C2)") {
+    val df = Reports.TransactionList.parse(spark, Fixtures.transactionListReport)
+    assert(df.columns.length == 11)
+    val amounts = df.orderBy("date").select("amount").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(amounts == Seq(Some(1250.5), None))
+  }
+}
+
+class WarehouseSpec extends SparkSpec {
+  import graft.load.Warehouse
+
+  test("fullRefresh overwrites atomically (W4)") {
+    import spark.implicits._
+    Warehouse.fullRefresh(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t_refresh")
+    Warehouse.fullRefresh(Seq((3, "c")).toDF("id", "v"), "t_refresh")
+    assert(spark.table("t_refresh").count() == 1)
+    spark.sql("DROP TABLE t_refresh")
+  }
+
+  test("appendMonth is idempotent per month (W5 re-run hole fixed)") {
+    import spark.implicits._
+    val jan = Seq(("x", 1.0, "2024-01"), ("y", 2.0, "2024-01"))
+      .toDF("category", "total_amount", "month")
+    val feb = Seq(("x", 3.0, "2024-02")).toDF("category", "total_amount", "month")
+    Warehouse.appendMonth(jan, "t_pnl")
+    Warehouse.appendMonth(feb, "t_pnl")
+    Warehouse.appendMonth(jan, "t_pnl") // re-run January
+    val got = spark.table("t_pnl")
+    assert(got.count() == 3) // not 5 — January replaced, not double-loaded
+    assert(got.filter(col("month") === "2024-02").count() == 1)
+    assert(Warehouse.auditCounts(feb, "t_pnl")._1 == 1)
+    spark.sql("DROP TABLE t_pnl")
+  }
+}

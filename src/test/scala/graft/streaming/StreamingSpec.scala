@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.queries.Common
+
+/** Stream/batch equivalence: the streaming operators must produce the
+  * same aggregates as their oracle-checked batch twins when fed the same
+  * (replayed) data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling counts == batch q23 aggregates") {
+    // Stage the events as a file-source stream (micros-normalized parquet,
+    // since readStream hits the same NANOS limitation as batch).
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val batchEvents = Common.events(spark, sfDir)
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("tumbling")
+      .select(col("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionization closes sessions on gap and timeout") {
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000)
+    // user 1: two sessions (gap 45 min); user 2: one session
+    val evs = Seq(
+      EventStream.Ev(1L, ts(0)), EventStream.Ev(1L, ts(10)),
+      EventStream.Ev(1L, ts(55)), EventStream.Ev(1L, ts(60)),
+      EventStream.Ev(2L, ts(5)))
+    val dir = Files.createTempDirectory("graft-sess").toString
+    evs.toDS().write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(evs.toDS().schema).parquet(s"$dir/in")
+      .as[EventStream.Ev]
+    val q = EventStream.sessionize(stream, gapMs = 30 * 60000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // Closed-by-gap session is emitted; open sessions wait for watermark
+    // timeout (never fires in a finite replay), matching append-mode
+    // semantics.
+    val got = spark.table("sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // user 1's first session (events at 0,10)
+  }
+}

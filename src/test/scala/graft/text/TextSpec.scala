@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language-ID heuristic on real sentences") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and looked to the door"),
+      (2L, "der Hund ist nicht in das Haus und die Katze"),
+      (3L, "le chat est dans les jardins et la maison pour une heure"),
+      (4L, "el perro es una mascota y los gatos en la casa"),
+      (5L, "zzz qqq xxx")).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langIdHeuristic(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "es")
+    assert(got(5L) == "und")
+  }
+
+  test("fingerprint matches a hand-computed rolling hash") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val inputs = Seq("hello world", "a", "", "the quick brown fox")
+    val got = inputs.toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[Long].collect().toSeq
+    assert(got == inputs.map(ref))
+  }
+
+  test("shingles guard: fewer tokens than k → empty set, not a crash") {
+    val got = Seq("one two", "one two three four").toDF("text")
+      .select(TextFunctions.shingleSet(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0).isEmpty)
+    assert(got(1) == Seq("one two three", "two three four"))
+  }
+
+  test("quality signals: stopword ratio and token stats") {
+    val ws = TextFunctions.words(col("text"))
+    val r = Seq("the a the xyz").toDF("text")
+      .select(TextFunctions.stopwordRatio(ws, Seq("the", "a")),
+        TextFunctions.avgWordLen(ws)).head
+    assert(r.getDouble(0) == 0.75)
+    assert(r.getDouble(1) == 2.5) // token lengths 3,1,3,3 → 10/4
+  }
+}
