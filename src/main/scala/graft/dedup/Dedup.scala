@@ -46,12 +46,70 @@ object Dedup {
   def minhashSignature(shingles: Column, n: Int): Seq[Column] =
     (0 until n).map(j => minhash(shingles, j).as(s"h$j"))
 
+  /** Signature over a whole frame, hashing each shingle ONCE: the
+    * md5-derived hash32 array is materialized in its own projection and
+    * the n affine minima read from it. (The expression form above
+    * re-hashes every shingle per family member — 8× the md5 work — and
+    * CollapseProject would reintroduce that if the hash array were a
+    * cheap alias, which it is not, so the two-projection shape sticks.)
+    */
+  def withMinhashSignature(df: DataFrame, shCol: String, n: Int): DataFrame = {
+    val keep = df.columns.filterNot(_ == shCol).map(col).toSeq
+    df.withColumn("__hs", transform(col(shCol), s => Hashing.hash32(s)))
+      .select(keep ++ (0 until n).map(j =>
+        array_min(transform(col("__hs"),
+          h => Hashing.affine(h, Hashing.HashA(j), Hashing.HashB(j)))).as(s"h$j")): _*)
+  }
+
   /** LSH band values from a signature: consecutive pairs of minhashes
     * combined into one band key (r=2 rows/band). Docs sharing any band
     * value are near-dup candidates.
     */
   def bandValues(sig: Seq[Column]): Seq[Column] =
     sig.grouped(2).map(pair => pair.head * P + pair(1)).toSeq
+
+  /** (id, h0..h(n-1)) signature frame via the custom Catalyst expression
+    * (graft.functions.MinHashSignatureExpr) — one imperative pass per
+    * document instead of ~600 interpreted lambda evals. The
+    * `repartition(id)` is a projection barrier: without it,
+    * CollapseProject inlines the signature into all n element_at
+    * extractions (n× the md5 work), and it doubles as the shared
+    * exchange that ReuseExchange dedups in self-joins.
+    */
+  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n <= 8, "expression computes 8 hashes")
+    df.select(col(idCol), graft.functions.GraftFunctions
+        .minhashSignature(df.sparkSession, col(textCol)).as("sig"))
+      .repartition(col(idCol))
+      .select(col(idCol) +: (0 until n).map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+  }
+
+  /** MinHash-LSH candidate pairs over a document frame — the scale path
+    * end-to-end: shingle → signature → band → self-join on band value.
+    *
+    * The `repartition(id)` between signature and banding is load-bearing
+    * twice over: (a) it is a projection barrier, stopping CollapseProject
+    * from inlining the md5 signature chain into the band-explode
+    * generator (measured 30× blowup without it); (b) it makes both sides
+    * of the self-join share one identical exchange subtree, so
+    * ReuseExchange computes signatures once, not twice. At cluster scale
+    * this is exactly "materialize signatures, shuffle once, join within
+    * bands".
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 8): DataFrame = {
+    val sig = signatureFrame(df, idCol, textCol, nHashes)
+    val bands = sig.select(col(idCol),
+      posexplode(array(bandValues((0 until nHashes).map(j => col(s"h$j"))): _*)))
+      .toDF(idCol, "bi", "bv")
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
 
   /** 32-bit SimHash over a token array (token multiplicity counts, as in
     * the original Charikar construction).

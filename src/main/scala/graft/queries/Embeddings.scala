@@ -79,10 +79,14 @@ object Embeddings {
             ORDER BY cosine DESC, n_id) AS rn FROM p) t
         WHERE rn <= 3 ORDER BY q_id, rn"""),
       (s, d) => {
+        // repartition = projection barrier + shared exchange: norms and
+        // buckets are computed once and reused on both join sides
+        // (ReuseExchange), instead of being inlined into each side.
         val v = table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
           .withColumn("nrm", Vectors.norm(col("e")))
-          .withColumn("bucket", Vectors.lshBucket(col("e"), 8))
+          .withColumn("bucket", graft.functions.LshBucket(s, col("e")))
+          .repartition(col("vec_id"))
         val q = v.toDF("q_id", "qe", "qn", "bucket").filter(col("q_id") < 20)
         val c = v.toDF("n_id", "ne", "nn", "nbucket")
         val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))

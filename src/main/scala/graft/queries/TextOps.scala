@@ -158,8 +158,7 @@ object TextOps {
     Q("q33_minhash_signatures",
       "8-hash MinHash signature per document",
       Some(s"""$sigSql SELECT * FROM sig ORDER BY doc_id"""),
-      (s, d) => Dedup.withShingles(table(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+      (s, d) => Dedup.signatureFrame(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     Q("q34_minhash_lsh_pairs",
@@ -172,19 +171,8 @@ object TextOps {
         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
           AND a.doc_id < b.doc_id
         GROUP BY a_id, b_id ORDER BY a_id, b_id"""),
-      (s, d) => {
-        val sig = Dedup.withShingles(table(s, d, "documents"), "doc_id", "text")
-          .select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(Dedup.bandValues((0 until 8).map(j => col(s"h$j"))): _*)))
-          .toDF("doc_id", "bi", "bv")
-        bands.as("a").join(bands.as("b"),
-            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-          .orderBy("a_id", "b_id")
-      }),
+      (s, d) => Dedup.lshCandidatePairs(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
 
     Q("q35_simhash",
       "32-bit SimHash digest per document (Charikar construction)",

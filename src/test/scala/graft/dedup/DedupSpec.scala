@@ -49,6 +49,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("custom MinHashSignatureExpr ≡ the HOF composition, bit for bit") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaExpr = Dedup.signatureFrame(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaHof = Dedup.withMinhashSignature(
+      Dedup.withShingles(docs, "doc_id", "text"), "sh", 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaExpr == viaHof)
+  }
+
   test("simhash hamming distance: near < far") {
     val sh = docs.select(col("doc_id"),
       Dedup.simhash32(TextFunctions.words(col("text"))).as("s"))
@@ -86,6 +97,15 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(cos((1L, 1L)) - 1.0) < 1e-12)
     assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12)
     assert(math.abs(cos((1L, 2L))) < 1e-12)
+  }
+
+  test("LshBucketExpr ≡ the HOF lshBucket, bit for bit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val got = emb.select(
+      graft.functions.LshBucket(spark, col("e")).as("fast"),
+      Vectors.lshBucket(col("e"), 8).as("hof"))
+    assert(got.filter(col("fast") =!= col("hof")).count() == 0)
   }
 
   test("LSH ANN finds planted near-duplicate vectors") {
