@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.text.TextFunctions
+
+/** Second wave of the relational/extension surface: outer joins, pivot,
+  * cube, intersect, latest-per-key dedup, date arithmetic, exact median,
+  * approximate sketches, regex tokenization, map operations, and the
+  * language-ID heuristic.
+  */
+object Relational2 {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val qs: Seq[Q] = Seq(
+    Q("q40_langid",
+      "stopword-profile language ID (argmax with struct-max tiebreak)",
+      Some(s"""WITH w AS (SELECT doc_id,
+          regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+        scored AS (SELECT doc_id, ${TextFunctions.LangStopwords.map { case (lang, st) =>
+          s"len(list_filter(ws, x -> x IN (${st.map(s => s"'$s'").mkString(", ")}))) AS s_$lang"
+        }.mkString(", ")} FROM w),
+        best AS (SELECT doc_id, list_aggregate([${TextFunctions.LangStopwords.map {
+          case (lang, _) => s"{'score': s_$lang, 'lang': '$lang'}"
+        }.mkString(", ")}], 'max') AS m FROM scored)
+        SELECT CASE WHEN m.score > 0 THEN m.lang ELSE 'und' END AS lang_pred,
+          COUNT(*) AS n
+        FROM best GROUP BY lang_pred ORDER BY lang_pred"""),
+      (s, d) => table(s, d, "documents")
+        .select(TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")),
+
+    Q("q41_left_join",
+      "LEFT OUTER join with null-aware aggregates per customer",
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+          COALESCE(${sqlDsum("o_totalprice", 6)}, 0.0) AS revenue
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey"""),
+      (s, d) => table(s, d, "customer")
+        .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice"), 6), lit(0.0)).as("revenue"))
+        .orderBy("c_custkey")),
+
+    Q("q42_pivot",
+      "pivot event counts per user cohort (explicit value list)",
+      Some(s"""SELECT user_id % 10 AS cohort, ${eventTypes.map(t =>
+          s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")}
+        FROM events GROUP BY cohort ORDER BY cohort"""),
+      (s, d) => events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", eventTypes)
+        .count()
+        .na.fill(0L, eventTypes)
+        .orderBy("cohort")),
+
+    Q("q43_latest_per_key",
+      "keep-latest-per-key dedup (window row_number desc)",
+      Some("""SELECT user_id, event_id, ts, event_type FROM (
+          SELECT user_id, event_id, ts, event_type, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id")
+      }),
+
+    Q("q44_regexp_tokens",
+      "regex tokenization (letter runs) + token statistics",
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+            AS n_distinct
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_tokens"),
+          size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
+            .cast("long").as("n_distinct"))
+        .orderBy("doc_id")),
+
+    Q("q45_map_ops",
+      "JSON → MapType → explode to key/value rows",
+      Some("""SELECT event_id, 'k' AS key,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS value
+        FROM events ORDER BY event_id"""),
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))))
+        .orderBy("event_id")),
+
+    Q("q46_cube",
+      "CUBE grouping sets over returnflag × linestatus",
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, d) => table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    Q("q47_intersect",
+      "INTERSECT: nation keys present in both customer and supplier",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
+      (s, d) => table(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(table(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    Q("q48_date_arith",
+      "date arithmetic: order→ship latency days per priority",
+      Some("""SELECT o_orderpriority,
+          CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE))) AS BIGINT) AS total_days,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE))) AS BIGINT) AS DOUBLE)/COUNT(*)
+            AS avg_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("days")).as("total_days"), count(lit(1)).as("n"),
+          (sum(col("days")).cast("double") / count(lit(1))).as("avg_days"))
+        .orderBy("o_orderpriority")),
+
+    Q("q49_median",
+      "exact median (interpolating) of order value per priority",
+      Some("""SELECT o_orderpriority, median(o_totalprice) AS median_price,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(median(col("o_totalprice")).as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    Q("q50_approx_distinct",
+      "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
+      None,
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag"))
+  )
+}
