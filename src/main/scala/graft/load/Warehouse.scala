@@ -36,6 +36,17 @@ object Warehouse {
     }
   }
 
+  /** Bucketed write: co-locates rows by join key so subsequent
+    * equi-joins between tables bucketed on the same key with the same
+    * bucket count run shuffle-free (the scale answer to repeated
+    * fact-fact joins — pay the shuffle once at load, never at query).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** C5-style load audit: staged vs loaded row counts. */
   def auditCounts(staged: DataFrame, table: String): (Long, Long) =
     (staged.count(), staged.sparkSession.table(table).count())

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality gates: these assert the physical properties the 100 TB
+  * design depends on — filter/projection pushdown into the parquet scan,
+  * broadcast strategies for dimension joins, and shuffle-free bucketed
+  * joins. A regression here is a scale bug even when results stay
+  * correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // narrow ReadSchema: the scan must not read all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q03: dimension joins broadcast, no shuffle for dims") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q21: JSON projection prunes unread event columns") {
+    val p = plan("q21_json_flatten")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("value") && !readSchema.contains("user_id"), readSchema)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    import graft.load.Warehouse
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Warehouse.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Warehouse.writeBucketed(ord, "b_orders", "o_orderkey", 8)
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(joined.count() == li.count())
+    spark.sql("DROP TABLE b_lineitem"); spark.sql("DROP TABLE b_orders")
+  }
+
+  test("salted join equals plain join (skew mitigation correctness)") {
+    import graft.ops.Skew
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 4)
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
