@@ -28,6 +28,13 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: duplicates arriving within the watermark
+    * horizon are dropped; state is evicted past the watermark, keeping
+    * memory bounded (the streaming face of Dedup.exactGroups).
+    */
+  def dedupeWithinWatermark(events: DataFrame, keyCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(keyCol)
+
   case class Ev(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

@@ -44,6 +44,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val batchEvents = Common.events(spark, sfDir).limit(200)
+    // replay the same events twice → every event is duplicated
+    batchEvents.union(batchEvents).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = EventStream.dedupeWithinWatermark(stream, "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("deduped").count() == 200)
+    assert(spark.table("deduped").select("event_id").distinct().count() == 200)
+  }
+
   test("stateful sessionization closes sessions on gap and timeout") {
     val t0 = 1700000000000L
     def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000)
