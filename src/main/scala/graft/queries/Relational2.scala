@@ -152,6 +152,19 @@ object Relational2 {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
+    Q("q52_sql_text",
+      "SQL-text interface: temp views + spark.sql over the same tables",
+      Some(s"""SELECT l_returnflag, ${sqlDsum("l_extendedprice", 6)} AS rev,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev,
+            COUNT(*) AS n
+          FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+      }),
+
     Q("q50_approx_distinct",
       "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
       None,

@@ -174,6 +174,29 @@ object TextOps {
       (s, d) => Dedup.lshCandidatePairs(table(s, d, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
 
+    Q("q51_minhash_union_agg",
+      "typed UDAF: per-source union-minhash sketch (elementwise min)",
+      Some(s"""WITH w AS (SELECT doc_id, source, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, source, ${sqlShingles("ws")} AS sh FROM w),
+        sig AS (SELECT doc_id, source,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh)
+        SELECT source, ${(0 until 8).map(j => s"MIN(h$j) AS u$j").mkString(", ")}
+        FROM sig WHERE h0 IS NOT NULL GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        import graft.functions.MinHashUnionAgg
+        val docs = table(s, d, "documents")
+        val sig = graft.dedup.Dedup.signatureFrame(docs, "doc_id", "text")
+          .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+          .filter(col("h0").isNotNull)
+        sig.groupBy(col("source"))
+          .agg(MinHashUnionAgg.minhashUnion(
+            array((0 until 8).map(j => col(s"h$j")): _*)).as("u"))
+          .select(col("source") +: (0 until 8).map(j =>
+            element_at(col("u"), j + 1).as(s"u$j")): _*)
+          .orderBy("source")
+      }),
+
     Q("q35_simhash",
       "32-bit SimHash digest per document (Charikar construction)",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),

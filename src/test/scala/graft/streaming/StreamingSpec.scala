@@ -59,6 +59,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").select("event_id").distinct().count() == 200)
   }
 
+  test("foreachBatch streaming warehouse load (W5 under a stream)") {
+    import graft.load.Warehouse
+    val dir = Files.createTempDirectory("graft-fb").toString
+    val batchEvents = Common.events(spark, sfDir).limit(300)
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Warehouse.appendMonth(batch, "t_stream_load")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t_stream_load").count() == 300)
+    spark.sql("DROP TABLE t_stream_load")
+  }
+
   test("stateful sessionization closes sessions on gap and timeout") {
     val t0 = 1700000000000L
     def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000)
