@@ -165,6 +165,51 @@ object Relational2 {
           FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
       }),
 
+    Q("q53_asof_join",
+      "as-of join composed from windows: latest prior click per purchase",
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events
+          WHERE event_type IN ('purchase', 'click')),
+        w AS (SELECT user_id, event_id, ts, event_type,
+          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+          FROM ev)
+        SELECT user_id, event_id, ts, click_ts FROM w
+        WHERE event_type = 'purchase' ORDER BY event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("click_ts",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .drop("event_type")
+          .orderBy("event_id")
+      }),
+
+    Q("q54_range_join",
+      "non-equi range join: events bucketed by value band",
+      Some(s"""SELECT lo, COUNT(*) AS n, ${sqlDsum("value", 6)} AS sum_value
+        FROM events JOIN (VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 150.0),
+          (150.0, 1000.0)) t(lo, hi)
+          ON value >= lo AND value < hi
+        GROUP BY lo ORDER BY lo"""),
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq((0.0, 50.0), (50.0, 100.0), (100.0, 150.0),
+          (150.0, 1000.0)).toDF("lo", "hi")
+        events(s, d)
+          .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("lo"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+          .orderBy("lo")
+      }),
+
     Q("q50_approx_distinct",
       "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
       None,
