@@ -83,6 +83,7 @@ object GraftFunctions {
 
   val MinhashName = "graft_minhash_signature"
   val LshBucketName = "graft_lsh_bucket"
+  val JaccardName = "graft_jaccard"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -93,6 +94,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       LshBucketName,
       exprs => LshBucketExpr(exprs.head, nPlanes = 8),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      JaccardName,
+      exprs => JaccardExpr(exprs.head, exprs(1)),
       "built-in")
   }
 

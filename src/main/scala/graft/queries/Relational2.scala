@@ -23,11 +23,11 @@ object Relational2 {
         scored AS (SELECT doc_id, ${TextFunctions.LangStopwords.map { case (lang, st) =>
           s"len(list_filter(ws, x -> x IN (${st.map(s => s"'$s'").mkString(", ")}))) AS s_$lang"
         }.mkString(", ")} FROM w),
-        best AS (SELECT doc_id, list_aggregate([${TextFunctions.LangStopwords.map {
+        best AS (SELECT doc_id, list_aggregate([${(TextFunctions.LangStopwords.map {
           case (lang, _) => s"{'score': s_$lang, 'lang': '$lang'}"
-        }.mkString(", ")}], 'max') AS m FROM scored)
-        SELECT CASE WHEN m.score > 0 THEN m.lang ELSE 'und' END AS lang_pred,
-          COUNT(*) AS n
+        } :+ "{'score': 0, 'lang': 'und'}").mkString(", ")}], 'max') AS m
+          FROM scored)
+        SELECT m.lang AS lang_pred, COUNT(*) AS n
         FROM best GROUP BY lang_pred ORDER BY lang_pred"""),
       (s, d) => table(s, d, "documents")
         .select(TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))

@@ -150,7 +150,7 @@ object TextOps {
         val b = sh.toDF("b_id", "b_sh")
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            Dedup.jaccard(col("a_sh"), col("b_sh")).as("jacc"))
+            graft.functions.Jaccard(s, col("a_sh"), col("b_sh")).as("jacc"))
           .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
           .limit(20)
       }),

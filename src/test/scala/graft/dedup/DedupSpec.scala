@@ -69,6 +69,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("JaccardExpr ≡ array_intersect/array_union composition") {
+    val withSh = Dedup.withShingles(docs, "doc_id", "text")
+    val a = withSh.toDF("a_id", "a_sh")
+    val b = withSh.toDF("b_id", "b_sh")
+    val both = a.join(b, col("a_id") <= col("b_id"))
+      .select(Dedup.jaccard(col("a_sh"), col("b_sh")).as("hof"),
+        graft.functions.Jaccard(spark, col("a_sh"), col("b_sh")).as("fast"))
+    assert(both.filter(col("hof") =!= col("fast")).count() == 0)
+  }
+
   test("jaccard: identity 1.0, near-dup high, unrelated low") {
     val withSh = Dedup.withShingles(docs, "doc_id", "text")
     val a = withSh.toDF("a_id", "a_sh")

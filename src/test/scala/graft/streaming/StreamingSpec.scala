@@ -59,6 +59,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").select("event_id").distinct().count() == 200)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val batchEvents = Common.events(spark, sfDir)
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = EventStream.purchasesWithRecentClicks(stream, 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = EventStream.purchasesWithRecentClicks(batchEvents, 30)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch streaming warehouse load (W5 under a stream)") {
     import graft.load.Warehouse
     val dir = Files.createTempDirectory("graft-fb").toString
