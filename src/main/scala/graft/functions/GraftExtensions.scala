@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring for graft's custom expressions — the
+  * construction-time alternative to [[GraftFunctions.register]]:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * makes `graft_minhash_signature` / `graft_lsh_bucket` / `graft_jaccard`
+  * available in SQL text on every session of that context (the runtime
+  * `register` path remains for sessions we did not construct, e.g. the
+  * driver's).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier(GraftFunctions.MinhashName),
+      info(GraftFunctions.MinhashName, classOf[MinHashSignatureExpr]),
+      (exprs: Seq[Expression]) =>
+        MinHashSignatureExpr(exprs.head, shingleK = 3, numHashes = 8)))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.LshBucketName),
+      info(GraftFunctions.LshBucketName, classOf[LshBucketExpr]),
+      (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, nPlanes = 8)))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.JaccardName),
+      info(GraftFunctions.JaccardName, classOf[JaccardExpr]),
+      (exprs: Seq[Expression]) => JaccardExpr(exprs.head, exprs(1))))
+  }
+}

@@ -210,6 +210,39 @@ object Relational2 {
           .orderBy("lo")
       }),
 
+    Q("q55_union_by_name",
+      "by-name union with missing columns (schema evolution union)",
+      Some("""SELECT name, acctbal, mktsegment FROM (
+          SELECT c_name AS name, c_acctbal AS acctbal,
+            c_mktsegment AS mktsegment FROM customer
+          UNION ALL BY NAME
+          SELECT s_name AS name, s_acctbal AS acctbal FROM supplier) t
+        ORDER BY name"""),
+      (s, d) => table(s, d, "customer")
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"))
+        .unionByName(
+          table(s, d, "supplier")
+            .select(col("s_name").as("name"), col("s_acctbal").as("acctbal")),
+          allowMissingColumns = true)
+        .orderBy("name")),
+
+    Q("q56_except_all",
+      "multiset EXCEPT ALL (preserves multiplicity), folded to counts",
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM (
+          SELECT o_orderpriority FROM orders
+          EXCEPT ALL
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        val o = table(s, d, "orders")
+        o.select("o_orderpriority")
+          .exceptAll(o.filter(col("o_orderstatus") === "F")
+            .select("o_orderpriority"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      }),
+
     Q("q50_approx_distinct",
       "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
       None,
