@@ -34,6 +34,14 @@ object Embeddings {
         CASE WHEN ${sqlPlaneDot("embedding")} > 0
         THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS BIGINT)"""
 
+  /** DuckDB twin of Vectors.sqDist. */
+  private def sqlSqDist(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65),
+          i -> (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) *
+               (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)))),
+        (x, y) -> x + y)"""
+
   private val sqlNormed =
     s"""v AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"""
@@ -97,6 +105,55 @@ object Embeddings {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select("q_id", "n_id", "bucket", "rn", "cosine")
+          .orderBy("q_id", "rn")
+      }),
+
+    Q("q57_ann_ivf",
+      "IVF-Flat ANN: coarse-quantize to nearest centroid cell, probe cell",
+      Some(s"""WITH $sqlNormed,
+        c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+              WHERE vec_id < 8),
+        a AS (SELECT v.vec_id,
+            min({'d': ${sqlSqDist("v.embedding", "c.ce")}, 'c': c.c_id}) AS m
+          FROM v, c GROUP BY v.vec_id),
+        vc AS (SELECT v.vec_id, v.embedding, v.nrm, a.m.c AS cell
+          FROM v JOIN a USING (vec_id)),
+        p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.cell,
+            ${sqlDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cosine
+          FROM vc q JOIN vc n ON q.cell = n.cell
+            AND q.vec_id < 20 AND q.vec_id <> n.vec_id)
+        SELECT q_id, n_id, cell, rn, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rn FROM p) t
+        WHERE rn <= 3 ORDER BY q_id, rn"""),
+      (s, d) => {
+        // Deterministic IVF-Flat: coarse codebook = the first 8 vectors
+        // (a k-means step can swap in without changing the query shape).
+        // Assignment = min-struct argmin (ties → lowest centroid id),
+        // identical to the oracle's min({'d',...,'c'...}).
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", Vectors.norm(col("e")))
+          .repartition(col("vec_id"))
+        val cents = v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))
+        val assign = v.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(Vectors.sqDist(col("e"), col("ce")).as("d"),
+              col("c_id").as("c")).as("dc"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("dc")).getField("c").as("cell"))
+        val vc = v.join(assign, "vec_id")
+        val q = vc.toDF("q_id", "qe", "qn", "cell").filter(col("q_id") < 20)
+        val cands = vc.toDF("n_id", "ne", "nn", "ncell")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+        q.join(cands, col("cell") === col("ncell") && col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), col("cell"),
+            Vectors.cosinePre(Vectors.dot(col("qe"), col("ne")),
+              col("qn"), col("nn")).as("cosine"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("q_id", "n_id", "cell", "rn", "cosine")
           .orderBy("q_id", "rn")
       }),
 

@@ -35,6 +35,11 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = cosinePre(dot(a, b), norm(a), norm(b))
 
+  /** Sequential-fold squared L2 distance (IVF cell assignment metric). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** LCG-derived hyperplane coefficient for (plane p, dimension d). */
   def planeCoef(p: Column, d: Column): Column =
     (((p * 64 + d) * 1103515245L + 12345L) % 2147483648L).cast("double") /
