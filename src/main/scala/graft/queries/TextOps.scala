@@ -197,6 +197,28 @@ object TextOps {
           .orderBy("source")
       }),
 
+    Q("q58_corpus_clean",
+      "composed cleaning pipeline: quality filter → exact dedup → langid",
+      Some(s"""WITH q AS (SELECT doc_id, text, lang FROM documents
+          WHERE len(regexp_split_to_array(text, '\\s+')) >= 30),
+        d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        kept AS (SELECT q.doc_id, q.lang FROM q JOIN d USING (doc_id))
+        SELECT lang, COUNT(*) AS n_kept FROM kept
+        GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        // The canonical training-data cleaning composition; every stage
+        // is one of the already-verified operators. At scale: quality
+        // filter is a narrow map, dedup shuffles 16-byte digests, the
+        // final count is a cheap agg — document bytes never shuffle.
+        val docs = table(s, d, "documents")
+        val quality = docs.filter(size(words(col("text"))) >= 30)
+        val keepIds = Dedup.exactGroups(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        quality.join(keepIds, "doc_id")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      }),
+
     Q("q35_simhash",
       "32-bit SimHash digest per document (Charikar construction)",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),

@@ -28,6 +28,15 @@ class QboSourceSpec extends SparkSpec {
     assert(df.select(countDistinct(col("Id"))).head.getLong(0) == 207)
   }
 
+  test("empty feed → empty typed frame, pipelines stay total") {
+    val api = new FakeApi(0)
+    val df = QboSource.fetchAll(api, "Deposit", Schemas.deposit, spark)
+    assert(df.count() == 0)
+    val staged = Entities.Deposits.warehouse(Entities.Deposits.stage(df))
+    assert(staged.count() == 0)
+    assert(staged.columns.length == 10) // schema intact on empty input
+  }
+
   test("fetchAll handles an exact page-multiple result set") {
     val api = new FakeApi(200)
     val df = QboSource.fetchAll(api, "Deposit", Schemas.deposit, spark)
