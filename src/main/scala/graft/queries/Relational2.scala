@@ -243,6 +243,39 @@ object Relational2 {
           .orderBy("o_orderpriority")
       }),
 
+    Q("q59_collect_sorted",
+      "collect_set + deterministic sort + array_join per group",
+      Some("""SELECT l_returnflag,
+          array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+            AS statuses,
+          COUNT(DISTINCT l_linestatus) AS n_statuses
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag")),
+
+    Q("q60_ntile",
+      "ntile quartiles of customers by account balance",
+      Some(s"""WITH t AS (SELECT c_custkey, c_acctbal,
+          ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+        SELECT quartile, COUNT(*) AS n, ${sqlDsum("c_acctbal", 4)} AS total_bal,
+          MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        FROM t GROUP BY quartile ORDER BY quartile"""),
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"))
+          .groupBy(col("quartile"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 4).as("total_bal"),
+            min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+          .orderBy("quartile")
+      }),
+
     Q("q50_approx_distinct",
       "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
       None,
