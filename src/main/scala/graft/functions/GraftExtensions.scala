@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(GraftFunctions.JaccardName),
       info(GraftFunctions.JaccardName, classOf[JaccardExpr]),
       (exprs: Seq[Expression]) => JaccardExpr(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

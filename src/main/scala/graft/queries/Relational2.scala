@@ -276,6 +276,28 @@ object Relational2 {
           .orderBy("quartile")
       }),
 
+    Q("q61_topk_heap_op",
+      "custom LogicalPlan/SparkPlan: per-group top-k via bounded heaps " +
+        "(same oracle as q07, no per-partition sort)",
+      Some("""SELECT * FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+            ROW_NUMBER() OVER (PARTITION BY l_suppkey
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+          FROM lineitem) t
+        WHERE rn <= 3 ORDER BY l_suppkey, rn"""),
+      (s, d) => {
+        val top = graft.plans.TopK.perGroup(
+          table(s, d, "lineitem")
+            .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+          k = 3)
+        // rank the k×groups survivors (tiny) for the declared output shape
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        top.withColumn("rn", row_number().over(w)).orderBy("l_suppkey", "rn")
+      }),
+
     Q("q50_approx_distinct",
       "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
       None,
