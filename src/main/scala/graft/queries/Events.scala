@@ -18,6 +18,43 @@ object Events {
   private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
 
   val qs: Seq[Q] = Seq(
+    Q("q64_event_bigrams",
+      "sequence mining: per-user consecutive event-type bigram counts",
+      Some("""WITH seq AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events)
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY n DESC, prev_type, event_type LIMIT 20"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("prev_type"), col("event_type"))
+          .limit(20)
+      }),
+
+    Q("q65_null_audit",
+      "data-quality audit: per-column null/parse-failure counts (C5)",
+      Some("""SELECT COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(value) AS null_value,
+          COUNT(*) - COUNT(props) AS null_props,
+          COUNT(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                IS NULL THEN 1 END) AS bad_k
+        FROM events"""),
+      (s, d) => events(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("value"))).as("null_value"),
+          (count(lit(1)) - count(col("props"))).as("null_props"),
+          count(when(get_json_object(col("props"), "$.k").try_cast("int").isNull,
+            lit(1))).as("bad_k"))),
+
     Q("q21_json_flatten",
       "from_json + struct flatten (P1) + grouped aggregation",
       Some("""SELECT event_type, COUNT(*) AS n,

@@ -219,6 +219,59 @@ object TextOps {
           .orderBy("lang")
       }),
 
+    Q("q62_simhash_pairs",
+      "SimHash near-dup candidates: hamming ≤ 8 on a doc sample",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents
+          WHERE doc_id % 10 = 0),
+        h AS (SELECT doc_id,
+          list_transform(ws, x -> CAST('0x' || substr(md5(x),1,8) AS BIGINT)) AS hs
+          FROM w),
+        s AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN CAST(list_sum(list_transform(hs,
+                h2 -> ((h2 >> b) & 1)*2 - 1)) AS BIGINT) > 0
+            THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+            AS sh FROM h)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        ORDER BY hamming, a_id, b_id"""),
+      (s, d) => {
+        val sh = table(s, d, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), Dedup.simhash32(words(col("text"))).as("sh"))
+          .repartition(col("doc_id")) // barrier: simhash computed once per side
+        val a = sh.toDF("a_id", "a_sh")
+        val b = sh.toDF("b_id", "b_sh")
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            Dedup.hamming(col("a_sh"), col("b_sh")).cast("long").as("hamming"))
+          .filter(col("hamming") <= 8)
+          .orderBy("hamming", "a_id", "b_id")
+      }),
+
+    Q("q63_levenshtein",
+      "edit-distance pairs on text prefixes (sampled)",
+      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents
+          WHERE doc_id % 25 = 0)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          levenshtein(a.p, b.p) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ORDER BY dist, a_id, b_id LIMIT 30"""),
+      (s, d) => {
+        val sample = table(s, d, "documents")
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+        val a = sample.toDF("a_id", "a_p")
+        val b = sample.toDF("b_id", "b_p")
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
+          .orderBy("dist", "a_id", "b_id")
+          .limit(30)
+      }),
+
     Q("q35_simhash",
       "32-bit SimHash digest per document (Charikar construction)",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
