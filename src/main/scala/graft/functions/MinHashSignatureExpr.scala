@@ -84,6 +84,7 @@ object GraftFunctions {
   val MinhashName = "graft_minhash_signature"
   val LshBucketName = "graft_lsh_bucket"
   val JaccardName = "graft_jaccard"
+  val SimhashName = "graft_simhash"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -98,6 +99,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       JaccardName,
       exprs => JaccardExpr(exprs.head, exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      SimhashName,
+      exprs => SimHashExpr(exprs.head),
       "built-in")
   }
 

@@ -240,8 +240,8 @@ object TextOps {
       (s, d) => {
         val sh = table(s, d, "documents")
           .filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), Dedup.simhash32(words(col("text"))).as("sh"))
-          .repartition(col("doc_id")) // barrier: simhash computed once per side
+          .select(col("doc_id"), graft.functions.SimHash(s, col("text")).as("sh"))
+          .repartition(col("doc_id")) // barrier + shared exchange across sides
         val a = sh.toDF("a_id", "a_sh")
         val b = sh.toDF("b_id", "b_sh")
         a.join(b, col("a_id") < col("b_id"))
@@ -286,7 +286,8 @@ object TextOps {
             AS simhash
         FROM h ORDER BY doc_id"""),
       (s, d) => table(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash32(words(col("text"))).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.SimHash(s, col("text")).as("simhash"))
         .orderBy("doc_id"))
   )
 }

@@ -60,6 +60,14 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == viaHof)
   }
 
+  test("SimHashExpr ≡ the HOF simhash32, bit for bit") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = docsReal.select(
+      graft.functions.SimHash(spark, col("text")).as("fast"),
+      Dedup.simhash32(TextFunctions.words(col("text"))).as("hof"))
+    assert(got.filter(col("fast") =!= col("hof")).count() == 0)
+  }
+
   test("simhash hamming distance: near < far") {
     val sh = docs.select(col("doc_id"),
       Dedup.simhash32(TextFunctions.words(col("text"))).as("s"))
