@@ -50,6 +50,21 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE b_lineitem"); spark.sql("DROP TABLE b_orders")
   }
 
+  test("month-partitioned table prunes partitions on filter") {
+    import spark.implicits._
+    import graft.load.Warehouse
+    val pnl = Seq(("a", 1.0, "2024-01"), ("b", 2.0, "2024-02"),
+      ("c", 3.0, "2024-03")).toDF("category", "total_amount", "month")
+    Warehouse.appendMonth(pnl, "t_pruned")
+    val q = spark.table("t_pruned").filter(col("month") === "2024-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(q.count() == 1)
+    // the filter must land in PartitionFilters (metadata pruning), so
+    // only the 2024-02 directory is read
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-02"), scan)
+    spark.sql("DROP TABLE t_pruned")
+  }
+
   test("salted join equals plain join (skew mitigation correctness)") {
     import graft.ops.Skew
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
