@@ -298,6 +298,20 @@ object Relational2 {
         top.withColumn("rn", row_number().over(w)).orderBy("l_suppkey", "rn")
       }),
 
+    Q("q66_grouping_sets",
+      "explicit GROUPING SETS via SQL text (beyond rollup/cube)",
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, d) => {
+        table(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      }),
+
     Q("q50_approx_distinct",
       "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
       None,
