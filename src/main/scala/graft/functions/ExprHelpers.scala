@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Hashing
+
+/** Static eval bodies for graft's custom expressions — one source of
+  * truth shared by the interpreted path (`nullSafeEval`) and the
+  * generated path (`doGenCode` emits a call to these; Scala objects
+  * compile to static forwarders, so janino resolves
+  * `graft.functions.ExprHelpers.minhash(...)` directly).
+  */
+object ExprHelpers {
+
+  private val mdPool = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as unsigned 32-bit (== Hashing.hash32). */
+  private def h32(md: MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    md.reset()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def minhash(text: UTF8String, shingleK: Int, numHashes: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    if (words.length < shingleK) {
+      return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    }
+    val md = mdPool.get()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= words.length - shingleK) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleK) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val hp = h32(md, sb.toString) % Hashing.P
+      var k = 0
+      while (k < numHashes) {
+        val v = (hp * Hashing.HashA(k) + Hashing.HashB(k)) % Hashing.P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  def simhash(text: UTF8String): Long = {
+    val words = text.toString.split("\\s+", -1)
+    val md = mdPool.get()
+    val votes = new Array[Long](32)
+    var i = 0
+    while (i < words.length) {
+      val h = h32(md, words(i))
+      var b = 0
+      while (b < 32) { votes(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) sim += 1L << b; b += 1 }
+    sim
+  }
+
+  def lshBucket(arr: ArrayData, nPlanes: Int): Long = {
+    val v = arr.toDoubleArray()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var d = 0
+      while (d < 64 && d < v.length) {
+        val lcg = ((p.toLong * 64 + d) * 1103515245L + 12345L) % 2147483648L
+        acc += v(d) * (lcg.toDouble / 2147483648.0 - 0.5)
+        d += 1
+      }
+      if (acc > 0) bucket += 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Jaccard over distinct elements; 0.0 when both sides are empty. */
+  def jaccard(l: ArrayData, r: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String](l.numElements() * 2)
+    var i = 0
+    while (i < l.numElements()) { setA.add(l.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String](r.numElements() * 2)
+    var inter = 0
+    i = 0
+    while (i < r.numElements()) {
+      val e = r.getUTF8String(i)
+      if (setB.add(e) && setA.contains(e)) inter += 1
+      i += 1
+    }
+    val union = setA.size() + setB.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}

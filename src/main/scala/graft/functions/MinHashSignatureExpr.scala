@@ -1,16 +1,11 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
-
-import graft.ops.Hashing
 
 /** Custom Catalyst expression: full MinHash signature of a document in
   * one imperative pass — text → word shingles → md5-derived hash32 →
@@ -20,16 +15,15 @@ import graft.ops.Hashing
   * [[graft.dedup.Dedup]]: the HOF chain is semantically identical but
   * evaluates one interpreted lambda per array element — measured ~4 s
   * for 5k docs at sf0.1 (~3M lambda invocations), versus one eval per
-  * ROW here with a tight Scala loop (the md5 calls become the only real
-  * cost). Bit-identical to the HOF version and to the DuckDB oracle SQL
-  * (asserted in DedupSpec).
+  * ROW here with a tight Scala loop. Bit-identical to the HOF version
+  * and to the DuckDB oracle SQL (asserted in DedupSpec).
   *
-  * CodegenFallback is deliberate: the eval itself is row-level imperative
-  * code; codegen would only remove the per-row virtual call, not the md5
-  * work that dominates.
+  * Codegen emits a static call into [[ExprHelpers]], so surrounding
+  * operators keep one WholeStageCodegen span (CodegenFallback would
+  * break the stage; asserted in PlanSpec).
   */
 case class MinHashSignatureExpr(child: Expression, shingleK: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
@@ -38,41 +32,12 @@ case class MinHashSignatureExpr(child: Expression, shingleK: Int, numHashes: Int
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any = {
-    // Split semantics match Spark's split(text, '\s+') = String.split(re, -1).
-    val words = input.asInstanceOf[UTF8String].toString.split("\\s+", -1)
-    if (words.length < shingleK) {
-      return new GenericArrayData(Array.fill[Any](numHashes)(null))
-    }
-    val md = MessageDigest.getInstance("MD5")
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    val sb = new java.lang.StringBuilder
-    while (i <= words.length - shingleK) {
-      sb.setLength(0)
-      var j = 0
-      while (j < shingleK) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      val d = md.digest(sb.toString.getBytes("UTF-8"))
-      md.reset()
-      // first 4 digest bytes as unsigned 32-bit — identical to
-      // CAST('0x' || substr(md5(s),1,8) AS BIGINT) / Hashing.hash32
-      val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val hp = h32 % Hashing.P
-      var k = 0
-      while (k < numHashes) {
-        val v = (hp * Hashing.HashA(k) + Hashing.HashB(k)) % Hashing.P
-        if (v < mins(k)) mins(k) = v
-        k += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins.map(Long.box(_): Any))
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.minhash(input.asInstanceOf[UTF8String], shingleK, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.minhash($c, $shingleK, $numHashes);")
 }
 
 /** Session-level registration for graft's custom expressions (public
