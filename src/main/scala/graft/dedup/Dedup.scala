@@ -111,6 +111,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Transitive duplicate clusters from candidate pairs: connected
+    * components via iterative min-label propagation (each node adopts
+    * the smallest label among itself and its neighbors until fixpoint —
+    * the standard distributed CC shape; converges in O(component
+    * diameter) rounds, which for dup clusters is tiny).
+    *
+    * `localCheckpoint` per round truncates the exploding join lineage —
+    * without it, iteration i re-executes all previous rounds and the
+    * plan grows unboundedly (the classic iterative-algorithm trap on
+    * lazy engines).
+    *
+    * Returns (doc_id, cluster_id = smallest doc_id in the component)
+    * for every doc that appears in at least one pair.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash over a token array (token multiplicity counts, as in
     * the original Charikar construction).
     */

@@ -174,6 +174,32 @@ object TextOps {
       (s, d) => Dedup.lshCandidatePairs(table(s, d, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
 
+    Q("q67_dup_clusters",
+      "transitive dup clusters over LSH pairs (iterative connected components)",
+      Some(s"""WITH RECURSIVE
+        w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh2 AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig2 AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh2),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig2),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id"""),
+      (s, d) => Dedup.dupClusters(
+        Dedup.lshCandidatePairs(table(s, d, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")),
+
     Q("q51_minhash_union_agg",
       "typed UDAF: per-source union-minhash sketch (elementwise min)",
       Some(s"""WITH w AS (SELECT doc_id, source, $sqlWords AS ws FROM documents),

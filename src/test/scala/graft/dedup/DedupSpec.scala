@@ -60,6 +60,13 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == viaHof)
   }
 
+  test("dupClusters resolves transitive components to min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("SimHashExpr ≡ the HOF simhash32, bit for bit") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = docsReal.select(
