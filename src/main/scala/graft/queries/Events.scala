@@ -40,6 +40,16 @@ object Events {
           .limit(20)
       }),
 
+    Q("q68_histogram",
+      "fixed-width value histogram (floor bucketing)",
+      Some(s"""SELECT CAST(floor(value/25.0) AS BIGINT) AS bucket,
+          COUNT(*) AS n, ${sqlDsum("value", 6)} AS sum_value
+        FROM events GROUP BY bucket ORDER BY bucket"""),
+      (s, d) => events(s, d)
+        .groupBy(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .orderBy("bucket")),
+
     Q("q65_null_audit",
       "data-quality audit: per-column null/parse-failure counts (C5)",
       Some("""SELECT COUNT(*) AS n_rows,

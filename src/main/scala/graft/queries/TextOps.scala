@@ -111,6 +111,21 @@ object TextOps {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    Q("q69_normalize",
+      "text normalization: trim + whitespace collapse + digest",
+      Some("""SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_digest,
+          length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            md5(encode(norm, "UTF-8")).as("norm_digest"),
+            length(norm).cast("long").as("norm_len"))
+          .orderBy("doc_id")
+      }),
+
     Q("q30_dedup_exact",
       "exact dedup groups: md5 digest → keeper id + multiplicity",
       Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
