@@ -46,12 +46,11 @@ object Dedup {
   def minhashSignature(shingles: Column, n: Int): Seq[Column] =
     (0 until n).map(j => minhash(shingles, j).as(s"h$j"))
 
-  /** Signature over a whole frame, hashing each shingle ONCE: the
-    * md5-derived hash32 array is materialized in its own projection and
-    * the n affine minima read from it. (The expression form above
-    * re-hashes every shingle per family member — 8× the md5 work — and
-    * CollapseProject would reintroduce that if the hash array were a
-    * cheap alias, which it is not, so the two-projection shape sticks.)
+  /** HOF-composed signature frame, hashing each shingle once into a
+    * materialized hash32 array before taking the n affine minima. This
+    * is the REFERENCE implementation: production paths use
+    * [[signatureFrame]] (the custom expression, ~20× fewer interpreted
+    * lambda evals); DedupSpec asserts the two are bit-identical.
     */
   def withMinhashSignature(df: DataFrame, shCol: String, n: Int): DataFrame = {
     val keep = df.columns.filterNot(_ == shCol).map(col).toSeq
