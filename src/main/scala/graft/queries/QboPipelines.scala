@@ -59,6 +59,34 @@ object QboPipelines {
       .orderBy(col("vendor_id"), col("date").asc_nulls_first)
 
   val qs: Seq[Q] = Seq(
+    Q("qbo_vendor_spend",
+      "downstream analytics across two QBO pipelines: billed vs paid per vendor",
+      Some(s"""WITH bills AS (${Oracles.bills}),
+        pays AS (${Oracles.billPayments})
+        SELECT b.vendor_ref_name AS vendor_name,
+          CAST(SUM(CAST(b.balance AS DECIMAL(30,6))) AS DOUBLE) AS total_billed,
+          COALESCE(p.total_paid, 0.0) AS total_paid
+        FROM bills b LEFT JOIN (
+          SELECT vendor_ref_name,
+            CAST(SUM(CAST(total_amt AS DECIMAL(30,6))) AS DOUBLE) AS total_paid
+          FROM pays GROUP BY vendor_ref_name) p
+          ON b.vendor_ref_name = p.vendor_ref_name
+        GROUP BY b.vendor_ref_name, p.total_paid
+        ORDER BY vendor_name"""),
+      (s, _) => {
+        val bills = billsWarehouse(s)
+        val pays = billPaymentsWarehouse(s)
+          .groupBy(col("vendor_ref_name"))
+          .agg(Common.dsum(col("total_amt"), 6).as("total_paid"))
+        bills
+          .join(pays, Seq("vendor_ref_name"), "left")
+          .groupBy(col("vendor_ref_name").as("vendor_name"), col("total_paid"))
+          .agg(Common.dsum(col("balance"), 6).as("total_billed"))
+          .select(col("vendor_name"), col("total_billed"),
+            coalesce(col("total_paid"), lit(0.0)).as("total_paid"))
+          .orderBy("vendor_name")
+      }),
+
     Q("qbo_bills", "Bill pipeline: S2+P1+P5+R1-R3+C1+C6+W4 end-to-end",
       Some(Oracles.bills), (s, _) => billsWarehouse(s)),
     Q("qbo_billpayments", "BillPayment pipeline: S3+P1+R2-R3 patch+C3+C7+W4",
