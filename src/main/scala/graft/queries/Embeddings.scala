@@ -157,6 +157,31 @@ object Embeddings {
           .orderBy("q_id", "rn")
       }),
 
+    Q("q71_embedding_near_dup",
+      "embedding-cosine near-dup pairs within LSH buckets (scale path)",
+      Some(s"""WITH $sqlNormed,
+        vb AS (SELECT vec_id, embedding, nrm, $sqlBucket AS bucket FROM v)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.2
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", Vectors.norm(col("e")))
+          .withColumn("bucket", graft.functions.LshBucket(s, col("e")))
+          .repartition(col("vec_id"))
+        val a = v.toDF("a_id", "ae", "an", "ab")
+        val b = v.toDF("b_id", "be", "bn", "bb")
+        a.join(b, col("ab") === col("bb") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            Vectors.cosinePre(Vectors.dot(col("ae"), col("be")),
+              col("an"), col("bn")).as("cosine"))
+          .filter(col("cosine") >= 0.2)
+          .orderBy("a_id", "b_id")
+      }),
+
     Q("q38_embedding_stats",
       "per-label vector statistics (norm distribution)",
       Some(s"""WITH $sqlNormed,
