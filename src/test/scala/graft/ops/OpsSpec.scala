@@ -74,6 +74,19 @@ class LinesSpec extends SparkSpec {
     assert(exploded.filter(col("id").isin("89", "90")).count() == 2)
   }
 
+  test("explode row-count invariant: sum(sizes) + count(empty-or-null)") {
+    // SURVEY §5.2: |explode_outer(df)| == Σ size(line) + #rows with
+    // empty/missing line
+    val raw = QboSource.entityFrame(spark, "JournalEntry",
+      Fixtures.journalEntryPages, Schemas.journalEntry)
+      .select(col("Id").as("id"), col("Line").as("line"))
+    val exploded = Lines.explodeLines(raw, "line", Map("id" -> "line_id")).count()
+    val stats = raw.agg(
+      sum(when(size(col("line")) > 0, size(col("line"))).otherwise(0)),
+      count(when(col("line").isNull || size(col("line")) === 0, 1))).head
+    assert(exploded == stats.getLong(0) + stats.getLong(1))
+  }
+
   test("stringify emits valid JSON, not Python repr (P5 deviation)") {
     val raw = QboSource.entityFrame(spark, "Deposit",
       Fixtures.depositPages, Schemas.deposit)
