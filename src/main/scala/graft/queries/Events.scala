@@ -119,6 +119,33 @@ object Events {
           .orderBy("user_id", "session_id")
       }),
 
+    Q("q72_session_window",
+      "native session_window aggregation (gap-close 30 min)",
+      Some("""WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+            CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTES AS session_end, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""),
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     Q("q23_tumbling_windows",
       "epoch-aligned 1-hour tumbling window aggregation per event type",
       Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -130,6 +157,22 @@ object Events {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+
+    Q("q73_sliding_windows",
+      "hopping windows (1h length, 30m slide): each event in 2 windows",
+      Some(s"""WITH assigned AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTES,
+            value FROM events)
+        SELECT ws AS window_start, COUNT(*) AS n,
+          ${sqlDsum("value", 6)} AS sum_value
+        FROM assigned GROUP BY ws ORDER BY window_start"""),
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start")),
 
     Q("q24_lag_gaps",
       "lag/lead: inter-event gap statistics per user",
