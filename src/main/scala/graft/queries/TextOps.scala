@@ -52,6 +52,35 @@ object TextOps {
           size(array_distinct(words(col("text")))).cast("long").as("n_distinct"))
         .orderBy("doc_id")),
 
+    Q("q74_posexplode",
+      "positional explode: (doc, position, token) rows",
+      Some("""SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS word
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+              FROM documents WHERE doc_id % 50 = 0) t
+        ORDER BY doc_id, pos"""),
+      (s, d) => table(s, d, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy("doc_id", "pos")),
+
+    Q("q75_first_last_tokens",
+      "array element access incl. negative indexing",
+      Some("""SELECT doc_id, ws[1] AS first_tok, ws[-1] AS last_tok,
+          len(ws) AS n_tokens
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+              FROM documents) t
+        ORDER BY doc_id"""),
+      (s, d) => {
+        val ws = words(col("text"))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            element_at(ws, 1).as("first_tok"),
+            element_at(ws, -1).as("last_tok"),
+            size(ws).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      }),
+
     Q("q26_word_freq",
       "explode + global top-50 word frequencies",
       Some("""SELECT word, COUNT(*) AS n
