@@ -15,8 +15,8 @@ import graft.text.TextFunctions
   *  - MinHash + LSH banding: per-document signatures are a narrow
   *    codegen'd map (no shuffle); candidate generation shuffles only
   *    (doc_id, band_value) pairs, and genuinely-similar docs collide in
-  *    ≥1 band with high probability. This is the scale path — the
-  *    all-pairs Jaccard join is O(n²) and exists for verification only.
+  *    ≥1 band with high probability. This is the scale path: exact
+  *    Jaccard scoring runs over these candidates only (never all pairs).
   *  - SimHash: 32-bit locality-sensitive digest; near-dup candidates =
   *    small Hamming distance (bit_count(xor)).
   *
@@ -76,12 +76,16 @@ object Dedup {
     * exchange that ReuseExchange dedups in self-joins.
     */
   def signatureFrame(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, keep: Seq[String] = Nil): DataFrame = {
     require(n <= 8, "expression computes 8 hashes")
-    df.select(col(idCol), graft.functions.GraftFunctions
-        .minhashSignature(df.sparkSession, col(textCol)).as("sig"))
+    // `keep` columns ride along with the signature so callers never need
+    // a post-hoc id→attribute join (which at corpus scale would either
+    // broadcast a linear-size map or shuffle the ids twice).
+    val carried = (idCol +: keep).map(col)
+    df.select(carried :+ graft.functions.GraftFunctions
+        .minhashSignature(df.sparkSession, col(textCol)).as("sig"): _*)
       .repartition(col(idCol))
-      .select(col(idCol) +: (0 until n).map(j =>
+      .select(carried ++ (0 until n).map(j =>
         element_at(col("sig"), j + 1).as(s"h$j")): _*)
   }
 
@@ -165,6 +169,39 @@ object Dedup {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs via a Hamming multi-index: the
+    * 32-bit digest is split into 4 disjoint 8-bit bands and docs sharing
+    * any band value become candidates (then scored with the exact
+    * Hamming distance). This replaces the O(n²) `a_id < b_id` cross join:
+    * only (id, band) pairs shuffle and the join is an equi-join on the
+    * band key — the same shape as MinHash-LSH banding, so it survives a
+    * 100× corpus.
+    *
+    * Recall: by pigeonhole, any pair within Hamming distance 3 shares at
+    * least one of the 4 bands, so the index is EXACT for d ≤ 3 and a
+    * high-recall heuristic above that (the standard multi-index
+    * trade-off; more/finer bands buy higher guaranteed d at more
+    * candidates).
+    *
+    * Input: (idCol, shCol) frame, one simhash per id. Output: distinct
+    * (a_id, b_id, hamming) with a_id < b_id.
+    */
+  def simhashBandPairs(sh: DataFrame, idCol: String = "doc_id",
+      shCol: String = "sh", nBands: Int = 4): DataFrame = {
+    val bandBits = 32 / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = sh.select(col(idCol), col(shCol),
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col(shCol), j * bandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF(idCol, shCol, "bi", "bv")
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        hamming(col(s"a.$shCol"), col(s"b.$shCol")).cast("long").as("hamming"))
+      .distinct()
+  }
 
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

@@ -13,9 +13,12 @@ import Common._
   *
   * Scale notes (the local[32] run is a stand-in for a 1000-executor
   * cluster):
-  *  - dimension tables (region/nation/supplier, and customer up to mid
-  *    SFs) are marked `broadcast(...)` so fact-side scans never shuffle
-  *    for them;
+  *  - only genuinely bounded dimension tables (region=5, nation=25 rows
+  *    at every SF, and constant-size derived frames like a global
+  *    average) are marked `broadcast(...)`; customer/supplier/orders
+  *    grow linearly with the data, so their join strategy is left to
+  *    `autoBroadcastJoinThreshold` + AQE — a forced hint would OOM the
+  *    driver at 100× scale;
   *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once
   *    and AQE coalesces/skew-splits partitions at runtime;
   *  - every ORDER BY exists for oracle determinism; Catalyst's
@@ -86,7 +89,10 @@ object Relational {
         GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
       (s, d) => li(s, d)
         .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        // customer grows with the data — no forced broadcast; AQE /
+        // autoBroadcastJoinThreshold decide at runtime. Only genuinely
+        // bounded dims (nation=25, region=5 rows at every SF) get hints.
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -103,7 +109,7 @@ object Relational {
         GROUP BY c_custkey, c_name
         ORDER BY revenue DESC, c_custkey LIMIT 10"""),
       (s, d) => ord(s, d)
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(dsum(col("o_totalprice"), 6).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey"))
@@ -194,7 +200,7 @@ object Relational {
       (s, d) => {
         val nrev = li(s, d)
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))

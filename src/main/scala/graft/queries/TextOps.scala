@@ -178,21 +178,32 @@ object TextOps {
       }),
 
     Q("q32_jaccard_pairs",
-      "all-pairs n-gram Jaccard on a doc_id sample, top-20 most similar",
-      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents
-          WHERE doc_id % 20 = 0),
-        s AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w)
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            len(list_distinct(a.sh || b.sh)) AS jacc
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
+      "exact n-gram Jaccard scored over MinHash-LSH candidates, top-20",
+      Some(s"""$sigSql,
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id)
+        SELECT p.a_id, p.b_id,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            len(list_distinct(sa.sh || sb.sh)) AS jacc
+        FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id
+          JOIN sh sb ON sb.doc_id = p.b_id
         ORDER BY jacc DESC, a_id, b_id LIMIT 20"""),
       (s, d) => {
-        val sh = Dedup.withShingles(
-          table(s, d, "documents").filter(col("doc_id") % 20 === 0), "doc_id", "text")
-        val a = sh.toDF("a_id", "a_sh")
-        val b = sh.toDF("b_id", "b_sh")
-        a.join(b, col("a_id") < col("b_id"))
+        // Candidate-gated exact scoring — the production near-dup shape:
+        // LSH banding proposes candidates (shuffles only (id, band)
+        // keys), then the exact Jaccard runs on candidates alone. No
+        // a_id < b_id cross join anywhere; the full corpus works, no
+        // sampling needed.
+        val docs = table(s, d, "documents")
+        val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        val sh = Dedup.withShingles(docs, "doc_id", "text")
+        cand
+          .join(sh.toDF("a_id", "a_sh"), "a_id")
+          .join(sh.toDF("b_id", "b_sh"), "b_id")
           .select(col("a_id"), col("b_id"),
             graft.functions.Jaccard(s, col("a_sh"), col("b_sh")).as("jacc"))
           .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
@@ -256,8 +267,12 @@ object TextOps {
       (s, d) => {
         import graft.functions.MinHashUnionAgg
         val docs = table(s, d, "documents")
-        val sig = graft.dedup.Dedup.signatureFrame(docs, "doc_id", "text")
-          .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+        // `source` rides along with the signature computation instead of
+        // a post-hoc id→source join: broadcasting that map is
+        // linear-size (OOM at 100×) and shuffling it re-keys the corpus
+        // twice for one attribute.
+        val sig = graft.dedup.Dedup
+          .signatureFrame(docs, "doc_id", "text", keep = Seq("source"))
           .filter(col("h0").isNotNull)
         sig.groupBy(col("source"))
           .agg(MinHashUnionAgg.minhashUnion(
@@ -290,9 +305,8 @@ object TextOps {
       }),
 
     Q("q62_simhash_pairs",
-      "SimHash near-dup candidates: hamming ≤ 8 on a doc sample",
-      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents
-          WHERE doc_id % 10 = 0),
+      "SimHash near-dups via 4×8-bit Hamming multi-index, hamming ≤ 8",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
         h AS (SELECT doc_id,
           list_transform(ws, x -> CAST('0x' || substr(md5(x),1,8) AS BIGINT)) AS hs
           FROM w),
@@ -301,41 +315,55 @@ object TextOps {
             CASE WHEN CAST(list_sum(list_transform(hs,
                 h2 -> ((h2 >> b) & 1)*2 - 1)) AS BIGINT) > 0
             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
-            AS sh FROM h)
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          bit_count(xor(a.sh, b.sh)) AS hamming
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 8
+            AS sh FROM h),
+        bands AS (SELECT doc_id, sh,
+          unnest([sh & 255, (sh >> 8) & 255, (sh >> 16) & 255, (sh >> 24) & 255]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM s),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+            bit_count(xor(a.sh, b.sh)) AS hamming
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, hamming FROM pairs
+        WHERE hamming <= 8
         ORDER BY hamming, a_id, b_id"""),
       (s, d) => {
+        // Hamming multi-index (Dedup.simhashBandPairs) replaces the
+        // sampled a_id < b_id cross join: candidates come from 4×8-bit
+        // band-bucket equi-joins, so the full corpus works unsampled and
+        // only (id, band) keys shuffle. Exact for hamming ≤ 3 by
+        // pigeonhole; high-recall heuristic up to the declared 8 —
+        // the gate is part of the query's semantics (oracle matches).
         val sh = table(s, d, "documents")
-          .filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), graft.functions.SimHash(s, col("text")).as("sh"))
           .repartition(col("doc_id")) // barrier + shared exchange across sides
-        val a = sh.toDF("a_id", "a_sh")
-        val b = sh.toDF("b_id", "b_sh")
-        a.join(b, col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            Dedup.hamming(col("a_sh"), col("b_sh")).cast("long").as("hamming"))
+        Dedup.simhashBandPairs(sh)
           .filter(col("hamming") <= 8)
           .orderBy("hamming", "a_id", "b_id")
       }),
 
     Q("q63_levenshtein",
-      "edit-distance pairs on text prefixes (sampled)",
-      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents
-          WHERE doc_id % 25 = 0)
+      "edit-distance pairs on text prefixes, prefix-block candidate gate",
+      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           levenshtein(a.p, b.p) AS dist
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        FROM s a JOIN s b ON substr(a.p, 1, 4) = substr(b.p, 1, 4)
+          AND a.doc_id < b.doc_id
         ORDER BY dist, a_id, b_id LIMIT 30"""),
       (s, d) => {
+        // Blocking-key candidate gate: only prefixes sharing their first
+        // 4 chars are scored, turning the sampled all-pairs cross join
+        // into an equi-join on the block key (the gate is part of the
+        // declared semantics; oracle matches). The synthetic corpus has
+        // low prefix entropy (~60 blocks); natural text has thousands,
+        // making blocks sublinear. For guaranteed-recall edit-distance
+        // joins at scale the q-gram/prefix-filter family (PPJoin) is the
+        // upgrade path.
         val sample = table(s, d, "documents")
-          .filter(col("doc_id") % 25 === 0)
           .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
         val a = sample.toDF("a_id", "a_p")
         val b = sample.toDF("b_id", "b_p")
-        a.join(b, col("a_id") < col("b_id"))
+        a.join(b, substring(col("a_p"), 1, 4) === substring(col("b_p"), 1, 4) &&
+            col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
           .orderBy("dist", "a_id", "b_id")

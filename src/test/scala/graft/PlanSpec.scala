@@ -28,6 +28,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("no broadcast exchange contains a linearly-growing table scan") {
+    // Simulates the 100× cluster case: with the auto-broadcast threshold
+    // forced to 1KB, the ONLY broadcasts left are forced hints — and a
+    // hint on a table that grows with the data (customer, orders,
+    // lineitem, documents, …) is a driver OOM at scale regardless of
+    // threshold. Bounded dims (nation=25, region=5 rows at every SF) may
+    // broadcast; growing tables must not.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val growing = Seq("customer", "orders", "lineitem", "part", "supplier",
+      "documents", "embeddings", "events")
+    val names = Seq("q03_revenue_by_nation", "q04_top_customers",
+      "q09_market_share", "q51_minhash_union_agg", "q32_jaccard_pairs",
+      "q62_simhash_pairs")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (n <- names) {
+        val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        val offending = p.collect { case b: BroadcastExchangeExec =>
+          b.collect { case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.mkString(",")
+          }
+        }.flatten.filter(path => growing.exists(t => path.contains(s"$t.parquet")))
+        assert(offending.isEmpty,
+          s"$n force-broadcasts a growing table: ${offending.mkString("; ")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q21: JSON projection prunes unread event columns") {
     val p = plan("q21_json_flatten")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
