@@ -5,9 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator plan: top-k rows per group WITHOUT sorting each
@@ -15,16 +16,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * SparkPlan).
   *
   * The built-in expression of this pattern —
-  * `row_number().over(partitionBy(p).orderBy(o)) <= k` — shuffles on p
-  * and then SORTS every partition fully (O(n log n) per partition, full
-  * spill surface) only to discard all but k rows. This operator keeps a
-  * bounded k-element heap per group instead: O(n log k), no full sort,
-  * state proportional to groups×k rather than partition size. At 100 TB
-  * that is the difference between sorting every shuffle partition of a
-  * fact table and streaming it once through fixed-size heaps.
+  * `row_number().over(partitionBy(p).orderBy(o)) <= k` — shuffles EVERY
+  * fact row on p and then SORTS every partition fully (O(n log n) per
+  * partition, full spill surface) only to discard all but k rows. This
+  * operator plans two stages, the same shape Spark uses for partial
+  * aggregation:
   *
-  * Same shuffle as the window plan (ClusteredDistribution on the group
-  * keys) — only the post-shuffle work changes.
+  *  - partial (map-side, before the exchange): a bounded k-element heap
+  *    per group per input partition, emitting ≤ k candidate rows per
+  *    (group, partition) — shuffle volume drops from n rows to at most
+  *    partitions × groups × k;
+  *  - final (after a ClusteredDistribution exchange on the group keys):
+  *    the same heap pass over the candidates, emitting the exact top-k.
+  *
+  * Both passes are O(n log k) with state proportional to groups × k. At
+  * 100 TB that is the difference between shuffling + sorting a fact
+  * table and shuffling a candidate set ~n/k smaller. Row comparisons use
+  * a codegen'd ordering (GenerateOrdering), not interpreted evaluation.
   */
 case class TopKPerGroup(
     partitionExprs: Seq[Expression],
@@ -40,7 +48,9 @@ case class TopKPerGroup(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(p, o, k, child) =>
-      TopKPerGroupExec(p, o, k, planLater(child)) :: Nil
+      // partial → (exchange inserted by EnsureRequirements) → final
+      TopKPerGroupExec(p, o, k, partial = false,
+        TopKPerGroupExec(p, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -49,12 +59,19 @@ case class TopKPerGroupExec(
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  /** The partial pass runs on whatever partitioning the child has (map
+    * side); only the final pass demands co-location by group key.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(partitionExprs) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(partitionExprs)) :: Nil
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
@@ -66,7 +83,10 @@ case class TopKPerGroupExec(
     val limit = k
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val ord = new InterpretedOrdering(sortOrder, childOutput)
+      // codegen'd comparator (compiled once per executor, cached by
+      // GenerateOrdering) — interpreted per-row comparison is the top
+      // cost of a heap pass
+      val ord = GenerateOrdering.generate(sortOrder, childOutput)
       // max-heap by rank order: head = worst row currently kept
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
@@ -98,14 +118,22 @@ object TopK {
   def perGroup(df: DataFrame, partitionCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // registration is check-then-append; synchronize so two threads
+    // sharing a session can't double-register the strategy
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column $name"))
+    def attr(name: String): Attribute = {
+      val matches = analyzed.output.filter(_.name == name)
+      require(matches.nonEmpty, s"no column $name")
+      require(matches.size == 1,
+        s"ambiguous column $name: ${matches.size} attributes match (dedup column names before TopK.perGroup)")
+      matches.head
+    }
     val order = orderCols.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

@@ -32,6 +32,32 @@ class TopKSpec extends SparkSpec {
     assert(!p.contains("Sort "), p) // window plan would sort every partition
   }
 
+  test("partial pass bounds shuffle volume to ~partitions × groups × k") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val input = li.repartition(8) // fixed map-side partition count
+      val df = TopK.perGroup(input, Seq("l_suppkey"), orderCols, 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      // plan shape: partial below the exchange, final above it
+      val s = plan.toString
+      assert(s.contains("TopKPerGroupPartial") && s.contains("TopKPerGroupFinal"), s)
+      val nGroups = input.select("l_suppkey").distinct().count()
+      val bound = 8 * nGroups * 3
+      val shuffled = plan.collect { case e: ShuffleExchangeExec =>
+        e.metrics.collect {
+          case (k, m) if k.toLowerCase.contains("records") => m.value
+        }
+      }.flatten
+      // the top-k exchange (the one below Final) must carry at most the
+      // candidate bound, far below the full input row count
+      assert(shuffled.exists(v => v > 0 && v <= bound),
+        s"no exchange within candidate bound $bound: $shuffled (input=${input.count()})")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("k larger than any group degrades to identity per group") {
     val small = li.limit(100)
     val all = TopK.perGroup(small, Seq("l_suppkey"), orderCols, 1000000)
