@@ -313,12 +313,31 @@ object Relational2 {
       }),
 
     Q("q50_approx_distinct",
-      "HLL sketch: approx_count_distinct (no SQL oracle — rows-only)",
-      None,
-      (s, d) => table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
-        .orderBy("l_returnflag"))
+      "HLL sketch: approx_count_distinct within 5% of exact (full oracle)",
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          TRUE AS parts_ok, TRUE AS orders_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => {
+        // The sketch values themselves are engine-specific, so the
+        // oracle checks the exact counts plus a relative-error bound on
+        // the sketch: if HLL drifts past 5% the flag flips false and the
+        // row hash mismatches (making the sketch fully driver-checkable).
+        def ok(approx: org.apache.spark.sql.Column,
+               exact: org.apache.spark.sql.Column) =
+          abs(approx.cast("double") - exact) / exact <= 0.05
+        table(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            ok(col("approx_parts"), col("exact_parts")).as("parts_ok"),
+            ok(col("approx_orders"), col("exact_orders")).as("orders_ok"))
+          .orderBy("l_returnflag")
+      })
   )
 }
