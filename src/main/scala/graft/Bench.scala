@@ -38,12 +38,20 @@ object Bench {
         val t0 = System.nanoTime()
         run()
         name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+      } catch {
+        case e: Throwable =>
+          // loud failure: a crashed query must read as a regression, not
+          // as a faster total
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -24,6 +24,12 @@ object MinHashUnionAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def zero: Array[Long] = Array.fill(N)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // tolerate null signatures (docs below shingle size) instead of an
+    // executor NPE; anything shorter than the sketch is a caller bug —
+    // fail with the actual length, not an IndexOutOfBounds deep in codegen
+    if (sig == null) return buf
+    require(sig.length >= N,
+      s"minhash signature has ${sig.length} hashes, expected >= $N")
     var i = 0
     while (i < N) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }
     buf

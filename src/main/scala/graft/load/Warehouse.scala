@@ -25,14 +25,24 @@ object Warehouse {
     */
   def appendMonth(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if (!spark.catalog.tableExists(table)) {
-      df.write.partitionBy("month").format("parquet").saveAsTable(table)
-    } else {
-      // insertInto matches by position; align to the table's column
-      // order with month (the partition column) last.
-      val cols = spark.table(table).columns
-      df.select(cols.map(col).toSeq: _*).write.mode("overwrite").insertInto(table)
+    // scope the dynamic-overwrite mode to this write: leaving it set
+    // would silently flip any later overwrite-insertInto on the shared
+    // session from static (truncate all partitions) to dynamic
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      if (!spark.catalog.tableExists(table)) {
+        df.write.partitionBy("month").format("parquet").saveAsTable(table)
+      } else {
+        // insertInto matches by position; align to the table's column
+        // order with month (the partition column) last.
+        val cols = spark.table(table).columns
+        df.select(cols.map(col).toSeq: _*).write.mode("overwrite").insertInto(table)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
