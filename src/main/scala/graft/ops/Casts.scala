@@ -50,6 +50,22 @@ object Casts {
   def monthLabel(c: Column): Column =
     date_format(to_date(concat(c, lit("-01")), "yyyy-MM-dd"), "MMM,yyyy")
 
+  /** SURVEY §7 money mode: money columns (balance, total_amt,
+    * line_amount) are DoubleType by default — reference parity,
+    * qb_bills.py:101 — or exact DecimalType(18,2) when the session sets
+    * `spark.graft.money=decimal`. Decimal is the right warehouse type at
+    * scale (no float drift when summing billions of cents); double stays
+    * the default because the reference's DDL and the oracle twins use
+    * DOUBLE PRECISION.
+    */
+  def moneyType(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("spark.graft.money", "double").trim.toLowerCase match {
+      case "decimal" => "decimal(18,2)"
+      case "double"  => "double"
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.money must be 'double' or 'decimal', got '$other'")
+    }
+
   /** Audit metric for strict mode (C1/C5): rows where `c` was present but
     * the cast lost it. Run on the *pre-cast* frame.
     */

@@ -33,6 +33,12 @@ object Entities {
   private def castCols(df: DataFrame, types: (String, String)*): DataFrame =
     types.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
 
+  /** Money columns honor the session's `spark.graft.money` mode
+    * (SURVEY §7): "double" (default, reference parity) or "decimal"
+    * (DecimalType(18,2) flows stage → warehouse unchanged).
+    */
+  private def money(df: DataFrame): String = Casts.moneyType(df.sparkSession)
+
   // ---------------------------------------------------------------- Bills
   /** qb_bills.py:72-118 (stage) and :130-169 (warehouse). */
   object Bills {
@@ -53,7 +59,7 @@ object Entities {
       castCols(
         Lines.stringify(selectSnake(raw, selected).withColumnsRenamed(renames),
           "line", "linked_txn"),
-        "balance" -> "double", "id" -> "int", "sync_token" -> "int")
+        "balance" -> money(raw), "id" -> "int", "sync_token" -> "int")
 
     def warehouse(staged: DataFrame): DataFrame = staged.select(
       Casts.toDateYmd(col("due_date")).as("due_date"),
@@ -84,7 +90,7 @@ object Entities {
           Casts.fillThenCast(col("check_payment_bank_account_ref_value"), 0, "int"))
         .withColumn("credit_card_payment_cc_account_ref_value",
           Casts.fillThenCast(col("credit_card_payment_cc_account_ref_value"), 0, "int"))
-      castCols(filled, "total_amt" -> "double", "id" -> "int",
+      castCols(filled, "total_amt" -> money(raw), "id" -> "int",
         "vendor_ref_value" -> "int")
     }
 
@@ -137,7 +143,7 @@ object Entities {
           Casts.fillThenCast(col("line_entity_value"), 0, "double"))
       castCols(exploded.select(order.map(col): _*),
         "adjustment" -> "boolean", "id" -> "int", "line_id" -> "int",
-        "line_amount" -> "double", "line_account_value" -> "double",
+        "line_amount" -> money(raw), "line_account_value" -> "double",
         "line_class_value" -> "double", "line_department_value" -> "double")
     }
 
@@ -180,7 +186,7 @@ object Entities {
         "line_id", "line_account_value")
         .foldLeft(exploded)((d, c) => d.withColumn(c, coerceInt(col(c))))
       castCols(coerced.select(order.map(col): _*),
-        "credit" -> "string", "total_amt" -> "double", "line_amount" -> "double")
+        "credit" -> "string", "total_amt" -> money(raw), "line_amount" -> money(raw))
     }
 
     def warehouse(staged: DataFrame): DataFrame =
@@ -196,7 +202,7 @@ object Entities {
 
     def stage(raw: DataFrame): DataFrame =
       castCols(Lines.stringify(selectSnake(raw, selected), "line"),
-        "total_amt" -> "double", "id" -> "int",
+        "total_amt" -> money(raw), "id" -> "int",
         "deposit_to_account_ref_value" -> "int")
 
     def warehouse(staged: DataFrame): DataFrame =

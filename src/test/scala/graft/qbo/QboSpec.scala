@@ -103,3 +103,60 @@ class WarehouseSpec extends SparkSpec {
     spark.sql("DROP TABLE t_pnl")
   }
 }
+
+/** SURVEY §7 money-mode contract: `spark.graft.money=decimal` switches
+  * entity money columns (balance, total_amt, line_amount) to exact
+  * DecimalType(18,2) through stage AND warehouse; the default stays
+  * DoubleType for reference parity.
+  */
+class MoneyModeSpec extends SparkSpec {
+  import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
+
+  private def raw(entity: String, pages: Seq[String],
+      schema: org.apache.spark.sql.types.StructType) =
+    QboSource.entityFrame(spark, entity, pages, schema)
+
+  private def typesOf(mode: Option[String]): Map[String, DataType] = {
+    mode match {
+      case Some(m) => spark.conf.set("spark.graft.money", m)
+      case None => spark.conf.unset("spark.graft.money")
+    }
+    try {
+      val bills = Entities.Bills.warehouse(Entities.Bills.stage(
+        raw("Bill", Fixtures.billPages, Schemas.bill)))
+      val pur = Entities.Purchases.warehouse(Entities.Purchases.stage(
+        raw("Purchase", Fixtures.purchasePages, Schemas.purchase)))
+      Map(
+        "balance" -> bills.schema("balance").dataType,
+        "total_amt" -> pur.schema("total_amt").dataType,
+        "line_amount" -> pur.schema("line_amount").dataType)
+    } finally spark.conf.unset("spark.graft.money")
+  }
+
+  test("default mode keeps money columns DoubleType (reference parity)") {
+    assert(typesOf(None).values.toSet == Set(DoubleType))
+  }
+
+  test("decimal mode flows DecimalType(18,2) stage → warehouse, values exact") {
+    assert(typesOf(Some("decimal")).values.toSet == Set(DecimalType(18, 2)))
+    spark.conf.set("spark.graft.money", "decimal")
+    try {
+      val staged = Entities.Bills.stage(raw("Bill", Fixtures.billPages, Schemas.bill))
+      assert(staged.schema("balance").dataType == DecimalType(18, 2))
+      val vals = Entities.Bills.warehouse(staged)
+        .select("balance").collect().flatMap(r => Option(r.getDecimal(0)))
+        .map(_.toPlainString).toSet
+      assert(vals.contains("1250.50"), vals)
+    } finally spark.conf.unset("spark.graft.money")
+  }
+
+  test("invalid money mode fails with a clear message") {
+    spark.conf.set("spark.graft.money", "float")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Entities.Bills.stage(raw("Bill", Fixtures.billPages, Schemas.bill))
+      }
+      assert(e.getMessage.contains("spark.graft.money"))
+    } finally spark.conf.unset("spark.graft.money")
+  }
+}
