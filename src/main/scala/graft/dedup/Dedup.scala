@@ -115,42 +115,96 @@ object Dedup {
   }
 
   /** Transitive duplicate clusters from candidate pairs: connected
-    * components via iterative min-label propagation (each node adopts
-    * the smallest label among itself and its neighbors until fixpoint —
-    * the standard distributed CC shape; converges in O(component
-    * diameter) rounds, which for dup clusters is tiny).
+    * components via alternating LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log² n) rounds regardless of component diameter, vs O(diameter)
+    * for plain min-label propagation. A 1M-node chain converges in ~20
+    * rounds instead of 500k; dup clusters at 100 TB can contain exactly
+    * such long chains of pairwise-similar shards.
     *
-    * `localCheckpoint` per round truncates the exploding join lineage —
-    * without it, iteration i re-executes all previous rounds and the
-    * plan grows unboundedly (the classic iterative-algorithm trap on
-    * lazy engines).
+    * Edges are kept directed child→parent with child > parent:
+    *  - large-star: every strictly-larger neighbor of x re-points to
+    *    min(N(x) ∪ {x});
+    *  - small-star: every parent of x (all smaller than x), and x
+    *    itself, re-point to x's minimum parent.
+    * At fixpoint the edge set is a union of stars whose centers are the
+    * component minima.
+    *
+    * One action per half-round: each new edge set is `localCheckpoint`ed
+    * (truncating the iterative-join lineage — without it round i
+    * re-executes all previous rounds) and the convergence check is a
+    * (count, hash-sum) checksum aggregate over the already-materialized
+    * checkpoint, confirmed with an exact `except` only when the checksum
+    * says "stable" — no per-round isEmpty re-plan.
+    *
+    * Logs a loud warning if maxIter is hit before the fixpoint (callers
+    * get best-effort labels, never silently-partial ones).
     *
     * Returns (doc_id, cluster_id = smallest doc_id in the component)
     * for every doc that appears in at least one pair.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+  def dupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical child→parent (child > parent) edges
+    var edges = pairs
+      .filter(col("a_id") =!= col("b_id"))
+      .select(greatest(col("a_id"), col("b_id")).as("child"),
+        least(col("a_id"), col("b_id")).as("parent"))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+
+    def checksum(e: DataFrame): (Long, String) = {
+      // decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+      // under ANSI mode
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("child"), col("parent")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("child").as("x"), col("parent").as("y"))
+        .union(e.select(col("parent").as("x"), col("child").as("y")))
+      val mins = nbrs.groupBy(col("x"))
+        .agg(least(min(col("y")), col("x")).as("m"))
+      nbrs.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("child"), col("m").as("parent"))
+        .filter(col("child") =!= col("parent"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("child")).agg(min(col("parent")).as("m"))
+      val hookedParents = e.join(mins, "child")
+        .select(col("parent").as("child"), col("m").as("parent"))
+        .filter(col("child") =!= col("parent"))
+      hookedParents.union(mins.select(col("child"), col("m").as("parent")))
+        .distinct()
+    }
+
+    var chk = checksum(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val c2 = checksum(next)
+      // checksum equality is necessary; confirm with one exact set
+      // compare (runs only on the final round, over checkpointed data)
+      converged = c2 == chk && next.except(edges).isEmpty
+      chk = c2
+      edges = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      System.err.println(s"[graft] dupClusters did NOT converge within " +
+        s"$maxIter rounds — labels may be partial for very elongated components")
+    }
+    val nodes = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    nodes.join(
+        edges.groupBy(col("child")).agg(min(col("parent")).as("parent"))
+          .select(col("child").as("doc_id"), col("parent")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("parent"), col("doc_id")).as("cluster_id"))
   }
 
   /** 32-bit SimHash over a token array (token multiplicity counts, as in

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dupClusters: 1000-node chain converges via star contraction") {
+    // a pure chain is the worst case for label propagation (would need
+    // ~500 rounds); large-star/small-star must resolve it within the
+    // default maxIter=30 (O(log² n))
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(chain).collect()
+    assert(got.length == 1000)
+    assert(got.forall(_.getLong(1) == 0L), got.filter(_.getLong(1) != 0L).take(5).toSeq)
+  }
+
+  test("dupClusters: reversed/duplicated/self pairs don't break labels") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (5L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("SimHashExpr ≡ the HOF simhash32, bit for bit") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = docsReal.select(
