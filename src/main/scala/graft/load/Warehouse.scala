@@ -60,4 +60,38 @@ object Warehouse {
   /** C5-style load audit: staged vs loaded row counts. */
   def auditCounts(staged: DataFrame, table: String): (Long, Long) =
     (staged.count(), staged.sparkSession.table(table).count())
+
+  /** W3 over a live warehouse: the reference's psycopg2 executor
+    * (qb_bills.py:10-27) re-expressed as Spark's JDBC sink. Each
+    * partition opens one connection and writes in `batchsize`d inserts,
+    * so write parallelism = partitions; cap it with
+    * `df.coalesce(n)`/numPartitions at the warehouse's connection
+    * budget rather than letting a 1000-executor job open 1000
+    * connections.
+    */
+  def toJdbc(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty,
+      overwrite: Boolean = true): Unit = {
+    val writer = df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", options.getOrElse("batchsize", "10000"))
+      .options(options)
+      .mode(if (overwrite) "overwrite" else "append")
+    writer.save()
+  }
+
+  /** JDBC read-back twin (used by the audit path and specs). */
+  def fromJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options).load()
+
+  /** W2: CSV debug sink (qb_profit&loss.py:125 `to_csv`). One header'd
+    * file for eyeballs — `coalesce(1)` is deliberate and only sane for
+    * debug-sized frames; production sinks stay parquet.
+    */
+  def debugCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }

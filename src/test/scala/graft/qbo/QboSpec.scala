@@ -80,6 +80,32 @@ class ReportsSpec extends SparkSpec {
 class WarehouseSpec extends SparkSpec {
   import graft.load.Warehouse
 
+  test("toJdbc round-trips through an embedded Derby warehouse (W3-jdbc)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Seq((1, "a", 10.5), (2, "b", 20.0), (3, "c", -1.25))
+      .toDF("id", "v", "amt")
+    Warehouse.toJdbc(df, url, "t_jdbc")
+    // overwrite mode is idempotent — re-run replaces, not double-loads
+    Warehouse.toJdbc(df, url, "t_jdbc")
+    val got = Warehouse.fromJdbc(spark, url, "t_jdbc")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1, "a", 10.5), (2, "b", 20.0), (3, "c", -1.25)))
+  }
+
+  test("debugCsv writes one header'd file that reads back (W2)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq(("x", 1.5), ("y", 2.0)).toDF("k", "amount")
+    Warehouse.debugCsv(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, files.toSeq) // coalesce(1): a single debug file
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(back == Set(("x", 1.5), ("y", 2.0)))
+  }
+
   test("fullRefresh overwrites atomically (W4)") {
     import spark.implicits._
     Warehouse.fullRefresh(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t_refresh")
