@@ -158,6 +158,42 @@ object Events {
           col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    Q("q76_stream_drain",
+      "Structured Streaming end-to-end: tumbling counts drained to parquet via foreachBatch, equal to the q23 batch result",
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+          event_type, COUNT(*) AS n, ${sqlDsum("value", 4)} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+      (s, d) => {
+        // The real streaming write path (not a memory sink): file-source
+        // stream over the same events parquet → EventStream.tumblingCounts
+        // → foreachBatch parquet drain in complete mode (each batch
+        // overwrites with full state; AvailableNow processes everything
+        // and terminates). The drained table must hash-match the batch
+        // q23 oracle — stream/batch equivalence as a driver-checked
+        // gate, not just a spec.
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        // the file source streams a directory; pathGlobFilter narrows it
+        // to the events table
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val outDir = java.nio.file.Files.createTempDirectory("graft_drain").toString
+        val q = graft.streaming.EventStream.tumblingCounts(stream)
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$outDir/_chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/table")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/table")
+          .orderBy("window_start", "event_type")
+      }),
+
     Q("q73_sliding_windows",
       "hopping windows (1h length, 30m slide): each event in 2 windows",
       Some(s"""WITH assigned AS (

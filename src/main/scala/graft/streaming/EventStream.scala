@@ -18,13 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Streaming twin of q23: epoch-aligned 1-hour tumbling counts per
-    * event type, 10-minute watermark for late data.
+    * event type, 10-minute watermark for late data. The value sum goes
+    * through the same exact-decimal path as the batch twin
+    * (graft.queries.Common.dsum) so stream and batch results are
+    * bit-identical, not last-ULP-different.
     */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
