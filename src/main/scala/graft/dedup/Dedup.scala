@@ -101,12 +101,30 @@ object Dedup {
     * this is exactly "materialize signatures, shuffle once, join within
     * bands".
     */
+  /** @param maxBucket optional skew guard: band buckets holding more
+    *        than this many docs are dropped before the self-join.
+    *        Bucket sizes are heavy-tailed (a band whose minhash comes
+    *        from a very common shingle collects a large fraction of the
+    *        corpus), and one hot bucket contributes O(size²) candidate
+    *        pairs while discriminating almost nothing — the standard
+    *        LSH production mitigation is to cap or split such buckets.
+    *        Default keeps exact banding semantics (no cap), which is
+    *        what the oracle-checked queries use.
+    */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      nHashes: Int = 8): DataFrame = {
+      nHashes: Int = 8, maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = signatureFrame(df, idCol, textCol, nHashes)
-    val bands = sig.select(col(idCol),
+    val allBands = sig.select(col(idCol),
       posexplode(array(bandValues((0 until nHashes).map(j => col(s"h$j"))): _*)))
       .toDF(idCol, "bi", "bv")
+    val bands =
+      if (maxBucket == Int.MaxValue) allBands
+      else {
+        val small = allBands.groupBy(col("bi"), col("bv"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+          .drop("__n")
+        allBands.join(small, Seq("bi", "bv"), "left_semi")
+      }
     bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

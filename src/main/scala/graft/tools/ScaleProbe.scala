@@ -1,9 +1,15 @@
-// Dev tool: 10× scale probe — replicates lineitem to ~6M rows and times
-// the headline aggregation/join/window/dedup plans, to check the shapes
-// scale linearly rather than degrading (the local stand-in for "would
-// this survive 100×").
+// Dev tool: scale probe — replicates lineitem/documents by
+// SPARK_GRAFT_MULT (comma list, e.g. "1,10,100") and, for each headline
+// plan shape, reports wall time AND shuffle volume (bytes + records via
+// a task-metrics listener). Wall time on local[32] conflates CPU
+// contention; shuffle volume is the number that predicts 1000-executor
+// behavior — a plan whose shuffle grows super-linearly in the multiplier
+// is the one that dies at 100 TB.
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,56 +17,113 @@ import org.apache.spark.sql.functions._
 import graft.queries.Common._
 
 object ScaleProbe {
-  def time(label: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime(); val n = f
-    println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+
+  private class ShuffleMeter extends SparkListener {
+    val bytes = new AtomicLong
+    val records = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val mults = sys.env.getOrElse("SPARK_GRAFT_MULT", "10")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // unlike Bench (which reads each ~20 MB table as one split — faster
+      // there), the probe MUST split the base tables: the replicated
+      // frames inherit the scan's partitioning, and a single-split scan
+      // would serialize the whole probe into one task, measuring nothing
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val li = table(spark, sfDir, "lineitem")
-    val liX = li.crossJoin(spark.range(mult).select(col("id").as("rep")))
-    val ord = table(spark, sfDir, "orders")
-    liX.count() // warm
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
 
-    time(s"q01-shape agg @${mult}x") {
-      liX.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6),
-          count(lit(1))).count()
+    def time(label: String)(f: => Long): Unit = {
+      Thread.sleep(300) // let the async listener bus drain the last probe
+      val b0 = meter.bytes.get; val r0 = meter.records.get
+      val t0 = System.nanoTime(); val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val mb = (meter.bytes.get - b0) / 1e6
+      val recs = meter.records.get - r0
+      println(f"[scale] $label%-30s ${secs}%7.2f s  ${mb}%10.1f MB shuffled  ${recs}%12d rows shuffled  ($n rows out)")
     }
-    time(s"q03-shape join+agg @${mult}x") {
-      liX.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(dsum(col("l_extendedprice"), 6), count(lit(1))).count()
-    }
-    time(s"window rank @${mult}x") {
-      val w = Window.partitionBy(col("l_suppkey"), col("rep"))
-        .orderBy(col("l_extendedprice").desc)
-      liX.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
-    }
-    time(s"topk heap op @${mult}x") {
-      graft.plans.TopK.perGroup(
-        liX.select("l_suppkey", "rep", "l_orderkey", "l_linenumber", "l_extendedprice"),
-        Seq("l_suppkey", "rep"),
-        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
-        3).count()
-    }
-    val docs = table(spark, sfDir, "documents")
-    val docsX = docs.crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select((col("doc_id") * mult + col("rep")).as("doc_id"), col("text"))
-    time(s"minhash signatures @${mult}x") {
-      // aggregate over a signature column so column pruning cannot skip
-      // the computation (a bare count() would)
-      graft.dedup.Dedup.signatureFrame(docsX, "doc_id", "text")
-        .agg(min(col("h0")), max(col("h7"))).count()
+
+    for (mult <- mults) {
+      println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
+      val li = table(spark, sfDir, "lineitem")
+      val liX = li.crossJoin(spark.range(mult).select(col("id").as("rep")))
+      val ord = table(spark, sfDir, "orders")
+      liX.count() // warm
+
+      time(s"q01-shape agg @${mult}x") {
+        liX.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6),
+            count(lit(1))).count()
+      }
+      time(s"q03-shape join+agg @${mult}x") {
+        liX.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice"), 6), count(lit(1))).count()
+      }
+      time(s"window rank @${mult}x") {
+        val w = Window.partitionBy(col("l_suppkey"), col("rep"))
+          .orderBy(col("l_extendedprice").desc)
+        liX.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+      }
+      time(s"topk heap op @${mult}x") {
+        graft.plans.TopK.perGroup(
+          liX.select("l_suppkey", "rep", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_suppkey", "rep"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+          3).count()
+      }
+
+      val docs = table(spark, sfDir, "documents")
+      val docsX = docs.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"), col("text"),
+          col("rep"))
+      time(s"minhash signatures @${mult}x") {
+        // aggregate over a signature column so column pruning cannot skip
+        // the computation (a bare count() would)
+        graft.dedup.Dedup.signatureFrame(docsX.drop("rep"), "doc_id", "text")
+          .agg(min(col("h0")), max(col("h7"))).count()
+      }
+      time(s"lsh candidate pairs @${mult}x") {
+        // decorrelate replicas: inject a rep-specific token between every
+        // word so every shingle differs across reps — otherwise each
+        // replica of a dup cluster collides with every other replica and
+        // the synthetic pair count grows O(mult²) by construction, which
+        // measures the generator, not the operator. Within a rep, true
+        // dups stay dups (identical transform), so dup structure scales
+        // linearly like a real corpus.
+        val decorr = docsX.select(col("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+        graft.dedup.Dedup.lshCandidatePairs(decorr, "doc_id", "text").count()
+      }
+      time(s"lsh pairs capped@1000 @${mult}x") {
+        // skew-guarded variant: band buckets are heavy-tailed (hot
+        // buckets from very common shingles), and dropping buckets over
+        // 1000 docs removes the O(size²) non-discriminative pairs — the
+        // production configuration at corpus scale
+        val decorr = docsX.select(col("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+        graft.dedup.Dedup.lshCandidatePairs(decorr, "doc_id", "text",
+          maxBucket = 1000).count()
+      }
     }
     spark.stop()
   }
