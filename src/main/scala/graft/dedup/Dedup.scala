@@ -125,7 +125,13 @@ object Dedup {
           .drop("__n")
         allBands.join(small, Seq("bi", "bv"), "left_semi")
       }
-    bands.as("a").join(bands.as("b"),
+    // merge-hint pins the self-join to sort-merge: a broadcast of either
+    // side (AQE picks one at small SF) breaks ReuseExchange and computes
+    // the signature chain TWICE — with identical shuffle subtrees the
+    // signatures are computed once and both sides read the same
+    // exchange. At corpus scale the band frame exceeds any broadcast
+    // threshold anyway, so this pins the plan we'd get at 100 TB.
+    bands.as("a").join(bands.as("b").hint("merge"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
@@ -267,7 +273,8 @@ object Dedup {
       posexplode(array((0 until nBands).map(j =>
         shiftright(col(shCol), j * bandBits).bitwiseAND(lit(mask))): _*)))
       .toDF(idCol, shCol, "bi", "bv")
-    bands.as("a").join(bands.as("b"),
+    // merge hint: same ReuseExchange rationale as lshCandidatePairs
+    bands.as("a").join(bands.as("b").hint("merge"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),

@@ -13,9 +13,17 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { name =>
+    // "exec:<name>" runs the query first so the printed AQE plan is the
+    // final runtime plan (shows ReusedExchange/ReusedQueryStage decisions).
+    args.foreach { arg =>
+      val exec = arg.startsWith("exec:")
+      val name = if (exec) arg.stripPrefix("exec:") else arg
       println(s"===== $name =====")
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // collect() (not count()) so THIS df's QueryExecution materializes
+      // and the AQE plan printed below is its final runtime plan
+      if (exec) { df.collect(); println(df.queryExecution.executedPlan.toString) }
+      else df.explain("formatted")
     }
     spark.stop()
   }
