@@ -138,6 +138,40 @@ object Dedup {
       .distinct()
   }
 
+  /** (id, shingle-set) frame behind a `repartition(id)` barrier — the
+    * shared-scan variant for pipelines that need the shingles DOWNSTREAM
+    * of candidate generation (exact Jaccard scoring). Every consumer —
+    * band generation, a-side scoring join, b-side scoring join — reads
+    * the SAME exchange (ReuseExchange dedups the identical subtrees), so
+    * the corpus is scanned and shingled exactly once. Pipelines that
+    * only need signatures should keep [[signatureFrame]]: its exchange
+    * carries 8 longs per doc instead of the full shingle array.
+    */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    df.select(col(idCol), TextFunctions.shingleSet(col(textCol), k).as("sh"))
+      .repartition(col(idCol))
+
+  /** MinHash-LSH candidate pairs from a pre-built [[shingleFrame]].
+    * Band values come from one imperative expression pass over the
+    * shingle array ([[graft.functions.MinHashBandsExpr]], bit-identical
+    * to banding [[signatureFrame]] — asserted in DedupSpec), evaluated
+    * once per row inside the Generate. Same merge-hinted self-join as
+    * [[lshCandidatePairs]] so the band exchange is reused across sides.
+    */
+  def lshCandidatePairsFromShingles(sh: DataFrame, idCol: String = "doc_id",
+      shCol: String = "sh"): DataFrame = {
+    val bands = sh.select(col(idCol),
+      posexplode(graft.functions.GraftFunctions
+        .minhashBands(sh.sparkSession, col(shCol))))
+      .toDF(idCol, "bi", "bv")
+    bands.as("a").join(bands.as("b").hint("merge"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
+
   /** Transitive duplicate clusters from candidate pairs: connected
     * components via alternating LARGE-STAR / SMALL-STAR contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —

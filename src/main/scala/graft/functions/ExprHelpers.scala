@@ -56,6 +56,42 @@ object ExprHelpers {
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
+  /** LSH band values (r=2 rows/band) straight from an already-computed
+    * shingle array: minhash mins then band_j = h(2j)*P + h(2j+1). One
+    * imperative pass per row — lets a query that also needs the shingles
+    * downstream (candidate-gated exact scoring) share ONE shingle frame
+    * between banding and scoring instead of recomputing the text→shingle
+    * chain per consumer. Bit-identical to bandValues(minhash(text)):
+    * duplicates in the input can't change a min, and an empty shingle
+    * set yields all-null bands exactly like a below-k document.
+    */
+  def minhashBands(arr: ArrayData, numHashes: Int): ArrayData = {
+    val nBands = numHashes / 2
+    if (arr.numElements() == 0) {
+      return new GenericArrayData(Array.fill[Any](nBands)(null))
+    }
+    val md = mdPool.get()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val hp = h32(md, arr.getUTF8String(i).toString) % Hashing.P
+      var k = 0
+      while (k < numHashes) {
+        val v = (hp * Hashing.HashA(k) + Hashing.HashB(k)) % Hashing.P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Any](nBands)
+    var j = 0
+    while (j < nBands) {
+      bands(j) = mins(2 * j) * Hashing.P + mins(2 * j + 1)
+      j += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   def simhash(text: UTF8String): Long = {
     val words = text.toString.split("\\s+", -1)
     val md = mdPool.get()

@@ -40,6 +40,30 @@ case class MinHashSignatureExpr(child: Expression, shingleK: Int, numHashes: Int
       s"${ev.value} = graft.functions.ExprHelpers.minhash($c, $shingleK, $numHashes);")
 }
 
+/** LSH band values from an existing shingle array (array<string>), one
+  * imperative pass — see [[ExprHelpers.minhashBands]]. Used where a
+  * query shares one shingle frame between band generation and exact
+  * scoring (graft.dedup.Dedup.lshCandidatePairsFromShingles).
+  */
+case class MinHashBandsExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = GraftFunctions.MinhashBandsName
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.minhashBands(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.minhashBands($c, $numHashes);")
+}
+
 /** Session-level registration for graft's custom expressions (public
   * `functionRegistry` route — works on any session the driver hands us,
   * no SparkSessionExtensions wiring required at session construction).
@@ -47,6 +71,7 @@ case class MinHashSignatureExpr(child: Expression, shingleK: Int, numHashes: Int
 object GraftFunctions {
 
   val MinhashName = "graft_minhash_signature"
+  val MinhashBandsName = "graft_minhash_bands"
   val LshBucketName = "graft_lsh_bucket"
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
@@ -56,6 +81,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       MinhashName,
       exprs => MinHashSignatureExpr(exprs.head, shingleK = 3, numHashes = 8),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      MinhashBandsName,
+      exprs => MinHashBandsExpr(exprs.head, numHashes = 8),
       "built-in")
     reg.createOrReplaceTempFunction(
       LshBucketName,
@@ -75,5 +104,11 @@ object GraftFunctions {
   def minhashSignature(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function(MinhashName, c)
+  }
+
+  /** 4 LSH band values (8 hashes × r=2) from a shingle-array column. */
+  def minhashBands(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function(MinhashBandsName, c)
   }
 }

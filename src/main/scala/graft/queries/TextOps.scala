@@ -197,10 +197,12 @@ object TextOps {
         // LSH banding proposes candidates (shuffles only (id, band)
         // keys), then the exact Jaccard runs on candidates alone. No
         // a_id < b_id cross join anywhere; the full corpus works, no
-        // sampling needed.
-        val docs = table(s, d, "documents")
-        val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text")
-        val sh = Dedup.withShingles(docs, "doc_id", "text")
+        // sampling needed. The whole query reads ONE shared shingle
+        // frame: banding and both scoring joins consume the same
+        // repartition exchange (ReuseExchange), so the corpus is
+        // scanned and shingled exactly once.
+        val sh = Dedup.shingleFrame(table(s, d, "documents"), "doc_id", "text")
+        val cand = Dedup.lshCandidatePairsFromShingles(sh)
         cand
           .join(sh.toDF("a_id", "a_sh"), "a_id")
           .join(sh.toDF("b_id", "b_sh"), "b_id")

@@ -60,6 +60,31 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == viaHof)
   }
 
+  test("MinHashBandsExpr ≡ bandValues over the signature frame, bit for bit") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaSig = Dedup.signatureFrame(docsReal, "doc_id", "text")
+      .select(col("doc_id"),
+        array(Dedup.bandValues((0 until 8).map(j => col(s"h$j"))): _*).as("bands"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaExpr = Dedup.withShingles(docsReal, "doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashBands(spark, col("sh")).as("bands"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaExpr == viaSig)
+  }
+
+  test("lshCandidatePairsFromShingles ≡ lshCandidatePairs on real docs") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaText = Dedup.lshCandidatePairs(docsReal, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaShingles = Dedup.lshCandidatePairsFromShingles(
+        Dedup.shingleFrame(docsReal, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaShingles == viaText)
+  }
+
   test("dupClusters resolves transitive components to min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val got = Dedup.dupClusters(pairs)
