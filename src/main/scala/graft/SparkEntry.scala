@@ -16,7 +16,7 @@ object SparkEntry {
 
   def registry: Seq[Q] =
     graft.queries.Relational.qs ++ graft.queries.Relational2.qs ++
-      graft.queries.Events.qs ++
+      graft.queries.Relational3.qs ++ graft.queries.Events.qs ++
       graft.queries.TextOps.qs ++ graft.queries.Embeddings.qs ++
       graft.queries.QboPipelines.qs ++ graft.queries.MultimodalOps.qs
 

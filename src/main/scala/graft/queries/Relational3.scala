@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.ops.Hashing
+import graft.text.TextFunctions
+
+/** Third wave of the relational/extension surface: unpivot (melt),
+  * exact + approximate percentiles, deterministic hash sampling
+  * (reproducible training-data subsets/splits), max_by/min_by argmax,
+  * percent_rank/cume_dist, and TF-IDF keyword extraction.
+  *
+  * Scale notes: every query here is either a grouped aggregation with
+  * map-side partial aggregation, a narrow per-row map, or a keyed window
+  * whose partition count grows with the data (never a single global
+  * partition). The only broadcast is q82's corpus-size N — one row.
+  */
+object Relational3 {
+
+  val qs: Seq[Q] = Seq(
+    Q("q70_hash_sample",
+      "deterministic hash sample (md5 mod 20): reproducible 5% subset",
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+          ${sqlDsum("o_totalprice", 2)} AS revenue
+        FROM orders
+        WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,8) AS BIGINT) % 20 = 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        // Hash-based sampling, not rand(): the subset is a pure function
+        // of the key, so it is identical across runs, engines, and
+        // cluster sizes — the property train/test splits and A/B
+        // holdouts actually need. The filter is a narrow map evaluated
+        // at the scan; no shuffle is added. (rand()-based sample() can't
+        // be oracle-checked and re-draws on every retry of a task.)
+        table(s, d, "orders")
+          .filter(Hashing.hash32(col("o_orderkey").cast("string")) % 20 === 0)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      }),
+
+    Q("q77_unpivot",
+      "unpivot (melt): wide per-priority measures to long (measure, value)",
+      Some(s"""WITH agg AS (SELECT o_orderpriority,
+          CAST(COUNT(*) AS DOUBLE) AS n_orders,
+          ${sqlDsum("o_totalprice", 2)} AS revenue,
+          ${sqlDavg("o_totalprice", 2)} AS avg_price
+        FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, measure, value FROM agg
+        UNPIVOT (value FOR measure IN (n_orders, revenue, avg_price))
+        ORDER BY o_orderpriority, measure"""),
+      (s, d) => table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("revenue"),
+          davg(col("o_totalprice"), 2).as("avg_price"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("revenue"), col("avg_price")),
+          "measure", "value")
+        .orderBy("o_orderpriority", "measure")),
+
+    Q("q78_percentiles",
+      "exact interpolated p50/p95 + approx-sketch error-bound flags",
+      Some("""SELECT o_orderpriority,
+          quantile_cont(o_totalprice, 0.5) AS p50,
+          quantile_cont(o_totalprice, 0.95) AS p95,
+          COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        // Exact percentile values are cross-engine checkable (both
+        // engines interpolate lower + (upper-lower)*frac); the
+        // percentile_approx sketch values are engine-specific, so —
+        // as in q50 — the sketch is checked through a relative-error
+        // flag that flips the row hash if it drifts past 5%.
+        def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          abs(a - e) / e <= 0.05
+        table(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+            percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+            percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("a95"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderpriority"), col("p50"), col("p95"), col("n"),
+            ok(col("a50"), col("p50")).as("p50_ok"),
+            ok(col("a95"), col("p95")).as("p95_ok"))
+          .orderBy("o_orderpriority")
+      }),
+
+    Q("q80_argmax",
+      "max_by/min_by: extreme-balance customer per nation, struct tiebreak",
+      Some("""WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey DESC) AS rd,
+          row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal ASC, c_custkey ASC) AS ra
+        FROM customer)
+        SELECT c_nationkey,
+          MAX(CASE WHEN rd = 1 THEN c_custkey END) AS top_cust,
+          MAX(CASE WHEN rd = 1 THEN c_acctbal END) AS top_bal,
+          MAX(CASE WHEN ra = 1 THEN c_custkey END) AS bottom_cust,
+          MAX(CASE WHEN ra = 1 THEN c_acctbal END) AS bottom_bal
+        FROM r GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      (s, d) => {
+        // Native max_by/min_by (one aggregation, no window, no join-back)
+        // with a struct ordering key so balance ties break on custkey —
+        // deterministic where bare max_by(x, bal) would be "any max row".
+        // The oracle expresses the same thing as two window passes.
+        val key = struct(col("c_acctbal"), col("c_custkey"))
+        table(s, d, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            max_by(col("c_custkey"), key).as("top_cust"),
+            max(col("c_acctbal")).as("top_bal"),
+            min_by(col("c_custkey"), key).as("bottom_cust"),
+            min(col("c_acctbal")).as("bottom_bal"))
+          .orderBy("c_nationkey")
+      }),
+
+    Q("q81_percent_rank",
+      "percent_rank + cume_dist within order priority",
+      Some("""SELECT o_orderkey, o_orderpriority,
+          percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+          .orderBy("o_orderkey")
+      }),
+
+    Q("q82_tfidf",
+      "TF-IDF keyword extraction: top-3 terms per document",
+      Some("""WITH t AS (SELECT doc_id,
+          unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents),
+        t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t2),
+        scored AS (SELECT doc_id, tf.term, tf, df,
+            tf * (CAST(n.n AS DOUBLE) / df) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS BIGINT) AS rn FROM scored)
+        SELECT doc_id, term, tf, df, score, rn FROM r
+        WHERE rn <= 3 ORDER BY doc_id, rn"""),
+      (s, d) => {
+        // Two grouped aggregations (both map-side partial), one term-keyed
+        // join, a doc-keyed top-k window. idf is the rational N/df (not
+        // ln(N/df)): same ranking family, and integer-ratio double math
+        // is bit-identical across engines where ln() parity is not
+        // guaranteed. N joins in as a one-row broadcast, never a driver
+        // round-trip.
+        val terms = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = terms.agg(countDistinct(col("doc_id")).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf") * (col("n").cast("double") / col("df"))).as("score"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy("doc_id", "rn")
+      })
+  )
+}
