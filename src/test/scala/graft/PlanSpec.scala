@@ -100,6 +100,43 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE t_pruned")
   }
 
+  test("runtime Bloom filter prunes the fact side of a selective join") {
+    // At cluster scale a selective dim filter should propagate to the
+    // fact scan as a runtime Bloom filter (Spark's
+    // InjectRuntimeFilter), so most fact rows die before the shuffle
+    // instead of after it. The injection is threshold-gated on table
+    // sizes; lowering the thresholds simulates the 100 TB relation the
+    // optimizer would see in production. AQE off so the injected filter
+    // is visible in the static physical plan.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(sum(col("l_quantity")))
+      val p = joined.queryExecution.executedPlan.toString
+      // the fact side gets Filter might_contain(<bloom subquery>, ...)
+      // fed by a bloom_filter_agg over the filtered dim
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salted join equals plain join (skew mitigation correctness)") {
     import graft.ops.Skew
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
