@@ -257,6 +257,77 @@ object TextOps {
         Dedup.lshCandidatePairs(table(s, d, "documents"), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    Q("q83_incremental_dedup",
+      "incremental ingest: dedup a new batch against the existing corpus",
+      Some {
+        def side(src: String, p: String) =
+          s"""${p}w AS (SELECT doc_id, $sqlWords AS ws FROM $src),
+            ${p}sh AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM ${p}w),
+            ${p}sig AS (SELECT doc_id,
+              ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+              FROM ${p}sh),
+            ${p}bands AS (SELECT doc_id,
+              unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+              unnest([0, 1, 2, 3]) AS bi FROM ${p}sig)"""
+        s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          store AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          ${side("batch", "b")},
+          ${side("store", "s")},
+          cand AS (SELECT bb.doc_id, COUNT(DISTINCT sb.doc_id) AS n_near
+            FROM bbands bb JOIN sbands sb ON bb.bi = sb.bi AND bb.bv = sb.bv
+            GROUP BY bb.doc_id),
+          ex AS (SELECT DISTINCT b.doc_id FROM batch b
+            JOIN store s ON md5(b.text) = md5(s.text))
+          SELECT b.doc_id,
+            (e.doc_id IS NOT NULL) AS is_exact,
+            COALESCE(c.n_near, CAST(0 AS BIGINT)) AS n_near,
+            CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                 WHEN COALESCE(c.n_near, 0) > 0 THEN 'near'
+                 ELSE 'new' END AS status
+          FROM batch b LEFT JOIN ex e USING (doc_id)
+            LEFT JOIN cand c USING (doc_id)
+          ORDER BY b.doc_id"""
+      },
+      (s, d) => {
+        // The production ingest shape: a new batch (here the doc_id%10
+        // slice, deterministic at every SF) is deduped against the
+        // existing corpus — exact via a digest semi-join (16-byte keys
+        // shuffle, never document bytes), near via a band equi-join
+        // against what in production is the PERSISTED signature/band
+        // store (bucketed by band key, so only the batch side computes
+        // signatures and only matching buckets are touched). AQE
+        // broadcasts the batch bands when the batch is small — exactly
+        // the plan a 100 TB store wants.
+        val docs = table(s, d, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val store = docs.filter(col("doc_id") % 10 =!= 0)
+        def bands(df: org.apache.spark.sql.DataFrame, idAs: String) =
+          Dedup.signatureFrame(df, "doc_id", "text")
+            .select(col("doc_id"),
+              posexplode(array(Dedup.bandValues(
+                (0 until 8).map(j => col(s"h$j"))): _*)))
+            .toDF(idAs, "bi", "bv")
+        val cand = bands(batch, "b_id")
+          .join(bands(store, "s_id"), Seq("bi", "bv"))
+          .groupBy(col("b_id"))
+          .agg(countDistinct(col("s_id")).as("n_near"))
+        val ex = batch
+          .select(col("doc_id"), Dedup.digest(col("text")).as("h"))
+          .join(store.select(Dedup.digest(col("text")).as("h")).distinct(),
+            Seq("h"), "left_semi")
+          .select(col("doc_id"), lit(true).as("exact_hit"))
+        batch.select("doc_id")
+          .join(ex, Seq("doc_id"), "left")
+          .join(cand, col("doc_id") === col("b_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_hit"), lit(false)).as("is_exact"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            when(coalesce(col("exact_hit"), lit(false)), "exact")
+              .when(coalesce(col("n_near"), lit(0L)) > 0, "near")
+              .otherwise("new").as("status"))
+          .orderBy("doc_id")
+      }),
+
     Q("q51_minhash_union_agg",
       "typed UDAF: per-source union-minhash sketch (elementwise min)",
       Some(s"""WITH w AS (SELECT doc_id, source, $sqlWords AS ws FROM documents),
