@@ -182,6 +182,36 @@ object Embeddings {
           .orderBy("a_id", "b_id")
       }),
 
+    Q("q86_centroids",
+      "per-label centroid vector (elementwise mean), long (label, dim) form",
+      Some(s"""WITH e AS (SELECT label,
+          CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS xq,
+          unnest(range(len(embedding))) AS dim
+        FROM embeddings)
+        SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+          CAST(CAST(SUM(xq) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c
+        FROM e GROUP BY label, dim ORDER BY label, dim"""),
+      (s, d) => {
+        // Centroids in long (label, dim) form: posexplode then one
+        // grouped aggregation keyed by (label, dim) — map-side partial
+        // agg, shuffle rows = labels×dims regardless of corpus size.
+        // Components are quantized to a 1e-6 grid and summed as exact
+        // integers: float-derived doubles are dyadic, so a direct
+        // double→DECIMAL sum can land on a rounding TIE that DuckDB
+        // (half-even) and Spark (HALF_UP) resolve differently — seen on
+        // this very dataset (0.1983642578125 at scale 12). round() ties
+        // go half-away-from-zero in both engines and the multiply is
+        // double-evaluated in both, so the integer path is tie-free.
+        table(s, d, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("x") * 1000000).cast("long")).cast("double")
+              / 1000000.0 / count(lit(1))).as("c"))
+          .orderBy("label", "dim")
+      }),
+
     Q("q38_embedding_stats",
       "per-label vector statistics (norm distribution)",
       Some(s"""WITH $sqlNormed,

@@ -136,6 +136,66 @@ object Relational3 {
           .orderBy("o_orderkey")
       }),
 
+    Q("q84_stratified_sample",
+      "stratified deterministic sample: 5 lowest-hash docs per language",
+      Some("""WITH h AS (SELECT lang, doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) AS h
+        FROM documents),
+        r AS (SELECT lang, doc_id, h, row_number()
+            OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)
+        SELECT lang, doc_id, h FROM r WHERE rn <= 5
+        ORDER BY lang, h, doc_id"""),
+      (s, d) => {
+        // Per-stratum reproducible sampling = top-k by key hash per
+        // group: the hash makes the draw a pure function of the key
+        // (stable across runs/engines/cluster sizes), the custom
+        // TopKPerGroup heap operator bounds shuffle to ~groups×k rows
+        // (map-side partial heaps), so sampling a 100 TB corpus moves
+        // almost nothing.
+        val h = table(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            Hashing.hash32(col("doc_id").cast("string")).as("h"))
+        graft.plans.TopK.perGroup(h, Seq("lang"),
+            Seq(("h", true), ("doc_id", true)), k = 5)
+          .orderBy("lang", "h", "doc_id")
+      }),
+
+    Q("q85_winsorize",
+      "winsorization: clip order values at per-priority p5/p95, audit clips",
+      Some(s"""WITH b AS (SELECT o_orderpriority,
+          quantile_cont(o_totalprice, 0.05) AS lo,
+          quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderpriority)
+        SELECT o.o_orderpriority, COUNT(*) AS n,
+          CAST(COUNT(*) FILTER (WHERE o_totalprice < lo) AS BIGINT) AS n_lo,
+          CAST(COUNT(*) FILTER (WHERE o_totalprice > hi) AS BIGINT) AS n_hi,
+          ${sqlDsum("LEAST(GREATEST(o_totalprice, lo), hi)", 6)} AS clipped_sum
+        FROM orders o JOIN b USING (o_orderpriority)
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+      (s, d) => {
+        // Outlier clipping for training-data cleaning: per-group exact
+        // percentile bounds join back as a GROUP-cardinality table
+        // (bounded — broadcasting it is safe at any data scale, unlike
+        // row-cardinality frames), then the clip is a narrow map.
+        val orders = table(s, d, "orders")
+        val bounds = orders.groupBy(col("o_orderpriority"))
+          .agg(percentile(col("o_totalprice"), lit(0.05)).as("lo"),
+            percentile(col("o_totalprice"), lit(0.95)).as("hi"))
+        val clipped = least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+        // dsum scale 6, NOT 12: the clipped values are ~1e5 in magnitude,
+        // where ulp ≈ 5e-11 exceeds a 1e-12 decimal grid — at scale 12
+        // the engines' double→decimal casts (shortest-string vs exact
+        // binary expansion) land on different grid points. Scale 6 keeps
+        // the grid far above ulp, so both casts agree.
+        orders.join(broadcast(bounds), "o_orderpriority")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+            dsum(clipped, 6).as("clipped_sum"))
+          .orderBy("o_orderpriority")
+      }),
+
     Q("q82_tfidf",
       "TF-IDF keyword extraction: top-3 terms per document",
       Some("""WITH t AS (SELECT doc_id,

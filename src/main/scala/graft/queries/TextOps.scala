@@ -257,6 +257,58 @@ object TextOps {
         Dedup.lshCandidatePairs(table(s, d, "documents"), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    Q("q87_near_dup_clean",
+      "flagship near-dup removal: LSH candidates → exact Jaccard ≥ 0.8 " +
+        "edges → components → keep cluster minimum, count kept per lang",
+      Some(s"""WITH RECURSIVE
+        w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        scored AS (SELECT p.a_id, p.b_id FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.a_id
+          JOIN sh sb ON sb.doc_id = p.b_id
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            len(list_distinct(sa.sh || sb.sh)) >= 0.8),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM scored
+          UNION SELECT b_id, a_id FROM scored),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        removed AS (SELECT src FROM reach GROUP BY src HAVING MIN(dst) < src)
+        SELECT lang, COUNT(*) AS n_kept FROM documents
+        WHERE doc_id NOT IN (SELECT src FROM removed)
+        GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        // The full production near-dup cleaning pipeline, composed
+        // entirely from verified operators: single-scan shingle frame →
+        // banded candidates → exact Jaccard gate at 0.8 → star-contraction
+        // connected components → drop everything but each cluster's
+        // minimum id. Scale: only (id, band) keys and candidate pairs
+        // shuffle; the anti-join keys are ids.
+        val docs = table(s, d, "documents")
+        val sh = Dedup.shingleFrame(docs, "doc_id", "text")
+        val edges = Dedup.lshCandidatePairsFromShingles(sh)
+          .join(sh.toDF("a_id", "a_sh"), "a_id")
+          .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .filter(graft.functions.Jaccard(s, col("a_sh"), col("b_sh")) >= 0.8)
+          .select("a_id", "b_id")
+        val removed = Dedup.dupClusters(edges)
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select("doc_id")
+        docs.join(removed, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      }),
+
     Q("q83_incremental_dedup",
       "incremental ingest: dedup a new batch against the existing corpus",
       Some {
