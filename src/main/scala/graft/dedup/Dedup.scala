@@ -148,9 +148,12 @@ object Dedup {
     * carries 8 longs per doc instead of the full shingle array.
     */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame =
-    df.select(col(idCol), TextFunctions.shingleSet(col(textCol), k).as("sh"))
+      k: Int = 3): DataFrame = {
+    require(k == 3, "ShingleSetExpr is registered for k = 3")
+    df.select(col(idCol), graft.functions.GraftFunctions
+        .shingles(df.sparkSession, col(textCol)).as("sh"))
       .repartition(col(idCol))
+  }
 
   /** MinHash-LSH candidate pairs from a pre-built [[shingleFrame]].
     * Band values come from one imperative expression pass over the
@@ -320,7 +323,10 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Convenience: doc frame → (id, shingle-set) frame. */
+  /** Convenience: doc frame → (id, shingle-set) frame (HOF reference
+    * implementation; hot paths use [[shingleFrame]]'s imperative
+    * expression — TextSpec asserts the two are bit-identical).
+    */
   def withShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     df.select(col(idCol), TextFunctions.shingleSet(col(textCol), k).as("sh"))
 }

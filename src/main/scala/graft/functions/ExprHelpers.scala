@@ -92,6 +92,32 @@ object ExprHelpers {
     new GenericArrayData(bands)
   }
 
+  /** Distinct k-word shingles, first-occurrence order (== the HOF chain
+    * array_distinct ∘ transform: both keep the first occurrence).
+    * Empty array when the document has fewer than k tokens.
+    */
+  def shingleSet(text: UTF8String, shingleK: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    if (words.length < shingleK) {
+      return new GenericArrayData(Array.empty[Any])
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - shingleK) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleK) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+
   def simhash(text: UTF8String): Long = {
     val words = text.toString.split("\\s+", -1)
     val md = mdPool.get()

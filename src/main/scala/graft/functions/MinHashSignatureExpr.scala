@@ -72,6 +72,7 @@ object GraftFunctions {
 
   val MinhashName = "graft_minhash_signature"
   val MinhashBandsName = "graft_minhash_bands"
+  val ShinglesName = "graft_shingles"
   val LshBucketName = "graft_lsh_bucket"
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
@@ -85,6 +86,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       MinhashBandsName,
       exprs => MinHashBandsExpr(exprs.head, numHashes = 8),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      ShinglesName,
+      exprs => ShingleSetExpr(exprs.head, shingleK = 3),
       "built-in")
     reg.createOrReplaceTempFunction(
       LshBucketName,
@@ -110,5 +115,11 @@ object GraftFunctions {
   def minhashBands(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function(MinhashBandsName, c)
+  }
+
+  /** Distinct 3-word shingle set column (imperative expression). */
+  def shingles(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function(ShinglesName, c)
   }
 }

@@ -309,6 +309,45 @@ object TextOps {
           .orderBy("lang")
       }),
 
+    Q("q88_stream_ingest_dedup",
+      "Structured Streaming ingest dedup: stream-static digest join " +
+        "drained to parquet, equal to the batch semantics",
+      Some("""SELECT b.doc_id,
+          EXISTS (SELECT 1 FROM documents s
+            WHERE s.doc_id % 10 <> 0 AND md5(s.text) = md5(b.text)) AS is_exact
+        FROM documents b WHERE b.doc_id % 10 = 0 ORDER BY b.doc_id"""),
+      (s, d) => {
+        // The streaming half of q83: new documents arrive as a stream
+        // and are exact-dedup-checked against the static corpus digest
+        // store with a stateless stream-static left join (no watermark,
+        // no state store — the static side is the lookup). foreachBatch
+        // appends each micro-batch to parquet; AvailableNow terminates
+        // after the backlog. Driver-checked against the batch oracle =
+        // stream/batch equivalence as a correctness gate.
+        import org.apache.spark.sql.streaming.Trigger
+        val raw = s.read.parquet(s"$d/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), Dedup.digest(col("text")).as("h"))
+        val store = raw.filter(col("doc_id") % 10 =!= 0)
+          .select(Dedup.digest(col("text")).as("h")).distinct()
+          .withColumn("hit", lit(true))
+        val joined = stream.join(store, Seq("h"), "left")
+          .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact"))
+        val outDir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$outDir/_chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$outDir/table")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/table").orderBy("doc_id")
+      }),
+
     Q("q83_incremental_dedup",
       "incremental ingest: dedup a new batch against the existing corpus",
       Some {

@@ -39,6 +39,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1) == Seq("one two three", "two three four"))
   }
 
+  test("ShingleSetExpr ≡ the HOF shingleSet, bit for bit (incl. order)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(
+      TextFunctions.shingleSet(col("text"), 3).as("hof"),
+      graft.functions.GraftFunctions.shingles(spark, col("text")).as("fast"))
+    assert(both.filter(col("hof") =!= col("fast")).count() == 0)
+    // edge cases: below-k and exactly-k documents
+    val edge = Seq("one two", "one two three", "a a a a").toDF("text")
+      .select(TextFunctions.shingleSet(col("text"), 3).as("hof"),
+        graft.functions.GraftFunctions.shingles(spark, col("text")).as("fast"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+  }
+
   test("quality signals: stopword ratio and token stats") {
     val ws = TextFunctions.words(col("text"))
     val r = Seq("the a the xyz").toDF("text")
