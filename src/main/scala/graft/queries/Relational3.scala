@@ -196,6 +196,68 @@ object Relational3 {
           .orderBy("o_orderpriority")
       }),
 
+    Q("q89_local_supplier_volume",
+      "TPC-H Q5 shape: 6-table star join, revenue by nation within region",
+      Some(s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      (s, d) => {
+        // The classic star-join composition at its full width: two fact
+        // tables (orders, lineitem) shuffle-join on their keys; nation
+        // and region are bounded dims (25/5 rows at every SF) joined by
+        // broadcast; supplier joins on suppkey. The date filter pushes
+        // to the orders scan; column pruning keeps the lineitem scan to
+        // 4 of 11 columns. No hint anywhere — size estimates and AQE
+        // pick the right strategy at any scale.
+        val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        table(s, d, "customer")
+          .join(table(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(table(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(dsum(revenue, 6).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
+    Q("q90_trailing_window",
+      "RANGE-frame window: 30-day trailing revenue per customer",
+      Some(s"""SELECT o_orderkey, o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_30d
+        FROM orders ORDER BY o_orderkey"""),
+      (s, d) => {
+        // Value-based (RANGE) frame, not row-based: all orders of the
+        // same customer within the trailing 29 days contribute, however
+        // many rows that is. Spark range frames need a numeric ordering
+        // key → days since a fixed epoch. Partitioned by customer, so
+        // window state stays per-key bounded at any scale.
+        val days = datediff(col("o_orderdate").cast("date"),
+          lit("1990-01-01").cast("date"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+          .rangeBetween(-29, Window.currentRow)
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            dsumOver(col("o_totalprice"), 2, w).as("trail_30d"))
+          .orderBy("o_orderkey")
+      }),
+
     Q("q82_tfidf",
       "TF-IDF keyword extraction: top-3 terms per document",
       Some("""WITH t AS (SELECT doc_id,

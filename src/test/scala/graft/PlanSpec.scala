@@ -41,7 +41,7 @@ class PlanSpec extends SparkSpec {
       "documents", "embeddings", "events")
     val names = Seq("q03_revenue_by_nation", "q04_top_customers",
       "q09_market_share", "q51_minhash_union_agg", "q32_jaccard_pairs",
-      "q62_simhash_pairs")
+      "q62_simhash_pairs", "q89_local_supplier_volume")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
