@@ -158,6 +158,45 @@ object Events {
           col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    Q("q91_gapfill",
+      "time-series densification: zero-filled hourly counts per event type",
+      Some("""WITH bounds AS (SELECT
+            time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+            time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi FROM events),
+          hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+            FROM bounds),
+          types AS (SELECT DISTINCT event_type FROM events),
+          counts AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+            event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        SELECT t.event_type, hours.h, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        FROM hours CROSS JOIN types t
+        LEFT JOIN counts c ON c.h = hours.h AND c.event_type = t.event_type
+        ORDER BY t.event_type, hours.h"""),
+      (s, d) => {
+        // Gap filling: the dense (hour × type) grid is GENERATED —
+        // sequence() over the one-row global bounds, exploded, cross
+        // joined with the bounded type dim — then the sparse counts
+        // left-join in. The grid is hours×types rows regardless of
+        // event volume, and the only full-data pass is the grouped
+        // count. Missing buckets surface as explicit zeros (what
+        // downstream anomaly/trend jobs need).
+        val ev = events(s, d)
+        val counts = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val hours = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("h"))
+        val types = ev.select(col("event_type")).distinct()
+        hours.crossJoin(types)
+          .join(counts, Seq("h", "event_type"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("event_type", "h")
+      }),
+
     Q("q76_stream_drain",
       "Structured Streaming end-to-end: tumbling counts drained to parquet via foreachBatch, equal to the q23 batch result",
       Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
