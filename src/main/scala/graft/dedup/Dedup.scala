@@ -251,6 +251,9 @@ object Dedup {
       // checksum equality is necessary; confirm with one exact set
       // compare (runs only on the final round, over checkpointed data)
       converged = c2 == chk && next.except(edges).isEmpty
+      // superseded round: release its block-manager storage now rather
+      // than at session GC (rounds × edge-set otherwise stays pinned)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
       chk = c2
       edges = next
       iter += 1

@@ -15,4 +15,19 @@ object Bridge {
   /** Wrap a (resolved) logical plan as a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. `Dataset.unpersist` only touches cacheManager entries;
+    * a local checkpoint is a persisted RDD inside the plan's
+    * `LogicalRDD`, whose blocks otherwise stay pinned until the RDD
+    * object is GC'd — in an iterative algorithm that checkpoints per
+    * round, the superseded rounds add up to O(rounds × edges) storage
+    * held for the whole session. No-op for non-checkpoint plans.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -102,6 +102,17 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 0L), got.filter(_.getLong(1) != 0L).take(5).toSeq)
   }
 
+  test("dupClusters releases superseded per-round checkpoints") {
+    // each round localCheckpoints the new edge set; superseded rounds
+    // must be unpersisted as they go (only the final round's blocks may
+    // remain, since the returned frame reads them lazily)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.dupClusters(chain).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked checkpoint RDDs: $before -> $after")
+  }
+
   test("dupClusters: reversed/duplicated/self pairs don't break labels") {
     val pairs = Seq((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (5L, 4L))
       .toDF("a_id", "b_id")
