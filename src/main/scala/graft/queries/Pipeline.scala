@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.dedup.Dedup
+import graft.ops.Hashing
+import graft.text.TextFunctions._
+
+/** Training-data pipeline operators beyond per-document text analysis:
+  * corpus curation steps a large-scale LLM data pipeline runs between
+  * raw crawl and training shards.
+  *
+  *  - benchmark contamination check (train/eval n-gram overlap)
+  *  - PII redaction (regex scrub + audit counts)
+  *  - repetition-based quality filtering (type-token ratio, max word
+  *    frequency — the RefinedWeb/Gopher-style repetition signals)
+  *  - leakage-safe train/val/test split (split assigned per NEAR-DUP
+  *    CLUSTER, not per document, so near-copies can't straddle splits)
+  *  - weighted source mixture sampling (deterministic hash sampling at
+  *    per-source rates)
+  *  - int8 embedding quantization with reconstruction-error audit
+  *  - sequence-length bucketing + greedy pack assignment for batching
+  *  - chunk-level (paragraph-grain) dedup across the corpus
+  *
+  * Scale shapes: contamination and chunk-dedup shuffle only 8-byte
+  * hashes; the split shuffles (id, band) pairs through the LSH/CC
+  * machinery of [[graft.dedup.Dedup]]; everything else is a narrow map
+  * or a map-side-combinable aggregation. No UDFs, no collects.
+  */
+object Pipeline {
+
+  private val P = Hashing.P
+
+  /** DuckDB twin of TextFunctions.words. */
+  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
+
+  /** DuckDB twin of TextFunctions.shingleSet (distinct 3-word shingles). */
+  private def sqlShingles(ws: String) =
+    s"list_distinct(list_transform(range(1, len($ws)-1), i -> array_to_string(($ws)[i:i+2], ' ')))"
+
+  /** DuckDB twin of Dedup.minhash for family member j. */
+  private def sqlMinhash(sh: String, j: Int) =
+    s"list_min(list_transform($sh, s -> (CAST('0x' || substr(md5(s),1,8) AS BIGINT) % $P * ${Hashing.HashA(j)} + ${Hashing.HashB(j)}) % $P))"
+
+  // deterministic PII augmentation (the synthetic corpus carries no PII,
+  // so both engines plant the same email + phone before scrubbing)
+  private val sqlAug =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       '@example.com ph 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  val qs: Seq[Q] = Seq(
+    Q("q92_contamination",
+      "benchmark-contamination check: fraction of each eval doc's " +
+        "3-gram shingles that appear anywhere in the train split",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, unnest(${sqlShingles("ws")}) AS s FROM w),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(s),1,8) AS BIGINT) AS h FROM sh),
+        train AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
+        ev AS (SELECT e.doc_id, CASE WHEN t.h IS NULL THEN 0 ELSE 1 END AS hit
+          FROM h e LEFT JOIN train t ON e.h = t.h WHERE e.doc_id % 10 = 0)
+        SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(hit) AS BIGINT) AS n_hit,
+          CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS contamination
+        FROM ev GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        // Eval docs (doc_id % 10 = 0) checked against the train rest.
+        // Only the 8-byte shingle hash shuffles: the train side reduces
+        // to a distinct hash set (map-side combinable), the probe is an
+        // equi-join on that hash — the same shape at 100 TB, where the
+        // train set is huge but each shuffled row is one long.
+        val sh = table(s, d, "documents")
+          .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
+          .select(col("doc_id"), hash32(col("s")).as("h"))
+        val train = sh.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
+          .withColumn("hit", lit(1))
+        sh.filter(col("doc_id") % 10 === 0)
+          .join(train, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .withColumn("contamination",
+            col("n_hit").cast("double") / col("n_shingles"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q93_pii_redact",
+      "PII redaction: scrub emails/phones, audit counts + scrubbed digest",
+      Some(s"""WITH a AS (SELECT doc_id, $sqlAug AS aug FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phone,
+          md5(regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'),
+            '$phoneRe', '<PHONE>', 'g')) AS red_md5
+        FROM a ORDER BY doc_id"""),
+      (s, d) => {
+        // Narrow map over the corpus (regex scan per document, zero
+        // shuffle). The audit counts + content digest make the scrub
+        // verifiable without shipping the raw text anywhere.
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com ph 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        table(s, d, "documents")
+          .select(col("doc_id"), aug.as("aug"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phone"),
+            md5(encode(regexp_replace(
+              regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"), "UTF-8")).as("red_md5"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q94_repetition_filter",
+      "repetition quality gate: type-token ratio >= 0.45 and max " +
+        "single-word frequency <= 0.10, kept-count per language",
+      Some("""WITH u AS (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+          FROM documents),
+        f AS (SELECT doc_id, lang, w, COUNT(*) AS c FROM u GROUP BY 1, 2, 3),
+        s AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+            COUNT(*) AS n_distinct, MAX(c) AS max_c
+          FROM f GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN CAST(n_distinct AS DOUBLE)/n_tokens >= 0.45
+            AND CAST(max_c AS DOUBLE)/n_tokens <= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM s GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        // Two map-side-combinable aggregations: (doc, word) counts, then
+        // per-doc stats — word strings shuffle once, stats rows are tiny.
+        val f = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+          .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+        val st = f.groupBy("doc_id", "lang")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+            max("c").as("max_c"))
+        st.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_distinct").cast("double") / col("n_tokens") >= 0.45 &&
+              col("max_c").cast("double") / col("n_tokens") <= 0.10, 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      }),
+
+    Q("q95_cluster_split",
+      "leakage-safe train/val/test split: hash the near-dup CLUSTER id, " +
+        "not the doc id, so near-copies never straddle splits",
+      Some(s"""WITH RECURSIVE
+        w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh2 AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig2 AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh2),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig2),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        alldocs AS (SELECT d.doc_id,
+            COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lab l USING (doc_id)),
+        spl AS (SELECT cluster_id,
+            CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS split
+          FROM (SELECT cluster_id,
+              CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 AS h
+            FROM alldocs) t)
+        SELECT split, COUNT(*) AS n_docs,
+          COUNT(DISTINCT cluster_id) AS n_clusters
+        FROM spl GROUP BY split ORDER BY split"""),
+      (s, d) => {
+        // Composition of verified operators: LSH candidates → connected
+        // components → per-cluster split hash. Every doc inherits its
+        // cluster's bucket, so a near-duplicate of a training doc can
+        // never leak into eval. Singletons are their own cluster.
+        val docs = table(s, d, "documents")
+        val labels = Dedup.dupClusters(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text"))
+        val all = docs.select("doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        val h = hash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 100
+        all.withColumn("split",
+            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster_id").as("n_clusters"))
+          .orderBy("split")
+      }),
+
+    Q("q96_mixture_sample",
+      "weighted source mixing: deterministic hash sample at per-source " +
+        "rates (8000/4000/2000/1000 bp by source index mod 4)",
+      Some("""WITH r AS (SELECT doc_id, source,
+          CASE CAST(substr(source, 4) AS INT) % 4
+            WHEN 0 THEN 8000 WHEN 1 THEN 4000 WHEN 2 THEN 2000
+            ELSE 1000 END AS rate_bp,
+          CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 10000 AS h
+          FROM documents)
+        SELECT source, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM r GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        // The domain-mixing primitive: each source is downsampled to its
+        // target weight with a hash on the doc id — deterministic,
+        // shuffle-free (sampling is a narrow filter; only the per-source
+        // counts aggregate), and stable across reruns/backfills, unlike
+        // rand()-based sampling.
+        val rate = (substring(col("source"), 4, 10).cast("int") % 4)
+        val rateBp = when(rate === 0, 8000).when(rate === 1, 4000)
+          .when(rate === 2, 2000).otherwise(1000)
+        val h = hash32(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000
+        table(s, d, "documents")
+          .select(col("source"), (h < rateBp).as("keep"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy("source")
+      }),
+
+    Q("q97_int8_quantize",
+      "int8 scalar quantization of embeddings + reconstruction-error audit",
+      Some(s"""WITH e AS (SELECT vec_id, label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT vec_id, label, v,
+          list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+        q AS (SELECT vec_id, label,
+          CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale,
+          CASE WHEN m > 0 THEN
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x ->
+                (x - floor(x * (127.0/m) + 0.5) / (127.0/m)) *
+                (x - floor(x * (127.0/m) + 0.5) / (127.0/m)))),
+              (a, b) -> a + b))
+          ELSE 0.0 END AS err_l2
+          FROM sc)
+        SELECT label, COUNT(*) AS n_vecs,
+          ${sqlDsum("scale", 6)} / COUNT(*) AS avg_scale,
+          ${sqlDsum("err_l2", 12)} / COUNT(*) AS avg_err_l2
+        FROM q GROUP BY label ORDER BY label"""),
+      (s, d) => {
+        // Per-vector max-abs scale → q_i = floor(x*scale + 0.5) (floor
+        // form: round() ties differ across engines), reconstruction
+        // error = l2(x - q/scale). Narrow map per vector; only the tiny
+        // per-label audit rows aggregate. At 100 TB this is the shard
+        // compaction step that cuts vector storage 4× before ANN.
+        val v = col("embedding").cast("array<double>")
+        val m = array_max(transform(v, x => abs(x)))
+        val scale = when(m > 0, lit(127.0) / m).otherwise(lit(0.0))
+        val err = when(m > 0,
+          sqrt(aggregate(v, lit(0.0),
+            (acc, x) => acc +
+              (x - floor(x * scale + 0.5) / scale) *
+              (x - floor(x * scale + 0.5) / scale))))
+          .otherwise(lit(0.0))
+        table(s, d, "embeddings")
+          .select(col("label"), scale.as("scale"), err.as("err_l2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            (dsum(col("scale"), 6) / count(lit(1))).as("avg_scale"),
+            (dsum(col("err_l2"), 12) / count(lit(1))).as("avg_err_l2"))
+          .orderBy("label")
+      }),
+
+    Q("q98_length_buckets",
+      "sequence-length bucketing + greedy 512-token pack assignment " +
+        "(the batch-shaping step before training)",
+      Some("""WITH t AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+          FROM documents),
+        b AS (SELECT doc_id, n, ((n - 1) // 32 + 1) * 32 AS bucket FROM t),
+        c AS (SELECT doc_id, n, bucket,
+          SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM b),
+        p AS (SELECT bucket, n, (cum - 1) // 512 AS pack FROM c)
+        SELECT bucket, COUNT(*) AS n_docs,
+          COUNT(DISTINCT pack) AS n_packs,
+          CAST(SUM(n) AS BIGINT) AS sum_tokens,
+          CAST(SUM(n) AS DOUBLE) / (COUNT(DISTINCT pack) * 512) AS fill
+        FROM p GROUP BY bucket ORDER BY bucket"""),
+      (s, d) => {
+        // Buckets are width-32 token-length classes; within a bucket a
+        // running token sum assigns docs greedily to 512-token packs.
+        // The window partitions by bucket — at scale each bucket's
+        // cumsum is distributed across its own partition, and the
+        // buckets themselves are the parallelism unit (sequence packing
+        // is per-shard in production; the bucket plays the shard).
+        val t = table(s, d, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("n"))
+          // `div`, not `/`: Spark's `/` on longs is double division
+          .withColumn("bucket", expr("((n - 1) div 32 + 1) * 32"))
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("cum", sum("n").over(w))
+          .withColumn("pack", expr("(cum - 1) div 512"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("pack").as("n_packs"),
+            sum("n").as("sum_tokens"),
+            (sum("n").cast("double") / (countDistinct("pack") * 512)).as("fill"))
+          .orderBy("bucket")
+      }),
+
+    Q("q99_chunk_dedup",
+      "chunk-grain (paragraph-level) dedup: 10-word chunks, keep only " +
+        "each chunk's first occurrence corpus-wide",
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+          FROM documents),
+        pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1, 10)) AS i FROM w),
+        ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          array_to_string(ws[i:i+9], ' ') AS chunk FROM pos0),
+        h AS (SELECT doc_id, pos,
+          CAST('0x' || substr(md5(chunk), 1, 8) AS BIGINT) AS h FROM ch),
+        k AS (SELECT doc_id, pos, h,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM h)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM k GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        // Sub-document dedup at paragraph grain (fixed 10-word chunks —
+        // the synthetic corpus has no sentence punctuation): chunk →
+        // 8-byte hash → min-(doc,pos) keeper per hash → per-doc audit.
+        // Only hashes shuffle; the min-struct aggregation is map-side
+        // combinable (vs a row_number window, which would sort full
+        // partitions). Keeper choice = earliest (doc_id, pos), identical
+        // to the oracle's rn = 1.
+        val ws = words(col("text"))
+        val ch = table(s, d, "documents")
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(1), size(ws), lit(10)),
+              i => concat_ws(" ", slice(ws, i, lit(10))))))
+          .select(col("doc_id"),
+            (col("pos") * 10 + 1).cast("long").as("pos"),
+            hash32(col("col")).as("h"))
+        val keep = ch.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        ch.join(keep, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("k.doc_id") === col("doc_id") &&
+              col("k.pos") === col("pos"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("doc_id")
+      }),
+  )
+}

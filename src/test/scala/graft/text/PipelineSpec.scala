@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{Common, Pipeline}
+
+/** Property tests for the training-pipeline curation operators (q92-q99)
+  * — semantic invariants the oracle hash-compare can't express.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) =
+    Pipeline.qs.find(_.name == name).get.run(spark, sfDir)
+
+  test("contamination: an eval doc duplicated in train scores 1.0") {
+    // doc_id % 10 == 0 is the eval split; the synthetic corpus has exact
+    // duplicates across splits iff any eval doc's shingles all appear in
+    // train. Build the invariant directly: planted frame.
+    val docs = Seq(
+      (10L, "a b c d e f g h i j k l"), // eval, exact copy of 3
+      (3L, "a b c d e f g h i j k l"), // train
+      (20L, "zz yy xx ww vv uu tt ss rr qq pp oo"), // eval, novel
+      (5L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.shingleSet(col("text"))).as("s"))
+      .select(col("doc_id"), Common.hash32(col("s")).as("h"))
+    val train = sh.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
+      .withColumn("hit", lit(1))
+    val got = sh.filter(col("doc_id") % 10 === 0)
+      .join(train, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+        count(lit(1))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(10L) == 1.0)
+    assert(got(20L) == 0.0)
+  }
+
+  test("pii redaction leaves no email/phone matches behind") {
+    val red = q("q93_pii_redact")
+    assert(red.filter(col("n_email") === 0 || col("n_phone") === 0).count() == 0)
+    // re-scan the redacted text itself: rebuild it the same way and check
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com ph 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val residue = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("t"))
+      .filter(col("t").rlike(emailRe) || col("t").rlike(phoneRe))
+    assert(residue.count() == 0)
+  }
+
+  test("cluster split: no near-dup cluster straddles two splits") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val labels = graft.dedup.Dedup.dupClusters(
+      graft.dedup.Dedup.lshCandidatePairs(docs, "doc_id", "text"))
+    val h = Common.hash32(concat(lit("split:"),
+      col("cluster_id").cast("string"))) % 100
+    val perCluster = labels
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy("cluster_id").agg(countDistinct("split").as("n"))
+    assert(perCluster.filter(col("n") =!= 1).count() == 0)
+    // and the three splits cover all docs exactly once
+    val total = q("q95_cluster_split").agg(sum("n_docs")).head().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("mixture sample rates land near their basis-point targets") {
+    val got = q("q96_mixture_sample")
+      .withColumn("idx", substring(col("source"), 4, 10).cast("int") % 4)
+      .groupBy("idx")
+      .agg(sum("n_sampled").as("s"), sum("n_total").as("t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val target = Map(0 -> 0.8, 1 -> 0.4, 2 -> 0.2, 3 -> 0.1)
+    got.foreach { case (idx, (s, t)) =>
+      val rate = s.toDouble / t
+      assert(math.abs(rate - target(idx)) < 0.15,
+        s"source class $idx sampled at $rate, want ~${target(idx)}")
+    }
+  }
+
+  test("int8 quantization error is within the scalar-quantization bound") {
+    // per-element reconstruction error <= 0.5/scale, so
+    // err_l2 <= sqrt(64) * 0.5 / scale = 4/scale
+    val bad = q("q97_int8_quantize")
+      .filter(col("avg_err_l2") > lit(4.0) / (col("avg_scale") * 0.5) ||
+        col("avg_err_l2") <= 0.0)
+    assert(bad.count() == 0)
+  }
+
+  test("length buckets: fill <= 1.0 and packs hold every doc") {
+    val b = q("q98_length_buckets").collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      assert(r.getAs[Double]("fill") <= 1.0 && r.getAs[Double]("fill") > 0.0)
+      assert(r.getAs[Long]("n_packs") >= 1L)
+    }
+    val totalDocs = b.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
+  test("chunk dedup: kept <= total, and a planted duplicate chunk drops") {
+    val audit = q("q99_chunk_dedup")
+    assert(audit.filter(col("n_kept") > col("n_chunks")).count() == 0)
+    // exact-duplicate documents keep zero chunks for the later doc_id
+    val dups = spark.read.parquet(s"$sfDir/documents.parquet").as("a")
+      .join(spark.read.parquet(s"$sfDir/documents.parquet").as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    val laterCopies = audit.join(dups, "doc_id")
+    if (laterCopies.count() > 0) {
+      assert(laterCopies.filter(col("n_kept") =!= 0).count() == 0)
+    }
+  }
+}
