@@ -205,8 +205,13 @@ object Dedup {
     * for every doc that appears in at least one pair.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Materialize the incoming pair pipeline ONCE: both the canonical
+    // edge set and the node list below read this checkpoint. Deriving
+    // nodes straight from `pairs` would re-execute the whole candidate
+    // pipeline (LSH banding + any exact-scoring joins) a second time.
+    val p0 = pairs.localCheckpoint()
     // canonical child→parent (child > parent) edges
-    var edges = pairs
+    var edges = p0
       .filter(col("a_id") =!= col("b_id"))
       .select(greatest(col("a_id"), col("b_id")).as("child"),
         least(col("a_id"), col("b_id")).as("parent"))
@@ -262,8 +267,12 @@ object Dedup {
       System.err.println(s"[graft] dupClusters did NOT converge within " +
         s"$maxIter rounds — labels may be partial for very elongated components")
     }
-    val nodes = pairs.select(col("a_id").as("doc_id"))
-      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    // node list from the checkpointed pairs (small: distinct ids), then
+    // release the pair checkpoint — the result only needs nodes + stars
+    val nodes = p0.select(col("a_id").as("doc_id"))
+      .union(p0.select(col("b_id").as("doc_id"))).distinct()
+      .localCheckpoint()
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(p0)
     nodes.join(
         edges.groupBy(col("child")).agg(min(col("parent")).as("parent"))
           .select(col("child").as("doc_id"), col("parent")),

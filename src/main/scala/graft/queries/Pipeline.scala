@@ -357,5 +357,77 @@ object Pipeline {
               col("k.pos") === col("pos"), 1L).otherwise(0L)).as("n_kept"))
           .orderBy("doc_id")
       }),
+
+    Q("q100_unigram_logprob",
+      "corpus unigram-LM quality score: add-one-smoothed avg token " +
+        "log-probability of each eval doc under the train split's LM",
+      Some("""WITH u AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+          FROM documents),
+        cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u
+          WHERE doc_id % 10 <> 0 GROUP BY w),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM u WHERE doc_id % 10 <> 0),
+        ev AS (SELECT e.doc_id,
+            CAST(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (t.n + t.v))
+              AS DECIMAL(30,12)) AS lp
+          FROM u e LEFT JOIN cnt c ON e.w = c.w CROSS JOIN tot t
+          WHERE e.doc_id % 10 = 0)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+        FROM ev GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        // The perplexity-proxy quality filter: a unigram LM fit on the
+        // train split scores every eval doc. Token counts aggregate
+        // map-side; scoring is one shuffle join on the word. The 1-row
+        // totals frame is the only broadcast (bounded by construction).
+        // Per-token logprobs round to DECIMAL(30,12) BEFORE summing:
+        // double-sum order differs between engines, decimal sum is
+        // associative (and the cast also absorbs any last-ULP ln()
+        // difference between libm implementations).
+        val u = table(s, d, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        val train = u.filter(col("doc_id") % 10 =!= 0)
+        val cnt = train.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = train.agg(count(lit(1)).as("n"),
+          countDistinct("w").as("v"))
+        u.filter(col("doc_id") % 10 === 0)
+          .join(cnt, Seq("w"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+              (col("n") + col("v")))
+              .cast("decimal(30,12)").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q101_per_source_sample",
+      "deterministic k-per-source eval sample via the custom TopK " +
+        "physical operator ordered by a stable doc-id hash",
+      Some("""SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY CAST('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT), doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 5 ORDER BY source, rn"""),
+      (s, d) => {
+        // "Give me k examples per source" without a full per-partition
+        // sort: the hash order makes the sample deterministic and
+        // uniform, TopKPerGroupExec heaps it with map-side partial
+        // top-k (shuffle rows ≈ groups × k, not the corpus).
+        val h = table(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            hash32(concat(lit("s:"), col("doc_id").cast("string"))).as("hk"))
+        val top = graft.plans.TopK.perGroup(h, Seq("source"),
+          Seq(("hk", true), ("doc_id", true)), k = 5)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+        top.withColumn("rn", row_number().over(w))
+          .select("source", "doc_id", "rn")
+          .orderBy("source", "rn")
+      }),
   )
 }

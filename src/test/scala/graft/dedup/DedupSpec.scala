@@ -110,7 +110,9 @@ class DedupSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.size
     Dedup.dupClusters(chain).count()
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= 1, s"leaked checkpoint RDDs: $before -> $after")
+    // the lazily-read final star edges + node list may survive; the
+    // per-round history and the input-pair checkpoint must not
+    assert(after - before <= 2, s"leaked checkpoint RDDs: $before -> $after")
   }
 
   test("dupClusters: reversed/duplicated/self pairs don't break labels") {
