@@ -429,5 +429,64 @@ object Pipeline {
           .select("source", "doc_id", "rn")
           .orderBy("source", "rn")
       }),
+
+    Q("q102_stream_near_dup",
+      "Structured Streaming near-dup ingest: streamed docs LSH-banded " +
+        "and checked against the static corpus band index",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig),
+        train AS (SELECT DISTINCT bi, bv FROM bands WHERE doc_id % 10 <> 0),
+        ev AS (SELECT e.doc_id,
+            CASE WHEN t.bv IS NULL THEN 0 ELSE 1 END AS hit
+          FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) e
+          LEFT JOIN train t ON e.bi = t.bi AND e.bv = t.bv)
+        SELECT doc_id, CAST(SUM(hit) AS BIGINT) > 0 AS is_near
+        FROM ev GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        // The streaming twin of the LSH dedup path: arriving documents
+        // are shingled + banded with the imperative Catalyst expressions
+        // (streaming-safe: stateless per-row) and probed against the
+        // static corpus's distinct band index. The per-doc verdict
+        // aggregates inside foreachBatch — each micro-batch is a plain
+        // DataFrame there, the standard pattern for per-batch dedup
+        // decisions without a state store. AvailableNow drains the
+        // backlog; the driver checks the drained parquet against the
+        // batch oracle = stream/batch equivalence.
+        import org.apache.spark.sql.streaming.Trigger
+        val raw = s.read.parquet(s"$d/documents.parquet")
+        def bandsOf(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), posexplode(
+            graft.functions.GraftFunctions.minhashBands(s,
+              graft.functions.GraftFunctions.shingles(s, col("text")))))
+            .toDF("doc_id", "bi", "bv")
+        val index = bandsOf(raw.filter(col("doc_id") % 10 =!= 0))
+          .select("bi", "bv").distinct()
+          .withColumn("hit", lit(1))
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val outDir = java.nio.file.Files.createTempDirectory("graft_snear").toString
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$outDir/_chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            bandsOf(batch)
+              .join(index, Seq("bi", "bv"), "left")
+              .groupBy("doc_id")
+              .agg((sum(coalesce(col("hit"), lit(0))) > 0).as("is_near"))
+              .write.mode("append").parquet(s"$outDir/table")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/table").orderBy("doc_id")
+      }),
   )
 }

@@ -41,7 +41,14 @@ class PlanSpec extends SparkSpec {
       "documents", "embeddings", "events")
     val names = Seq("q03_revenue_by_nation", "q04_top_customers",
       "q09_market_share", "q51_minhash_union_agg", "q32_jaccard_pairs",
-      "q62_simhash_pairs", "q89_local_supplier_volume")
+      "q62_simhash_pairs", "q89_local_supplier_volume",
+      // pipeline curation ops: the contamination probe's train hash set
+      // and chunk-dedup's keeper set grow with the corpus — they must
+      // stay AQE/threshold decisions, never hints (q100 is exempt: its
+      // only broadcast is a 1-row global aggregate, bounded by
+      // construction even though its subtree scans documents)
+      "q92_contamination", "q94_repetition_filter", "q96_mixture_sample",
+      "q98_length_buckets", "q99_chunk_dedup", "q95_cluster_split")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
@@ -61,6 +68,11 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  test("q101 routes through the TopKPerGroup heap operator") {
+    val p = plan("q101_per_source_sample")
+    assert(p.contains("TopKPerGroup"), p)
   }
 
   test("q21: JSON projection prunes unread event columns") {
