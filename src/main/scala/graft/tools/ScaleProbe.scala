@@ -60,6 +60,12 @@ object ScaleProbe {
       println(f"[scale] $label%-30s ${secs}%7.2f s  ${mb}%10.1f MB shuffled  ${recs}%12d rows shuffled  ($n rows out)")
     }
 
+    // probe families: "core" (agg/join/window/topk/lsh), "pipeline"
+    // (curation ops added round 3), or "all"
+    val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
+    val doCore = fam == "all" || fam == "core"
+    val doPipe = fam == "all" || fam == "pipeline"
+
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
       val li = table(spark, sfDir, "lineitem")
@@ -67,6 +73,7 @@ object ScaleProbe {
       val ord = table(spark, sfDir, "orders")
       liX.count() // warm
 
+      if (doCore) {
       time(s"q01-shape agg @${mult}x") {
         liX.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6),
@@ -89,11 +96,13 @@ object ScaleProbe {
           Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
           3).count()
       }
+      }
 
       val docs = table(spark, sfDir, "documents")
       val docsX = docs.crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("doc_id") * mult + col("rep")).as("doc_id"), col("text"),
           col("rep"))
+      if (doCore) {
       time(s"minhash signatures @${mult}x") {
         // aggregate over a signature column so column pruning cannot skip
         // the computation (a bare count() would)
@@ -123,6 +132,58 @@ object ScaleProbe {
             concat(lit(" w"), col("rep"), lit(" "))).as("text"))
         graft.dedup.Dedup.lshCandidatePairs(decorr, "doc_id", "text",
           maxBucket = 1000).count()
+      }
+      }
+
+      if (doPipe) {
+      time(s"contamination probe @${mult}x") {
+        // q92 shape: only 8-byte shingle hashes shuffle; the train side
+        // reduces to a distinct hash set before the probe join
+        val sh = docsX.select(col("doc_id"),
+          explode(graft.text.TextFunctions.shingleSet(col("text"))).as("s"))
+          .select(col("doc_id"), hash32(col("s")).as("h"))
+        val train = sh.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
+          .withColumn("hit", lit(1))
+        sh.filter(col("doc_id") % 10 === 0).join(train, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("hit"), lit(0)))).count()
+      }
+      time(s"chunk dedup @${mult}x") {
+        // q99 shape on decorrelated replicas (so the keeper structure
+        // scales like a real corpus): chunk hash → min-struct keeper →
+        // probe join; shuffle carries (hash, id, pos) triples only
+        val decorr = docsX.select(col("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+        val ws = split(col("text"), "\\s+")
+        val ch = decorr.select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(ws), lit(10)),
+            i => concat_ws(" ", slice(ws, i, lit(10))))))
+          .select(col("doc_id"), (col("pos") * 10 + 1).cast("long").as("pos"),
+            hash32(col("col")).as("h"))
+        val keep = ch.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        ch.join(keep, Seq("h"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("k.doc_id") === col("doc_id") &&
+            col("k.pos") === col("pos"), 1L).otherwise(0L))).count()
+      }
+      time(s"unigram lm score @${mult}x") {
+        // q100 shape: word counts aggregate map-side; scoring joins on
+        // the word; the only broadcast is the 1-row totals frame
+        val u = docsX.select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        val train = u.filter(col("doc_id") % 10 =!= 0)
+        val cnt = train.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = train.agg(count(lit(1)).as("n"), countDistinct("w").as("v"))
+        u.filter(col("doc_id") % 10 === 0)
+          .join(cnt, Seq("w"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+              (col("n") + col("v"))).cast("decimal(30,12)").as("lp"))
+          .groupBy("doc_id").agg(sum(col("lp"))).count()
+      }
       }
     }
     spark.stop()
