@@ -209,14 +209,17 @@ object Dedup {
     // edge set and the node list below read this checkpoint. Deriving
     // nodes straight from `pairs` would re-execute the whole candidate
     // pipeline (LSH banding + any exact-scoring joins) a second time.
-    val p0 = pairs.localCheckpoint()
+    // eager=false everywhere: the checksum aggregate right after each
+    // checkpoint is the materializing action, so every round costs ONE
+    // job (checkpoint write + checksum in the same pass) instead of two
+    val p0 = pairs.localCheckpoint(eager = false)
     // canonical child→parent (child > parent) edges
     var edges = p0
       .filter(col("a_id") =!= col("b_id"))
       .select(greatest(col("a_id"), col("b_id")).as("child"),
         least(col("a_id"), col("b_id")).as("parent"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def checksum(e: DataFrame): (Long, String) = {
       // decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
@@ -251,8 +254,8 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val c2 = checksum(next)
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val c2 = checksum(next) // materializes the checkpoint
       // checksum equality is necessary; confirm with one exact set
       // compare (runs only on the final round, over checkpointed data)
       converged = c2 == chk && next.except(edges).isEmpty
