@@ -118,6 +118,28 @@ object ExprHelpers {
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
   }
 
+  /** Streaming variant of [[shingleSet]] for the Generator path: yields
+    * each first-occurrence distinct shingle as it is found instead of
+    * materializing the array. Same order, same elements.
+    */
+  def shingleIterator(text: UTF8String, shingleK: Int): Iterator[UTF8String] = {
+    val words = text.toString.split("\\s+", -1)
+    if (words.length < shingleK) return Iterator.empty
+    val seen = new java.util.HashSet[UTF8String]
+    val sb = new java.lang.StringBuilder
+    (0 to words.length - shingleK).iterator.flatMap { i =>
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleK) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val s = UTF8String.fromString(sb.toString)
+      if (seen.add(s)) Iterator.single(s) else Iterator.empty
+    }
+  }
+
   def simhash(text: UTF8String): Long = {
     val words = text.toString.split("\\s+", -1)
     val md = mdPool.get()

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.MinhashName, classOf[MinHashSignatureExpr]),
       (exprs: Seq[Expression]) =>
         MinHashSignatureExpr(exprs.head, shingleK = 3, numHashes = 8)))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.ShingleExplodeName),
+      info(GraftFunctions.ShingleExplodeName, classOf[ShingleExplodeExpr]),
+      (exprs: Seq[Expression]) => ShingleExplodeExpr(exprs.head, shingleK = 3)))
     e.injectFunction((FunctionIdentifier(GraftFunctions.LshBucketName),
       info(GraftFunctions.LshBucketName, classOf[LshBucketExpr]),
       (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, nPlanes = 8)))

@@ -73,6 +73,7 @@ object GraftFunctions {
   val MinhashName = "graft_minhash_signature"
   val MinhashBandsName = "graft_minhash_bands"
   val ShinglesName = "graft_shingles"
+  val ShingleExplodeName = "graft_explode_shingles"
   val LshBucketName = "graft_lsh_bucket"
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
@@ -90,6 +91,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       ShinglesName,
       exprs => ShingleSetExpr(exprs.head, shingleK = 3),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      ShingleExplodeName,
+      exprs => ShingleExplodeExpr(exprs.head, shingleK = 3),
       "built-in")
     reg.createOrReplaceTempFunction(
       LshBucketName,
@@ -121,5 +126,14 @@ object GraftFunctions {
   def shingles(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function(ShinglesName, c)
+  }
+
+  /** Generator column: one row per distinct 3-word shingle, streamed
+    * (no intermediate array) — use in `select(col, explodeShingles(...))`
+    * position like any explode.
+    */
+  def explodeShingles(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function(ShingleExplodeName, c)
   }
 }

@@ -71,9 +71,12 @@ object Pipeline {
         // to a distinct hash set (map-side combinable), the probe is an
         // equi-join on that hash — the same shape at 100 TB, where the
         // train set is huge but each shuffled row is one long.
+        // graft's custom Generator streams distinct shingles straight
+        // into the Generate (no intermediate array per document)
         val sh = table(s, d, "documents")
-          .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
-          .select(col("doc_id"), hash32(col("s")).as("h"))
+          .select(col("doc_id"), graft.functions.GraftFunctions
+            .explodeShingles(s, col("text")))
+          .select(col("doc_id"), hash32(col("shingle")).as("h"))
         val train = sh.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
           .withColumn("hit", lit(1))
         sh.filter(col("doc_id") % 10 === 0)

@@ -54,6 +54,31 @@ class TextFunctionsSpec extends SparkSpec {
     edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
   }
 
+  test("ShingleExplodeExpr generator ≡ explode(shingleSet), rows and order") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaArray = docs
+      .select(col("doc_id"), posexplode(TextFunctions.shingleSet(col("text"), 3)))
+      .select("doc_id", "pos", "col")
+      .orderBy("doc_id", "pos")
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(monotonically_increasing_id())
+    val viaGen = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.explodeShingles(spark, col("text")))
+      .withColumn("pos", row_number().over(w) - 1)
+      .select("doc_id", "pos", "shingle")
+      .orderBy("doc_id", "pos")
+      .collect().map(_.toSeq).toSeq
+    assert(viaGen == viaArray)
+    // below-k document yields zero rows, not a null row
+    val none = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.explodeShingles(spark, col("text")))
+    assert(none.count() == 0)
+  }
+
   test("quality signals: stopword ratio and token stats") {
     val ws = TextFunctions.words(col("text"))
     val r = Seq("the a the xyz").toDF("text")
