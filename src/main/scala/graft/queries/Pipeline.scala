@@ -491,5 +491,53 @@ object Pipeline {
         q.awaitTermination()
         s.read.parquet(s"$outDir/table").orderBy("doc_id")
       }),
+
+    Q("q103_quantized_topk",
+      "top-5 retrieval on int8-quantized vectors: integer dot products " +
+        "rescaled by the per-vector quantization scales",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        sc AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+        q AS (SELECT vec_id, 127.0/m AS s,
+          list_transform(v, x -> CAST(floor(x*(127.0/m)+0.5) AS BIGINT)) AS qv
+          FROM sc WHERE m > 0),
+        p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, 65), i -> (a.qv)[i]*(b.qv)[i])),
+            (x, y) -> x + y) AS DOUBLE) / (a.s*b.s) AS dot_q
+          FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        SELECT q_id, n_id, rn, dot_q FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY dot_q DESC, n_id) AS rn FROM p) t
+        WHERE rn <= 5 ORDER BY q_id, rn"""),
+      (s, d) => {
+        // Retrieval over the q97 quantization: scoring is an INTEGER
+        // dot product (64 dims × |q|≤127 fits a long exactly, so both
+        // engines agree bit-for-bit with no decimal machinery), rescaled
+        // by the two per-vector scales only at the end. At corpus scale
+        // the int8 vectors are 4× smaller than float32 — the quantized
+        // scan is the production brute-force tier under any ANN index.
+        val v = col("embedding").cast("array<double>")
+        val quant = table(s, d, "embeddings")
+          .select(col("vec_id"), v.as("v"),
+            array_max(transform(v, x => abs(x))).as("m"))
+          .filter(col("m") > 0)
+          .select(col("vec_id"), (lit(127.0) / col("m")).as("s"),
+            transform(col("v"),
+              x => floor(x * (lit(127.0) / col("m")) + 0.5).cast("long")).as("qv"))
+        val a = quant.filter(col("vec_id") < 20).toDF("q_id", "qs", "qq")
+        val b = quant.toDF("n_id", "ns", "nv")
+        val scored = a.join(b, col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            (aggregate(zip_with(col("qq"), col("nv"), (x, y) => x * y),
+              lit(0L), (acc, e) => acc + e).cast("double") /
+              (col("qs") * col("ns"))).as("dot_q"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("dot_q").desc, col("n_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "n_id", "rn", "dot_q")
+          .orderBy("q_id", "rn")
+      }),
   )
 }

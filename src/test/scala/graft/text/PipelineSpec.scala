@@ -106,6 +106,27 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet").count())
   }
 
+  test("quantized dot tracks the exact dot within the quantization bound") {
+    val v = col("embedding").cast("array<double>")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), v.as("v"),
+        array_max(transform(v, x => abs(x))).as("m"))
+      .select(col("vec_id"), col("v"), (lit(127.0) / col("m")).as("s"),
+        transform(col("v"),
+          x => floor(x * (lit(127.0) / col("m")) + 0.5).cast("long")).as("qv"))
+    val a = emb.filter(col("vec_id") < 20).toDF("q_id", "qa", "sa", "qqa")
+    val b = emb.toDF("n_id", "qb", "sb", "qqb")
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, e) => acc + e)
+    val diff = a.join(b, col("q_id") =!= col("n_id"))
+      .select((abs(
+        aggregate(zip_with(col("qqa"), col("qqb"), (x, y) => x * y),
+          lit(0L), (acc, e) => acc + e).cast("double") / (col("sa") * col("sb")) -
+        fold(zip_with(col("qa"), col("qb"), (x, y) => x * y)))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diff < 0.05, s"max quantization dot error $diff")
+  }
+
   test("chunk dedup: kept <= total, and a planted duplicate chunk drops") {
     val audit = q("q99_chunk_dedup")
     assert(audit.filter(col("n_kept") > col("n_chunks")).count() == 0)
