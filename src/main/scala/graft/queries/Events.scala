@@ -218,7 +218,7 @@ object Events {
         val stream = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val outDir = java.nio.file.Files.createTempDirectory("graft_drain").toString
+        val outDir = scratchDir("drain", d)
         val q = graft.streaming.EventStream.tumblingCounts(stream)
           .writeStream
           .outputMode("complete")

@@ -475,7 +475,7 @@ object Pipeline {
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
-        val outDir = java.nio.file.Files.createTempDirectory("graft_snear").toString
+        val outDir = scratchDir("snear", d)
         val q = stream.writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$outDir/_chk")

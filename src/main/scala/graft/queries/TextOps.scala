@@ -335,7 +335,7 @@ object TextOps {
           .withColumn("hit", lit(true))
         val joined = stream.join(store, Seq("h"), "left")
           .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact"))
-        val outDir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+        val outDir = scratchDir("sdedup", d)
         val q = joined.writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$outDir/_chk")

@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same default as Bench so out-of-the-box numbers are comparable;
+    // the driver's recorded runs set SPARK_GRAFT_CPUS=32 explicitly
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

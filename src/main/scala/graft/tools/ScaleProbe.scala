@@ -63,6 +63,8 @@ object ScaleProbe {
     // probe families: "core" (agg/join/window/topk/lsh), "pipeline"
     // (curation ops added round 3), or "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
+    require(Set("all", "core", "pipeline")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
 
@@ -137,11 +139,12 @@ object ScaleProbe {
 
       if (doPipe) {
       time(s"contamination probe @${mult}x") {
-        // q92 shape: only 8-byte shingle hashes shuffle; the train side
+        // q92 shape (incl. the streaming shingle Generator q92 ships
+        // with): only 8-byte shingle hashes shuffle; the train side
         // reduces to a distinct hash set before the probe join
         val sh = docsX.select(col("doc_id"),
-          explode(graft.text.TextFunctions.shingleSet(col("text"))).as("s"))
-          .select(col("doc_id"), hash32(col("s")).as("h"))
+          graft.functions.GraftFunctions.explodeShingles(spark, col("text")))
+          .select(col("doc_id"), hash32(col("shingle")).as("h"))
         val train = sh.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
           .withColumn("hit", lit(1))
         sh.filter(col("doc_id") % 10 === 0).join(train, Seq("h"), "left")

@@ -22,10 +22,16 @@ object Bridge {
     * `LogicalRDD`, whose blocks otherwise stay pinned until the RDD
     * object is GC'd — in an iterative algorithm that checkpoints per
     * round, the superseded rounds add up to O(rounds × edges) storage
-    * held for the whole session. No-op for non-checkpoint plans.
+    * held for the whole session.
+    *
+    * Deliberately matches ONLY a frame whose root plan is the
+    * checkpoint (what `df.localCheckpoint()` returns) — a composite
+    * frame built over checkpoints is a no-op rather than a release of
+    * storage other live frames still read (checkpoints truncate
+    * lineage, so a released block cannot be recomputed).
     */
   def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

@@ -86,12 +86,22 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("int8 quantization error is within the scalar-quantization bound") {
-    // per-element reconstruction error <= 0.5/scale, so
-    // err_l2 <= sqrt(64) * 0.5 / scale = 4/scale
-    val bad = q("q97_int8_quantize")
-      .filter(col("avg_err_l2") > lit(4.0) / (col("avg_scale") * 0.5) ||
-        col("avg_err_l2") <= 0.0)
+    // per-element reconstruction error <= 0.5/scale, so per VECTOR
+    // err_l2 <= sqrt(64)*0.5/scale = 4/scale — checked per vector (an
+    // average-vs-average comparison would be loosened by Jensen)
+    val v = col("embedding").cast("array<double>")
+    val m = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / m
+    val err = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc +
+        (x - floor(x * scale + 0.5) / scale) *
+        (x - floor(x * scale + 0.5) / scale)))
+    val bad = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(err.as("err_l2"), (lit(4.0) / scale).as("bound"))
+      .filter(col("err_l2") > col("bound") || col("err_l2") < 0.0)
     assert(bad.count() == 0)
+    // and the aggregated audit itself reports strictly positive error
+    assert(q("q97_int8_quantize").filter(col("avg_err_l2") <= 0.0).count() == 0)
   }
 
   test("length buckets: fill <= 1.0 and packs hold every doc") {
