@@ -63,10 +63,11 @@ object ScaleProbe {
     // probe families: "core" (agg/join/window/topk/lsh), "pipeline"
     // (curation ops added round 3), or "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline")
+    require(Set("all", "core", "pipeline", "cc")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
+    val doCC = fam == "all" || fam == "cc"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -186,6 +187,20 @@ object ScaleProbe {
             log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
               (col("n") + col("v"))).cast("decimal(30,12)").as("lp"))
           .groupBy("doc_id").agg(sum(col("lp"))).count()
+      }
+      }
+
+      if (doCC) {
+      time(s"cc: ${mult}k-node chain + ${5 * mult}k pair comps") {
+        // worst-case diameter (a pure chain — min-label propagation
+        // would need n/2 rounds) planted next to bulk small components;
+        // star contraction must stay O(log² n) rounds at every size
+        val n = 1000L * mult
+        val chain = spark.range(n - 1)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+        val pairs = spark.range(5000L * mult)
+          .select((col("id") * 2 + n).as("a_id"), (col("id") * 2 + n + 1).as("b_id"))
+        graft.dedup.Dedup.dupClusters(chain.union(pairs)).count()
       }
       }
     }
