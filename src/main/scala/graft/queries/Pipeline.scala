@@ -539,5 +539,63 @@ object Pipeline {
           .select("q_id", "n_id", "rn", "dot_q")
           .orderBy("q_id", "rn")
       }),
+
+    Q("q104_multi_signal_dedup",
+      "multi-signal near-dup audit: MinHash-LSH text candidates scored " +
+        "with embedding cosine (SemDeDup-style signal agreement)",
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        w AS (SELECT doc_id, $sqlWords AS ws FROM d),
+        sh AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        n AS (SELECT vec_id, e,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 65), i -> (e)[i]*(e)[i])),
+            (x, y) -> x + y)) AS nrm FROM v)
+        SELECT p.a_id, p.b_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 65), i -> (va.e)[i]*(vb.e)[i])),
+            (x, y) -> x + y) / (va.nrm*vb.nrm) AS cosine,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 65), i -> (va.e)[i]*(vb.e)[i])),
+            (x, y) -> x + y) / (va.nrm*vb.nrm) >= 0.2 AS agree
+        FROM pairs p JOIN n va ON va.vec_id = p.a_id
+          JOIN n vb ON vb.vec_id = p.b_id
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        // Two independent near-dup signals composed: candidate pairs
+        // from the TEXT channel (MinHash-LSH banding — only (id, band)
+        // keys shuffle) are scored on the EMBEDDING channel (exact
+        // cosine, computed only for the candidates). The `agree` flag is
+        // the SemDeDup-style decision input: surface-level dup AND
+        // semantic dup are different populations, and pairs where the
+        // signals disagree are exactly the ones a production pipeline
+        // routes to the conservative side. Scale: candidate-gated
+        // throughout — no all-pairs stage in either channel.
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", graft.similarity.Vectors.norm(col("e")))
+        val docs = table(s, d, "documents")
+          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        val cos = graft.similarity.Vectors.cosinePre(
+          graft.similarity.Vectors.dot(col("ae"), col("be")),
+          col("an"), col("bn"))
+        pairs
+          .join(emb.toDF("a_id", "ae", "an"), "a_id")
+          .join(emb.toDF("b_id", "be", "bn"), "b_id")
+          .select(col("a_id"), col("b_id"), cos.as("cosine"),
+            (cos >= 0.2).as("agree"))
+          .orderBy("a_id", "b_id")
+      }),
   )
 }
