@@ -234,11 +234,13 @@ object Dedup {
         .union(e.select(col("parent").as("x"), col("child").as("y")))
       val mins = nbrs.groupBy(col("x"))
         .agg(least(min(col("y")), col("x")).as("m"))
+      // no distinct here: smallStar's aggregation and final distinct are
+      // duplicate-tolerant, and dropping it saves one full-edge-set
+      // shuffle per contraction round
       nbrs.join(mins, "x")
         .filter(col("y") > col("x"))
         .select(col("y").as("child"), col("m").as("parent"))
         .filter(col("child") =!= col("parent"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
