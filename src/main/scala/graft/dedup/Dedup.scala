@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Hashing
@@ -334,6 +335,76 @@ object Dedup {
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
         hamming(col(s"a.$shCol"), col(s"b.$shCol")).cast("long").as("hamming"))
       .distinct()
+  }
+
+  /** Guaranteed-recall edit-distance self-join (the Ed-Join q-gram
+    * prefix-filter family). Returns every distinct (a_id, b_id, dist)
+    * with a_id < b_id and levenshtein ≤ dMax — no pair is missed.
+    *
+    * Why the gate is exact: one edit op perturbs at most q elements of a
+    * string's distinct q-gram set, so ed(a,b) ≤ d implies
+    * |A∩B| ≥ |A| − q·d and ≥ |B| − q·d; by the prefix-filter theorem any
+    * such pair collides on one of its (q·d + 1) smallest grams under a
+    * global total order. We order grams rarest-first (corpus document
+    * frequency, then gram) — the classic candidate-minimizing order.
+    * The overlap bound is vacuous when both gram sets have ≤ q·d
+    * elements, which only happens for strings shorter than
+    * q·(d+1) + d chars (longer strings share a ≥ q-char untouched chunk
+    * by pigeonhole); those short strings are routed through a separate
+    * length-blocked pairing so recall stays total for arbitrary input.
+    *
+    * Scale shapes: the gram→df map is alphabet-bounded (≤ |Σ|^q rows no
+    * matter the corpus size), so its broadcast never grows; prefix
+    * extraction shuffles (id, gram, df) once by id; candidates come from
+    * an equi-join on the gram key — only (gram, id) pairs shuffle, no
+    * all-pairs stage anywhere. Verification uses Spark's banded
+    * 3-arg levenshtein (O(d·n) per pair, not O(n²)).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      q: Int = 2, dMax: Int = 3): DataFrame = {
+    val prefLen = q * dMax + 1
+    val lMin = q * (dMax + 1) + dMax // below this the q-gram bound is vacuous
+    val strs = df.select(col(idCol).as("id"), col(strCol).as("p"))
+      .withColumn("len", length(col("p")))
+    val long = strs.filter(col("len") >= lMin)
+    val grams = long.select(col("id"), col("len"), explode(array_distinct(
+        transform(sequence(lit(1), col("len") - (q - 1)),
+          i => col("p").substr(i, lit(q))))).as("g"))
+    val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pref = grams.join(broadcast(gramDf), "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= prefLen)
+      .select(col("g"), col("id"), col("len"))
+      .repartition(col("g")) // shared exchange for the self-join
+    // merge-hint pins the self-join to sort-merge: a broadcast of either
+    // side breaks ReuseExchange and computes the prefix chain (grams +
+    // window) TWICE — same rationale as lshCandidatePairs.
+    val gated = pref.as("a").join(pref.as("b").hint("merge"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= dMax)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // short strings: the prefix theorem needs |A∩B| ≥ |B| − q·d to bite
+    // on at least one side, so pairs whose LONGER member is short bypass
+    // the gate. Block them by length (|len_a − len_b| ≤ d is necessary):
+    // short × (len < lMin + d). Bounded by the short population, which
+    // is negligible in a natural corpus — and empty when callers
+    // pre-trim to a fixed width.
+    val short = strs.filter(col("len") < lMin)
+    val shortCand = short.select(col("id").as("a_id"), col("len").as("a_len"))
+      .join(strs.filter(col("len") < lMin + dMax)
+          .select(col("id").as("b_id"), col("len").as("b_len")),
+        col("a_id") =!= col("b_id") &&
+          abs(col("a_len") - col("b_len")) <= dMax)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+    val cand = gated.union(shortCand).distinct()
+    cand.join(strs.select(col("id").as("a_id"), col("p").as("a_p")), "a_id")
+      .join(strs.select(col("id").as("b_id"), col("p").as("b_p")), "b_id")
+      .withColumn("dist",
+        levenshtein(col("a_p"), col("b_p"), dMax).cast("long"))
+      .filter(col("dist") >= 0) // banded levenshtein: −1 means > dMax
+      .select(col("a_id"), col("b_id"), col("dist"))
   }
 
   /** Jaccard similarity of two distinct-element arrays. */

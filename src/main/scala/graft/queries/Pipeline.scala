@@ -597,5 +597,29 @@ object Pipeline {
             (cos >= 0.2).as("agree"))
           .orderBy("a_id", "b_id")
       }),
+
+    Q("q105_qgram_editdist",
+      "guaranteed-recall edit-distance self-join (Ed-Join q-gram " +
+        "prefix filter, q=2, d<=3); oracle is the brute-force " +
+        "all-pairs join, so a green row proves recall",
+      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p
+          FROM documents WHERE length(text) >= 24)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 3
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        // Ed-Join-family candidate gate with GUARANTEED recall (q63 is
+        // the cheap heuristic tier) — see Dedup.editDistancePairs for
+        // the theorem and the scale shapes (alphabet-bounded gram->df
+        // broadcast, gram-key equi-join, banded levenshtein verify).
+        // The brute-force oracle proves no pair is missed.
+        val strs = table(s, d, "documents")
+          .filter(length(col("text")) >= 24)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+        Dedup.editDistancePairs(strs, "doc_id", "p", q = 2, dMax = 3)
+          .orderBy("a_id", "b_id")
+      }),
   )
 }

@@ -70,6 +70,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q105: prefix exchange reused across self-join sides at runtime") {
+    // The q-gram prefix chain (explode + df-join + window top-7) must be
+    // computed ONCE: the merge hint keeps the self-join sort-merge, so
+    // both sides read the same REPARTITION_BY_COL exchange and the final
+    // AQE plan shows a ReusedExchange. A regression here doubles the
+    // most expensive stage of the edit-distance join. (q105 is exempt
+    // from the growing-table broadcast gate above for the same reason as
+    // q100: its one forced broadcast — the gram→df map — is
+    // alphabet-bounded at ≤|Σ|^q rows by the groupBy, regardless of
+    // corpus size.)
+    val df = SparkEntry.queries("q105_qgram_editdist")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q101 routes through the TopKPerGroup heap operator") {
     val p = plan("q101_per_source_sample")
     assert(p.contains("TopKPerGroup"), p)

@@ -161,6 +161,61 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 2L)) > 0.8)
     assert(j((1L, 3L)) == 0.0)
   }
+
+  private def bruteEd(rows: Seq[(Long, String)], dMax: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = {
+        // classic DP, the test's independent referee
+        val (m, n) = (sa.length, sb.length)
+        val dp = Array.tabulate(m + 1)(i => Array.tabulate(n + 1)(j =>
+          if (i == 0) j else if (j == 0) i else 0))
+        for (i <- 1 to m; j <- 1 to n)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+            dp(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        dp(m)(n)
+      } if d <= dMax
+    } yield (ia, ib, d.toLong)).toSet
+
+  private def gatedEd(rows: Seq[(Long, String)], dMax: Int): Set[(Long, Long, Long)] =
+    Dedup.editDistancePairs(rows.toDF("doc_id", "p"), "doc_id", "p", dMax = dMax)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("editDistancePairs: exact recall on adversarial plants") {
+    val base = "the quick brown fox jump" // 24 chars
+    val rows = Seq(
+      1L -> base,
+      2L -> "tha quick brawn fox jamp", // 3 substitutions, scattered
+      3L -> "the quick brown fox jump".reverse,
+      4L -> "a" * 24, // degenerate gram set {aa}: count bound vacuous
+      5L -> ("a" * 11 + "b" + "a" * 5 + "c" + "a" * 5 + "d"), // 3 edits of 4
+      6L -> "ab" * 12, // two-gram alphabet
+      7L -> ("ab" * 5 + "ba" + "ab" * 6).take(24), // near 6
+      8L -> "completely different txt", // unrelated
+      9L -> base // exact dup of 1
+    )
+    val got = gatedEd(rows, 3)
+    assert(got == bruteEd(rows, 3))
+    assert(got.contains((1L, 2L, 3L)))
+    assert(got.contains((4L, 5L, 3L)))
+    assert(got.contains((1L, 9L, 0L)))
+  }
+
+  test("editDistancePairs: variable-length and short strings keep recall") {
+    val rows = Seq(
+      1L -> "ab", 2L -> "ba", // short: gram sets disjoint, gate must block-pair
+      3L -> "x", 4L -> "", // extreme shorts
+      5L -> "hello world hello planet met", // 28
+      6L -> "hello world hello planet", // 24: len diff 4 vs id 5 -> not a pair
+      7L -> "hello world hello plane", // 23: ed(5,7)=5, ed(6,7)=1
+      8L -> "short str", 9L -> "shirt str" // 9 chars, 1 sub, below lMin=11
+    )
+    val got = gatedEd(rows, 3)
+    assert(got == bruteEd(rows, 3))
+    assert(got.contains((1L, 2L, 2L)))
+    assert(got.contains((8L, 9L, 1L)))
+    assert(got.contains((6L, 7L, 1L)))
+  }
 }
 
 class VectorsSpec extends SparkSpec {
@@ -214,4 +269,5 @@ class VectorsSpec extends SparkSpec {
     // a 0.01-noise twin flips any of 8 hyperplane signs only rarely
     assert(hits >= 30, s"planted-twin recall too low: $hits/40")
   }
+
 }
