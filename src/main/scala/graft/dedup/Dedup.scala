@@ -407,6 +407,77 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** Guaranteed-recall set-similarity self-join at Jaccard threshold
+    * tNum/tDen over the distinct 3-word shingle sets (the
+    * AllPairs/PPJoin prefix-filter family). Returns every (a_id, b_id,
+    * jacc) with a_id < b_id and J ≥ t — unlike the MinHash-LSH tier
+    * ([[lshCandidatePairs]]) no true pair can be missed, which is why
+    * the brute-force oracle can hash-match it.
+    *
+    * Why the gate is exact: J(A,B) ≥ t implies |A∩B| ≥ t·max(|A|,|B|),
+    * so overlap ≥ ⌈t·|X|⌉ for each side; by the prefix-filter lemma the
+    * pair must then collide within the first |X| − ⌈t·|X|⌉ + 1 elements
+    * of each set under any shared total order. We order elements
+    * rarest-first by corpus document frequency (ties by value) — the
+    * candidate-minimizing order — and add the size filter
+    * (den·|B| ≥ num·|A| both ways), also implied by J ≥ t. Threshold
+    * math is integer-rational throughout (⌈num·sz/den⌉ via ceil-div,
+    * cross-multiplied comparisons): no floating-point ceil can
+    * under-round the prefix length and silently break the guarantee.
+    *
+    * Scale shapes: unlike [[editDistancePairs]]'s alphabet-bounded
+    * gram space, the shingle space GROWS with the corpus — the df map
+    * must stay a keyed shuffle join, never a broadcast. Prefix
+    * extraction shuffles (id, element, df) once by id; candidates come
+    * from an element equi-join carrying only (element, id, sz); exact
+    * Jaccard runs on candidates alone, reading the one shared
+    * [[shingleFrame]] exchange (same ReuseExchange shape as q32).
+    */
+  def setSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // One shared (id, sh) exchange feeds all four consumers (prefix
+    // elements, df counts, both verify joins). The isNotNull filter is
+    // explicit so every branch pushes the SAME predicates below the
+    // repartition — without it the join branches infer isnotnull(id)
+    // and the df branch doesn't, the exchange subtrees stop being
+    // identical, and ReuseExchange silently degrades to three full
+    // scan+shingle passes over the corpus (observed, not hypothetical).
+    // (the sh-isNotNull filter below mirrors the constraint the explode
+    // branch infers on its own, for the same reason)
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions
+        .shingles(df.sparkSession, col(textCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .repartition(col("id"))
+    val sized = base.select(col("id"), col("sh"), size(col("sh")).as("sz"))
+      .filter(col("sz") > 0)
+    val elems = sized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
+    val dfreq = elems.groupBy(col("e")).agg(count(lit(1)).as("df"))
+    // prefix length p = sz − ⌈t·sz⌉ + 1; ceil-div in integers (floor of
+    // the double division is exact well past any real shingle count)
+    val minOverlap = floor((col("sz").cast("long") * tNum + (tDen - 1)) / tDen)
+    val pref = elems.join(dfreq, "e")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("e"))))
+      .filter(col("rn") <= col("sz") - minOverlap + 1)
+      .select(col("e"), col("id"), col("sz"))
+      .repartition(col("e")) // shared exchange for the self-join
+    val cand = pref.as("a").join(pref.as("b").hint("merge"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id") &&
+          col("b.sz") * tDen >= col("a.sz") * tNum &&
+          col("a.sz") * tDen >= col("b.sz") * tNum)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(array_union(col("a_sh"), col("b_sh")))
+    cand.join(sized.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sized.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .filter(inter * tDen >= uni * tNum) // cross-multiplied: engine-exact
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / uni).as("jacc"))
+  }
+
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

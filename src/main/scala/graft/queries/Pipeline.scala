@@ -621,5 +621,31 @@ object Pipeline {
         Dedup.editDistancePairs(strs, "doc_id", "p", q = 2, dMax = 3)
           .orderBy("a_id", "b_id")
       }),
+
+    Q("q106_ppjoin_jaccard",
+      "guaranteed-recall Jaccard set-similarity self-join (AllPairs/" +
+        "PPJoin prefix filter, t=0.5 on 3-word shingle sets); oracle " +
+        "is the brute-force all-pairs join, so a green row proves recall",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+          s AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w
+                WHERE len(${sqlShingles("ws")}) > 0)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(a.sh || b.sh)) AS jacc
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 2 >=
+          len(list_distinct(a.sh || b.sh))
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        // The guaranteed tier of the near-dup join family: q32/q34 gate
+        // by MinHash-LSH (probabilistic recall), this gates by the
+        // prefix-filter theorem (total recall) — see
+        // Dedup.setSimilarityPairs for the lemma and the scale shapes
+        // (df map stays a keyed join because the shingle space grows
+        // with the corpus; candidates carry (element, id, sz) only).
+        Dedup.setSimilarityPairs(table(s, d, "documents"), "doc_id",
+            "text", tNum = 1, tDen = 2)
+          .orderBy("a_id", "b_id")
+      }),
   )
 }

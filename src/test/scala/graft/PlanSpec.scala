@@ -87,6 +87,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("q106: corpus scanned+shingled once, all consumers reuse exchanges") {
+    // The PPJoin pipeline has four consumers of the (id, shingles)
+    // frame: prefix elements, df counts, and both verify joins. At
+    // 100 TB the scan+shingle pass is the dominant narrow cost, so all
+    // four must read ONE exchange. This held only after pinning the
+    // below-exchange predicates to be branch-identical (explicit
+    // isNotNull filters in setSimilarityPairs) — a regression here
+    // triples the corpus scans without failing any oracle row.
+    val df = SparkEntry.queries("q106_ppjoin_jaccard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1, s"expected 1 corpus scan in final plan, got $scans:\n$finalPlan")
+    assert(finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
   test("q101 routes through the TopKPerGroup heap operator") {
     val p = plan("q101_per_source_sample")
     assert(p.contains("TopKPerGroup"), p)

@@ -216,6 +216,36 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((8L, 9L, 1L)))
     assert(got.contains((6L, 7L, 1L)))
   }
+
+  test("setSimilarityPairs: exact recall vs brute-force referee") {
+    def shingles(s: String): Set[String] =
+      s.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val rows = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta", // base
+      2L -> "alpha beta gamma delta epsilon zeta", // J=1 twin
+      3L -> "alpha beta gamma delta epsilon eta", // high-J variant
+      4L -> "alpha beta gamma x y z", // shares only the common head
+      5L -> "p q r s t u v w", // unrelated
+      6L -> "p q r s t u v w x", // superset of 5: J = 6/7
+      7L -> "one two", // < 3 words: empty shingle set, must drop out
+      8L -> "alpha beta gamma delta", // J(1,8) = 2/4 = exactly t=1/2
+      9L -> "m n o m n o m n o" // repeated text: distinct-set semantics
+    )
+    // referee: all-pairs Jaccard, same rational comparison (2*|∩| >= |∪|)
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      (ha, hb) = (shingles(sa), shingles(sb)) if ha.nonEmpty && hb.nonEmpty
+      (i, u) = ((ha & hb).size, (ha | hb).size) if i * 2 >= u
+    } yield (ia, ib, i.toDouble / u)).toSet
+    val got = Dedup.setSimilarityPairs(rows.toDF("doc_id", "text"),
+        "doc_id", "text", tNum = 1, tDen = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 1.0)))
+    assert(got.exists { case (a, b, j) => a == 1L && b == 8L && j == 0.5 }) // boundary pair kept
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L }) // below t excluded
+  }
 }
 
 class VectorsSpec extends SparkSpec {
