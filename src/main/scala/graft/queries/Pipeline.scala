@@ -647,5 +647,43 @@ object Pipeline {
             "text", tNum = 1, tDen = 2)
           .orderBy("a_id", "b_id")
       }),
+
+    Q("q107_bloom_dedup",
+      "anti-corpus ingest dedup gated by a bounded Bloom sketch: " +
+        "bloom-negative batch rows (the bulk) pass with zero shuffle, " +
+        "only suspects reach the exact digest anti-join; result is " +
+        "exact (no false negatives), so the plain NOT EXISTS oracle " +
+        "hash-matches",
+      Some("""WITH batch AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text ELSE text || ' v2' END AS text
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM documents s
+          WHERE md5(s.text) = md5(b.text))
+        ORDER BY doc_id"""),
+      (s, d) => {
+        // Incoming batch: ids ≡ 0 (mod 21) replay a store text (planted
+        // exact dups), the rest carry novel ' v2' variants. The store
+        // is the full documents table. See BloomGate for why this beats
+        // the q83-style plain anti-join at 100 TB: batch payloads only
+        // shuffle for bloom-positive suspects.
+        val docs = table(s, d, "documents")
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), when(col("doc_id") % 7 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        val sk = graft.functions.BloomGate.sketch(docs,
+          Dedup.digest(col("text")), expectedItems = 1000000L,
+          numBits = 1L << 23)
+        val mc = graft.functions.BloomGate.mightContain(s, sk,
+          Dedup.digest(col("text")))
+        val clear = batch.filter(!mc).select(col("doc_id"))
+        val suspects = batch.filter(mc)
+          .select(col("doc_id"), Dedup.digest(col("text")).as("h"))
+        val novelSuspects = suspects
+          .join(docs.select(Dedup.digest(col("text")).as("h")),
+            Seq("h"), "left_anti")
+          .select(col("doc_id"))
+        clear.union(novelSuspects).orderBy("doc_id")
+      }),
   )
 }

@@ -48,7 +48,12 @@ class PlanSpec extends SparkSpec {
       // only broadcast is a 1-row global aggregate, bounded by
       // construction even though its subtree scans documents)
       "q92_contamination", "q94_repetition_filter", "q96_mixture_sample",
-      "q98_length_buckets", "q99_chunk_dedup", "q95_cluster_split")
+      "q98_length_buckets", "q99_chunk_dedup", "q95_cluster_split",
+      // bloom-gated dedup: the corpus digest side of the exact verify
+      // anti-join must stay an AQE/threshold decision (it grows with
+      // the corpus); the bloom sketch itself is a bounded driver
+      // artifact, not a broadcast exchange
+      "q107_bloom_dedup")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {

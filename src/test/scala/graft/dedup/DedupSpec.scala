@@ -246,6 +246,32 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case (a, b, j) => a == 1L && b == 8L && j == 0.5 }) // boundary pair kept
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L }) // below t excluded
   }
+
+  test("BloomGate: no false negatives, bounded sketch, exact gated dedup") {
+    import graft.functions.BloomGate
+    val corpus = (1L to 200L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1L to 50L).map(i => (1000L + i, s"corpus document number $i")) ++ // dups
+      (1L to 50L).map(i => (2000L + i, s"novel document number $i")))
+      .toDF("doc_id", "text")
+    val numBits = 1L << 16
+    val sk = BloomGate.sketch(corpus, Dedup.digest(col("text")), 1000L, numBits)
+    // bounded: bit array + small header, regardless of corpus size
+    assert(sk.length <= numBits / 8 + 64, s"sketch ${sk.length} bytes")
+    val mc = BloomGate.mightContain(spark, sk, Dedup.digest(col("text")))
+    // Bloom guarantee: every true dup is positive (false negatives would
+    // silently drop dups from the exact verify and break exactness)
+    val negatives = batch.filter(!mc).select("doc_id").as[Long].collect().toSet
+    assert(negatives.forall(_ >= 2000L), s"false negative among dups: $negatives")
+    // end-to-end gated dedup equals the exact referee
+    val suspects = batch.filter(mc)
+      .select(col("doc_id"), Dedup.digest(col("text")).as("h"))
+    val novel = batch.filter(!mc).select("doc_id").union(
+        suspects.join(corpus.select(Dedup.digest(col("text")).as("h")),
+          Seq("h"), "left_anti").select("doc_id"))
+      .as[Long].collect().toSet
+    assert(novel == (2001L to 2050L).toSet)
+  }
 }
 
 class VectorsSpec extends SparkSpec {
