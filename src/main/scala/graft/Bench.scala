@@ -7,13 +7,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query gets one untimed warm-up execution (JIT + parquet footer
   * cache — otherwise whichever query runs first absorbs ~6 s of JVM
-  * warm-up and the numbers measure iteration order, not plans) and one
-  * timed run. Queries run in name order.
+  * warm-up and the numbers measure iteration order, not plans), then
+  * SPARK_GRAFT_REPS timed runs (default 5). The per-query number
+  * reported in "queries" is the MEDIAN; "queries_min" carries the
+  * minimum. Rationale: on a shared local[32] box a single timed run is
+  * hostage to scheduler contention — two rounds in a row produced
+  * phantom regressions (a "16 s" q67, a "2.1 s" q48) that were noise,
+  * not plans. The median of 5 is robust to one or two contended reps;
+  * the min is the best-case floor (closest to an uncontended cluster
+  * executor). Queries run in name order.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,28 +37,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      def run(): Unit = fn(spark, sfDir).count()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
       try {
         run() // warm-up: JIT, codegen cache, file index
-        val t0 = System.nanoTime()
-        run()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = Seq.fill(reps)(run())
+        name -> (median(times), times.min)
       } catch {
         case e: Throwable =>
           // loud failure: a crashed query must read as a regression, not
           // as a faster total
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+          name -> (-1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (med, _)) if med < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -386,16 +386,20 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
     // short strings: the prefix theorem needs |A∩B| ≥ |B| − q·d to bite
     // on at least one side, so pairs whose LONGER member is short bypass
-    // the gate. Block them by length (|len_a − len_b| ≤ d is necessary):
-    // short × (len < lMin + d). Bounded by the short population, which
-    // is negligible in a natural corpus — and empty when callers
-    // pre-trim to a fixed width.
+    // the gate. Block them by length (|len_a − len_b| ≤ d is necessary),
+    // and give the join an EQUI-key: the b side explodes to its 2d+1
+    // candidate length buckets and matches a's exact length — without
+    // the key Spark must plan a nested-loop join that is quadratic in
+    // the short population (for q=2,d=3 "short" is len<11, common in
+    // real corpora). With it, pairs shuffle hash-partitioned by length;
+    // the residual skew unit is one length class, linear rows per
+    // reducer, not all-pairs.
     val short = strs.filter(col("len") < lMin)
+    val shortB = strs.filter(col("len") < lMin + dMax)
+      .select(col("id").as("b_id"),
+        explode(sequence(col("len") - dMax, col("len") + dMax)).as("lb"))
     val shortCand = short.select(col("id").as("a_id"), col("len").as("a_len"))
-      .join(strs.filter(col("len") < lMin + dMax)
-          .select(col("id").as("b_id"), col("len").as("b_len")),
-        col("a_id") =!= col("b_id") &&
-          abs(col("a_len") - col("b_len")) <= dMax)
+      .join(shortB, col("a_len") === col("lb") && col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
     val cand = gated.union(shortCand).distinct()

@@ -73,23 +73,25 @@ object Common {
   def hash32(c: Column): Column =
     conv(substring(md5(encode(c, "UTF-8")), 1, 8), 16, 10).cast("long")
 
-  /** Deterministic scratch directory for streaming-drain queries,
-    * deleted and recreated on every call: repeated bench/verify runs
-    * reuse ONE directory per (tag, input dir) instead of leaking a
-    * fresh createTempDirectory (checkpoint + drained parquet) each
-    * invocation, and a crashed previous run's half-written state is
-    * swept on the next.
+  /** Deterministic-per-process scratch directory for streaming-drain
+    * queries, deleted and recreated on every call: repeated calls within
+    * one bench/verify JVM reuse ONE directory per (tag, input dir)
+    * instead of leaking a fresh createTempDirectory (checkpoint +
+    * drained parquet) each invocation. The path carries the JVM pid so
+    * two concurrent runs over the same input (bench alongside verify)
+    * cannot wipe each other's live streaming checkpoints.
     */
   def scratchDir(tag: String, dir: String): String = {
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
-      java.nio.file.Files.deleteIfExists(p)
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(base)) {
+      // Files.walk must be closed or it leaks a directory fd per level.
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
-    rm(base)
     java.nio.file.Files.createDirectories(base)
     base.toString
   }

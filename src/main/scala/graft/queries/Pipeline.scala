@@ -674,8 +674,8 @@ object Pipeline {
         val sk = graft.functions.BloomGate.sketch(docs,
           Dedup.digest(col("text")), expectedItems = 1000000L,
           numBits = 1L << 23)
-        val mc = graft.functions.BloomGate.mightContain(s, sk,
-          Dedup.digest(col("text")))
+        val mc = graft.functions.BloomGate.mightContain(sk,
+          Dedup.digest(col("text")), tag = "q107")
         val clear = batch.filter(!mc).select(col("doc_id"))
         val suspects = batch.filter(mc)
           .select(col("doc_id"), Dedup.digest(col("text")).as("h"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Common._
@@ -506,28 +507,51 @@ object TextOps {
       }),
 
     Q("q63_levenshtein",
-      "edit-distance pairs on text prefixes, prefix-block candidate gate",
-      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents)
+      "edit-distance pairs on text prefixes, prefix-block candidate " +
+        "gate with a per-block membership cap (the cheap tier; q105's " +
+        "Ed-Join is the guaranteed-recall tier)",
+      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p,
+            substr(text, 1, 4) AS blk FROM documents),
+        c AS (SELECT doc_id, p, blk,
+            row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+          FROM s),
+        k AS (SELECT doc_id, p, blk FROM c WHERE rn <= 256)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           levenshtein(a.p, b.p) AS dist
-        FROM s a JOIN s b ON substr(a.p, 1, 4) = substr(b.p, 1, 4)
+        FROM k a JOIN k b ON a.blk = b.blk
           AND a.doc_id < b.doc_id
         ORDER BY dist, a_id, b_id LIMIT 30"""),
       (s, d) => {
         // Blocking-key candidate gate: only prefixes sharing their first
         // 4 chars are scored, turning the sampled all-pairs cross join
-        // into an equi-join on the block key (the gate is part of the
-        // declared semantics; oracle matches). The synthetic corpus has
-        // low prefix entropy (~60 blocks); natural text has thousands,
-        // making blocks sublinear. For guaranteed-recall edit-distance
-        // joins at scale the q-gram/prefix-filter family (PPJoin) is the
-        // upgrade path.
-        val sample = table(s, d, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
-        val a = sample.toDF("a_id", "a_p")
-        val b = sample.toDF("b_id", "b_p")
-        a.join(b, substring(col("a_p"), 1, 4) === substring(col("b_p"), 1, 4) &&
-            col("a_id") < col("b_id"))
+        // into an equi-join on the block key. The cap is the skew guard:
+        // a hot block is O(size²) pairs uncapped — at 100× a single
+        // 50k-row block would emit 2.5e9 pairs. row_number ≤ 256 bounds
+        // every block to ≤ 256·255/2 pairs regardless of corpus size
+        // (deterministic: doc_id order, so the oracle models it exactly),
+        // and Catalyst's InferWindowGroupLimit turns the rank filter
+        // into a per-partition group limit — hot blocks are truncated
+        // map-side, rows beyond the cap never reach the join. The capped
+        // recall is the declared semantics of this CHEAP tier; q105
+        // (Ed-Join q-gram prefix filter) is the guaranteed-recall tier.
+        val cap = 256
+        val blocked = table(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("p"),
+            substring(col("text"), 1, 4).as("blk"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("blk").orderBy("doc_id")))
+          .filter(col("rn") <= cap)
+        val a = blocked.select(col("doc_id").as("a_id"), col("p").as("a_p"),
+          col("blk"))
+        val b = blocked.select(col("doc_id").as("b_id"), col("p").as("b_p"),
+          col("blk"))
+        // merge-hint pins sort-merge: the window already hash-partitions
+        // by blk, so SMJ reuses ONE scan+window exchange for both sides
+        // (ReuseExchange), where a broadcast would compute the chain —
+        // i.e. scan the corpus — twice. Same rationale as
+        // Dedup.lshCandidatePairs.
+        a.join(b.hint("merge"), Seq("blk"))
+          .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             levenshtein(col("a_p"), col("b_p")).cast("long").as("dist"))
           .orderBy("dist", "a_id", "b_id")

@@ -257,8 +257,12 @@ class DedupSpec extends SparkSpec {
     val numBits = 1L << 16
     val sk = BloomGate.sketch(corpus, Dedup.digest(col("text")), 1000L, numBits)
     // bounded: bit array + small header, regardless of corpus size
-    assert(sk.length <= numBits / 8 + 64, s"sketch ${sk.length} bytes")
-    val mc = BloomGate.mightContain(spark, sk, Dedup.digest(col("text")))
+    // (the frame is lazy; this head() is the spec's own bound check,
+    // not part of the production probe path, which consumes the sketch
+    // as a scalar subquery without ever collecting it)
+    val skBytes = sk.head().getAs[Array[Byte]](0)
+    assert(skBytes.length <= numBits / 8 + 64, s"sketch ${skBytes.length} bytes")
+    val mc = BloomGate.mightContain(sk, Dedup.digest(col("text")), tag = "spec")
     // Bloom guarantee: every true dup is positive (false negatives would
     // silently drop dups from the exact verify and break exactness)
     val negatives = batch.filter(!mc).select("doc_id").as[Long].collect().toSet

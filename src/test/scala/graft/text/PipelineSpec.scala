@@ -104,11 +104,17 @@ class PipelineSpec extends SparkSpec {
     assert(q("q97_int8_quantize").filter(col("avg_err_l2") <= 0.0).count() == 0)
   }
 
-  test("length buckets: fill <= 1.0 and packs hold every doc") {
+  test("length buckets: fill bounded and packs hold every doc") {
     val b = q("q98_length_buckets").collect()
     assert(b.nonEmpty)
     b.foreach { r =>
-      assert(r.getAs[Double]("fill") <= 1.0 && r.getAs[Double]("fill") > 0.0)
+      // `bucket` is the per-doc token upper bound for its rows. When
+      // bucket <= 512 the greedy cumsum can never skip a 512-block, so
+      // fill <= 1.0 exactly; a doc longer than the pack size (possible
+      // on other corpora) straddles blocks and fill may exceed 1.0, but
+      // never bucket/512 (the worst single-doc overshoot).
+      val cap = math.max(1.0, r.getAs[Long]("bucket").toDouble / 512.0)
+      assert(r.getAs[Double]("fill") <= cap && r.getAs[Double]("fill") > 0.0)
       assert(r.getAs[Long]("n_packs") >= 1L)
     }
     val totalDocs = b.map(_.getAs[Long]("n_docs")).sum
