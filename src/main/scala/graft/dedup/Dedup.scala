@@ -286,6 +286,55 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("parent"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Incremental connected-components maintenance: merge a batch of NEW
+    * candidate pairs into an existing labeling without recomputing the
+    * old corpus's clusters from scratch.
+    *
+    * `prev` is a (doc_id, cluster_id) frame as produced by
+    * [[dupClusters]] — semantically a depth-1 star forest whose centers
+    * are component minima. New edges can only change the clusters they
+    * TOUCH, so the recompute is confined to exactly those: the affected
+    * subgraph is (star edges of touched clusters) ∪ (new pairs), which
+    * [[dupClusters]] contracts starting from depth-1 stars — O(touched)
+    * work, not O(corpus). Untouched clusters pass through by identity.
+    * Labels stay canonical (cluster_id = component minimum): every
+    * member and center of a touched cluster appears in the subgraph, so
+    * the merged component's minimum is the global one.
+    *
+    * At 100 TB this is the ingest-time shape: the nightly batch's LSH
+    * pairs (or q102's streaming verdicts) touch a few thousand clusters;
+    * the billions of settled labels are never shuffled — the touched
+    * filter is a semi-join on cluster_id, and only touched members flow
+    * into the contraction rounds.
+    *
+    * Returns the complete new labeling over prev's nodes ∪ the new
+    * pairs' nodes.
+    */
+  def incrementalClusters(prev: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // prev is typically itself the tail of a join pipeline; pin it so
+    // the three consumers below (touched semi-join, affected members,
+    // untouched anti-join) read one materialization.
+    val p = prev.select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(eager = false)
+    val np = newPairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    val touchedNodes = np.select(col("a_id").as("doc_id"))
+      .union(np.select(col("b_id").as("doc_id"))).distinct()
+    val touchedClusters = p.join(touchedNodes, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affected = p.join(touchedClusters, Seq("cluster_id"), "left_semi")
+    // star edges of touched clusters (center self-rows carry no edge) +
+    // the new batch; dupClusters re-contracts this small graph only
+    val subEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+      .union(np)
+    val relabeled = dupClusters(subEdges, maxIter)
+    val untouched = p.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    untouched.union(relabeled)
+  }
+
   /** 32-bit SimHash over a token array (token multiplicity counts, as in
     * the original Charikar construction).
     */

@@ -123,6 +123,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("incrementalClusters ≡ from-scratch across merge/extend/new cases") {
+    // batch 1 settles {1,2,3}, {7,9}, {20,21}; batch 2 must MERGE two
+    // settled clusters (3-7 bridge), EXTEND one (9-10), and CREATE a
+    // fresh one (30-31) — while untouched {20,21} passes through
+    val b1 = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L)).toDF("a_id", "b_id")
+    val b2 = Seq((3L, 7L), (9L, 10L), (30L, 31L)).toDF("a_id", "b_id")
+    val prev = Dedup.dupClusters(b1)
+    val inc = Dedup.incrementalClusters(prev, b2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.dupClusters(b1.union(b2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == scratch)
+    assert(inc(10L) == 1L) // merged component takes the global minimum
+    assert(inc(20L) == 20L && inc(21L) == 20L)
+  }
+
+  test("incrementalClusters leaves untouched clusters out of the recompute") {
+    // settled forest: 500 two-node clusters; the batch touches ONE.
+    // The contraction input must be O(touched), which we can observe
+    // through the relabeled/untouched split: only cluster 0's members
+    // plus the new node may change rows.
+    val b1 = (0L until 1000L by 2).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val prev = Dedup.dupClusters(b1)
+    val inc = Dedup.incrementalClusters(prev, Seq((1L, 2000L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.size == 1001)
+    assert(inc(2000L) == 0L && inc(1L) == 0L && inc(0L) == 0L)
+    assert((2L until 1000L by 2).forall(i => inc(i) == i && inc(i + 1) == i))
+  }
+
   test("SimHashExpr ≡ the HOF simhash32, bit for bit") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = docsReal.select(
