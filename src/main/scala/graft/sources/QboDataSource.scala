@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, JsonToStructs,
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,37 +87,139 @@ class QboTable(schema: StructType, entity: String, feed: String)
 }
 
 class QboScanBuilder(fullSchema: StructType, entity: String, feed: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var prunedSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // top-level pruning: keep the source's field order for determinism
     prunedSchema = StructType(
       fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+  /** Date predicates on `TxnDate` push into the source — the DSv2 twin
+    * of the reference's server-side date params (`qb_profit&loss.py:
+    * 61-64` sends `start_date`/`end_date`; the entity query API takes
+    * `WHERE TxnDate >= '...'`). TxnDate is an ISO `yyyy-MM-dd` string,
+    * so lexicographic comparison IS date comparison and the accepted
+    * filters translate verbatim into [[QboDateWindow]]'s start/end —
+    * exactly the query params a live client would send. Everything
+    * else stays a Spark-side residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = filters.partition(QboDateWindow.supported)
+    pushed = acc
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
+    // pushFilters runs BEFORE pruneColumns in V2ScanRelationPushDown,
+    // and a fully-pushed filter column may be pruned from the output —
+    // so the reader parses (pruned ∪ filtered) fields, evaluates the
+    // window, then projects down to readSchema. A live backend would
+    // instead put the window in the HTTP request and skip the local
+    // evaluation; the fixture backend must filter for real because
+    // Spark has already removed the accepted predicates from the plan.
+    private val parseSchema = StructType(fullSchema.fields.filter(f =>
+      prunedSchema.fieldNames.contains(f.name) ||
+        pushed.exists(QboDateWindow.references(_, f.name))))
     override def readSchema(): StructType = prunedSchema
     override def toBatch: Batch = this
+    override def description(): String = {
+      val w = QboDateWindow.fromFilters(pushed)
+      s"qbo/$entity${w.paramString}"
+    }
     override def planInputPartitions(): Array[InputPartition] =
       QboPageFeeds.pages(feed).toArray.map(p =>
         QboPagePartition(entity, p): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
-      new QboReaderFactory(entity, prunedSchema)
+      new QboReaderFactory(entity, parseSchema, prunedSchema, pushed)
   }
 }
 
 case class QboPagePartition(entity: String, pageJson: String) extends InputPartition
 
-class QboReaderFactory(entity: String, schema: StructType)
+/** The `start_date`/`end_date` request window distilled from pushed
+  * TxnDate filters (plus exact evaluation of each accepted filter, used
+  * by the offline backend in place of the server).
+  */
+object QboDateWindow {
+
+  val DateCol = "TxnDate"
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(DateCol, _: String) => true
+    case GreaterThan(DateCol, _: String) => true
+    case GreaterThanOrEqual(DateCol, _: String) => true
+    case LessThan(DateCol, _: String) => true
+    case LessThanOrEqual(DateCol, _: String) => true
+    case IsNotNull(DateCol) => true
+    case _ => false
+  }
+
+  def references(f: Filter, field: String): Boolean =
+    f.references.contains(field)
+
+  /** Collapse accepted filters into the single inclusive [start, end]
+    * window a live request would carry.
+    */
+  final case class Window(start: Option[String], end: Option[String]) {
+    def paramString: String = {
+      val parts = start.map(s => s"start_date=$s").toSeq ++
+        end.map(e => s"end_date=$e")
+      if (parts.isEmpty) "" else parts.mkString(" [", ", ", "]")
+    }
+  }
+
+  def fromFilters(fs: Seq[Filter]): Window = {
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def tightenLo(v: String): Unit = if (lo.forall(_ < v)) lo = Some(v)
+    def tightenHi(v: String): Unit = if (hi.forall(_ > v)) hi = Some(v)
+    fs.foreach {
+      case EqualTo(DateCol, v: String) => tightenLo(v); tightenHi(v)
+      case GreaterThan(DateCol, v: String) => tightenLo(v)
+      case GreaterThanOrEqual(DateCol, v: String) => tightenLo(v)
+      case LessThan(DateCol, v: String) => tightenHi(v)
+      case LessThanOrEqual(DateCol, v: String) => tightenHi(v)
+      case _ => ()
+    }
+    Window(lo, hi)
+  }
+
+  /** Conjunctive evaluation of the accepted filters on a row's date
+    * value (null fails every comparison, SQL-style).
+    */
+  def eval(fs: Seq[Filter], v: String): Boolean = fs.forall {
+    case IsNotNull(DateCol) => v != null
+    case EqualTo(DateCol, x: String) => v != null && v == x
+    case GreaterThan(DateCol, x: String) => v != null && v > x
+    case GreaterThanOrEqual(DateCol, x: String) => v != null && v >= x
+    case LessThan(DateCol, x: String) => v != null && v < x
+    case LessThanOrEqual(DateCol, x: String) => v != null && v <= x
+    case _ => true
+  }
+}
+
+class QboReaderFactory(entity: String, parseSchema: StructType,
+    outSchema: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[QboPagePartition]
     new PartitionReader[InternalRow] {
       // Catalyst's own JSON parser → from_json-identical semantics.
-      private val toStruct = JsonToStructs(schema, Map.empty,
+      private val toStruct = JsonToStructs(parseSchema, Map.empty,
         BoundReference(0, StringType, nullable = true)).withTimeZone("UTC")
       private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val dateIdx = parseSchema.fieldNames.indexOf(QboDateWindow.DateCol)
+      // parse-position of each output field (identity when no filter
+      // column was re-added beyond the pruned set)
+      private val outIdx = outSchema.fieldNames.map(n => parseSchema.fieldNames.indexOf(n))
+      private val identityProjection = outIdx.length == parseSchema.length &&
+        outIdx.zipWithIndex.forall { case (p0, i) => p0 == i }
       private val iter: Iterator[String] = {
         val mapper = new ObjectMapper()
         val arr = mapper.readTree(p.pageJson).path("QueryResponse").path(entity)
@@ -125,12 +227,33 @@ class QboReaderFactory(entity: String, schema: StructType)
         else Iterator.empty
       }
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (iter.hasNext) {
+      override def next(): Boolean = {
+        while (iter.hasNext) {
           row.update(0, UTF8String.fromString(iter.next()))
-          current = toStruct.eval(row).asInstanceOf[InternalRow]
-          true
-        } else false
+          val parsed = toStruct.eval(row).asInstanceOf[InternalRow]
+          val pass = pushed.isEmpty || {
+            val v =
+              if (parsed == null || dateIdx < 0 || parsed.isNullAt(dateIdx)) null
+              else parsed.getUTF8String(dateIdx).toString
+            QboDateWindow.eval(pushed.toSeq, v)
+          }
+          if (pass) {
+            current =
+              if (identityProjection) parsed
+              else {
+                val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outIdx.length)
+                var i = 0
+                while (i < outIdx.length) {
+                  out.update(i, parsed.get(outIdx(i), outSchema.fields(i).dataType))
+                  i += 1
+                }
+                out
+              }
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }

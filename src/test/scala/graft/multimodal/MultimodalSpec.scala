@@ -19,6 +19,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == docs.count())
   }
 
+  test("PNG/BMP header decode recovers dims; junk bytes decode to None") {
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticPng(640, 480, 6))
+      .contains(("png", 640, 480, 4)))
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticPng(1, 99999, 0))
+      .contains(("png", 1, 99999, 1)))
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticPng(8, 8, 2))
+      .contains(("png", 8, 8, 3)))
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticBmp(1920, 1080, 24))
+      .contains(("bmp", 1920, 1080, 3)))
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticBmp(2, 3, 32))
+      .contains(("bmp", 2, 3, 4)))
+    // top-down BMP stores negative height; decoder must return |h|
+    val topDown = Multimodal.syntheticBmp(10, 10, 24)
+    val buf = java.nio.ByteBuffer.wrap(topDown)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -10)
+    assert(Multimodal.decodeImageHeader(topDown).contains(("bmp", 10, 10, 3)))
+    // non-images: text, truncated PNG sig, empty
+    assert(Multimodal.decodeImageHeader("hello world".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticPng(4, 4, 6).take(20)).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array.empty[Byte]).isEmpty)
+    // unknown PNG color type is rejected, not mis-channeled
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticPng(4, 4, 5)).isEmpty)
+  }
+
   test("stub decode is deterministic and byte-sensitive") {
     val (f1, c1) = Multimodal.decodeStub("hello".getBytes("UTF-8"))
     val (f2, c2) = Multimodal.decodeStub("hello".getBytes("UTF-8"))

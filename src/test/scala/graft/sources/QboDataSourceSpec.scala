@@ -45,6 +45,48 @@ class QboDataSourceSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(145, 146, 147))
   }
 
+  private def filterNodes(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+
+  test("TxnDate range pushes into the source; no post-scan Filter remains") {
+    // fixture bills: TxnDate 2024-03-05, 2024-03-06, 2024-03-09
+    val df = spark.read.format("qbo")
+      .option("entity", "Bill").option("feed", "bills").load()
+      .filter(col("TxnDate") >= "2024-03-06" && col("TxnDate") < "2024-03-09")
+    val rows = df.select("Id").orderBy("Id").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("146"))
+    // the accepted predicates must be GONE from the Spark plan (the
+    // source is trusted to apply them — the server-side-params model)
+    assert(filterNodes(df).isEmpty, df.queryExecution.executedPlan.toString)
+    // and the scan advertises the window it would send as request params
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("start_date=2024-03-06"), plan)
+    assert(plan.contains("end_date="), plan)
+  }
+
+  test("pushed filter on a pruned-out column still applies") {
+    // output doesn't include TxnDate, so the parse schema must re-add it
+    // for the window evaluation and project it away afterwards
+    val df = spark.read.format("qbo")
+      .option("entity", "Bill").option("feed", "bills").load()
+      .filter(col("TxnDate") === "2024-03-05")
+      .select("Id", "Balance")
+    val got = df.collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("145"))
+    assert(got.head.getDouble(1) == 1250.5)
+    assert(filterNodes(df).isEmpty)
+  }
+
+  test("non-date predicates stay Spark-side residuals") {
+    val df = spark.read.format("qbo")
+      .option("entity", "Bill").option("feed", "bills").load()
+      .filter(col("Balance") > 100.0)
+    assert(df.count() == 1) // only 1250.5 exceeds 100 in the fixtures
+    assert(filterNodes(df).nonEmpty)
+  }
+
   test("custom feeds register dynamically") {
     QboPageFeeds.register("one_deposit", Seq(
       """{"QueryResponse": {"Deposit": [{"Id": "9", "TotalAmt": 5.0,
