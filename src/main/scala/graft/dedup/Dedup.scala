@@ -319,10 +319,21 @@ object Dedup {
       .localCheckpoint(eager = false)
     val np = newPairs.select(col("a_id"), col("b_id"))
       .localCheckpoint(eager = false)
-    val touchedNodes = np.select(col("a_id").as("doc_id"))
-      .union(np.select(col("b_id").as("doc_id"))).distinct()
-    val touchedClusters = p.join(touchedNodes, Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
+    // The broadcasts below are the whole point of the incremental path:
+    // touchedNodes/touchedClusters are bounded by the BATCH (≤ 2·edges
+    // clusters), so all three probes of the settled forest are
+    // broadcast joins — p streams map-side and is never shuffled. The
+    // checkpointed LogicalRDDs carry no size stats, so without the
+    // explicit hints the planner assumes worst-case and sort-merges,
+    // shuffling the entire forest (measured: 15M rows shuffled for a
+    // 100-edge batch over a 10M-node forest; ~7k with the hints). A
+    // batch too large to broadcast its touched set belongs in the full
+    // [[dupClusters]] recompute instead.
+    val touchedNodes = broadcast(np.select(col("a_id").as("doc_id"))
+      .union(np.select(col("b_id").as("doc_id"))).distinct())
+    val touchedClusters = broadcast(
+      p.join(touchedNodes, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct())
     val affected = p.join(touchedClusters, Seq("cluster_id"), "left_semi")
     // star edges of touched clusters (center self-rows carry no edge) +
     // the new batch; dupClusters re-contracts this small graph only

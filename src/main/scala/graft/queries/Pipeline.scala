@@ -89,6 +89,51 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    Q("q111_substring_coverage",
+      "exact-substring contamination coverage: stride-1 sliding 8-word " +
+        "windows — fraction of each eval doc's POSITIONS covered by a " +
+        "window occurring anywhere in train (the sharper per-position " +
+        "variant of q92's distinct-shingle overlap, a la exact-substring " +
+        "train-data dedup)",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        win AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-6),
+            i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),1,8)
+              AS BIGINT))) AS h
+          FROM w),
+        train AS (SELECT DISTINCT h FROM win WHERE doc_id % 10 <> 0),
+        ev AS (SELECT e.doc_id, CASE WHEN t.h IS NULL THEN 0 ELSE 1 END AS hit
+          FROM win e LEFT JOIN train t ON e.h = t.h WHERE e.doc_id % 10 = 0)
+        SELECT doc_id, COUNT(*) AS n_windows, CAST(SUM(hit) AS BIGINT) AS n_covered,
+          CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS coverage
+        FROM ev GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        // Same 100 TB shape as q92 — only 8-byte window hashes shuffle,
+        // train reduces to a distinct hash set map-side — but stride 1:
+        // every position gets a verdict, so the score is the fraction
+        // of the eval doc literally present in train, not merely how
+        // many of its distinct n-grams are. Docs shorter than the
+        // window drop out on both sides (no positions to cover).
+        // The size guard must precede the transform: Spark's
+        // sequence(1, n-7) runs DESCENDING when n < 8.
+        val k = 8
+        val wins = table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= k)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+              i => hash32(concat_ws(" ", slice(col("ws"), i, lit(k)))))).as("h"))
+        val train = wins.filter(col("doc_id") % 10 =!= 0)
+          .select("h").distinct().withColumn("hit", lit(1))
+        wins.filter(col("doc_id") % 10 === 0)
+          .join(train, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_covered"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_windows"))
+          .orderBy("doc_id")
+      }),
+
     Q("q93_pii_redact",
       "PII redaction: scrub emails/phones, audit counts + scrubbed digest",
       Some(s"""WITH a AS (SELECT doc_id, $sqlAug AS aug FROM documents)

@@ -61,13 +61,15 @@ object ScaleProbe {
     }
 
     // probe families: "core" (agg/join/window/topk/lsh), "pipeline"
-    // (curation ops added round 3), or "all"
+    // (curation ops added round 3), "cc", "r4" (bloom gate, capped
+    // edit blocks, incremental cc), or "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc")
+    require(Set("all", "core", "pipeline", "cc", "r4")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
+    val doR4 = fam == "all" || fam == "r4"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -187,6 +189,68 @@ object ScaleProbe {
             log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
               (col("n") + col("v"))).cast("decimal(30,12)").as("lp"))
           .groupBy("doc_id").agg(sum(col("lp"))).count()
+      }
+      }
+
+      if (doR4) {
+      // --- Bloom anti-corpus gate (q107 shape) vs the plain anti-join.
+      // The cluster-predictive read: the plain path shuffles EVERY batch
+      // row (payload included) into the join; the gated path shuffles
+      // only bloom-positive suspects. The sketch-build shuffle is
+      // mult-independent (32 map partials × numBits/8 bytes).
+      val store = docsX.select(col("text"))
+      val batchX = docsX.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"), col("rep"))).as("text"))
+      time(s"plain anti-join dedup @${mult}x") {
+        batchX
+          .select(col("doc_id"), col("text"),
+            graft.dedup.Dedup.digest(col("text")).as("h"))
+          .join(store.select(graft.dedup.Dedup.digest(col("text")).as("h")),
+            Seq("h"), "left_anti")
+          .select(col("doc_id"), col("text")).count()
+      }
+      time(s"bloom-gated dedup @${mult}x") {
+        val sk = graft.functions.BloomGate.sketch(store,
+          graft.dedup.Dedup.digest(col("text")), 1000000L, 1L << 23)
+        val mc = graft.functions.BloomGate.mightContain(sk,
+          graft.dedup.Dedup.digest(col("text")), tag = s"probe$mult")
+        val clear = batchX.filter(!mc)
+        val suspects = batchX.filter(mc)
+          .select(col("doc_id"), col("text"),
+            graft.dedup.Dedup.digest(col("text")).as("h"))
+          .join(store.select(graft.dedup.Dedup.digest(col("text")).as("h")),
+            Seq("h"), "left_anti")
+          .select(col("doc_id"), col("text"))
+        clear.unionByName(suspects).count()
+      }
+      // --- q63 shape with the per-block cap: replicas share prefixes,
+      // so uncapped blocks grow ×mult and pairs ×mult² (2e9 pairs at
+      // 100× — unrunnable, which is the point); the cap bounds every
+      // block at 256·255/2 pairs regardless of corpus size.
+      time(s"edit blocks capped@256 @${mult}x") {
+        val blocked = docsX
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("p"),
+            substring(col("text"), 1, 4).as("blk"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("blk").orderBy("doc_id")))
+          .filter(col("rn") <= 256)
+        val a = blocked.select(col("doc_id").as("a_id"), col("p").as("a_p"), col("blk"))
+        val b = blocked.select(col("doc_id").as("b_id"), col("p").as("b_p"), col("blk"))
+        a.join(b.hint("merge"), Seq("blk")).filter(col("a_id") < col("b_id"))
+          .select(levenshtein(col("a_p"), col("b_p"))).count()
+      }
+      // --- incremental CC over a settled forest that grows ×mult while
+      // the incoming batch stays FIXED: wall/shuffle must track the
+      // batch, not the forest (untouched labels pass through a
+      // broadcast anti-join, never shuffled).
+      time(s"incremental cc: ${100 * mult}k settled, 100-edge batch") {
+        val n = 100000L * mult
+        val prev = spark.range(n).select(col("id").as("doc_id"),
+          (col("id") - col("id") % 2).as("cluster_id"))
+        val batch = spark.range(100)
+          .select((col("id") * 20 + 1).as("a_id"), (col("id") * 20 + 2).as("b_id"))
+        graft.dedup.Dedup.incrementalClusters(prev, batch).count()
       }
       }
 
