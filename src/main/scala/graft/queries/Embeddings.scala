@@ -230,6 +230,113 @@ object Embeddings {
           davg(col("nrm"), 12).as("avg_norm"),
           min(col("nrm")).as("min_norm"),
           max(col("nrm")).as("max_norm"))
-        .orderBy("label"))
+        .orderBy("label")),
+
+    Q("q114_cluster_balanced_sample",
+      "diversity sampling: nearest-seed-centroid assignment, then a " +
+        "deterministic k-per-cluster sample through the TopK heap " +
+        "operator — the cluster-balanced subsampling step of " +
+        "curation pipelines (sample the embedding space evenly, not " +
+        "the raw source mix)",
+      Some(s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM v
+          WHERE vec_id < 8),
+        a AS (SELECT v.vec_id, s.seed_id,
+            ${sqlSqDist("v.embedding", "s.se")} AS dist
+          FROM v CROSS JOIN seeds s),
+        asg AS (SELECT vec_id, seed_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY dist, seed_id) AS arn FROM a) t
+          WHERE arn = 1),
+        r AS (SELECT cluster, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY cluster ORDER BY
+              ${Common.sqlHash32("'v:' || CAST(vec_id AS VARCHAR)")},
+              vec_id) AS rn
+          FROM asg)
+        SELECT cluster, vec_id, rn FROM r WHERE rn <= 10
+        ORDER BY cluster, rn"""),
+      (s, d) => {
+        // Assignment: each vector against the 8-row broadcast seed set,
+        // argmin by min(struct(dist, seed_id)) — one narrow map plus a
+        // map-side-combinable aggregation keyed by vec_id; no window
+        // over the corpus. The per-cluster sample then goes through
+        // TopKPerGroupExec ordered by a stable hash, so shuffle rows
+        // ≈ clusters × k however large the corpus — the whole plan
+        // moves O(corpus) rows only through the argmin agg, which
+        // partial-aggregates map-side.
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val seeds = v.filter(col("vec_id") < 8)
+          .toDF("seed_id", "se")
+        val asg = v.crossJoin(broadcast(seeds))
+          .select(col("vec_id"),
+            struct(Vectors.sqDist(col("e"), col("se")).as("dist"),
+              col("seed_id")).as("cand"))
+          .groupBy("vec_id")
+          .agg(min(col("cand")).as("m"))
+          .select(col("vec_id"), col("m.seed_id").as("cluster"),
+            hash32(concat(lit("v:"), col("vec_id").cast("string"))).as("hk"))
+        val top = graft.plans.TopK.perGroup(asg, Seq("cluster"),
+          Seq(("hk", true), ("vec_id", true)), k = 10)
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("hk"), col("vec_id"))
+        top.withColumn("rn", row_number().over(w).cast("long"))
+          .select("cluster", "vec_id", "rn")
+          .orderBy("cluster", "rn")
+      }),
+
+    Q("q115_semdedup",
+      "semantic dedup (SemDeDup): nearest-seed cluster assignment, " +
+        "within-cluster cosine > 0.3 prunes to the smallest-id keeper; " +
+        "survivors listed with their cluster",
+      Some(s"""WITH $sqlNormed,
+        seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM v
+          WHERE vec_id < 8),
+        a AS (SELECT v.vec_id, s.seed_id,
+            ${sqlSqDist("v.embedding", "s.se")} AS dist
+          FROM v CROSS JOIN seeds s),
+        asg AS (SELECT vec_id, seed_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY dist, seed_id) AS arn FROM a) t
+          WHERE arn = 1)
+        SELECT g.cluster, g.vec_id FROM asg g
+        WHERE NOT EXISTS (
+          SELECT 1 FROM asg o
+            JOIN v a ON a.vec_id = g.vec_id
+            JOIN v b ON b.vec_id = o.vec_id
+          WHERE o.cluster = g.cluster AND o.vec_id < g.vec_id
+            AND ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+              > 0.3)
+        ORDER BY cluster, vec_id"""),
+      (s, d) => {
+        // The SemDeDup shape: candidate pairs are gated by the CLUSTER
+        // equi-join, never a corpus cross join — pair work is
+        // sum(cluster²) and cluster size is controlled by k (at real
+        // scale k grows with the corpus so clusters stay bounded).
+        // Assignment reuses the q114 argmin-against-broadcast-seeds
+        // plan; the prune is one left_anti self-join on the cluster
+        // key with (smaller-id, cosine>τ) as the residual predicate.
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("nrm", Vectors.norm(col("e")))
+        val seeds = v.select(col("vec_id"), col("e")).filter(col("vec_id") < 8)
+          .toDF("seed_id", "se")
+        val asg = v.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("e"), col("nrm"),
+            struct(Vectors.sqDist(col("e"), col("se")).as("dist"),
+              col("seed_id")).as("cand"))
+          .groupBy(col("vec_id"), col("e"), col("nrm"))
+          .agg(min(col("cand")).as("m"))
+          .select(col("vec_id"), col("e"), col("nrm"),
+            col("m.seed_id").as("cluster"))
+        val dup = asg.toDF("b_id", "be", "bn", "b_cluster")
+        asg.join(dup,
+            col("cluster") === col("b_cluster") && col("b_id") < col("vec_id") &&
+              Vectors.cosinePre(Vectors.dot(col("e"), col("be")),
+                col("nrm"), col("bn")) > 0.3,
+            "left_anti")
+          .select(col("cluster"), col("vec_id"))
+          .orderBy("cluster", "vec_id")
+      })
   )
 }

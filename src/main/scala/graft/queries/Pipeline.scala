@@ -730,5 +730,116 @@ object Pipeline {
           .select(col("doc_id"))
         clear.union(novelSuspects).orderBy("doc_id")
       }),
+
+    Q("q112_bm25_topk",
+      "BM25 retrieval: top-10 documents for a 3-term query " +
+        "(k1=1.2, b=0.75), per-term scores decimal-rounded before the " +
+        "per-doc sum so both engines add identically",
+      Some(s"""WITH q AS (SELECT unnest(['spark','window','hash']) AS term),
+        u AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+        dl AS (SELECT doc_id, len($sqlWords) AS dl FROM documents),
+        tf AS (SELECT u.doc_id, u.term, COUNT(*) AS tf FROM u
+          JOIN q USING (term) GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(len($sqlWords)) AS BIGINT) AS sumdl FROM documents),
+        sc AS (SELECT tf.doc_id, CAST(
+            ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+            (CAST(tf.tf AS DOUBLE) * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+              (CAST(t.sumdl AS DOUBLE) / t.n)))
+          AS DECIMAL(30,12)) AS s
+          FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN tot t),
+        r AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25 FROM sc
+          GROUP BY doc_id)
+        SELECT doc_id, bm25, rn FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn FROM r) z
+        WHERE rn <= 10 ORDER BY rn"""),
+      (s, d) => {
+        // The retrieval shape that survives 100 TB: the exploded term
+        // stream is filtered to the query vocabulary BEFORE the tf
+        // aggregation, so only query-term postings shuffle (rows ≈
+        // Σ df(term), not the corpus token count). Doc lengths are a
+        // narrow map over documents; corpus totals are a 1-row
+        // broadcast; df comes off the tf frame map-side. ln() ULP skew
+        // between libm implementations is absorbed by rounding each
+        // per-term score to DECIMAL(30,12) before the associative
+        // decimal sum (the q100 trick).
+        val qterms = Seq("spark", "window", "hash")
+        val docs = table(s, d, "documents")
+        val u = docs.select(col("doc_id"),
+          explode(words(col("text"))).as("term"))
+        val tf = u.filter(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val dlf = docs.select(col("doc_id"), size(words(col("text"))).as("dl"))
+        val tot = docs.agg(count(lit(1)).as("n"),
+          sum(size(words(col("text")))).as("sumdl"))
+        val idf = log(lit(1) +
+          (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+        val tfNorm = (col("tf").cast("double") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            col("dl").cast("double") /
+            (col("sumdl").cast("double") / col("n"))))
+        // top-10 via TakeOrderedAndProject (per-partition heaps, driver
+        // merges 10×partitions rows), NOT a global row_number window —
+        // the rank window then runs over the bounded 10-row frame only.
+        val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+        tf.join(broadcast(dfq), "term")
+          .join(dlf, "doc_id")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), (idf * tfNorm).cast("decimal(30,12)").as("s"))
+          .groupBy("doc_id")
+          .agg(sum(col("s")).cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .orderBy("rn")
+      }),
+
+    Q("q113_chunk_overlap",
+      "RAG-style overlapping chunker: 32-token windows at stride 24, " +
+        "per-chunk token count and content digest",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        n AS (SELECT doc_id, ws, len(ws) AS dl,
+            1 + (greatest(0, len(ws) - 32) + 23) // 24 AS n_chunks
+          FROM w),
+        c AS (SELECT doc_id, dl,
+            CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx FROM n),
+        s AS (SELECT c.doc_id, c.chunk_idx,
+            CAST(1 + c.chunk_idx * 24 AS BIGINT) AS start,
+            n.ws[CAST(1 + c.chunk_idx * 24 AS BIGINT):
+                 CAST(least(c.dl, c.chunk_idx * 24 + 32) AS BIGINT)] AS toks
+          FROM c JOIN n USING (doc_id))
+        SELECT doc_id, chunk_idx, start,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          md5(array_to_string(toks, ' ')) AS chunk_digest
+        FROM s ORDER BY doc_id, chunk_idx"""),
+      (s, d) => {
+        // Chunk boundaries are computed per row from the token array —
+        // a pure narrow map (sequence + transform + slice), zero
+        // shuffle, no explode-then-window. The trailing chunk keeps
+        // whatever is left (slice clamps); chunk count is
+        // 1 + ceil(max(0, dl-32)/24) so every doc yields at least one
+        // chunk and every token is covered by some chunk.
+        val cw = 32 // chunk width (tokens)
+        val st = 24 // stride (tokens) → 8-token overlap
+        val nChunks = (lit(1) +
+          floor((greatest(size(col("ws")) - cw, lit(0)) + (st - 1)) / st)
+            .cast("long")).as("n_chunks")
+        table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), col("ws"), nChunks)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+              i => slice(col("ws"), (i * st + 1).cast("int"), lit(cw))))
+              .as(Seq("chunk_idx", "toks")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            (col("chunk_idx") * st + 1).cast("long").as("start"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            md5(encode(concat_ws(" ", col("toks")), "UTF-8"))
+              .as("chunk_digest"))
+          .orderBy("doc_id", "chunk_idx")
+      }),
   )
 }

@@ -1,0 +1,64 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Embeddings
+
+/** Semantic invariants for the cluster-balanced sampling and SemDeDup
+  * operators (q114/q115) that the oracle hash-compare can't express.
+  */
+class EmbeddingsSpec extends SparkSpec {
+
+  private def q(name: String) =
+    Embeddings.qs.find(_.name == name).get.run(spark, sfDir)
+
+  /** Recompute the nearest-seed assignment the q114/q115 plans use. */
+  private def assignment() = {
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val seeds = v.filter(col("vec_id") < 8).toDF("seed_id", "se")
+    v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"),
+        struct(Vectors.sqDist(col("e"), col("se")).as("dist"),
+          col("seed_id")).as("cand"))
+      .groupBy(col("vec_id"), col("e"))
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("e"), col("m.seed_id").as("cluster"))
+  }
+
+  test("cluster sample: <=10 per cluster, dense ranks, honest clusters") {
+    val sample = q("q114_cluster_balanced_sample")
+    val per = sample.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), max("rn").as("max_rn"))
+    assert(per.filter(col("n") > 10).count() == 0)
+    // rn is dense 1..n within each cluster
+    assert(per.filter(col("max_rn") =!= col("n")).count() == 0)
+    // every sampled row carries the vector's true nearest-seed cluster
+    val asg = assignment().select(col("vec_id"), col("cluster").as("true_c"))
+    assert(sample.join(asg, "vec_id")
+      .filter(col("cluster") =!= col("true_c")).count() == 0)
+  }
+
+  test("semdedup: per-cluster minimum always survives, survivors are " +
+    "pairwise below the threshold") {
+    val survivors = q("q115_semdedup")
+    val asg = assignment()
+    // the smallest vec_id of every cluster has no smaller-id mate, so it
+    // must survive
+    val minPerCluster = asg.groupBy("cluster").agg(min("vec_id").as("vec_id"))
+    assert(minPerCluster.join(survivors, Seq("cluster", "vec_id"), "left_anti")
+      .count() == 0)
+    // no surviving same-cluster pair with cosine above the threshold: if
+    // a < b survive with cos > tau, b should have been dropped (the rule
+    // tests against ALL smaller-id mates, surviving or not)
+    val sv = survivors.join(asg, Seq("vec_id", "cluster"))
+      .withColumn("nrm", Vectors.norm(col("e")))
+    val b = sv.toDF("b_id", "b_cluster", "be", "bn")
+    val bad = sv.join(b,
+      col("cluster") === col("b_cluster") && col("vec_id") < col("b_id") &&
+        Vectors.cosinePre(Vectors.dot(col("e"), col("be")),
+          col("nrm"), col("bn")) > 0.3)
+    assert(bad.count() == 0)
+  }
+}

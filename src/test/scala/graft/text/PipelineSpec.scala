@@ -156,4 +156,33 @@ class PipelineSpec extends SparkSpec {
       assert(laterCopies.filter(col("n_kept") =!= 0).count() == 0)
     }
   }
+
+  test("bm25: exactly 10 ranked rows, scores positive and descending") {
+    val rows = q("q112_bm25_topk").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 10L))
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores.forall(_ > 0.0))
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("chunker: full token coverage, correct widths and overlap") {
+    val chunks = q("q113_chunk_overlap")
+    val dl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("dl"))
+    val per = chunks.groupBy("doc_id")
+      .agg(min("start").as("first_start"),
+        max(col("start") + col("n_tokens") - 1).as("last_end"),
+        count(lit(1)).as("n_chunks"),
+        max("n_tokens").as("max_w"))
+      .join(dl, "doc_id")
+    // every doc chunked from token 1 through its last token, no chunk
+    // wider than the window, count matches 1 + ceil(max(0, dl-32)/24)
+    assert(per.filter(col("first_start") =!= 1).count() == 0)
+    assert(per.filter(col("last_end") =!= col("dl")).count() == 0)
+    assert(per.filter(col("max_w") > 32).count() == 0)
+    assert(per.filter(col("n_chunks") =!=
+      (lit(1) + floor((greatest(col("dl") - 32, lit(0)) + 23) / 24)))
+      .count() == 0)
+  }
 }
