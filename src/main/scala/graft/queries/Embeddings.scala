@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +46,29 @@ object Embeddings {
   private val sqlNormed =
     s"""v AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  /** Seed centroids (vec_id < 8) folded into ONE sorted array row — a
+    * bounded broadcast (k × dim doubles), the same codebook shape as the
+    * q57 IVF probe. Keeps nearest-seed assignment a zero-shuffle map.
+    */
+  private def seedArray(v: org.apache.spark.sql.DataFrame) =
+    v.filter(col("vec_id") < 8)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("sid"),
+        col("e").as("se")))).as("seeds"))
+
+  /** In-row argmin over the seed array: strict `<` keeps the earlier
+    * (smaller-sid, array is sorted) seed on distance ties — identical to
+    * the oracle's ORDER BY dist, seed_id tie-break.
+    */
+  private def nearestSeed(e: Column, seeds: Column): Column =
+    aggregate(seeds,
+      struct(lit(Double.MaxValue).as("dist"), lit(-1L).as("sid")),
+      (acc, sd) => {
+        val dct = Vectors.sqDist(e, sd.getField("se"))
+        when(dct < acc.getField("dist"),
+          struct(dct.as("dist"), sd.getField("sid").as("sid")))
+          .otherwise(acc)
+      }).getField("sid")
 
   val qs: Seq[Q] = Seq(
     Q("q36_cosine_topk",
@@ -256,25 +280,18 @@ object Embeddings {
         SELECT cluster, vec_id, rn FROM r WHERE rn <= 10
         ORDER BY cluster, rn"""),
       (s, d) => {
-        // Assignment: each vector against the 8-row broadcast seed set,
-        // argmin by min(struct(dist, seed_id)) — one narrow map plus a
-        // map-side-combinable aggregation keyed by vec_id; no window
-        // over the corpus. The per-cluster sample then goes through
-        // TopKPerGroupExec ordered by a stable hash, so shuffle rows
-        // ≈ clusters × k however large the corpus — the whole plan
-        // moves O(corpus) rows only through the argmin agg, which
-        // partial-aggregates map-side.
+        // Assignment is a ZERO-SHUFFLE narrow map: the seed set folds
+        // into a single sorted array (1-row broadcast, the q57 codebook
+        // shape) and each vector computes its argmin in-row via
+        // functions.aggregate — no corpus-wide argmin aggregation, no
+        // exchange carrying vectors. The per-cluster sample then goes
+        // through TopKPerGroupExec ordered by a stable hash, so shuffle
+        // rows ≈ clusters × k however large the corpus.
         val v = table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val seeds = v.filter(col("vec_id") < 8)
-          .toDF("seed_id", "se")
-        val asg = v.crossJoin(broadcast(seeds))
+        val asg = v.crossJoin(broadcast(seedArray(v)))
           .select(col("vec_id"),
-            struct(Vectors.sqDist(col("e"), col("se")).as("dist"),
-              col("seed_id")).as("cand"))
-          .groupBy("vec_id")
-          .agg(min(col("cand")).as("m"))
-          .select(col("vec_id"), col("m.seed_id").as("cluster"),
+            nearestSeed(col("e"), col("seeds")).as("cluster"),
             hash32(concat(lit("v:"), col("vec_id").cast("string"))).as("hk"))
         val top = graft.plans.TopK.perGroup(asg, Seq("cluster"),
           Seq(("hk", true), ("vec_id", true)), k = 10)
@@ -313,22 +330,15 @@ object Embeddings {
         // equi-join, never a corpus cross join — pair work is
         // sum(cluster²) and cluster size is controlled by k (at real
         // scale k grows with the corpus so clusters stay bounded).
-        // Assignment reuses the q114 argmin-against-broadcast-seeds
-        // plan; the prune is one left_anti self-join on the cluster
-        // key with (smaller-id, cosine>τ) as the residual predicate.
+        // Assignment is the same zero-shuffle in-row argmin against the
+        // broadcast seed array as q114; the prune is one left_anti
+        // self-join on the cluster key with (smaller-id, cosine>τ) as
+        // the residual predicate.
         val v = table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-          .withColumn("nrm", Vectors.norm(col("e")))
-        val seeds = v.select(col("vec_id"), col("e")).filter(col("vec_id") < 8)
-          .toDF("seed_id", "se")
-        val asg = v.crossJoin(broadcast(seeds))
-          .select(col("vec_id"), col("e"), col("nrm"),
-            struct(Vectors.sqDist(col("e"), col("se")).as("dist"),
-              col("seed_id")).as("cand"))
-          .groupBy(col("vec_id"), col("e"), col("nrm"))
-          .agg(min(col("cand")).as("m"))
-          .select(col("vec_id"), col("e"), col("nrm"),
-            col("m.seed_id").as("cluster"))
+        val asg = v.crossJoin(broadcast(seedArray(v)))
+          .select(col("vec_id"), col("e"), Vectors.norm(col("e")).as("nrm"),
+            nearestSeed(col("e"), col("seeds")).as("cluster"))
         val dup = asg.toDF("b_id", "be", "bn", "b_cluster")
         asg.join(dup,
             col("cluster") === col("b_cluster") && col("b_id") < col("vec_id") &&

@@ -737,12 +737,13 @@ object Pipeline {
         "per-doc sum so both engines add identically",
       Some(s"""WITH q AS (SELECT unnest(['spark','window','hash']) AS term),
         u AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
-        dl AS (SELECT doc_id, len($sqlWords) AS dl FROM documents),
+        dl AS (SELECT doc_id, len($sqlWords) AS dl FROM documents
+          WHERE doc_id IS NOT NULL),
         tf AS (SELECT u.doc_id, u.term, COUNT(*) AS tf FROM u
           JOIN q USING (term) GROUP BY 1, 2),
         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-            CAST(SUM(len($sqlWords)) AS BIGINT) AS sumdl FROM documents),
+            CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
         sc AS (SELECT tf.doc_id, CAST(
             ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
             (CAST(tf.tf AS DOUBLE) * 2.2) /
@@ -768,14 +769,33 @@ object Pipeline {
         // decimal sum (the q100 trick).
         val qterms = Seq("spark", "window", "hash")
         val docs = table(s, d, "documents")
-        val u = docs.select(col("doc_id"),
-          explode(words(col("text"))).as("term"))
+        // the explicit isNotNull matches the predicate the later doc_id
+        // equi-join infers on the tf branch — with it on BOTH the tf and
+        // df lineages the subtrees are identical and ReuseExchange keeps
+        // the corpus scanned+exploded ONCE for the two aggregations
+        val u = docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
         val tf = u.filter(col("term").isin(qterms: _*))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val dlf = docs.select(col("doc_id"), size(words(col("text"))).as("dl"))
-        val tot = docs.agg(count(lit(1)).as("n"),
-          sum(size(words(col("text")))).as("sumdl"))
+        // the (always-true) tf >= 1 filter pins tf's count aggregate in
+        // the df lineage: without it Catalyst prunes the unused count,
+        // the subtrees diverge, and ReuseExchange can't dedup — costing
+        // a second corpus scan+explode. With it both aggregations hang
+        // off ONE exchange.
+        val dfq = tf.filter(col("tf") >= 1)
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        // doc lengths repartition by doc_id — the partitioning the join
+        // needs anyway — and the corpus totals hang off the SAME
+        // exchange (ReusedExchange), so text is scanned once for both:
+        // 2 corpus scans total (postings, lengths), each read once.
+        // The source-level isNotNull keeps this branch identical to the
+        // predicate the join infers — without it the two subtrees
+        // differ and the reuse is lost (declared semantics: documents
+        // with a non-null id; both engines agree).
+        val dlf = docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), size(words(col("text"))).as("dl"))
+          .repartition(col("doc_id"))
+        val tot = dlf.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         val idf = log(lit(1) +
           (col("n") - col("df") + 0.5) / (col("df") + 0.5))
         val tfNorm = (col("tf").cast("double") * 2.2) /

@@ -114,6 +114,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p)
   }
 
+  test("q112: corpus scanned twice (postings, lengths), both reused") {
+    // tf and df hang off one exploded-postings exchange; doc lengths and
+    // corpus totals off one repartition — the runtime plan must show
+    // exactly 2 corpus FileScans and 2 ReusedExchanges. A regression
+    // here re-scans (and re-explodes) the 100 TB corpus per consumer.
+    val df = SparkEntry.queries("q112_bm25_topk")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$finalPlan")
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).size
+    assert(reused == 2, s"expected 2 ReusedExchanges, got $reused:\n$finalPlan")
+  }
+
+  test("q114: zero-shuffle assignment feeds TopKPerGroup directly") {
+    // Nearest-seed assignment is an in-row argmin against the broadcast
+    // seed array: the only exchanges in the plan are the bounded
+    // TopKPerGroup partial→final hop and the final presentation sort.
+    // A corpus-sized hashpartitioning before TopKPerGroupPartial means
+    // the argmin regressed to a shuffling aggregation.
+    val p = plan("q114_cluster_balanced_sample")
+    assert(p.contains("TopKPerGroup"), p)
+    val beforeTopK = p.split("TopKPerGroupPartial")(1)
+    assert(!beforeTopK.contains("Exchange hashpartitioning"),
+      s"corpus exchange below TopKPerGroupPartial:\n$p")
+  }
+
   test("q21: JSON projection prunes unread event columns") {
     val p = plan("q21_json_flatten")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
