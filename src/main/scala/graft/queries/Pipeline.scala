@@ -817,6 +817,75 @@ object Pipeline {
           .orderBy("rn")
       }),
 
+    Q("q116_intradoc_dup_fraction",
+      "intra-document repetition: fraction of a doc's 8-word sliding " +
+        "windows that are duplicates of an earlier window in the SAME " +
+        "doc (the Gopher/RefinedWeb duplicate-n-gram quality signal at " +
+        "window grain, complementing q94's TTR/word-freq signals)",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        h AS (SELECT doc_id,
+            list_transform(range(1, len(ws)-6),
+              i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),1,8)
+                AS BIGINT)) AS hs
+          FROM w WHERE len(ws) >= 8)
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_windows,
+          CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+          1.0 - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs)
+            AS dup_fraction,
+          len(hs) - len(list_distinct(hs)) >= 3 AS is_repetitive
+        FROM h ORDER BY doc_id"""),
+      (s, d) => {
+        // ZERO-shuffle quality gate: the window hashes and their
+        // distinct count are computed per row with higher-order
+        // functions (transform + array_distinct) — nothing leaves the
+        // scan task, the whole filter is a narrow map however large
+        // the corpus. Same 8-word window family as q111, but
+        // SELF-coverage: boilerplate repeated within one document.
+        val k = 8
+        val hs = transform(
+          sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => hash32(concat_ws(" ", slice(col("ws"), i, lit(k)))))
+        table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= k)
+          .select(col("doc_id"), hs.as("hs"))
+          .select(col("doc_id"),
+            size(col("hs")).cast("long").as("n_windows"),
+            size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
+          .withColumn("dup_fraction",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_windows"))
+          .withColumn("is_repetitive",
+            (col("n_windows") - col("n_distinct")) >= 3)
+          .orderBy("doc_id")
+      }),
+
+    Q("q117_shard_manifest",
+      "deterministic training-shard manifest: docs hash-assigned to 64 " +
+        "shards, per-shard doc/token/char totals (the bookkeeping a " +
+        "shard writer emits so re-runs are byte-stable)",
+      Some(s"""SELECT ${Common.sqlHash32("'d:' || CAST(doc_id AS VARCHAR)")} % 64
+            AS shard,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len($sqlWords)) AS BIGINT) AS sum_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY shard ORDER BY shard"""),
+      (s, d) => {
+        // One map-side-combinable aggregation; 64 output rows at any
+        // corpus size. The hash assignment is content-independent and
+        // deterministic (md5 of the doc id), so adding data never
+        // reshuffles existing docs between shards — the property that
+        // makes incremental shard maintenance possible.
+        table(s, d, "documents")
+          .select((hash32(concat(lit("d:"), col("doc_id").cast("string")))
+            % 64).as("shard"),
+            size(words(col("text"))).as("tok"), col("n_chars"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).cast("long").as("sum_tokens"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("shard")
+      }),
+
     Q("q113_chunk_overlap",
       "RAG-style overlapping chunker: 32-token windows at stride 24, " +
         "per-chunk token count and content digest",

@@ -62,14 +62,16 @@ object ScaleProbe {
 
     // probe families: "core" (agg/join/window/topk/lsh), "pipeline"
     // (curation ops added round 3), "cc", "r4" (bloom gate, capped
-    // edit blocks, incremental cc), or "all"
+    // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
+    // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
     val doR4 = fam == "all" || fam == "r4"
+    val doR5 = fam == "all" || fam == "r5"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -251,6 +253,88 @@ object ScaleProbe {
         val batch = spark.range(100)
           .select((col("id") * 20 + 1).as("a_id"), (col("id") * 20 + 2).as("b_id"))
         graft.dedup.Dedup.incrementalClusters(prev, batch).count()
+      }
+      }
+
+      if (doR5) {
+      // --- BM25 (q112 shape): the postings stream is filtered to the
+      // query vocabulary before the tf aggregation, so shuffle rows ≈
+      // Σ df(query terms), never corpus tokens. The "naive" contrast
+      // row filters AFTER the aggregation — and measures the SAME
+      // shuffle, because Catalyst pushes a group-key predicate below
+      // the aggregate: the declarative plan is safe either way (the
+      // probe exists to catch a regression in that pushdown).
+      val qterms = Seq("spark", "window", "hash")
+      time(s"bm25 postings filtered @${mult}x") {
+        docsX.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+          .filter(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).count()
+      }
+      time(s"bm25 naive full-vocab tf @${mult}x") {
+        docsX.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .filter(col("term").isin(qterms: _*)).count()
+      }
+      // --- SemDeDup (q115 shape): in-row argmin assignment is
+      // zero-shuffle at every mult; pair work is Σ cluster². With k
+      // FIXED the clusters grow ×mult and pairs ×mult² (the documented
+      // hazard); the production configuration scales k WITH the corpus
+      // so per-cluster size — and the pair join — stays bounded. The
+      // scaled-k row's WALL grows with k×corpus (the interpreted
+      // higher-order argmin: at k beyond ~1e3 production assignment
+      // moves to the q57 IVF coarse-quantizer shape); the
+      // cluster-predictive numbers are the pair count and the
+      // near-zero shuffle, which is why both are metered.
+      val emb = table(spark, sfDir, "embeddings")
+      val embX = emb.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+          // decorrelate replicas: nudge one dimension by a rep-specific
+          // delta so replicas don't sit at distance 0 from each other
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => x + when(i === 0, col("rep").cast("double") * 0.01)
+              .otherwise(lit(0.0))).as("e"))
+      def semdedupPairs(k: Int): Long = {
+        val seedArr = embX.filter(col("vec_id") < k)
+          .agg(sort_array(collect_list(struct(col("vec_id").as("sid"),
+            col("e").as("se")))).as("seeds"))
+        val asg = embX.crossJoin(broadcast(seedArr))
+          .select(col("vec_id"), col("e"),
+            aggregate(col("seeds"),
+              struct(lit(Double.MaxValue).as("dist"), lit(-1L).as("sid")),
+              (acc, sd) => {
+                val dct = graft.similarity.Vectors.sqDist(col("e"),
+                  sd.getField("se"))
+                when(dct < acc.getField("dist"),
+                  struct(dct.as("dist"), sd.getField("sid").as("sid")))
+                  .otherwise(acc)
+              }).getField("sid").as("cluster"))
+        val b = asg.toDF("b_id", "be", "b_cluster")
+        asg.join(b, col("cluster") === col("b_cluster") &&
+            col("vec_id") < col("b_id"))
+          .select(count(lit(1))).head().getLong(0)
+      }
+      time(s"semdedup pairs, k=8 fixed @${mult}x") { semdedupPairs(8) }
+      if (mult <= 10) {
+        time(s"semdedup pairs, k=8*mult @${mult}x") { semdedupPairs(8 * mult) }
+      } else {
+        println(s"[scale] semdedup scaled-k @${mult}x skipped: the " +
+          "interpreted HOF argmin wall is k x corpus (minutes here) and " +
+          "measures expression interpretation, not the plan — at this k " +
+          "production assignment is the q57 IVF coarse-quantizer; pair " +
+          "mass stays ~linear by construction (see 10x row)")
+      }
+      // --- overlapping chunker (q113 shape): pure narrow map — the
+      // probe documents 0 shuffle rows at every multiplier.
+      time(s"chunker 32/24 @${mult}x") {
+        val ws = split(col("text"), "\\s+")
+        docsX.select(col("doc_id"), ws.as("ws"))
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0L),
+              floor((greatest(size(col("ws")) - 32, lit(0)) + 23) / 24)
+                .cast("long")),
+              i => slice(col("ws"), (i * 24 + 1).cast("int"), lit(32))))
+              .as(Seq("chunk_idx", "toks")))
+          .select(md5(encode(concat_ws(" ", col("toks")), "UTF-8"))).count()
       }
       }
 

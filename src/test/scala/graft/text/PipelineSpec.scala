@@ -157,6 +157,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("intradoc dup fraction: planted repetition flagged, bounds hold") {
+    val out = q("q116_intradoc_dup_fraction")
+    assert(out.filter(col("n_distinct") > col("n_windows")).count() == 0)
+    assert(out.filter(col("dup_fraction") < 0 || col("dup_fraction") > 1)
+      .count() == 0)
+    // planted: a doc that is one 8-word phrase repeated 5x has 33
+    // windows but only 8 distinct (the phrase cycle) -> flagged
+    val planted = Seq((1L, Seq.fill(5)("a b c d e f g h").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hs = transform(
+      sequence(lit(1), size(col("ws")) - 7),
+      i => Common.hash32(concat_ws(" ", slice(col("ws"), i, lit(8)))))
+    val r = planted.select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .select(size(col("ws")).as("n"),
+        size(array_distinct(hs)).as("nd"))
+      .head()
+    assert(r.getInt(0) - 7 == 33 && r.getInt(1) == 8)
+  }
+
+  test("shard manifest: shards partition the corpus exactly") {
+    val m = q("q117_shard_manifest").collect()
+    assert(m.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    val totalDocs = m.map(_.getLong(1)).sum
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(totalDocs == corpus, s"$totalDocs != $corpus")
+  }
+
   test("bm25: exactly 10 ranked rows, scores positive and descending") {
     val rows = q("q112_bm25_topk").collect()
     assert(rows.length == 10)
