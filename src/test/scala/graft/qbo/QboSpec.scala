@@ -106,6 +106,44 @@ class WarehouseSpec extends SparkSpec {
     assert(back == Set(("x", 1.5), ("y", 2.0)))
   }
 
+  test("writeZOrdered narrows per-file ranges on BOTH columns (W6)") {
+    // Z-order vs linear sort: after a linear sort by l_orderkey the
+    // second column spans nearly its whole domain in every file (scan
+    // pruning on it is impossible); the Morton layout keeps per-file
+    // min-max ranges narrow on both columns, which is what lets parquet
+    // stats prune on either predicate.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    def spreads(path: String): (Double, Double) = {
+      val f = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_orderkey") - min("l_orderkey")).as("r1"),
+          (max("l_partkey") - min("l_partkey")).as("r2"))
+        .agg(avg("r1"), avg("r2")).head()
+      (f.getDouble(0), f.getDouble(1))
+    }
+    val g = li.agg(max("l_orderkey") - min("l_orderkey"),
+      max("l_partkey") - min("l_partkey")).head()
+    val (g1, g2) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Warehouse.writeZOrdered(li, s"$base/zorder", "l_orderkey", "l_partkey", 8)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+
+    val (z1, z2) = spreads(s"$base/zorder")
+    val (l1, l2) = spreads(s"$base/linear")
+    // linear: leading column tightly clustered, second column useless
+    assert(l1 / g1 < 0.3, s"linear leading spread ${l1 / g1}")
+    assert(l2 / g2 > 0.8, s"linear second spread ${l2 / g2}")
+    // z-order: BOTH columns substantially narrowed per file
+    assert(z1 / g1 < 0.7, s"zorder c1 spread ${z1 / g1}")
+    assert(z2 / g2 < 0.7, s"zorder c2 spread ${z2 / g2}")
+    // round-trip integrity: same rows, layout only
+    assert(spark.read.parquet(s"$base/zorder").count() == li.count())
+  }
+
   test("fullRefresh overwrites atomically (W4)") {
     import spark.implicits._
     Warehouse.fullRefresh(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t_refresh")
