@@ -27,6 +27,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // same extensions as Verify: benched plans = shipped plans
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // NOTE: forcing small file splits (spark.sql.files.maxPartitionBytes
       // = 2m) to parallelize the single ~20 MB-per-table scans was
       // measured SLOWER here (23.4s vs 19.5s total): per-split scheduling

@@ -17,6 +17,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine's own sessions carry its extensions: custom SQL
+      // functions + the TopK strategy (incl. the row_number-top-k
+      // auto-route), so the correctness gate exercises the same plans
+      // a library user gets
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,11 +49,39 @@ case class TopKPerGroup(
 }
 
 object TopKStrategy extends SparkStrategy {
+
+  /** Heaps hold k rows per group per task; beyond this bound the
+    * streaming-over-sorted built-in is the better trade (and the
+    * optimizer's own insertion threshold, default 1000, sits well
+    * below it anyway).
+    */
+  private val MaxHeapK = 4096
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(p, o, k, child) =>
       // partial → (exchange inserted by EnsureRequirements) → final
       TopKPerGroupExec(p, o, k, partial = false,
         TopKPerGroupExec(p, o, k, partial = true, planLater(child))) :: Nil
+
+    // AUTO-ROUTE: any user query of the form
+    //   row_number().over(partitionBy(p).orderBy(o)) <= k  (then filter)
+    // reaches physical planning as Spark's own logical WindowGroupLimit
+    // (inserted by InferWindowGroupLimit). For the row_number flavor its
+    // contract — keep the first `limit` rows of each group in `order` —
+    // is exactly this operator, so we plan the node as the heap pair and
+    // both built-in sorts (map-side AND post-shuffle, each over the full
+    // input) disappear; the Window above re-sorts only groups×k rows.
+    // rank/dense_rank stay on the built-in path: ties can legitimately
+    // emit MORE than `limit` rows per group, which a bounded heap would
+    // truncate. Registered strategies precede the built-ins, so this
+    // shadows WindowGroupLimitExec wherever the guard holds.
+    case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+        part, order, _: org.apache.spark.sql.catalyst.expressions.RowNumber,
+        limit, child) if part.nonEmpty && limit <= MaxHeapK =>
+      TopKPerGroupExec(part, order, limit, partial = false,
+        TopKPerGroupExec(part, order, limit, partial = true,
+          planLater(child))) :: Nil
+
     case _ => Nil
   }
 }

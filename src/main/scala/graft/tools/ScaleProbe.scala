@@ -42,6 +42,7 @@ object ScaleProbe {
       // frames inherit the scan's partitioning, and a single-split scan
       // would serialize the whole probe into one task, measuring nothing
       .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -63,4 +63,42 @@ class TopKSpec extends SparkSpec {
     val all = TopK.perGroup(small, Seq("l_suppkey"), orderCols, 1000000)
     assert(all.count() == 100)
   }
+
+  test("row_number<=k windows auto-route to the heap operator, " +
+    "rank stays built-in") {
+    import org.apache.spark.sql.expressions.Window
+    // no explicit TopK.perGroup call: the strategy plans Spark's own
+    // WindowGroupLimit (row_number flavor) as the heap pair
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    val auto = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val p = auto.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
+    // value-level equivalence against a driver-side referee on a total
+    // order (the same rows the sort-based plan must produce)
+    val got = auto.select(col("l_suppkey").cast("long"),
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val referee = li.select(col("l_suppkey").cast("long"),
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        col("l_extendedprice").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (supp, rows) =>
+        rows.sortBy(t => (-t._4, t._2, t._3)).take(3).zipWithIndex
+          .map { case (t, i) => (supp, t._2, t._3, (i + 1).toLong) }
+      }.toSet
+    assert(got == referee)
+    // rank() can emit >k rows per group on ties — must NOT reach the heap
+    val rk = li.withColumn("rk",
+        rank().over(Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice"))))
+      .filter(col("rk") <= 3)
+    val rp = rk.queryExecution.executedPlan.toString
+    assert(!rp.contains("TopKPerGroup"), rp)
+  }
 }
