@@ -667,6 +667,26 @@ object Pipeline {
           .orderBy("a_id", "b_id")
       }),
 
+    Q("q119_edjoin_production",
+      "the Ed-Join at its production radius (d<=1, the near-duplicate " +
+        "typo distance): prefix shrinks from q*d+1=7 grams to 3 and the " +
+        "length band from +-3 to +-1 — the same guaranteed-recall " +
+        "machinery as q105 with ~d^2-fold less candidate mass",
+      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 24) AS p
+          FROM documents WHERE length(text) >= 24)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 1
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val strs = table(s, d, "documents")
+          .filter(length(col("text")) >= 24)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("p"))
+        Dedup.editDistancePairs(strs, "doc_id", "p", q = 2, dMax = 1)
+          .orderBy("a_id", "b_id")
+      }),
+
     Q("q106_ppjoin_jaccard",
       "guaranteed-recall Jaccard set-similarity self-join (AllPairs/" +
         "PPJoin prefix filter, t=0.5 on 3-word shingle sets); oracle " +
@@ -692,6 +712,27 @@ object Pipeline {
             "text", tNum = 1, tDen = 2)
           .orderBy("a_id", "b_id")
       }),
+
+    Q("q118_ppjoin_production",
+      "the PPJoin at its production threshold (t=0.8): same " +
+        "guaranteed-recall prefix-filter machinery as q106, but the " +
+        "prefix is ceil(0.2*|s|)+1 elements instead of half the set — " +
+        "candidate mass shrinks ~quadratically with (1-t), which is " +
+        "the lever that makes the exact join affordable at corpus scale",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+          s AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w
+                WHERE len(${sqlShingles("ws")}) > 0)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(a.sh || b.sh)) AS jacc
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+          4 * len(list_distinct(a.sh || b.sh))
+        ORDER BY a_id, b_id"""),
+      (s, d) =>
+        Dedup.setSimilarityPairs(table(s, d, "documents"), "doc_id",
+            "text", tNum = 4, tDen = 5)
+          .orderBy("a_id", "b_id")),
 
     Q("q107_bloom_dedup",
       "anti-corpus ingest dedup gated by a bounded Bloom sketch: " +
