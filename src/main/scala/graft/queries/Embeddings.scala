@@ -256,6 +256,79 @@ object Embeddings {
           max(col("nrm")).as("max_norm"))
         .orderBy("label")),
 
+    Q("q120_kmeans_codebook",
+      "k-means-trained IVF codebook: 2 Lloyd iterations from the 8 " +
+        "seed vectors, centroid means through the integer-quantized " +
+        "sum (deterministic in both engines); output is the trained " +
+        "codebook in long (cluster, dim) form with member counts",
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        s0 AS (SELECT vec_id AS sid, e AS se FROM v WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, e, sid FROM (
+            SELECT v.vec_id, v.e, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqlSqDist("v.e", "s.se")}, s.sid) AS rn
+            FROM v CROSS JOIN s0 s) t WHERE rn = 1),
+        x1 AS (SELECT sid, CAST(round(unnest(e) * 1000000) AS BIGINT) AS xq,
+            unnest(range(len(e))) AS dim FROM a1),
+        c1 AS (SELECT sid, dim, CAST(SUM(xq) AS BIGINT) AS s,
+            COUNT(*) AS n FROM x1 GROUP BY 1, 2),
+        s1 AS (SELECT sid, list(CAST(s AS DOUBLE) / 1000000.0 / n
+            ORDER BY dim) AS se FROM c1 GROUP BY sid),
+        a2 AS (SELECT vec_id, e, sid FROM (
+            SELECT v.vec_id, v.e, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY ${sqlSqDist("v.e", "s.se")}, s.sid) AS rn
+            FROM v CROSS JOIN s1 s) t WHERE rn = 1),
+        x2 AS (SELECT sid, CAST(round(unnest(e) * 1000000) AS BIGINT) AS xq,
+            unnest(range(len(e))) AS dim FROM a2),
+        c2 AS (SELECT sid, dim, CAST(SUM(xq) AS BIGINT) AS s,
+            COUNT(*) AS n FROM x2 GROUP BY 1, 2)
+        SELECT sid AS cluster, CAST(dim AS BIGINT) AS dim,
+          CAST(n AS BIGINT) AS n,
+          CAST(s AS DOUBLE) / 1000000.0 / n AS c
+        FROM c2 ORDER BY cluster, dim"""),
+      (s, d) => {
+        // Distributed Lloyd: each iteration is (a) the zero-shuffle
+        // in-row argmin against the broadcast codebook — the q114/q115
+        // assignment shape — and (b) one map-side-combinable
+        // aggregation keyed by (cluster, dim) whose shuffle is k×dims
+        // rows REGARDLESS of corpus size. Component means go through
+        // the 1e-6 integer grid (the q86 trick): integer sums are
+        // associative, so Spark's 32-way partials and DuckDB's serial
+        // scan agree bit-for-bit, and the derived double centroids —
+        // inputs to the next iteration's distances — are identical in
+        // both engines. The codebook frame (k×dim doubles) is the only
+        // thing that crosses iterations; vectors never leave their
+        // scan tasks.
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        def assign(seeds: org.apache.spark.sql.DataFrame) =
+          v.crossJoin(broadcast(seeds))
+            .select(col("vec_id"), col("e"),
+              nearestSeed(col("e"), col("seeds")).as("cluster"))
+        def centroids(asg: org.apache.spark.sql.DataFrame) =
+          asg.select(col("cluster"),
+              posexplode(col("e")).as(Seq("dim", "x")))
+            .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+            .agg(sum(round(col("x") * 1000000).cast("long")).as("s"),
+              count(lit(1)).as("n"))
+        def codebook(cent: org.apache.spark.sql.DataFrame) =
+          cent.select(col("cluster"), col("dim"),
+              (col("s").cast("double") / 1000000.0 / col("n")).as("c"))
+            .groupBy(col("cluster"))
+            .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+              .as("dc"))
+            .select(struct(col("cluster").as("sid"),
+              expr("transform(dc, p -> p.c)").as("se")).as("cs"))
+            .agg(sort_array(collect_list(col("cs"))).as("seeds"))
+        val c1 = centroids(assign(seedArray(v)))
+        val c2 = centroids(assign(codebook(c1)))
+        c2.select(col("cluster"), col("dim"), col("n"),
+            (col("s").cast("double") / 1000000.0 / col("n")).as("c"))
+          .orderBy("cluster", "dim")
+      }),
+
     Q("q114_cluster_balanced_sample",
       "diversity sampling: nearest-seed-centroid assignment, then a " +
         "deterministic k-per-cluster sample through the TopK heap " +

@@ -40,6 +40,22 @@ class EmbeddingsSpec extends SparkSpec {
       .filter(col("cluster") =!= col("true_c")).count() == 0)
   }
 
+  test("kmeans codebook: complete partition, stable under re-run") {
+    val cb = q("q120_kmeans_codebook")
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // every dim row of every cluster carries that cluster's member
+    // count; per-dim totals must equal the corpus size exactly
+    val perDim = cb.groupBy("dim").agg(sum("n").as("tot"))
+    assert(perDim.filter(col("tot") =!= n).count() == 0)
+    assert(cb.filter(col("n") <= 0).count() == 0)
+    // 64 dims per surviving cluster
+    val dims = cb.groupBy("cluster").agg(count(lit(1)).as("d"))
+    assert(dims.filter(col("d") =!= 64).count() == 0)
+    // deterministic: a second run produces the identical codebook
+    val again = q("q120_kmeans_codebook")
+    assert(cb.collect().toSeq == again.collect().toSeq)
+  }
+
   test("semdedup: per-cluster minimum always survives, survivors are " +
     "pairwise below the threshold") {
     val survivors = q("q115_semdedup")
