@@ -329,6 +329,77 @@ object Embeddings {
           .orderBy("cluster", "dim")
       }),
 
+    Q("q121_pq_adc_topk",
+      "product quantization: 8 subspaces x 8 codes (sub-codebook = " +
+        "subvectors of the seed vectors), vectors encoded to 8 codes, " +
+        "queries retrieve top-5 by asymmetric-distance (ADC) lookup — " +
+        "per-subspace distances on the 1e-12 integer grid so the " +
+        "8-term sums are engine-exact",
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        sp AS (SELECT unnest(range(8)) AS s),
+        sub AS (SELECT vec_id, s,
+            e[CAST(s*8+1 AS BIGINT):CAST(s*8+8 AS BIGINT)] AS sub
+          FROM v CROSS JOIN sp),
+        cb AS (SELECT vec_id AS c, s, sub AS csub FROM sub WHERE vec_id < 8),
+        dist AS (SELECT a.vec_id, a.s, b.c,
+            CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 9),
+                i -> (a.sub[i] - b.csub[i]) * (a.sub[i] - b.csub[i]))),
+              (x, y) -> x + y) * 1000000000000.0) AS BIGINT) AS dq
+          FROM sub a JOIN cb b ON a.s = b.s),
+        codes AS (SELECT vec_id, s, c FROM (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dq, c) AS rn
+          FROM dist) t WHERE rn = 1),
+        qd AS (SELECT vec_id AS q_id, s, c, dq FROM dist WHERE vec_id < 20),
+        adc AS (SELECT q.q_id, x.vec_id AS n_id,
+            CAST(CAST(SUM(dq) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS adc
+          FROM codes x JOIN qd q ON x.s = q.s AND x.c = q.c
+          WHERE q.q_id <> x.vec_id GROUP BY 1, 2)
+        SELECT q_id, n_id, rn, adc FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adc, n_id) AS BIGINT) AS rn FROM adc) z
+        WHERE rn <= 5 ORDER BY q_id, rn"""),
+      (s, d) => {
+        // PQ completes the quantized-retrieval family (q97/q103 = int8
+        // scalar): memory per vector drops from 64 floats to 8 codes,
+        // and query-time distances are table LOOKUPS — the query's 64
+        // exact sub-distances to the codebook (a bounded 8x8 table per
+        // query) are joined to the corpus codes by (subspace, code), so
+        // the corpus side never touches floats at all. At scale the
+        // (s, c)-keyed join shuffles only (id, s, c) triples; the
+        // distance grid rides the 1e-12 integer lattice (round() ties
+        // break identically in both engines, unlike double->DECIMAL)
+        // so the 8-term ADC sums are associative and engine-exact.
+        val v = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val sub = v.select(col("vec_id"),
+            posexplode(transform(sequence(lit(0), lit(7)),
+              sp => slice(col("e"), (sp * 8 + 1).cast("int"), lit(8)))))
+          .toDF("vec_id", "s", "sub")
+        val cb = sub.filter(col("vec_id") < 8)
+          .toDF("c", "s", "csub")
+        val dist = sub.join(broadcast(cb), "s")
+          .select(col("vec_id"), col("s"), col("c"),
+            round(Vectors.sqDist(col("sub"), col("csub")) * 1e12)
+              .cast("long").as("dq"))
+        val codes = dist
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min(struct(col("dq"), col("c"))).as("m"))
+          .select(col("vec_id").as("n_id"), col("s"), col("m.c").as("c"))
+        val qd = dist.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("s"), col("c"), col("dq"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+        codes.join(qd, Seq("s", "c"))
+          .filter(col("q_id") =!= col("n_id"))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg((sum(col("dq")).cast("double") / 1e12).as("adc"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("q_id", "n_id", "rn", "adc")
+          .orderBy("q_id", "rn")
+      }),
+
     Q("q114_cluster_balanced_sample",
       "diversity sampling: nearest-seed-centroid assignment, then a " +
         "deterministic k-per-cluster sample through the TopK heap " +

@@ -40,6 +40,30 @@ class EmbeddingsSpec extends SparkSpec {
       .filter(col("cluster") =!= col("true_c")).count() == 0)
   }
 
+  test("pq adc retrieval: shape invariants and real recall lift") {
+    val pq = q("q121_pq_adc_topk").collect()
+    assert(pq.length == 100) // 20 queries x top-5
+    assert(!pq.exists(r => r.getLong(0) == r.getLong(1))) // no self-pairs
+    // recall@5 against the exact L2 top-5: the crude 8-code-per-subspace
+    // codebook measured 12/100 on this corpus — far above the ~1/100 a
+    // random 5-of-499 pick would score. Assert a floored lift so a
+    // broken encoding (recall ~ random) fails loudly.
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val qs = v.filter(col("vec_id") < 20).toDF("q_id", "qe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+    val exact = qs.join(v.toDF("n_id", "ne"), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.sqDist(col("qe"), col("ne")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.count(r => exact((r.getLong(0), r.getLong(1))))
+    assert(hits >= 8, s"PQ recall collapsed: $hits/100 exact-top-5 hits")
+  }
+
   test("kmeans codebook: complete partition, stable under re-run") {
     val cb = q("q120_kmeans_codebook")
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
