@@ -324,6 +324,56 @@ object ScaleProbe {
           "production assignment is the q57 IVF coarse-quantizer; pair " +
           "mass stays ~linear by construction (see 10x row)")
       }
+      // --- k-means iteration (q120 shape): assignment is in-row, the
+      // centroid aggregation shuffles k×dims rows — the probe documents
+      // shuffle STAYING FLAT while the corpus grows 100×.
+      time(s"kmeans iteration k=8 @${mult}x") {
+        val seedArr = embX.filter(col("vec_id") < 8)
+          .agg(sort_array(collect_list(struct(col("vec_id").as("sid"),
+            col("e").as("se")))).as("seeds"))
+        val asg = embX.crossJoin(broadcast(seedArr))
+          .select(col("vec_id"), col("e"),
+            aggregate(col("seeds"),
+              struct(lit(Double.MaxValue).as("dist"), lit(-1L).as("sid")),
+              (acc, sd) => {
+                val dct = graft.similarity.Vectors.sqDist(col("e"),
+                  sd.getField("se"))
+                when(dct < acc.getField("dist"),
+                  struct(dct.as("dist"), sd.getField("sid").as("sid")))
+                  .otherwise(acc)
+              }).getField("sid").as("cluster"))
+        asg.select(col("cluster"), posexplode(col("e")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(sum(round(col("x") * 1000000).cast("long")), count(lit(1)))
+          .count()
+      }
+      // --- PQ encode + ADC retrieval (q121 shape): the retrieval join
+      // moves only (id, s, c) triples for the corpus side; shuffle
+      // tracks corpus×8 rows of 3 small ints, never vectors.
+      time(s"pq encode+adc top5 @${mult}x") {
+        val sub = embX.select(col("vec_id"),
+            posexplode(transform(sequence(lit(0), lit(7)),
+              sp => slice(col("e"), (sp * 8 + 1).cast("int"), lit(8)))))
+          .toDF("vec_id", "s", "sub")
+        val cb = sub.filter(col("vec_id") < 8).toDF("c", "s", "csub")
+        val dist = sub.join(broadcast(cb), "s")
+          .select(col("vec_id"), col("s"), col("c"),
+            round(graft.similarity.Vectors.sqDist(col("sub"), col("csub"))
+              * 1e12).cast("long").as("dq"))
+        val codes = dist.groupBy(col("vec_id"), col("s"))
+          .agg(min(struct(col("dq"), col("c"))).as("m"))
+          .select(col("vec_id").as("n_id"), col("s"), col("m.c").as("c"))
+        val qd = dist.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("s"), col("c"), col("dq"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("n_id"))
+        codes.join(qd, Seq("s", "c"))
+          .filter(col("q_id") =!= col("n_id"))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(sum(col("dq")).as("adc"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).count()
+      }
       // --- overlapping chunker (q113 shape): pure narrow map — the
       // probe documents 0 shuffle rows at every multiplier.
       time(s"chunker 32/24 @${mult}x") {
