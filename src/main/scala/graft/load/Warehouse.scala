@@ -98,7 +98,7 @@ object Warehouse {
   /** Interleave the low 16 bits of `c` with zeros (Morton spread) using
     * the classic magic-mask shifts — pure codegen'd Column bit ops.
     */
-  private def spreadBits16(c: org.apache.spark.sql.Column):
+  private[load] def spreadBits16(c: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column = {
     val x0 = c.bitwiseAND(lit(0xFFFFL))
     val x1 = shiftleft(x0, 8).bitwiseOR(x0).bitwiseAND(lit(0x00FF00FFL))

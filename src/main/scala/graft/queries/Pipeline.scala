@@ -713,6 +713,61 @@ object Pipeline {
           .orderBy("a_id", "b_id")
       }),
 
+    Q("q122_stream_bloom_ingest",
+      "Structured Streaming ingest through the Bloom anti-corpus gate: " +
+        "the bounded sketch is built ONCE (persisted 1-row frame) and " +
+        "every micro-batch probes it — bloom-negative stream rows pass " +
+        "shuffle-free, positives are verified exactly; drained verdicts " +
+        "hash-match the batch NOT EXISTS oracle",
+      Some("""WITH batch AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text ELSE text || ' v2' END AS text
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM documents s
+          WHERE md5(s.text) = md5(b.text))
+        ORDER BY doc_id"""),
+      (s, d) => {
+        // The streaming twin of q107: same planted-dup construction,
+        // same gate, but the batch arrives as a stream. The sketch
+        // frame is persisted OUTSIDE foreachBatch, so the corpus is
+        // scanned and the bloom built exactly once per run — every
+        // micro-batch's scalar subquery resolves against the cached
+        // 1-row frame (the InjectRuntimeFilter pattern, held across
+        // batches). That is the production ingest topology: a standing
+        // membership sketch in executor memory, batches flowing past.
+        import org.apache.spark.sql.streaming.Trigger
+        val raw = s.read.parquet(s"$d/documents.parquet")
+        val sk = graft.functions.BloomGate.sketch(raw,
+          Dedup.digest(col("text")), expectedItems = 1000000L,
+          numBits = 1L << 23).persist()
+        val mc = graft.functions.BloomGate.mightContain(sk,
+          Dedup.digest(col("text")), tag = "q122")
+        val storeDigests = raw.select(Dedup.digest(col("text")).as("h"))
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), when(col("doc_id") % 7 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        val outDir = scratchDir("sbloom", d)
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$outDir/_chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val clear = batch.filter(!mc).select(col("doc_id"))
+            val novelSuspects = batch.filter(mc)
+              .select(col("doc_id"), Dedup.digest(col("text")).as("h"))
+              .join(storeDigests, Seq("h"), "left_anti")
+              .select(col("doc_id"))
+            clear.union(novelSuspects)
+              .write.mode("append").parquet(s"$outDir/table")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        sk.unpersist()
+        s.read.parquet(s"$outDir/table").orderBy("doc_id")
+      }),
+
     Q("q118_ppjoin_production",
       "the PPJoin at its production threshold (t=0.8): same " +
         "guaranteed-recall prefix-filter machinery as q106, but the " +
