@@ -191,4 +191,16 @@ object ExprHelpers {
     val union = setA.size() + setB.size() - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** Unicode NFC canonicalization (combining sequences composed — the
+    * pre-hash normalization step; DuckDB twin: `nfc_normalize`). Fast
+    * path: `isNormalized` is a cheap scan and true for virtually all
+    * real text, so the common case allocates nothing.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

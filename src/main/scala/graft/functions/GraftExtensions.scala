@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(GraftFunctions.JaccardName),
       info(GraftFunctions.JaccardName, classOf[JaccardExpr]),
       (exprs: Seq[Expression]) => JaccardExpr(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.NfcName),
+      info(GraftFunctions.NfcName, classOf[NfcNormalizeExpr]),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -77,6 +77,7 @@ object GraftFunctions {
   val LshBucketName = "graft_lsh_bucket"
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
+  val NfcName = "graft_nfc"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -107,6 +108,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       SimhashName,
       exprs => SimHashExpr(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      NfcName,
+      exprs => NfcNormalizeExpr(exprs.head),
       "built-in")
   }
 

@@ -713,6 +713,48 @@ object Pipeline {
           .orderBy("a_id", "b_id")
       }),
 
+    Q("q123_unicode_canon",
+      "Unicode NFC canonicalization before hashing (custom codegen'd " +
+        "expression; Spark has no built-in normalizer): decomposed " +
+        "combining sequences planted per doc collapse to precomposed " +
+        "forms, and the canonical digest matches DuckDB's nfc_normalize",
+      Some(s"""WITH a AS (SELECT doc_id,
+            text || ' re' || chr(769) || 'sume' || chr(769) ||
+              ' nai' || chr(776) || 've #' || CAST(doc_id AS VARCHAR)
+              AS aug
+          FROM documents)
+        SELECT doc_id, CAST(length(aug) AS BIGINT) AS len_raw,
+          CAST(length(nfc_normalize(aug)) AS BIGINT) AS len_nfc,
+          md5(nfc_normalize(aug)) AS digest,
+          length(aug) <> length(nfc_normalize(aug)) AS changed
+        FROM a ORDER BY doc_id"""),
+      (s, d) => {
+        // The step that must precede every hash-based dedup on
+        // multilingual text: 'e'+COMBINING ACUTE and precomposed 'é'
+        // are one document to a reader, two documents to md5/minhash/
+        // simhash. The expression is codegen'd (stays inside
+        // WholeStageCodegen) with an isNormalized fast path, so
+        // already-canonical corpora — the common case — pay one scan
+        // and zero allocations per row. The planted suffix uses
+        // DECOMPOSED forms (char + combining mark), so len_nfc <
+        // len_raw proves real composition happened in both engines.
+        val aug = concat(col("text"),
+          lit(" re\u0301sume\u0301 nai\u0308ve #"),
+          col("doc_id").cast("string"))
+        table(s, d, "documents")
+          .select(col("doc_id"), aug.as("aug"))
+          .select(col("doc_id"),
+            length(col("aug")).cast("long").as("len_raw"),
+            length(graft.functions.NfcNormalize(s, col("aug")))
+              .cast("long").as("len_nfc"),
+            md5(encode(graft.functions.NfcNormalize(s, col("aug")),
+              "UTF-8")).as("digest"),
+            (length(col("aug")) =!=
+              length(graft.functions.NfcNormalize(s, col("aug"))))
+              .as("changed"))
+          .orderBy("doc_id")
+      }),
+
     Q("q122_stream_bloom_ingest",
       "Structured Streaming ingest through the Bloom anti-corpus gate: " +
         "the bounded sketch is built ONCE (persisted 1-row frame) and " +
