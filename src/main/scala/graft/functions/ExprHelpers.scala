@@ -192,6 +192,36 @@ object ExprHelpers {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Nearest-seed argmin: one imperative pass over the (sorted) seed
+    * array, strict `<` keeping the earlier (smaller-sid) seed on ties —
+    * bit-identical to the HOF composition (aggregate over sqDist
+    * zip_with folds, same add order) but without the per-step struct
+    * allocation and interpreted lambda evals that made large-k
+    * assignment wall-bound (measured: minutes at k=800 x 50k rows
+    * interpreted). seeds: array<struct<sid: long, se: array<double>>>.
+    */
+  def nearestSeed(e: ArrayData, seeds: ArrayData): Long = {
+    val n = e.numElements()
+    var best = -1L
+    var bestD = Double.MaxValue
+    var i = 0
+    val k = seeds.numElements()
+    while (i < k) {
+      val st = seeds.getStruct(i, 2)
+      val se = st.getArray(1)
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val diff = e.getDouble(j) - se.getDouble(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = st.getLong(0) }
+      i += 1
+    }
+    best
+  }
+
   /** Unicode NFC canonicalization (combining sequences composed — the
     * pre-hash normalization step; DuckDB twin: `nfc_normalize`). Fast
     * path: `isNormalized` is a cheap scan and true for virtually all

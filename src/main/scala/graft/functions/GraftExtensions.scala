@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(GraftFunctions.NfcName),
       info(GraftFunctions.NfcName, classOf[NfcNormalizeExpr]),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.NearestSeedName),
+      info(GraftFunctions.NearestSeedName, classOf[NearestSeedExpr]),
+      (exprs: Seq[Expression]) => NearestSeedExpr(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

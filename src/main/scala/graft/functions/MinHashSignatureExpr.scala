@@ -78,6 +78,7 @@ object GraftFunctions {
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
   val NfcName = "graft_nfc"
+  val NearestSeedName = "graft_nearest_seed"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -112,6 +113,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       NfcName,
       exprs => NfcNormalizeExpr(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      NearestSeedName,
+      exprs => NearestSeedExpr(exprs(0), exprs(1)),
       "built-in")
   }
 

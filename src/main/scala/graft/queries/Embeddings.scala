@@ -56,11 +56,18 @@ object Embeddings {
       .agg(sort_array(collect_list(struct(col("vec_id").as("sid"),
         col("e").as("se")))).as("seeds"))
 
-  /** In-row argmin over the seed array: strict `<` keeps the earlier
-    * (smaller-sid, array is sorted) seed on distance ties — identical to
-    * the oracle's ORDER BY dist, seed_id tie-break.
+  /** In-row argmin over the seed array via the codegen'd
+    * [[graft.functions.NearestSeedExpr]] (strict `<` over the sorted
+    * array keeps the earlier seed on distance ties — identical to the
+    * oracle's ORDER BY dist, seed_id tie-break). The interpreted HOF
+    * equivalent lives on in [[nearestSeedHof]] for the equivalence spec.
     */
-  private def nearestSeed(e: Column, seeds: Column): Column =
+  private def nearestSeed(s: org.apache.spark.sql.SparkSession,
+      e: Column, seeds: Column): Column =
+    graft.functions.NearestSeed(s, e, seeds)
+
+  /** The HOF composition of the same argmin — spec referee only. */
+  private[graft] def nearestSeedHof(e: Column, seeds: Column): Column =
     aggregate(seeds,
       struct(lit(Double.MaxValue).as("dist"), lit(-1L).as("sid")),
       (acc, sd) => {
@@ -306,7 +313,7 @@ object Embeddings {
         def assign(seeds: org.apache.spark.sql.DataFrame) =
           v.crossJoin(broadcast(seeds))
             .select(col("vec_id"), col("e"),
-              nearestSeed(col("e"), col("seeds")).as("cluster"))
+              nearestSeed(s, col("e"), col("seeds")).as("cluster"))
         def centroids(asg: org.apache.spark.sql.DataFrame) =
           asg.select(col("cluster"),
               posexplode(col("e")).as(Seq("dim", "x")))
@@ -435,7 +442,7 @@ object Embeddings {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val asg = v.crossJoin(broadcast(seedArray(v)))
           .select(col("vec_id"),
-            nearestSeed(col("e"), col("seeds")).as("cluster"),
+            nearestSeed(s, col("e"), col("seeds")).as("cluster"),
             hash32(concat(lit("v:"), col("vec_id").cast("string"))).as("hk"))
         val top = graft.plans.TopK.perGroup(asg, Seq("cluster"),
           Seq(("hk", true), ("vec_id", true)), k = 10)
@@ -482,7 +489,7 @@ object Embeddings {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val asg = v.crossJoin(broadcast(seedArray(v)))
           .select(col("vec_id"), col("e"), Vectors.norm(col("e")).as("nrm"),
-            nearestSeed(col("e"), col("seeds")).as("cluster"))
+            nearestSeed(s, col("e"), col("seeds")).as("cluster"))
         val dup = asg.toDF("b_id", "be", "bn", "b_cluster")
         asg.join(dup,
             col("cluster") === col("b_cluster") && col("b_id") < col("vec_id") &&

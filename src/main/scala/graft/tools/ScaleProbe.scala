@@ -298,32 +298,21 @@ object ScaleProbe {
         val seedArr = embX.filter(col("vec_id") < k)
           .agg(sort_array(collect_list(struct(col("vec_id").as("sid"),
             col("e").as("se")))).as("seeds"))
+        // codegen'd argmin kernel (NearestSeedExpr) — the interpreted
+        // HOF version of this assignment was wall-bound at k=800
+        // (minutes); the kernel runs the same k×dim multiply-adds
+        // imperatively
         val asg = embX.crossJoin(broadcast(seedArr))
           .select(col("vec_id"), col("e"),
-            aggregate(col("seeds"),
-              struct(lit(Double.MaxValue).as("dist"), lit(-1L).as("sid")),
-              (acc, sd) => {
-                val dct = graft.similarity.Vectors.sqDist(col("e"),
-                  sd.getField("se"))
-                when(dct < acc.getField("dist"),
-                  struct(dct.as("dist"), sd.getField("sid").as("sid")))
-                  .otherwise(acc)
-              }).getField("sid").as("cluster"))
+            graft.functions.NearestSeed(spark, col("e"), col("seeds"))
+              .as("cluster"))
         val b = asg.toDF("b_id", "be", "b_cluster")
         asg.join(b, col("cluster") === col("b_cluster") &&
             col("vec_id") < col("b_id"))
           .select(count(lit(1))).head().getLong(0)
       }
       time(s"semdedup pairs, k=8 fixed @${mult}x") { semdedupPairs(8) }
-      if (mult <= 10) {
-        time(s"semdedup pairs, k=8*mult @${mult}x") { semdedupPairs(8 * mult) }
-      } else {
-        println(s"[scale] semdedup scaled-k @${mult}x skipped: the " +
-          "interpreted HOF argmin wall is k x corpus (minutes here) and " +
-          "measures expression interpretation, not the plan — at this k " +
-          "production assignment is the q57 IVF coarse-quantizer; pair " +
-          "mass stays ~linear by construction (see 10x row)")
-      }
+      time(s"semdedup pairs, k=8*mult @${mult}x") { semdedupPairs(8 * mult) }
       // --- k-means iteration (q120 shape): assignment is in-row, the
       // centroid aggregation shuffles k×dims rows — the probe documents
       // shuffle STAYING FLAT while the corpus grows 100×.

@@ -40,6 +40,24 @@ class EmbeddingsSpec extends SparkSpec {
       .filter(col("cluster") =!= col("true_c")).count() == 0)
   }
 
+  test("nearest-seed expression == interpreted HOF argmin on every vector") {
+    // the codegen'd kernel must agree with the lambda composition
+    // bit-for-bit (same fold order, same strict-< tie-break) — this is
+    // the referee that licenses swapping it into q114/q115/q120
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val seeds = v.filter(col("vec_id") < 8)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("sid"),
+        col("e").as("se")))).as("seeds"))
+    val both = v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        graft.functions.NearestSeed(spark, col("e"), col("seeds")).as("fast"),
+        graft.queries.Embeddings.nearestSeedHof(col("e"), col("seeds"))
+          .as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(both.filter(col("fast") < 0).count() == 0)
+  }
+
   test("pq adc retrieval: shape invariants and real recall lift") {
     val pq = q("q121_pq_adc_topk").collect()
     assert(pq.length == 100) // 20 queries x top-5
