@@ -209,6 +209,11 @@ object ExprHelpers {
     while (i < k) {
       val st = seeds.getStruct(i, 2)
       val se = st.getArray(1)
+      // UnsafeArrayData.getDouble does NOT bounds-check: a seed vector
+      // shorter than the query would silently read adjacent memory
+      if (se.numElements() < n)
+        throw new IllegalArgumentException(
+          s"graft_nearest_seed: seed vector has ${se.numElements()} dims, query has $n")
       var d = 0.0
       var j = 0
       while (j < n) {

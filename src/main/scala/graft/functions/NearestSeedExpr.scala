@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructType}
 
 /** Custom Catalyst expression: nearest-seed (squared-L2 argmin) cluster
   * assignment of a vector against a codebook array — the assignment
@@ -25,6 +26,30 @@ case class NearestSeedExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override def prettyName: String = GraftFunctions.NearestSeedName
+
+  /** The function is SQL-registered for arbitrary user text, so type
+    * shape is enforced at analysis time (an `array<float>` query vector
+    * would otherwise make the kernel read wrong bytes via
+    * `ArrayData.getDouble` and return wrong cluster ids silently).
+    * Struct FIELD NAMES are deliberately not constrained — any
+    * `struct<bigint, array<double>>` seed shape works.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def fail(msg: String) = TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<struct<bigint, array<double>>>): $msg")
+    left.dataType match {
+      case ArrayType(DoubleType, _) =>
+        right.dataType match {
+          case ArrayType(StructType(fs), _)
+              if fs.length == 2 && fs(0).dataType == LongType &&
+                (fs(1).dataType match {
+                  case ArrayType(DoubleType, _) => true; case _ => false
+                }) => TypeCheckResult.TypeCheckSuccess
+          case other => fail(s"seed side is ${other.sql}")
+        }
+      case other => fail(s"query side is ${other.sql}")
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

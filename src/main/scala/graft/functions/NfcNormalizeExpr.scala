@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
@@ -20,6 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+
+  /** SQL-registered for arbitrary user text → non-string input must fail
+    * at analysis, not produce a ClassCastException mid-task.
+    * (AbstractDataType is private[sql] in Spark 4, so the check is
+    * spelled out instead of mixing in ExpectsInputTypes.)
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
 
   override def prettyName: String = GraftFunctions.NfcName
 

@@ -125,20 +125,44 @@ object Warehouse {
     */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
       files: Int): Unit = {
+    // Fail fast on a non-numeric clustering column: its cast-to-double
+    // would be all nulls, min/max would be null, and every row would
+    // fall to the constant-key branch — a layout that LOOKS written but
+    // prunes nothing. Silent degradation is the worst failure mode for
+    // a pass whose whole point is pruning.
+    def requireNumeric(name: String): Unit = {
+      val field = df.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"writeZOrdered: no column `$name`"))
+      field.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case t => throw new IllegalArgumentException(
+          s"writeZOrdered: clustering column `$name` has type ${t.sql}; " +
+            "min-max scaling needs a numeric column (cast dates/strings " +
+            "to a numeric surrogate first)")
+      }
+    }
+    requireNumeric(c1)
+    requireNumeric(c2)
+    // Internal stat/key columns must not collide with user columns
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val (mn1, mx1, mn2, mx2, zk) = (fresh("__graft_mn1"), fresh("__graft_mx1"),
+      fresh("__graft_mn2"), fresh("__graft_mx2"), fresh("__graft_z"))
     val stats = broadcast(df.agg(
-      min(col(c1)).cast("double").as("mn1"), max(col(c1)).cast("double").as("mx1"),
-      min(col(c2)).cast("double").as("mn2"), max(col(c2)).cast("double").as("mx2")))
+      min(col(c1)).cast("double").as(mn1), max(col(c1)).cast("double").as(mx1),
+      min(col(c2)).cast("double").as(mn2), max(col(c2)).cast("double").as(mx2)))
     def scaled(c: String, mn: org.apache.spark.sql.Column,
         mx: org.apache.spark.sql.Column) =
       when(mx > mn, ((col(c).cast("double") - mn) / (mx - mn) * 65535.0))
         .otherwise(lit(0.0)).cast("long")
     df.crossJoin(stats)
-      .withColumn("__z", spreadBits16(scaled(c1, col("mn1"), col("mx1")))
-        .bitwiseOR(shiftleft(spreadBits16(scaled(c2, col("mn2"), col("mx2"))), 1)))
-      .drop("mn1", "mx1", "mn2", "mx2")
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+      .withColumn(zk, spreadBits16(scaled(c1, col(mn1), col(mx1)))
+        .bitwiseOR(shiftleft(spreadBits16(scaled(c2, col(mn2), col(mx2))), 1)))
+      .drop(mn1, mx1, mn2, mx2)
+      .repartitionByRange(files, col(zk))
+      .sortWithinPartitions(zk)
+      .drop(zk)
       .write.mode("overwrite").parquet(path)
   }
 }

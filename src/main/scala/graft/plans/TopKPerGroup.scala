@@ -28,14 +28,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *  - partial (map-side, before the exchange): a bounded k-element heap
   *    per group per input partition, emitting ≤ k candidate rows per
   *    (group, partition) — shuffle volume drops from n rows to at most
-  *    partitions × groups × k;
-  *  - final (after a ClusteredDistribution exchange on the group keys):
-  *    the same heap pass over the candidates, emitting the exact top-k.
+  *    partitions × groups × k. State is capped at maxPartialGroups
+  *    heaps; past the cap, rows of unseen groups pass through
+  *    un-reduced (exact, since the final pass recomputes top-k) instead
+  *    of growing the map without bound;
+  *  - final (after a ClusteredDistribution exchange + a spillable
+  *    group-key sort, both inserted by EnsureRequirements): a STREAMING
+  *    pass — one group's heap at a time, k rows of state regardless of
+  *    group cardinality, over the candidate set the partial pass
+  *    already shrank.
   *
-  * Both passes are O(n log k) with state proportional to groups × k. At
-  * 100 TB that is the difference between shuffling + sorting a fact
-  * table and shuffling a candidate set ~n/k smaller. Row comparisons use
-  * a codegen'd ordering (GenerateOrdering), not interpreted evaluation.
+  * Both passes are O(n log k); partial state ≤ maxPartialGroups × k
+  * rows, final state = k rows. At 100 TB that is the difference between
+  * shuffling + sorting a fact table and shuffling a candidate set ~n/k
+  * smaller. Row comparisons use a codegen'd ordering
+  * (GenerateOrdering), not interpreted evaluation.
   */
 case class TopKPerGroup(
     partitionExprs: Seq[Expression],
@@ -57,11 +64,26 @@ object TopKStrategy extends SparkStrategy {
     */
   private val MaxHeapK = 4096
 
+  /** Partial-pass state bound, in GROUPS: heap memory per task is at
+    * most maxGroups×k buffered rows (~1M rows ≈ tens of MB at default).
+    * Overridable (mainly for tests) via `graft.topk.maxPartialGroups`.
+    */
+  private def maxPartialGroups(k: Int): Int = {
+    val s = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.topk.maxPartialGroups", "")
+    if (s.isEmpty) math.max(256, (1 << 20) / math.max(k, 1)) else s.toInt
+  }
+
+  private def pair(p: Seq[Expression], o: Seq[SortOrder], k: Int,
+      child: LogicalPlan): Seq[SparkPlan] =
+    // partial → (exchange + group-key sort inserted by
+    // EnsureRequirements) → streaming final
+    TopKPerGroupExec(p, o, k, partial = false, maxPartialGroups(k),
+      TopKPerGroupExec(p, o, k, partial = true, maxPartialGroups(k),
+        planLater(child))) :: Nil
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(p, o, k, child) =>
-      // partial → (exchange inserted by EnsureRequirements) → final
-      TopKPerGroupExec(p, o, k, partial = false,
-        TopKPerGroupExec(p, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroup(p, o, k, child) => pair(p, o, k, child)
 
     // AUTO-ROUTE: any user query of the form
     //   row_number().over(partitionBy(p).orderBy(o)) <= k  (then filter)
@@ -78,9 +100,7 @@ object TopKStrategy extends SparkStrategy {
     case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
         part, order, _: org.apache.spark.sql.catalyst.expressions.RowNumber,
         limit, child) if part.nonEmpty && limit <= MaxHeapK =>
-      TopKPerGroupExec(part, order, limit, partial = false,
-        TopKPerGroupExec(part, order, limit, partial = true,
-          planLater(child))) :: Nil
+      pair(part, order, limit, child)
 
     case _ => Nil
   }
@@ -91,6 +111,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -104,6 +125,18 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     (if (partial) UnspecifiedDistribution else ClusteredDistribution(partitionExprs)) :: Nil
 
+  /** The final pass streams one group at a time, so its state is k rows
+    * REGARDLESS of group cardinality — the memory/spill surface lives in
+    * the spillable SortExec that EnsureRequirements inserts here. That
+    * sort is over the group KEY only (cheaper comparator than the
+    * built-in's key+order sort) and over the candidate set the partial
+    * pass already shrank (≤ tasks×groups×k rows + passthrough), never
+    * the full input.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (if (partial) Nil
+     else partitionExprs.map(SortOrder(_, Ascending))) :: Nil
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
@@ -112,7 +145,8 @@ case class TopKPerGroupExec(
     val partExprs = partitionExprs
     val sortOrder = order
     val limit = k
-    child.execute().mapPartitions { iter =>
+    val maxGroups = maxPartialGroups
+    if (partial) child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       // codegen'd comparator (compiled once per executor, cached by
       // GenerateOrdering) — interpreted per-row comparison is the top
@@ -120,19 +154,63 @@ case class TopKPerGroupExec(
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
       // max-heap by rank order: head = worst row currently kept
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val passthrough = iter.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(q) =>
             if (q.size < limit) q.enqueue(row.copy())
             else if (ord.lt(row, q.head)) { q.dequeue(); q.enqueue(row.copy()) }
-          case None =>
+            Iterator.empty
+          case None if heaps.size < maxGroups =>
             val q = mutable.PriorityQueue.empty[InternalRow](ord)
             q.enqueue(row.copy())
             heaps.put(key.copy(), q)
+            Iterator.empty
+          case None =>
+            // State bound hit (pathological group cardinality): rows of
+            // unseen groups pass through un-reduced. Exactness is
+            // preserved — the final pass recomputes top-k — at the cost
+            // of shuffle volume; task memory stays ≤ maxGroups×k rows
+            // instead of OOMing the executor.
+            Iterator.single(row)
         }
       }
-      heaps.valuesIterator.flatMap(_.toSeq.sorted(ord))
+      // iterator ++ is lazy: heaps flush only after input is exhausted
+      passthrough ++ heaps.valuesIterator.flatMap(_.toSeq.sorted(ord))
+    } else child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ord = GenerateOrdering.generate(sortOrder, childOutput)
+      // input arrives grouped (requiredChildOrdering on the group key):
+      // one bounded heap at a time, emitted on each key change
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var curKey: UnsafeRow = null
+        private val q = mutable.PriorityQueue.empty[InternalRow](ord)
+        private def flush(): Iterator[InternalRow] = {
+          val rows = q.toSeq.sorted(ord)
+          q.clear()
+          rows.iterator
+        }
+        private def fill(): Unit = {
+          while (!out.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            if (curKey == null) curKey = key.copy()
+            else if (key != curKey) { // UnsafeRow equality = byte equality
+              out = flush()
+              curKey = key.copy()
+            }
+            if (q.size < limit) q.enqueue(row.copy())
+            else if (ord.lt(row, q.head)) { q.dequeue(); q.enqueue(row.copy()) }
+          }
+          if (!out.hasNext && !iter.hasNext && curKey != null) {
+            out = flush()
+            curKey = null
+          }
+        }
+        override def hasNext: Boolean = { fill(); out.hasNext }
+        override def next(): InternalRow = { fill(); out.next() }
+      }
     }
   }
 }

@@ -297,6 +297,30 @@ object Relational3 {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .orderBy("doc_id", "rn")
+      }),
+
+    Q("q124_zorder_scan",
+      "W6 z-order layout rewrite: write lineitem clustered on " +
+        "(l_partkey, l_suppkey), read back with a two-column predicate — " +
+        "the layout changes file boundaries, never rows, so the result " +
+        "must hash-match the plain table (per-file range narrowing is " +
+        "asserted in LayoutPropertySpec; this row makes W6 " +
+        "driver-oracle-visible)",
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+          FROM lineitem WHERE l_partkey <= 40 AND l_suppkey <= 10
+          ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_quantity")
+        val li = table(s, d, "lineitem").select(cols.map(col): _*)
+        // layout pass: one range-partition shuffle, paid once at load
+        val dest = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_q124_" + d.replaceAll("[^0-9a-zA-Z]", "_")).getAbsolutePath
+        graft.load.Warehouse.writeZOrdered(li, dest, "l_partkey", "l_suppkey", 8)
+        // the two-column predicate parquet min-max pruning serves at scale
+        s.read.parquet(dest)
+          .filter(col("l_partkey") <= 40 && col("l_suppkey") <= 10)
+          .orderBy("l_orderkey", "l_linenumber")
       })
   )
 }

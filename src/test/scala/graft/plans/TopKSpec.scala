@@ -25,11 +25,39 @@ class TopKSpec extends SparkSpec {
     assert(viaOp.nonEmpty)
   }
 
-  test("physical plan uses the heap operator, not a full sort") {
+  test("physical plan uses the heap operator; the only sort is the " +
+    "group-key sort over the reduced candidate set") {
     val p = TopK.perGroup(li, Seq("l_suppkey"), orderCols, 3)
       .queryExecution.executedPlan.toString
     assert(p.contains("TopKPerGroup"), p)
-    assert(!p.contains("Sort "), p) // window plan would sort every partition
+    // the streaming final pass requires a group-key sort ABOVE the
+    // partial pass (over ≤ partitions×groups×k candidates); the INPUT
+    // (below TopKPerGroupPartial) must never be sorted — that would be
+    // the built-in full-sort plan we replaced
+    val belowPartial = p.split("TopKPerGroupPartial").last
+    assert(!belowPartial.contains("Sort "), p)
+  }
+
+  test("partial-pass state bound: passthrough beyond maxPartialGroups " +
+    "keeps results exact") {
+    spark.conf.set("graft.topk.maxPartialGroups", "4")
+    try {
+      // l_orderkey ≫ 4 distinct groups → the bound binds hard and most
+      // rows take the passthrough branch
+      val cols = Seq(("l_extendedprice", false), ("l_linenumber", true))
+      val viaOp = TopK.perGroup(li, Seq("l_orderkey"), cols, 2)
+        .collect().map(_.toSeq).toSet
+      // driver-side referee (a row_number referee would itself
+      // auto-route onto the heap operator)
+      val referee = li.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(t => (-t._4, t._3)).take(2)
+        }
+        .map(t => Seq[Any](t._1, t._2, t._3, t._4)).toSet
+      assert(viaOp == referee)
+      assert(viaOp.nonEmpty)
+    } finally spark.conf.unset("graft.topk.maxPartialGroups")
   }
 
   test("partial pass bounds shuffle volume to ~partitions × groups × k") {

@@ -144,6 +144,34 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").count() == li.count())
   }
 
+  test("writeZOrdered fails fast on non-numeric clustering columns " +
+    "and survives user columns named like its internals") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zv").toString
+    // a string clustering column would min-max to null and produce a
+    // constant key — the silent-degradation path must be an error
+    val bad = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.writeZOrdered(bad, s"$base/bad", "k", "s", 2)
+    }
+    assert(e.getMessage.contains("non-numeric") ||
+      e.getMessage.contains("numeric"), e.getMessage)
+    val missing = intercept[IllegalArgumentException] {
+      Warehouse.writeZOrdered(bad, s"$base/miss", "k", "nope", 2)
+    }
+    assert(missing.getMessage.contains("no column"), missing.getMessage)
+    // user columns colliding with the internal stat/key names must ride
+    // through untouched (the pass picks fresh names)
+    val clash = (1L to 100L).map(i => (i, i * 2, i.toString, i * 1.0))
+      .toDF("a", "b", "__graft_z", "__graft_mn1")
+    Warehouse.writeZOrdered(clash, s"$base/clash", "a", "b", 2)
+    val back = spark.read.parquet(s"$base/clash")
+    assert(back.columns.sorted.toSeq ==
+      Seq("__graft_mn1", "__graft_z", "a", "b"))
+    assert(back.count() == 100)
+    assert(back.filter(col("__graft_z") === col("a").cast("string")).count() == 100)
+  }
+
   test("fullRefresh overwrites atomically (W4)") {
     import spark.implicits._
     Warehouse.fullRefresh(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t_refresh")
