@@ -22,6 +22,16 @@ trait QboApi {
   def queryPage(entity: String, startPosition: Int): String
 }
 
+/** Reports-API face (SURVEY §2.1 S5-S7): one GET per report request,
+  * `params` as query-string pairs (`start_date`/`end_date` always;
+  * ByVendor adds `start_position`/`max_results`/`columns`). Fixture
+  * backends and [[QboHttpApi]] implement it identically, so the parse
+  * layer ([[Reports]]) never knows which transport fed it.
+  */
+trait QboReportsApi {
+  def report(name: String, params: Seq[(String, String)]): String
+}
+
 object QboSource {
 
   val PageSize = 100

@@ -21,6 +21,61 @@ import graft.ops.Casts
   */
 object Reports {
 
+  /** Live fetch loops for the three report pipelines — the driver-side
+    * request shapes of the reference scripts, expressed over the
+    * [[QboReportsApi]] seam so the same code runs against
+    * [[QboHttpApi]] (live) or a fixture/in-process-server backend.
+    * Parsing stays in the objects below; these only move report text.
+    */
+  object Fetch {
+
+    /** S5 month loop (qb_profit&loss.py:53-64): one GET per month with
+      * `start_date` = first day and `end_date` = last day of the month
+      * (the reference's `relativedelta(day=31)`), keyed by `YYYY-MM`.
+      */
+    def profitAndLoss(api: QboReportsApi, firstMonth: java.time.YearMonth,
+        lastMonth: java.time.YearMonth): Seq[(String, String)] =
+      Iterator.iterate(firstMonth)(_.plusMonths(1))
+        .takeWhile(!_.isAfter(lastMonth))
+        .map { m =>
+          m.toString -> api.report("ProfitAndLoss", Seq(
+            "start_date" -> m.atDay(1).toString,
+            "end_date" -> m.atEndOfMonth().toString))
+        }.toSeq
+
+    /** S6 single tabular fetch (qb_transactionlist.py:54-60). */
+    def transactionList(api: QboReportsApi, startDate: String,
+        endDate: String): String =
+      api.report("TransactionList", Seq(
+        "start_date" -> startDate, "end_date" -> endDate))
+
+    /** S7 paginated fetch with server-side column projection — the only
+      * pushdown the reference performs (SURVEY §4). Stop predicate is
+      * the response's `hasMore` flag with `start_position += max_results`
+      * (qb_transactionlistbyvendordetail.py:52-70,120-121); absent
+      * `hasMore` means done, so a single-page server terminates cleanly.
+      */
+    def transactionListByVendor(api: QboReportsApi, startDate: String,
+        endDate: String, pageSize: Int = 100,
+        columns: Option[String] = None): Seq[String] = {
+      val mapper = new ObjectMapper()
+      val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 1
+      var more = true
+      while (more) {
+        val page = api.report("TransactionListByVendor", Seq(
+          "start_date" -> startDate, "end_date" -> endDate,
+          "start_position" -> pos.toString,
+          "max_results" -> pageSize.toString) ++
+          columns.map("columns" -> _))
+        pages += page
+        more = mapper.readTree(page).path("hasMore").asBoolean(false)
+        pos += pageSize
+      }
+      pages.toSeq
+    }
+  }
+
   /** One flattened P&L line (IR of E2, SURVEY §3). */
   case class PnlFlat(path: String, account: String, total: String, month: String)
 
@@ -140,9 +195,16 @@ object Reports {
     val txnNames: Seq[String] = Seq("date", "transaction_type", "doc_num",
       "posting", "description", "account")
 
-    def parse(spark: SparkSession, reportJson: String): DataFrame = {
+    def parse(spark: SparkSession, reportJson: String): DataFrame =
+      parsePages(spark, Seq(reportJson))
+
+    /** Union-of-pages variant for the paginated live fetch (S7): each
+      * page is a full report envelope; rows parse per page and
+      * concatenate — the reference's `all_transaction_data.extend`.
+      */
+    def parsePages(spark: SparkSession, reportJsons: Seq[String]): DataFrame = {
       import spark.implicits._
-      val report = spark.read.schema(schema).json(spark.createDataset(Seq(reportJson)))
+      val report = spark.read.schema(schema).json(spark.createDataset(reportJsons))
       val vendors = report.select(
         col("Header.Time").as("report_time"),
         col("Header.StartPeriod").as("start_period"),
