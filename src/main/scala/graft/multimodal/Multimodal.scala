@@ -134,4 +134,271 @@ object Multimodal {
       }
     }
   }
+
+  // ---- pixel tier: REAL pure-JVM decode (no codec bindings) ----
+
+  /** Aggregate pixel statistics over every 8-bit channel sample of a
+    * decoded image — the signal a multimodal curation pipeline actually
+    * filters on (all-black/all-white frames, low-dynamic-range scans).
+    */
+  case class PixelStats(format: String, width: Int, height: Int,
+      channels: Int, px_mean: Double, px_min: Int, px_max: Int)
+
+  case class PixelFeatures(media_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      px_mean: Option[Double], px_min: Option[Int], px_max: Option[Int])
+
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+
+  /** Full pixel decode: uncompressed BMP (BI_RGB, 8/24/32 bpp, padded
+    * strides, bottom-up or top-down) and PNG (8-bit depth, gray / RGB /
+    * gray+alpha / RGBA, non-interlaced: IDAT chunks inflated with
+    * `java.util.zip.Inflater`, all five scanline filters — None / Sub /
+    * Up / Average / Paeth — undone per the PNG spec). Returns None for
+    * unrecognized or malformed payloads — curation pipelines must treat
+    * undecodable media as data, never as task failures.
+    */
+  def decodePixels(p: Array[Byte]): Option[PixelStats] =
+    try decodeImageHeader(p).flatMap {
+      case ("bmp", w, h, ch) => decodeBmpPixels(p, w, h, ch)
+      case ("png", w, h, ch) => decodePngPixels(p, w, h, ch)
+      case _ => None
+    } catch { case _: RuntimeException => None }
+
+  private def decodeBmpPixels(p: Array[Byte], w: Int, h: Int,
+      ch: Int): Option[PixelStats] = {
+    if (p.length < 34 || le32(p, 30) != 0) return None // BI_RGB only
+    val off = le32(p, 10)
+    val stride = ((w * ch + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (off < 0 || off.toLong + stride.toLong * h > p.length) return None
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    var y = 0
+    while (y < h) {
+      val row = off + y * stride
+      var i = 0
+      val rowBytes = w * ch
+      while (i < rowBytes) { // padding bytes excluded
+        val v = p(row + i) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h * ch
+    Some(PixelStats("bmp", w, h, ch, sum.toDouble / n, mn, mx))
+  }
+
+  private def decodePngPixels(p: Array[Byte], w: Int, h: Int,
+      ch: Int): Option[PixelStats] = {
+    if ((p(24) & 0xff) != 8) return None // 8-bit depth only
+    if (p.length > 28 && (p(28) & 0xff) != 0) return None // no Adam7
+    // palette images index a PLTE we don't decode
+    if ((p(25) & 0xff) == 3) return None
+    // concatenate IDAT payloads (zlib stream may span chunks)
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    while (pos + 8 <= p.length) {
+      val len = be32(p, pos)
+      if (len < 0 || pos + 12L + len > p.length) return None
+      if (p(pos + 4) == 'I' && p(pos + 5) == 'D' &&
+          p(pos + 6) == 'A' && p(pos + 7) == 'T')
+        idat.write(p, pos + 8, len)
+      pos += 12 + len // length + type + data + crc
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    val rowBytes = w * ch
+    val raw = new Array[Byte]((rowBytes + 1) * h) // +1 filter byte per row
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // undo scanline filters; prev/cur hold RECONSTRUCTED byte values
+    val cur = new Array[Int](rowBytes)
+    val prev = new Array[Int](rowBytes)
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    var y = 0
+    while (y < h) {
+      val base = y * (rowBytes + 1)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= ch) cur(i - ch) else 0 // left (same channel)
+        val b = prev(i) // up
+        val c = if (i >= ch) prev(i - ch) else 0 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + b) & 0xff
+          case 3 => (x + (a + b) / 2) & 0xff
+          case _ => // Paeth
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (x + pred) & 0xff
+        }
+        cur(i) = v
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val n = w.toLong * h * ch
+    Some(PixelStats("png", w, h, ch, sum.toDouble / n, mn, mx))
+  }
+
+  /** Full VALID 24-bpp BMP (BI_RGB, bottom-up, padded strides):
+    * `f(x, y, c)` supplies channel c ∈ {0=R, 1=G, 2=B} of pixel (x, y),
+    * truncated to a byte.
+    */
+  def syntheticBmpImage(w: Int, h: Int,
+      f: (Int, Int, Int) => Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val out = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(size).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h)
+    out.putShort(1.toShort).putShort(24.toShort)
+    out.putInt(0) // BI_RGB
+    out.putInt(stride * h)
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up: first stored row = bottom image row
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        out.put((f(x, y, 2) & 0xff).toByte) // B
+          .put((f(x, y, 1) & 0xff).toByte) // G
+          .put((f(x, y, 0) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { out.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Full VALID PNG (8-bit, real zlib-deflated IDAT, real CRCs):
+    * colorType ∈ {0=gray, 2=RGB, 6=RGBA}; each scanline carries filter
+    * `y % 5`, so a decoder must correctly undo None, Sub, Up, Average
+    * AND Paeth to reconstruct — any filter defect corrupts the stats.
+    */
+  def syntheticPngImage(w: Int, h: Int, colorType: Int,
+      f: (Int, Int, Int) => Int): Array[Byte] = {
+    val ch = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case other => throw new IllegalArgumentException(s"colorType $other")
+    }
+    val rowBytes = w * ch
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val cur = new Array[Int](rowBytes)
+    val prev = new Array[Int](rowBytes)
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < rowBytes) { cur(i) = f(i / ch, y, i % ch) & 0xff; i += 1 }
+      val ft = y % 5
+      val base = y * (rowBytes + 1)
+      raw(base) = ft.toByte
+      i = 0
+      while (i < rowBytes) {
+        val a = if (i >= ch) cur(i - ch) else 0
+        val b = prev(i)
+        val c = if (i >= ch) prev(i - ch) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(base + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val compBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) compBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val comp = compBuf.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length)
+      out.put(typ.getBytes("US-ASCII"))
+      out.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Batched pixel-tier extraction: same mapPartitions shape as
+    * [[extractFeatures]] (per-task decoder state), undecodable payloads
+    * flow through as null stats.
+    */
+  def extractPixelStats(media: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodePixels(r.payload) match {
+          case Some(s) => PixelFeatures(r.media_id, Some(s.format),
+            Some(s.width), Some(s.height), Some(s.channels),
+            Some(s.px_mean), Some(s.px_min), Some(s.px_max))
+          case None => PixelFeatures(r.media_id, None, None, None, None,
+            None, None, None)
+        }
+      }
+    }
+  }
 }
