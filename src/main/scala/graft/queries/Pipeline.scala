@@ -1068,5 +1068,88 @@ object Pipeline {
               .as("chunk_digest"))
           .orderBy("doc_id", "chunk_idx")
       }),
+
+    Q("q126_stream_incremental_clusters",
+      "streaming incremental clustering: micro-batched eval docs LSH-" +
+        "banded, paired against the standing band index, and merged " +
+        "into the standing star forest via incrementalClusters — the " +
+        "oracle recomputes the FULL corpus clustering from scratch, so " +
+        "the hash match proves streamed-incremental ≡ batch recompute",
+      Some(s"""WITH RECURSIVE
+        w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh2 AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig2 AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh2),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig2),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id"""),
+      (s, d) => {
+        // The q109 merge composed into a standing stream topology: the
+        // train split is the day-0 corpus (banded, self-joined,
+        // clustered); eval docs then arrive in FOUR micro-batches
+        // (maxFilesPerTrigger=1 over a 4-file staging dir). Each batch
+        // pairs against the standing index (docs that arrived before
+        // it) plus itself, so the union of all per-batch pair sets is
+        // EXACTLY the full-corpus pair set — which is what the oracle
+        // clusters from scratch. Scale shape per batch: the batch's
+        // bands probe the index via the band equi-join; the settled
+        // forest is only touched through incrementalClusters'
+        // broadcast semi-joins (settled labels never shuffle). The
+        // driver-side vars stand in for the state store a production
+        // topology would keep the index/forest in.
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.Trigger
+        val raw = s.read.parquet(s"$d/documents.parquet")
+        def bandsOf(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), posexplode(
+            graft.functions.GraftFunctions.minhashBands(s,
+              graft.functions.GraftFunctions.shingles(s, col("text")))))
+            .toDF("doc_id", "bi", "bv")
+        def pairsBetween(l: DataFrame, r: DataFrame): DataFrame =
+          l.toDF("l_id", "bi", "bv")
+            .join(r.toDF("r_id", "bi", "bv"), Seq("bi", "bv"))
+            .filter(col("l_id") =!= col("r_id"))
+            .select(least(col("l_id"), col("r_id")).as("a_id"),
+              greatest(col("l_id"), col("r_id")).as("b_id"))
+            .distinct()
+        var index = bandsOf(raw.filter(col("doc_id") % 10 =!= 0))
+          .localCheckpoint()
+        var forest = graft.dedup.Dedup.dupClusters(
+          pairsBetween(index, index)).localCheckpoint()
+        // stage eval docs as 4 files → 4 genuine micro-batches
+        val inDir = scratchDir("sic_in", d)
+        raw.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(inDir)
+        val outDir = scratchDir("sic_chk", d)
+        val q = s.readStream.schema(raw.select("doc_id", "text").schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .option("checkpointLocation", s"$outDir/_chk")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val bb = bandsOf(batch).localCheckpoint()
+            val newPairs = pairsBetween(bb, index).union(pairsBetween(bb, bb))
+              .distinct()
+            forest = graft.dedup.Dedup.incrementalClusters(forest, newPairs)
+              .localCheckpoint()
+            index = index.union(bb).localCheckpoint()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        forest.orderBy("doc_id")
+      }),
   )
 }
