@@ -66,15 +66,42 @@ object QboSource {
 
   /** Page envelopes → one entity row per element (union of pages = the
     * reference's `all_data.extend(page)`, SURVEY §2.6 set-op analog).
+    *
+    * Schema-drift policy (the dynamic layer-1 schema of SURVEY §1,
+    * declared here and pinned by QboSourceSpec):
+    *  - UNKNOWN fields on a live page are ignored — the declared
+    *    selection schema (layer 2) is the contract, and the reference's
+    *    own `df[selected_columns]` projection would drop them anyway;
+    *  - a DROPPED declared field parses as null and flows through the
+    *    cast layer's null handling (fillna / try_cast), same as an
+    *    absent optional struct;
+    *  - a MALFORMED page (invalid JSON, or type drift that defeats the
+    *    declared-schema parse) is a LOUD error, never a silently-empty
+    *    page: the corrupt-record column feeds a raise_error guard that
+    *    fires inside the scan, because the alternative — PERMISSIVE's
+    *    null envelope — would explode to zero rows and truncate the
+    *    load invisibly (the worst failure mode for a full-refresh
+    *    pipeline: TRUNCATE + partial reload).
     */
   def entityFrame(spark: SparkSession, entity: String, pages: Seq[String],
       schema: StructType): DataFrame = {
     import spark.implicits._
+    val corruptCol = "_graft_corrupt_record"
     val envelope = StructType(Seq(StructField("QueryResponse", StructType(Seq(
       StructField(entity, ArrayType(schema)),
       StructField("maxResults", IntegerType),
-      StructField("startPosition", IntegerType))))))
-    spark.read.schema(envelope).json(spark.createDataset(pages))
+      StructField("startPosition", IntegerType)))),
+      StructField(corruptCol, StringType)))
+    spark.read.schema(envelope)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(spark.createDataset(pages))
+      // the guard lives in a filter so column pruning cannot drop it
+      .filter(when(col(corruptCol).isNotNull,
+        raise_error(concat(
+          lit(s"QBO $entity page failed the declared-schema parse: "),
+          substring(col(corruptCol), 1, 200))))
+        .otherwise(lit(true)))
       .select(explode(col(s"QueryResponse.`$entity`")).as("e"))
       .select("e.*")
   }

@@ -43,6 +43,69 @@ class QboSourceSpec extends SparkSpec {
     assert(df.count() == 200)
     assert(api.calls == 3) // trailing empty page terminates
   }
+
+  test("schema drift: unknown fields ignored, dropped declared fields " +
+    "null (layer-1 policy)") {
+    val page = """{"QueryResponse": {"Bill": [
+      {"Id": "1", "TxnDate": "2024-01-05", "Balance": 5.0,
+       "BrandNewStruct": {"x": 1}, "another_unknown": "y"},
+      {"Id": "2"}
+    ], "maxResults": 2, "startPosition": 1}}"""
+    val df = QboSource.entityFrame(spark, "Bill", Seq(page), Schemas.bill)
+    assert(df.count() == 2)
+    // the declared selection schema is the contract — additions the API
+    // grows do not leak into the frame
+    assert(!df.columns.contains("BrandNewStruct"))
+    assert(!df.columns.contains("another_unknown"))
+    // a field the API dropped parses as null and flows into the cast
+    // layer's null handling
+    val r2 = df.filter(col("Id") === "2").select("TxnDate", "Balance").head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    val r1 = df.filter(col("Id") === "1").select("Balance").head
+    assert(r1.getDouble(0) == 5.0)
+  }
+
+  test("schema drift: malformed page fails LOUDLY, never as a silently " +
+    "empty page") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // invalid JSON: without the guard PERMISSIVE parses this to a null
+    // envelope → zero rows → an invisible partial load
+    val invalid = """{"QueryResponse": {"Bill": [{"Id": "1"]}}"""
+    val e1 = intercept[Throwable] {
+      QboSource.entityFrame(spark, "Bill", Seq(invalid), Schemas.bill).count()
+    }
+    assert(messages(e1).contains("declared-schema parse"), messages(e1))
+    // type drift that defeats the declared schema (Balance: object where
+    // double is declared) is drift, not data
+    val typeDrift = """{"QueryResponse": {"Bill": [
+      {"Id": "1", "Balance": {"amount": 5.0}}], "maxResults": 1}}"""
+    val e2 = intercept[Throwable] {
+      QboSource.entityFrame(spark, "Bill", Seq(typeDrift), Schemas.bill).count()
+    }
+    assert(messages(e2).contains("declared-schema parse"), messages(e2))
+  }
+
+  test("schema drift through the DSv2 source: unknowns ignored, missing " +
+    "fields null, malformed pages loud") {
+    import graft.sources.QboPageFeeds
+    QboPageFeeds.register("drift_ok", Seq(
+      """{"QueryResponse": {"Bill": [
+        {"Id": "7", "TxnDate": "2024-02-02", "futureField": [1, 2]},
+        {"Id": "8", "Balance": 1.25}
+      ], "maxResults": 2}}"""))
+    val df = spark.read.format("qbo")
+      .option("entity", "Bill").option("feed", "drift_ok").load()
+    assert(df.count() == 2)
+    assert(!df.columns.contains("futureField"))
+    assert(df.filter(col("Id") === "8").select("TxnDate").head.isNullAt(0))
+    QboPageFeeds.register("drift_bad", Seq("""{"QueryResponse": {"Bill":"""))
+    intercept[Throwable] {
+      spark.read.format("qbo")
+        .option("entity", "Bill").option("feed", "drift_bad").load().count()
+    }
+  }
 }
 
 class ReportsSpec extends SparkSpec {
