@@ -422,10 +422,25 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       q: Int = 2, dMax: Int = 3): DataFrame = {
-    val prefLen = q * dMax + 1
-    val lMin = q * (dMax + 1) + dMax // below this the q-gram bound is vacuous
     val strs = df.select(col(idCol).as("id"), col(strCol).as("p"))
       .withColumn("len", length(col("p")))
+    val cand = editDistanceCandidates(strs, q, dMax)
+    cand.join(strs.select(col("id").as("a_id"), col("p").as("a_p")), "a_id")
+      .join(strs.select(col("id").as("b_id"), col("p").as("b_p")), "b_id")
+      .withColumn("dist",
+        levenshtein(col("a_p"), col("b_p"), dMax).cast("long"))
+      .filter(col("dist") >= 0) // banded levenshtein: −1 means > dMax
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** The Ed-Join candidate stage alone ((a_id, b_id) before the banded
+    * verify) — exposed for the scale probes so candidate mass is
+    * measured on EXACTLY the production gate, not a probe-local copy.
+    */
+  private[graft] def editDistanceCandidates(strs: DataFrame, q: Int,
+      dMax: Int): DataFrame = {
+    val prefLen = q * dMax + 1
+    val lMin = q * (dMax + 1) + dMax // below this the q-gram bound is vacuous
     val long = strs.filter(col("len") >= lMin)
     val grams = long.select(col("id"), col("len"), explode(array_distinct(
         transform(sequence(lit(1), col("len") - (q - 1)),
@@ -462,13 +477,7 @@ object Dedup {
       .join(shortB, col("a_len") === col("lb") && col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
-    val cand = gated.union(shortCand).distinct()
-    cand.join(strs.select(col("id").as("a_id"), col("p").as("a_p")), "a_id")
-      .join(strs.select(col("id").as("b_id"), col("p").as("b_p")), "b_id")
-      .withColumn("dist",
-        levenshtein(col("a_p"), col("b_p"), dMax).cast("long"))
-      .filter(col("dist") >= 0) // banded levenshtein: −1 means > dMax
-      .select(col("a_id"), col("b_id"), col("dist"))
+    gated.union(shortCand).distinct()
   }
 
   /** Guaranteed-recall set-similarity self-join at Jaccard threshold
@@ -500,22 +509,44 @@ object Dedup {
   def setSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
       tNum: Int = 7, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    // One shared (id, sh) exchange feeds all four consumers (prefix
-    // elements, df counts, both verify joins). The isNotNull filter is
-    // explicit so every branch pushes the SAME predicates below the
-    // repartition — without it the join branches infer isnotnull(id)
-    // and the df branch doesn't, the exchange subtrees stop being
-    // identical, and ReuseExchange silently degrades to three full
-    // scan+shingle passes over the corpus (observed, not hypothetical).
-    // (the sh-isNotNull filter below mirrors the constraint the explode
-    // branch infers on its own, for the same reason)
-    val base = df.filter(col(idCol).isNotNull)
+    val sized = setSimilaritySized(df, idCol, textCol)
+    val cand = setSimilarityCandidates(sized, tNum, tDen)
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(array_union(col("a_sh"), col("b_sh")))
+    cand.join(sized.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sized.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .filter(inter * tDen >= uni * tNum) // cross-multiplied: engine-exact
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / uni).as("jacc"))
+  }
+
+  /** The shared (id, shingle-set, size) frame feeding every PPJoin
+    * consumer. One shared exchange feeds all four consumers (prefix
+    * elements, df counts, both verify joins). The isNotNull filter is
+    * explicit so every branch pushes the SAME predicates below the
+    * repartition — without it the join branches infer isnotnull(id)
+    * and the df branch doesn't, the exchange subtrees stop being
+    * identical, and ReuseExchange silently degrades to three full
+    * scan+shingle passes over the corpus (observed, not hypothetical).
+    * (the sh-isNotNull filter below mirrors the constraint the explode
+    * branch infers on its own, for the same reason)
+    */
+  private[graft] def setSimilaritySized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), graft.functions.GraftFunctions
         .shingles(df.sparkSession, col(textCol)).as("sh"))
       .filter(col("sh").isNotNull)
       .repartition(col("id"))
-    val sized = base.select(col("id"), col("sh"), size(col("sh")).as("sz"))
+      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .filter(col("sz") > 0)
+
+  /** The PPJoin candidate stage alone ((a_id, b_id) before the exact
+    * Jaccard verify) — exposed for the scale probes, same rationale as
+    * [[editDistanceCandidates]].
+    */
+  private[graft] def setSimilarityCandidates(sized: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
     val elems = sized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
     val dfreq = elems.groupBy(col("e")).agg(count(lit(1)).as("df"))
     // prefix length p = sz − ⌈t·sz⌉ + 1; ceil-div in integers (floor of
@@ -527,19 +558,12 @@ object Dedup {
       .filter(col("rn") <= col("sz") - minOverlap + 1)
       .select(col("e"), col("id"), col("sz"))
       .repartition(col("e")) // shared exchange for the self-join
-    val cand = pref.as("a").join(pref.as("b").hint("merge"),
+    pref.as("a").join(pref.as("b").hint("merge"),
         col("a.e") === col("b.e") && col("a.id") < col("b.id") &&
           col("b.sz") * tDen >= col("a.sz") * tNum &&
           col("a.sz") * tDen >= col("b.sz") * tNum)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val uni = size(array_union(col("a_sh"), col("b_sh")))
-    cand.join(sized.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sized.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .filter(inter * tDen >= uni * tNum) // cross-multiplied: engine-exact
-      .select(col("a_id"), col("b_id"),
-        (inter.cast("double") / uni).as("jacc"))
   }
 
   /** Jaccard similarity of two distinct-element arrays. */

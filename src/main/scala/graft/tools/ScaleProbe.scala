@@ -66,13 +66,14 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
     val doR4 = fam == "all" || fam == "r4"
     val doR5 = fam == "all" || fam == "r5"
+    val doR6 = fam == "all" || fam == "r6"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -375,6 +376,53 @@ object ScaleProbe {
               i => slice(col("ws"), (i * 24 + 1).cast("int"), lit(32))))
               .as(Seq("chunk_idx", "toks")))
           .select(md5(encode(concat_ws(" ", col("toks")), "UTF-8"))).count()
+      }
+      }
+
+      if (doR6) {
+      // --- Guaranteed-recall join family (q105/q106/q118/q119): probe
+      // prefix-mass (the shuffle-rows column — grams/elements + prefix
+      // chains dominate it) and CANDIDATE-pair growth vs corpus, then
+      // the full verified join. Decorrelation differs per operator:
+      //  - Ed-Join compares 24-char prefixes, so replicas get a
+      //    rep-specific 8-hex-char TAG PREPENDED — cross-rep distance
+      //    ≈ 7-8 ≫ d (word-injection would leave cross-rep distance
+      //    ≤ 2 and measure the generator, not the operator); within a
+      //    rep the common tag adds distance 0, so true dup structure
+      //    scales linearly like a real corpus.
+      //  - PPJoin compares 3-word shingle sets, so the usual
+      //    between-word rep token works: every cross-rep shingle
+      //    differs (J = 0), within-rep Jaccard is preserved.
+      val edTag = substring(md5(concat(lit("rep"), col("rep"))), 1, 8)
+      val edStrs = docsX.filter(length(col("text")) >= 24)
+        .select(col("doc_id").as("id"),
+          substring(concat(edTag, lit(" "), col("text")), 1, 24).as("p"))
+        .withColumn("len", length(col("p")))
+      time(s"edjoin candidates d<=3 @${mult}x") {
+        graft.dedup.Dedup.editDistanceCandidates(edStrs, q = 2, dMax = 3).count()
+      }
+      time(s"edjoin candidates d<=1 @${mult}x") {
+        graft.dedup.Dedup.editDistanceCandidates(edStrs, q = 2, dMax = 1).count()
+      }
+      time(s"edjoin full verify d<=1 @${mult}x") {
+        graft.dedup.Dedup.editDistancePairs(
+          edStrs.select(col("id"), col("p")), "id", "p",
+          q = 2, dMax = 1).count()
+      }
+      val ppDecorr = docsX.select(col("doc_id"),
+        regexp_replace(col("text"), lit(" "),
+          concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+      val ppSized = graft.dedup.Dedup.setSimilaritySized(
+        ppDecorr, "doc_id", "text")
+      time(s"ppjoin candidates t=0.5 @${mult}x") {
+        graft.dedup.Dedup.setSimilarityCandidates(ppSized, 1, 2).count()
+      }
+      time(s"ppjoin candidates t=0.8 @${mult}x") {
+        graft.dedup.Dedup.setSimilarityCandidates(ppSized, 4, 5).count()
+      }
+      time(s"ppjoin full verify t=0.8 @${mult}x") {
+        graft.dedup.Dedup.setSimilarityPairs(ppDecorr, "doc_id", "text",
+          tNum = 4, tDen = 5).count()
       }
       }
 
