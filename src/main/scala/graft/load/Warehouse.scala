@@ -1,6 +1,6 @@
 package graft.load
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Warehouse load patterns (SURVEY §2.5 W3-W5).
@@ -56,6 +56,54 @@ object Warehouse {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Slowly-changing-dimension type-2 merge — the warehouse-native
+    * upgrade of the reference's full-refresh loads (W4): instead of
+    * truncating history on every sync, changed rows are CLOSED
+    * (`valid_to` = batch date) and re-inserted as the new current
+    * version, so every past state stays queryable.
+    *
+    * `dim` must carry `valid_from`/`valid_to` (string dates, null
+    * `valid_to` = current); `batch` carries `key` + `tracked` — a CDC
+    * changeset, so keys absent from the batch simply stay current.
+    * Null-safe (`<=>`) comparison on `tracked` makes same-value
+    * re-sends no-ops (idempotent re-runs, the property W5 guarantees
+    * for months). Keys are assumed non-null (dimension grain).
+    *
+    * Scale shape: ONE equi-join of the current slice against the batch
+    * (Catalyst broadcasts the batch side when small — the common CDC
+    * case — and AQE handles the big-backfill case), then a single
+    * narrow explode emits 1 or 2 output rows per joined key: no second
+    * scan, no window, no driver round-trip. History rows pass through
+    * without touching the join.
+    */
+  def mergeScd2(dim: DataFrame, batch: DataFrame, key: String,
+      tracked: Seq[String], batchDate: String): DataFrame = {
+    val history = dim.filter(col("valid_to").isNotNull)
+    val current = dim.filter(col("valid_to").isNull)
+    val joined = current.alias("d")
+      .join(batch.alias("b"), col("d." + key) === col("b." + key),
+        "full_outer")
+    val dPresent = col("d." + key).isNotNull
+    val bPresent = col("b." + key).isNotNull
+    val unchanged = tracked.map(t => col("d." + t) <=> col("b." + t))
+      .reduce(_ && _)
+    def version(side: String, from: Column, to: Column): Column =
+      struct((col(s"$side.$key").as(key) +:
+        tracked.map(t => col(s"$side.$t").as(t))) :+
+        from.as("valid_from") :+ to.as("valid_to"): _*)
+    val keptD = version("d", col("d.valid_from"), lit(null).cast("string"))
+    val closedD = version("d", col("d.valid_from"), lit(batchDate))
+    val freshB = version("b", lit(batchDate), lit(null).cast("string"))
+    val merged = joined.select(
+      when(dPresent && bPresent && unchanged, array(keptD))
+        .when(dPresent && bPresent, array(closedD, freshB))
+        .when(dPresent, array(keptD))
+        .otherwise(array(freshB)).as("versions"))
+      .select(explode(col("versions")).as("v"))
+      .select(col("v.*"))
+    history.select(merged.columns.map(col).toSeq: _*).union(merged)
+  }
 
   /** C5-style load audit: staged vs loaded row counts. */
   def auditCounts(staged: DataFrame, table: String): (Long, Long) =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import Common._
-import graft.multimodal.Multimodal
+import graft.multimodal.{AudioVideo, Multimodal}
 import graft.ops.Hashing
 
 /** Multimodal-column query surface: the binary → mapPartitions-decode →
@@ -126,6 +126,107 @@ object MultimodalOps {
             col("height"), col("channels"), col("px_mean"),
             col("px_min"), col("px_max"))
           .orderBy("media_id")
+      }),
+
+    Q("q127_audio_stats",
+      "REAL audio-tier decode: per-doc synthesized RIFF/WAVE PCM " +
+        "payloads (8-bit unsigned and 16-bit signed, mono and stereo, " +
+        "mixed sample rates) flow through the batched decoder; " +
+        "duration and one-pass sample statistics must match the " +
+        "closed-form synthesis formula — any defect in chunk walking, " +
+        "block alignment or sign handling hash-fails",
+      Some("""WITH g AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS channels,
+            CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END AS sample_rate,
+            CAST(doc_id % 50 + 20 AS BIGINT) AS n_frames,
+            doc_id % 2 = 0 AS wide
+          FROM documents),
+        s AS (
+          SELECT g.doc_id, g.channels, g.sample_rate, g.n_frames, g.wide,
+            CASE WHEN g.wide
+                 THEN (g.doc_id*13 + t.t*7 + c.c*3) % 65536 - 32768
+                 ELSE (g.doc_id*13 + t.t*7 + c.c*3) % 256 END AS v
+          FROM g, range(0, 70) t(t), range(0, 2) c(c)
+          WHERE t.t < g.n_frames AND c.c < g.channels)
+        SELECT doc_id AS media_id, CAST(channels AS INT) AS channels,
+          CAST(sample_rate AS INT) AS sample_rate, n_frames,
+          n_frames * 1000.0 / sample_rate AS duration_ms,
+          CAST(SUM(v) AS DOUBLE) / COUNT(*) AS sample_mean,
+          CAST(MIN(v) AS INT) AS sample_min,
+          CAST(MAX(v) AS INT) AS sample_max
+        FROM s
+        GROUP BY doc_id, channels, sample_rate, n_frames
+        ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        // Synthesis is executor-side, as in q110/q125: payload bytes
+        // exist only inside tasks; the oracle knows the closed-form twin.
+        val media = table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val channels = if (id % 3 == 0) 2 else 1
+            val rate = (id % 3) match {
+              case 0 => 8000; case 1 => 16000; case _ => 44100
+            }
+            val frames = (id % 50 + 20).toInt
+            val bits = if (id % 2 == 0) 16 else 8
+            def f(t: Int, c: Int): Int =
+              if (bits == 16) ((id * 13 + t * 7 + c * 3) % 65536).toInt - 32768
+              else ((id * 13 + t * 7 + c * 3) % 256).toInt
+            Multimodal.MediaRow(id, "wav",
+              AudioVideo.syntheticWav(frames, channels, rate, bits, f))
+          }
+        AudioVideo.extractAudioStats(media).toDF()
+          .select(col("media_id"), col("channels"), col("sample_rate"),
+            col("n_frames"), col("duration_ms"), col("sample_mean"),
+            col("sample_min"), col("sample_max"))
+          .orderBy("media_id")
+      }),
+
+    Q("q128_frame_sample",
+      "REAL video-tier frame sampling: per-doc synthesized YUV4MPEG2 " +
+        "streams (C420 chroma planes with non-constant filler) are " +
+        "sampled every 3rd frame by the batched decoder; per-sampled-" +
+        "frame luma stats must match the closed-form formula — a " +
+        "mis-sized chroma plane misaligns every later frame, so the " +
+        "hash doubles as a frame-alignment proof",
+      Some("""WITH g AS (
+          SELECT doc_id,
+            CAST(2 * (doc_id % 8 + 2) AS INT) AS width,
+            CAST(2 * (doc_id % 6 + 2) AS INT) AS height,
+            CAST(doc_id % 9 + 4 AS INT) AS n_frames
+          FROM documents),
+        px AS (
+          SELECT g.doc_id, g.width, g.height, g.n_frames, t.t,
+            (g.doc_id*7 + x.x*3 + y.y*5 + t.t*11) % 256 AS v
+          FROM g, range(0, 13) t(t), range(0, 18) x(x), range(0, 14) y(y)
+          WHERE t.t < g.n_frames AND t.t % 3 = 0
+            AND x.x < g.width AND y.y < g.height)
+        SELECT doc_id AS media_id, width, height, n_frames,
+          CAST(t AS INT) AS frame_idx,
+          CAST(SUM(v) AS DOUBLE) / COUNT(*) AS y_mean,
+          CAST(MIN(v) AS INT) AS y_min, CAST(MAX(v) AS INT) AS y_max
+        FROM px
+        GROUP BY doc_id, width, height, n_frames, t
+        ORDER BY media_id, frame_idx"""),
+      (s, d) => {
+        import s.implicits._
+        val media = table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (2 * (id % 8 + 2)).toInt
+            val h = (2 * (id % 6 + 2)).toInt
+            val frames = (id % 9 + 4).toInt
+            def luma(x: Int, y: Int, t: Int): Int =
+              ((id * 7 + x * 3 + y * 5 + t * 11) % 256).toInt
+            Multimodal.MediaRow(id, "y4m",
+              AudioVideo.syntheticY4m(w, h, frames, luma))
+          }
+        AudioVideo.extractFrameStats(media, stride = 3).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("frame_idx"), col("y_mean"),
+            col("y_min"), col("y_max"))
+          .orderBy("media_id", "frame_idx")
       })
   )
 }

@@ -321,6 +321,107 @@ object Relational3 {
         s.read.parquet(dest)
           .filter(col("l_partkey") <= 40 && col("l_suppkey") <= 10)
           .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    Q("q129_scd2_merge",
+      "SCD2 warehouse merge: a CDC batch (segment moves, balance " +
+        "bumps, no-op re-sends, brand-new keys) merges into a current " +
+        "dimension — changed rows close at the batch date and re-open " +
+        "as the new current version, no-ops stay untouched; one " +
+        "equi-join + narrow explode, batch side broadcastable",
+      Some("""WITH dim AS (
+          SELECT c_custkey AS k, c_mktsegment AS segment,
+                 c_acctbal AS acctbal, '2024-01-01' AS valid_from,
+                 CAST(NULL AS VARCHAR) AS valid_to
+          FROM customer),
+        batch AS (
+          SELECT c_custkey AS k,
+            CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                 ELSE c_mktsegment END AS segment,
+            CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100
+                 ELSE c_acctbal END AS acctbal
+          FROM customer
+          WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0 OR c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEW', c_acctbal FROM customer
+          WHERE c_custkey % 13 = 0),
+        changed AS (
+          SELECT d.k FROM dim d JOIN batch b USING (k)
+          WHERE d.segment IS DISTINCT FROM b.segment
+             OR d.acctbal IS DISTINCT FROM b.acctbal),
+        merged AS (
+          SELECT k, segment, acctbal, valid_from, valid_to FROM dim
+            WHERE k NOT IN (SELECT k FROM changed)
+          UNION ALL
+          SELECT k, segment, acctbal, valid_from, '2024-06-15' FROM dim
+            WHERE k IN (SELECT k FROM changed)
+          UNION ALL
+          SELECT b.k, b.segment, b.acctbal, '2024-06-15',
+                 CAST(NULL AS VARCHAR)
+          FROM batch b LEFT JOIN dim d USING (k)
+          WHERE d.k IS NULL OR b.k IN (SELECT k FROM changed))
+        SELECT k, segment, acctbal, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM merged ORDER BY k, valid_from"""),
+      (s, d) => {
+        val cust = table(s, d, "customer")
+        val dim = cust.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+        // the CDC batch: two real change families, one no-op family
+        // (%5 re-sends unchanged values — must NOT open a new version),
+        // and inserts under fresh keys
+        val batch = cust
+          .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0 ||
+            col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("k"),
+            when(col("c_custkey") % 7 === 0, lit("MOVED"))
+              .otherwise(col("c_mktsegment")).as("segment"),
+            when(col("c_custkey") % 11 === 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")).as("acctbal"))
+          .unionAll(cust.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("k"),
+              lit("NEW").as("segment"), col("c_acctbal").as("acctbal")))
+        graft.load.Warehouse
+          .mergeScd2(dim, batch, "k", Seq("segment", "acctbal"), "2024-06-15")
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("k", "valid_from")
+      }),
+
+    Q("q130_heavy_hitters",
+      "exact top-10 heavy hitters through a bounded-memory Misra-Gries " +
+        "candidate pass (TypedImperativeAggregate, capacity 64): the " +
+        "skewed item stream has ~30k distinct values but the sketch " +
+        "shuffles at most 64 rows per partition; an exact counting " +
+        "pass over the broadcast candidate set (a guaranteed superset " +
+        "of every item above n/65) makes the result exact — the scale " +
+        "trade is a second scan instead of a vocabulary-sized shuffle",
+      Some("""WITH items AS (
+          SELECT CASE WHEN l_orderkey % 2 = 0
+                      THEN 'hot_' || CAST(l_partkey % 10 AS VARCHAR)
+                      ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) || '_' ||
+                           CAST(l_linenumber AS VARCHAR) END AS item
+          FROM lineitem)
+        SELECT item, COUNT(*) AS n FROM items
+        GROUP BY item ORDER BY n DESC, item LIMIT 10"""),
+      (s, d) => {
+        // half the rows concentrate on 10 hot items (~3k each), the
+        // rest are near-unique cold keys — the regime MG exists for
+        val items = table(s, d, "lineitem").select(
+          when(col("l_orderkey") % 2 === 0,
+            concat(lit("hot_"), (col("l_partkey") % 10).cast("string")))
+            .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string"),
+              lit("_"), col("l_linenumber").cast("string"))).as("item"))
+        val cands = items
+          .agg(graft.functions.MisraGriesAgg
+            .mgCandidates(s, col("item"), 64).as("c"))
+          .select(explode(col("c")).as("item"))
+        // exact pass: only candidate items survive the broadcast join,
+        // so the count shuffle carries <= 64 distinct keys
+        items.join(broadcast(cands), "item")
+          .groupBy(col("item")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("item")).limit(10)
       })
   )
 }

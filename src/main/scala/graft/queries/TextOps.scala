@@ -647,5 +647,44 @@ object TextOps {
         .select(col("doc_id"),
           graft.functions.SimHash(s, col("text")).as("simhash"))
         .orderBy("doc_id"))
+  ,
+
+    Q("q131_quality_classifier",
+      "hashed-feature linear quality classifier, fastText-style: token " +
+        "→ rolling-hash bucket (1024 slots) → closed-form integer " +
+        "weight, summed exactly and length-normalized to a score + " +
+        "keep/drop verdict; nested higher-order functions, zero " +
+        "shuffle, codegen end to end",
+      Some(s"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+          FROM documents),
+        w AS (
+          SELECT doc_id, len(ws) AS n_tokens,
+            list_transform(ws, t ->
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(t)+1),
+                  i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+                (a, b) -> (a*31 + b) % ${Hashing.P}) % 1024) AS buckets
+          FROM toks),
+        scored AS (
+          SELECT doc_id, n_tokens,
+            CAST(list_sum(list_transform(buckets, b -> b % 201 - 100))
+              AS BIGINT) AS raw_score
+          FROM w)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, raw_score,
+          CAST(raw_score AS DOUBLE) / (100.0 * n_tokens) AS quality_score,
+          raw_score > 0 AS keep
+        FROM scored ORDER BY doc_id"""),
+      (s, d) => {
+        val buckets = hashedBuckets(words(col("text")), 1024)
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_tokens"),
+            hashedLinearScore(buckets).as("raw_score"))
+          .withColumn("quality_score",
+            col("raw_score").cast("double") / (lit(100.0) * col("n_tokens")))
+          .withColumn("keep", col("raw_score") > 0)
+          .orderBy("doc_id")
+      })
   )
 }

@@ -56,6 +56,24 @@ object TextFunctions {
         (acc, i) => (acc * 31 + ascii(c.substr(i, lit(1)))) % Hashing.P))
       .otherwise(lit(0L))
 
+  /** Hashed-feature buckets, fastText-style: each token hashes (same
+    * rolling polynomial as [[fingerprint]]) into one of `buckets`
+    * feature slots. Nested higher-order functions — stays inside
+    * codegen, no UDF, zero shuffle.
+    */
+  def hashedBuckets(ws: Column, buckets: Int): Column =
+    transform(ws, w => fingerprint(w) % buckets)
+
+  /** Linear-model raw score over hashed features with a closed-form
+    * integer weight table (`w(b) = b mod 201 − 100`, i.e. −100..100
+    * scaled by 1/100): exact integer arithmetic until the caller's
+    * final division, so engine-exact. A production deployment swaps
+    * the formula for a broadcast learned-weight array; the pipeline
+    * shape (token → bucket → weight → sum) is identical.
+    */
+  def hashedLinearScore(bucketsCol: Column): Column =
+    aggregate(bucketsCol, lit(0L), (acc, b) => acc + (b % 201 - 100))
+
   /** Stopword profiles for the language-ID heuristic (public common-word
     * lists, a few per language).
     */

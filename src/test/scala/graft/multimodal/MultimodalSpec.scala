@@ -119,4 +119,138 @@ class MultimodalSpec extends SparkSpec {
     assert(c1 != c3)
     assert(Multimodal.decodeStub(Array.empty[Byte]) == ((-1, 0L)))
   }
+
+  test("WAV decode matches the javax.sound referee across bit depths " +
+    "and channel counts") {
+    // javax.sound.sampled is the independent referee — a full audio
+    // stack that knows nothing of our parser. Sample-exact agreement
+    // required (8-bit PCM is unsigned, 16-bit is signed little-endian).
+    def refereeStats(bytes: Array[Byte]): (Long, Int, Int, Long, Int, Float) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val bytesPer = fmt.getSampleSizeInBits / 8
+      val raw = in.readAllBytes()
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var n = 0L
+      var i = 0
+      while (i < raw.length) {
+        val v =
+          if (bytesPer == 1) raw(i) & 0xff
+          else ((raw(i + 1).toInt) << 8) | (raw(i) & 0xff)
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        n += 1
+        i += bytesPer
+      }
+      (sum, mn, mx, n / fmt.getChannels, fmt.getChannels, fmt.getSampleRate)
+    }
+    def wave(seed: Int)(t: Int, c: Int): Int =
+      (seed * 13 + t * 7 + c * 3) % 65536 - 32768
+    val cases = Seq(
+      ("16-bit mono", AudioVideo.syntheticWav(100, 1, 16000, 16, wave(1))),
+      ("16-bit stereo", AudioVideo.syntheticWav(77, 2, 44100, 16, wave(2))),
+      ("8-bit mono", AudioVideo.syntheticWav(50, 1, 8000, 8,
+        (t, c) => (t * 7 + c) % 256)),
+      ("8-bit stereo", AudioVideo.syntheticWav(33, 2, 22050, 8,
+        (t, c) => (t * 11 + c * 5) % 256)))
+    cases.foreach { case (label, bytes) =>
+      val got = AudioVideo.decodeWav(bytes)
+      assert(got.isDefined, label)
+      val s = got.get
+      val (refSum, refMn, refMx, refFrames, refCh, refRate) = refereeStats(bytes)
+      assert(s.channels == refCh, label)
+      assert(s.sample_rate == refRate.toInt, label)
+      assert(s.n_frames == refFrames, label)
+      assert(s.sample_mean == refSum.toDouble / (refFrames * refCh), label)
+      assert(s.sample_min == refMn, label)
+      assert(s.sample_max == refMx, label)
+    }
+  }
+
+  test("WAV decode walks chunk lists (odd-size padding) and refuses " +
+    "non-PCM or malformed payloads") {
+    val base = AudioVideo.syntheticWav(10, 1, 8000, 16, (t, _) => t * 100)
+    // splice an odd-sized LIST chunk between fmt and data; the RIFF pad
+    // byte must be honored or the data chunk is never found
+    val fmtEnd = 12 + 8 + 16
+    val odd = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = base.take(fmtEnd) ++ odd ++ base.drop(fmtEnd)
+    // RIFF size field must cover the spliced bytes
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val viaSplice = AudioVideo.decodeWav(spliced)
+    assert(viaSplice == AudioVideo.decodeWav(base))
+    assert(viaSplice.get.n_frames == 10)
+    // IEEE-float WAV (format code 3) is out of scope → None, not garbage
+    val floatWav = base.clone()
+    java.nio.ByteBuffer.wrap(floatWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3.toShort)
+    assert(AudioVideo.decodeWav(floatWav).isEmpty)
+    // truncated data chunk, text bytes, empty
+    assert(AudioVideo.decodeWav(base.take(base.length - 3)).isEmpty)
+    assert(AudioVideo.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioVideo.decodeWav(Array.empty[Byte]).isEmpty)
+  }
+
+  test("Y4M frame sampling: stride honors every-Nth, full decode " +
+    "matches per-frame closed form, colourspaces size planes correctly") {
+    def luma(x: Int, y: Int, t: Int): Int = (x * 3 + y * 5 + t * 11) % 256
+    val v = AudioVideo.syntheticY4m(8, 6, 7, luma)
+    val sampled = AudioVideo.sampleY4mFrames(v, 3).get
+    assert(sampled.n_frames == 7)
+    assert((sampled.width, sampled.height) == ((8, 6)))
+    assert(sampled.frames.map(_.frame_idx) == Seq(0, 3, 6))
+    // stride=1 decodes every frame; stats match the closed form
+    val full = AudioVideo.sampleY4mFrames(v, 1).get
+    assert(full.frames.size == 7)
+    full.frames.foreach { fr =>
+      val vals = for (y <- 0 until 6; x <- 0 until 8)
+        yield luma(x, y, fr.frame_idx)
+      assert(fr.y_mean == vals.sum.toDouble / vals.size)
+      assert(fr.y_min == vals.min)
+      assert(fr.y_max == vals.max)
+    }
+    // C444 and Cmono change plane sizes; frame alignment must follow
+    val hdr = "YUV4MPEG2 W4 H2 F25:1 C444\n".getBytes("US-ASCII")
+    val fr444 = "FRAME\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](24)(i => (i % 8).toByte) // Y + Cb + Cr, 8 each
+    val y444 = AudioVideo.sampleY4mFrames(hdr ++ fr444 ++ fr444, 1).get
+    assert(y444.n_frames == 2)
+    assert(y444.frames.head.y_mean == (0 until 8).map(_ % 8).sum / 8.0)
+    val mono = "YUV4MPEG2 W4 H2 Cmono\n".getBytes("US-ASCII") ++
+      ("FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](8)(9))
+    assert(AudioVideo.sampleY4mFrames(mono, 1).get.frames.head.y_mean == 9.0)
+    // no C tag → spec default C420
+    val noTag = "YUV4MPEG2 W4 H2\n".getBytes("US-ASCII") ++
+      ("FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](8 + 4)(4))
+    assert(AudioVideo.sampleY4mFrames(noTag, 1).get.frames.head.y_mean == 4.0)
+  }
+
+  test("Y4M refuses malformed containers as None, never throws") {
+    def luma(x: Int, y: Int, t: Int): Int = x + y + t
+    val v = AudioVideo.syntheticY4m(4, 4, 3, luma)
+    assert(AudioVideo.sampleY4mFrames(v, 2).isDefined)
+    // truncated mid-frame
+    assert(AudioVideo.sampleY4mFrames(v.take(v.length - 5), 1).isEmpty)
+    // odd dims are impossible under C420
+    val oddHdr = "YUV4MPEG2 W3 H2 C420\n".getBytes("US-ASCII")
+    assert(AudioVideo.sampleY4mFrames(
+      oddHdr ++ "FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](9)(0),
+      1).isEmpty)
+    // unsupported colourspace refused, not garbled
+    val c422 = "YUV4MPEG2 W4 H2 C422\n".getBytes("US-ASCII")
+    assert(AudioVideo.sampleY4mFrames(
+      c422 ++ "FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0),
+      1).isEmpty)
+    // zero frames, junk magic, empty
+    assert(AudioVideo.sampleY4mFrames(
+      "YUV4MPEG2 W4 H2 C420\n".getBytes("US-ASCII"), 1).isEmpty)
+    assert(AudioVideo.sampleY4mFrames("MPEG4 junk\n".getBytes("UTF-8"),
+      1).isEmpty)
+    assert(AudioVideo.sampleY4mFrames(Array.empty[Byte], 1).isEmpty)
+  }
 }

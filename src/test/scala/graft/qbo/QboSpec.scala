@@ -257,6 +257,57 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.auditCounts(feb, "t_pnl")._1 == 1)
     spark.sql("DROP TABLE t_pnl")
   }
+
+  test("mergeScd2 closes changed rows, keeps no-ops, inserts new keys, " +
+    "leaves absent keys current") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "A", "2024-01-01", null.asInstanceOf[String]),
+      (2L, "B", "2024-01-01", null.asInstanceOf[String]),
+      (3L, "C", "2024-01-01", null.asInstanceOf[String]),
+      // pre-existing history row: must pass through untouched
+      (1L, "OLD", "2023-01-01", "2024-01-01"))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq(
+      (1L, "A2"), // changed → close + reopen
+      (2L, "B"), // no-op re-send → untouched
+      (9L, "NEW")) // brand-new key → insert
+    // key 3 absent from the CDC batch → stays current
+      .toDF("k", "v")
+    val out = Warehouse.mergeScd2(dim, batch, "k", Seq("v"), "2024-06-15")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "OLD", "2023-01-01", Some("2024-01-01")),
+      (1L, "A", "2024-01-01", Some("2024-06-15")),
+      (1L, "A2", "2024-06-15", None),
+      (2L, "B", "2024-01-01", None),
+      (3L, "C", "2024-01-01", None),
+      (9L, "NEW", "2024-06-15", None)))
+  }
+
+  test("mergeScd2 re-running the same batch is a no-op (idempotent CDC)") {
+    import spark.implicits._
+    val dim = Seq((1L, "A", "2024-01-01", null.asInstanceOf[String]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq((1L, "A2"), (2L, "X")).toDF("k", "v")
+    val once = Warehouse.mergeScd2(dim, batch, "k", Seq("v"), "2024-06-15")
+    val twice = Warehouse.mergeScd2(once, batch, "k", Seq("v"), "2024-07-01")
+    // second merge finds every batch value already current → no new
+    // versions, no re-closed rows
+    assert(twice.as[(Long, String, String, Option[String])].collect().toSet
+      == once.as[(Long, String, String, Option[String])].collect().toSet)
+  }
+
+  test("mergeScd2 null-safe comparison: null tracked values are not " +
+    "spurious changes") {
+    import spark.implicits._
+    val dim = Seq((1L, null.asInstanceOf[String], "2024-01-01",
+      null.asInstanceOf[String])).toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq((1L, null.asInstanceOf[String])).toDF("k", "v")
+    val out = Warehouse.mergeScd2(dim, batch, "k", Seq("v"), "2024-06-15")
+    assert(out.count() == 1) // null == null under <=> → no-op
+    assert(out.filter(col("valid_to").isNull).count() == 1)
+  }
 }
 
 /** SURVEY §7 money-mode contract: `spark.graft.money=decimal` switches
