@@ -70,12 +70,15 @@ object Warehouse {
     * re-sends no-ops (idempotent re-runs, the property W5 guarantees
     * for months). Keys are assumed non-null (dimension grain).
     *
-    * Scale shape: ONE equi-join of the current slice against the batch
-    * (Catalyst broadcasts the batch side when small — the common CDC
-    * case — and AQE handles the big-backfill case), then a single
-    * narrow explode emits 1 or 2 output rows per joined key: no second
-    * scan, no window, no driver round-trip. History rows pass through
-    * without touching the join.
+    * Scale shape: ONE full-outer equi-join of the current slice
+    * against the batch on the dimension key (full-outer cannot
+    * broadcast, so this is a key-partitioned shuffle join by
+    * construction — with the dimension stored bucketed on `key`
+    * ([[writeBucketed]]) the dim-side exchange disappears and only the
+    * small CDC batch shuffles), then a single narrow explode emits 1
+    * or 2 output rows per joined key: no second scan, no window, no
+    * driver round-trip. History rows pass through without touching
+    * the join.
     */
   def mergeScd2(dim: DataFrame, batch: DataFrame, key: String,
       tracked: Seq[String], batchDate: String): DataFrame = {

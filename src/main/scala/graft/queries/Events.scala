@@ -270,6 +270,43 @@ object Events {
             sum(col("gap_us")).as("total_gap_us"),
             (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
           .orderBy("user_id")
+      }),
+
+    Q("q133_interval_join",
+      "large×large interval join via bin-overlap equi-join: clicks " +
+        "landing inside each user's 30-minute error window — intervals " +
+        "explode to ≤2 bins, points map to 1, shuffle is a plain " +
+        "(user, bin) equi-join instead of the nested loop a range " +
+        "predicate would plan; integer DIV bin math stays exact on " +
+        "microsecond epochs",
+      Some("""WITH err AS (
+          SELECT event_id AS err_id, user_id, epoch_us(ts) AS s
+          FROM events WHERE event_type = 'error'),
+        clk AS (
+          SELECT user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'click')
+        SELECT e.err_id, e.user_id,
+          CAST((SELECT COUNT(*) FROM clk c WHERE c.user_id = e.user_id
+                AND c.t >= e.s AND c.t < e.s + 1800000000) AS BIGINT)
+            AS n_clicks
+        FROM err e ORDER BY err_id"""),
+      (s, d) => {
+        val win = 1800000000L // 30 min in µs; binWidth = window length
+        val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("us").as("start_us"), (col("us") + win).as("end_us"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("t_us"))
+        val pairs = graft.ops.IntervalJoin.binned(
+          clk, err, "t_us", "start_us", "end_us", Seq("user_id"), win)
+        // keep zero-click windows: count matches, then left-join back
+        val counts = pairs.groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+        err.join(counts, Seq("err_id"), "left")
+          .select(col("err_id"), col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("err_id")
       })
   )
 }

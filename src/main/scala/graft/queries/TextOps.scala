@@ -685,6 +685,50 @@ object TextOps {
             col("raw_score").cast("double") / (lit(100.0) * col("n_tokens")))
           .withColumn("keep", col("raw_score") > 0)
           .orderBy("doc_id")
+      }),
+
+    Q("q132_bpe_pretokens",
+      "BPE-style pre-tokenization (the GPT-2 regex family: " +
+        "contractions | letters | digits | punctuation runs, each with " +
+        "optional leading space) vs whitespace tokens — token counts, " +
+        "fertility ratio, and the first-5 token spellings; documents " +
+        "are decorated with deterministic punctuation/contractions so " +
+        "the two tokenizations genuinely diverge; pure narrow map, " +
+        "codegen regex, zero shuffle",
+      Some("""WITH t AS (
+          SELECT doc_id,
+            text || ' it''s v' || CAST(doc_id % 10 AS VARCHAR) || '.' ||
+              CAST(doc_id % 7 AS VARCHAR) || ', don''t #tag-' ||
+              CAST(doc_id AS VARCHAR) || '!!' AS rich
+          FROM documents),
+        tok AS (
+          SELECT doc_id,
+            regexp_split_to_array(rich, '\s+') AS ws,
+            regexp_extract_all(rich,
+              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')
+              AS bpe
+          FROM t)
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+          CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+          CAST(len(bpe) AS DOUBLE) / len(ws) AS fertility,
+          array_to_string(bpe[1:5], '|') AS head_tokens
+        FROM tok ORDER BY doc_id"""),
+      (s, d) => {
+        val rich = concat(col("text"), lit(" it's v"),
+          (col("doc_id") % 10).cast("string"), lit("."),
+          (col("doc_id") % 7).cast("string"), lit(", don't #tag-"),
+          col("doc_id").cast("string"), lit("!!"))
+        val bpe = regexp_extract_all(rich,
+          lit("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"),
+          lit(0))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(rich, "\\s+")).cast("long").as("n_ws_tokens"),
+            size(bpe).cast("long").as("n_bpe_tokens"),
+            (size(bpe).cast("double") / size(split(rich, "\\s+")))
+              .as("fertility"),
+            array_join(slice(bpe, 1, 5), "|").as("head_tokens"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -66,14 +66,15 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
     val doR4 = fam == "all" || fam == "r4"
     val doR5 = fam == "all" || fam == "r5"
     val doR6 = fam == "all" || fam == "r6"
+    val doR7 = fam == "all" || fam == "r7"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -423,6 +424,77 @@ object ScaleProbe {
       time(s"ppjoin full verify t=0.8 @${mult}x") {
         graft.dedup.Dedup.setSimilarityPairs(ppDecorr, "doc_id", "text",
           tNum = 4, tDen = 5).count()
+      }
+      }
+
+      if (doR7) {
+      // --- round-5 additions: SCD2 merge, MG heavy hitters, media
+      // decode tiers. Shuffle-rows is the scale column throughout.
+      val cust = table(spark, sfDir, "customer")
+      // decorrelated dimension: replica keys never collide, so the dim
+      // grows linearly like a real dimension would
+      val dimX = cust.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("c_custkey") + col("rep") * 10000000L).as("k"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+      // CDC batch = ~1% of keys changed: batch-side shuffle must stay
+      // ~1% of the dim-side (full outer cannot broadcast; the at-scale
+      // fix is a dim bucketed on k, which removes the big exchange)
+      val batchX = dimX.filter(col("k") % 100 === 0)
+        .select(col("k"), lit("MOVED").as("segment"),
+          (col("acctbal") + 1).as("acctbal"))
+      time(s"scd2 merge, 1% cdc batch @${mult}x") {
+        graft.load.Warehouse.mergeScd2(dimX, batchX, "k",
+          Seq("segment", "acctbal"), "2024-06-15").count()
+      }
+      // MG sketch pass vs exact groupBy on a skewed stream whose
+      // distinct count grows with mult: the sketch's shuffle stays flat
+      // (<= 64-entry state row per partition) while exact's grows
+      val itemsX = liX.select(
+        when(col("l_orderkey") % 2 === 0,
+          concat(lit("hot_"), ((col("l_orderkey") % 40) / 2)
+            .cast("long").cast("string")))
+          .otherwise(concat(lit("cold_"), col("rep"), lit("_"),
+            col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string"))).as("item"))
+      time(s"mg candidates cap=64 @${mult}x") {
+        itemsX.agg(graft.functions.MisraGriesAgg
+          .mgCandidates(spark, col("item"), 64).as("c"))
+          .select(explode(col("c"))).count()
+      }
+      time(s"exact groupBy top10 (contrast) @${mult}x") {
+        itemsX.groupBy("item").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("item")).limit(10).count()
+      }
+      import spark.implicits._
+      // media tiers: pure narrow maps — the probe proves zero shuffle
+      // at every multiplier; payload synthesis happens executor-side
+      val ids = docsX.select(col("doc_id")).as[Long]
+      time(s"wav decode 70-frame stereo @${mult}x") {
+        val media = ids.map { id =>
+          graft.multimodal.Multimodal.MediaRow(id, "wav",
+            graft.multimodal.AudioVideo.syntheticWav(70, 2, 16000, 16,
+              (t, c) => ((id * 13 + t * 7 + c * 3) % 65536).toInt - 32768))
+        }
+        graft.multimodal.AudioVideo.extractAudioStats(media)
+          .agg(min(col("sample_mean")), max(col("sample_max"))).count()
+      }
+      time(s"y4m sample stride3 16x12x8 @${mult}x") {
+        val media = ids.map { id =>
+          graft.multimodal.Multimodal.MediaRow(id, "y4m",
+            graft.multimodal.AudioVideo.syntheticY4m(16, 12, 8,
+              (x, y, t) => ((id * 7 + x * 3 + y * 5 + t * 11) % 256).toInt))
+        }
+        graft.multimodal.AudioVideo.extractFrameStats(media, 3)
+          .agg(min(col("y_mean")), max(col("y_max"))).count()
+      }
+      time(s"hashed classifier 1024 buckets @${mult}x") {
+        import graft.text.TextFunctions
+        docsX.select(TextFunctions.hashedLinearScore(
+          TextFunctions.hashedBuckets(
+            TextFunctions.words(col("text")), 1024)).as("raw"))
+          .agg(min(col("raw")), max(col("raw"))).count()
       }
       }
 
