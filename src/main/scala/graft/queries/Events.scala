@@ -307,6 +307,74 @@ object Events {
           .select(col("err_id"), col("user_id"),
             coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
           .orderBy("err_id")
+      }),
+
+    Q("q134_stream_stream_join",
+      "STREAM-STREAM event-time interval join: error and click events " +
+        "arrive as two independent watermarked streams; Structured " +
+        "Streaming's symmetric state store matches clicks into each " +
+        "user's 30-minute error window across micro-batch boundaries, " +
+        "drains to parquet, and the drained verdicts must hash-match " +
+        "the q133 BATCH oracle — streamed ≡ batch, the same proof " +
+        "shape as q76/q102/q122/q126",
+      Some("""WITH err AS (
+          SELECT event_id AS err_id, user_id, epoch_us(ts) AS s
+          FROM events WHERE event_type = 'error'),
+        clk AS (
+          SELECT user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'click')
+        SELECT e.err_id, e.user_id,
+          CAST((SELECT COUNT(*) FROM clk c WHERE c.user_id = e.user_id
+                AND c.t >= e.s AND c.t < e.s + 1800000000) AS BIGINT)
+            AS n_clicks
+        FROM err e ORDER BY err_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts").as("err_ts"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("clk_ts"))
+        // stage each side as 2 files → both streams advance in genuine
+        // micro-batches, so cross-batch matches exercise the join state
+        val errDir = scratchDir("ssj_err", d)
+        val clkDir = scratchDir("ssj_clk", d)
+        err.repartitionByRange(2, col("err_id"))
+          .write.mode("overwrite").parquet(errDir)
+        clk.repartitionByRange(2, col("c_user"))
+          .write.mode("overwrite").parquet(clkDir)
+        // Watermarks bound the symmetric join state; the range condition
+        // gives Spark both time bounds, so click state older than
+        // watermark − 30 min is evictable. The 31-day delay covers the
+        // corpus's full disorder (files are keyed, not time-ordered, so
+        // any tighter bound could drop genuinely-matching rows — a
+        // production feed with bounded disorder tightens this to its
+        // real lateness SLA and gets proportionally smaller state).
+        val errS = s.readStream.schema(err.schema)
+          .option("maxFilesPerTrigger", "1").parquet(errDir)
+          .withWatermark("err_ts", "31 days")
+        val clkS = s.readStream.schema(clk.schema)
+          .option("maxFilesPerTrigger", "1").parquet(clkDir)
+          .withWatermark("clk_ts", "31 days")
+        val joined = errS.join(clkS,
+          col("user_id") === col("c_user") &&
+            expr("clk_ts >= err_ts") &&
+            expr("clk_ts < err_ts + INTERVAL 30 MINUTES"))
+          .select(col("err_id"), col("user_id"), col("clk_ts"))
+        val outDir = scratchDir("ssj_out", d)
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$outDir/data")
+          .option("checkpointLocation", s"$outDir/_chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val matched = s.read.schema(joined.schema).parquet(s"$outDir/data")
+        val counts = matched.groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+        err.join(counts, Seq("err_id"), "left")
+          .select(col("err_id"), col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("err_id")
       })
   )
 }
