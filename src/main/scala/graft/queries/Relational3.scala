@@ -422,6 +422,41 @@ object Relational3 {
         items.join(broadcast(cands), "item")
           .groupBy(col("item")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("item")).limit(10)
+      }),
+
+    Q("q135_approx_quantiles",
+      "approximate percentile (GK sketch) with a rank-error audit, the " +
+        "q50 HLL treatment applied to quantiles: exact p50/p90 are " +
+        "oracle-checked directly, and the sketch's p90 is verified by " +
+        "recomputing its true rank and flagging it within the n/accuracy " +
+        "guarantee — if the sketch ever drifts past its bound the flag " +
+        "flips and the row hash-fails, making the sketch driver-checkable",
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+          median(o_totalprice) AS exact_p50,
+          quantile_cont(o_totalprice, 0.9) AS exact_p90,
+          TRUE AS p90_rank_ok
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val agg = o.groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          median(col("o_totalprice")).as("exact_p50"),
+          expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+          expr("approx_percentile(o_totalprice, 0.9, 100)").as("ap90"))
+        // rank audit: one extra pass counts values <= the sketch's
+        // answer; GK with accuracy=100 guarantees rank within n/100
+        val ranked = o
+          .join(agg.select(col("o_orderpriority"), col("ap90")),
+            "o_orderpriority")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(when(col("o_totalprice") <= col("ap90"), 1))
+            .as("rank_ap90"))
+        agg.join(ranked, "o_orderpriority")
+          .select(col("o_orderpriority"), col("n"), col("exact_p50"),
+            col("exact_p90"),
+            (abs(col("rank_ap90") - lit(0.9) * col("n")) <=
+              col("n").cast("double") / 100 + 1).as("p90_rank_ok"))
+          .orderBy("o_orderpriority")
       })
   )
 }

@@ -298,6 +298,29 @@ class WarehouseSpec extends SparkSpec {
       == once.as[(Long, String, String, Option[String])].collect().toSet)
   }
 
+  test("mergeScd2 over a BUCKETED dimension shuffles only the batch " +
+    "(the at-scale claim in BASELINE round 5)") {
+    import spark.implicits._
+    val dim = spark.range(1000)
+      .select(col("id").as("k"), (col("id") % 5).cast("string").as("v"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"))
+    Warehouse.writeBucketed(dim, "t_scd2_dim", "k", 4)
+    try {
+      val stored = spark.table("t_scd2_dim")
+      val batch = Seq((3L, "changed"), (2000L, "new")).toDF("k", "v")
+      val merged = Warehouse.mergeScd2(stored, batch, "k", Seq("v"),
+        "2024-06-15")
+      val plan = merged.queryExecution.executedPlan.toString
+      // exactly ONE exchange: the batch side repartitioning to the
+      // dimension's bucket layout — the dim side reads pre-bucketed
+      assert("Exchange hashpartitioning".r
+        .findAllMatchIn(plan).size == 1, plan)
+      assert(merged.filter(col("valid_to").isNotNull).count() == 1)
+      assert(merged.count() == 1002) // 1000 kept/closed + reopened + new
+    } finally spark.sql("DROP TABLE t_scd2_dim")
+  }
+
   test("mergeScd2 null-safe comparison: null tracked values are not " +
     "spurious changes") {
     import spark.implicits._
