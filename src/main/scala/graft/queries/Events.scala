@@ -375,6 +375,82 @@ object Events {
           .select(col("err_id"), col("user_id"),
             coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
           .orderBy("err_id")
+      }),
+
+    Q("q136_funnel",
+      "ordered funnel analysis (view → click → purchase): per user, " +
+        "the first view, the first click STRICTLY AFTER that view, and " +
+        "the first purchase strictly after that click — three cascaded " +
+        "conditional-min aggregations, each stage's shuffle keyed on " +
+        "user_id so a pre-partitioned event table pays one exchange " +
+        "total; non-converting users keep nulls downstream of their " +
+        "exit stage",
+      Some("""WITH v AS (
+          SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+              AS first_view
+          FROM events GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.first_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.first_click
+          GROUP BY e.user_id)
+        SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id"""),
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("us")))
+            .as("first_view"))
+        val c = ev.join(v, "user_id")
+          .filter(col("event_type") === "click" &&
+            col("us") > col("first_view"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("first_click"))
+        val p = ev.join(c, "user_id")
+          .filter(col("event_type") === "purchase" &&
+            col("us") > col("first_click"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("first_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .orderBy("user_id")
+      }),
+
+    Q("q137_cohort_retention",
+      "cohort retention matrix: users cohorted by first-active day, " +
+        "activity bucketed by day offset — integer epoch-day DIV math " +
+        "(engine-exact, no calendar-week ambiguity); shuffle is " +
+        "(cohort, offset) groups after a per-user distinct, both keyed " +
+        "small relative to raw events",
+      Some("""WITH d AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+        a AS (SELECT DISTINCT d.user_id, f.cohort_day,
+                d.day - f.cohort_day AS day_offset
+              FROM d JOIN f ON d.user_id = f.user_id)
+        SELECT cohort_day, day_offset, COUNT(*) AS n_users
+        FROM a GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset"""),
+      (s, d) => {
+        val days = events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+        val cohorts = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(cohorts, "user_id")
+          .select(col("user_id"), col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .distinct()
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
       })
   )
 }
