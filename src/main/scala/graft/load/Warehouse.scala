@@ -46,6 +46,37 @@ object Warehouse {
     }
   }
 
+  /** Exactly-once streaming sink primitive: idempotent per-micro-batch
+    * append. foreachBatch gives at-least-once delivery — a crashed
+    * driver replays the last batch — so the sink keys each batch's
+    * rows to a `batch_id` partition and overwrites ONLY that partition
+    * (dynamic partition overwrite, the same mechanism
+    * [[appendMonth]] uses for month re-runs). A replayed batch
+    * rewrites its own partition byte-for-byte instead of
+    * double-appending: at-least-once delivery + idempotent write =
+    * exactly-once table contents.
+    */
+  def appendBatch(df: DataFrame, table: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val keyed = df.withColumn("batch_id", lit(batchId))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      if (!spark.catalog.tableExists(table)) {
+        keyed.write.partitionBy("batch_id").format("parquet")
+          .saveAsTable(table)
+      } else {
+        val cols = spark.table(table).columns
+        keyed.select(cols.map(col).toSeq: _*)
+          .write.mode("overwrite").insertInto(table)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed write: co-locates rows by join key so subsequent
     * equi-joins between tables bucketed on the same key with the same
     * bucket count run shuffle-free (the scale answer to repeated

@@ -262,6 +262,35 @@ object TextOps {
           .orderBy("a_id", "b_id")
       }),
 
+    Q("q138_sql_text_dedup",
+      "the LSH candidate pipeline driven ENTIRELY from SQL text: a " +
+        "user who only speaks SQL composes graft_minhash_bands over a " +
+        "temp view, explodes the band values, and self-joins — same " +
+        "oracle as q34, proving the registered custom expressions give " +
+        "SQL-text users the full dedup path, not just the Scala API",
+      Some(s"""$sigSql,
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+          AND a.doc_id < b.doc_id
+        GROUP BY a_id, b_id ORDER BY a_id, b_id"""),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents").createOrReplaceTempView("docs_sql_v")
+        s.sql("""
+          WITH bands AS (
+            SELECT doc_id,
+              posexplode(graft_minhash_bands(graft_shingles(text)))
+                AS (bi, bv)
+            FROM docs_sql_v)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+          GROUP BY a_id, b_id ORDER BY a_id, b_id""")
+      }),
+
     Q("q67_dup_clusters",
       "transitive dup clusters over LSH pairs (iterative connected components)",
       Some(s"""WITH RECURSIVE

@@ -122,4 +122,45 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n_events").as[(Long, Long)].collect().toSet
     assert(got.contains((1L, 2L))) // user 1's first session (events at 0,10)
   }
+
+  test("exactly-once sink: full batch replay is idempotent via " +
+    "batch_id dynamic-partition overwrite") {
+    import graft.load.Warehouse
+    val dir = Files.createTempDirectory("graft-eo").toString
+    // two single-file inputs → exactly two micro-batches under
+    // maxFilesPerTrigger=1, with the SAME file→batch mapping on every
+    // run (so the replay overwrites every partition the first run made)
+    spark.range(100).selectExpr("id", "id % 7 AS v")
+      .coalesce(1).write.parquet(s"$dir/in/f0")
+    spark.range(100, 150).selectExpr("id", "id % 7 AS v")
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    def drain(chk: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Warehouse.appendBatch(b, "t_exactly_once", id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      drain(s"$dir/chk1")
+      spark.catalog.refreshTable("t_exactly_once")
+      val once = spark.table("t_exactly_once").count()
+      assert(once == 150)
+      // fresh checkpoint = the WHOLE stream replays (batch ids restart
+      // at 0) — the at-least-once worst case. The keyed overwrite must
+      // leave table contents unchanged, not double them.
+      drain(s"$dir/chk2")
+      spark.catalog.refreshTable("t_exactly_once")
+      assert(spark.table("t_exactly_once").count() == 150)
+      // sanity: values survived the replay intact
+      assert(spark.table("t_exactly_once")
+        .agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == (0L until 150L).sum)
+    } finally spark.sql("DROP TABLE IF EXISTS t_exactly_once")
+  }
 }
