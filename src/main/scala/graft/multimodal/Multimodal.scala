@@ -164,41 +164,60 @@ object Multimodal {
     * undecodable media as data, never as task failures.
     */
   def decodePixels(p: Array[Byte]): Option[PixelStats] =
-    try decodeImageHeader(p).flatMap {
-      case ("bmp", w, h, ch) => decodeBmpPixels(p, w, h, ch)
-      case ("png", w, h, ch) => decodePngPixels(p, w, h, ch)
-      case _ => None
-    } catch { case _: RuntimeException => None }
-
-  private def decodeBmpPixels(p: Array[Byte], w: Int, h: Int,
-      ch: Int): Option[PixelStats] = {
-    if (p.length < 34 || le32(p, 30) != 0) return None // BI_RGB only
-    val off = le32(p, 10)
-    val stride = ((w * ch + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (off < 0 || off.toLong + stride.toLong * h > p.length) return None
-    var sum = 0L
-    var mn = 255
-    var mx = 0
-    var y = 0
-    while (y < h) {
-      val row = off + y * stride
+    decodeRaw(p).map { case (fmt, w, h, ch, px) =>
+      var sum = 0L
+      var mn = 255
+      var mx = 0
       var i = 0
-      val rowBytes = w * ch
-      while (i < rowBytes) { // padding bytes excluded
-        val v = p(row + i) & 0xff
+      while (i < px.length) {
+        val v = px(i)
         sum += v
         if (v < mn) mn = v
         if (v > mx) mx = v
         i += 1
       }
+      PixelStats(fmt, w, h, ch, sum.toDouble / px.length, mn, mx)
+    }
+
+  /** Raw decode to a channel-interleaved Array[Int] in IMAGE order
+    * (index `(y*w + x)*ch + c`, row 0 = top): BMP's bottom-up storage
+    * is un-flipped here, which aggregate stats never see but any
+    * spatial operation (resize, perceptual hash) depends on.
+    */
+  def decodeRaw(p: Array[Byte]): Option[(String, Int, Int, Int, Array[Int])] =
+    try decodeImageHeader(p).flatMap {
+      case ("bmp", w, h, ch) =>
+        decodeBmpRaw(p, w, h, ch).map(px => ("bmp", w, h, ch, px))
+      case ("png", w, h, ch) =>
+        decodePngRaw(p, w, h, ch).map(px => ("png", w, h, ch, px))
+      case _ => None
+    } catch { case _: RuntimeException => None }
+
+  private def decodeBmpRaw(p: Array[Byte], w: Int, h: Int,
+      ch: Int): Option[Array[Int]] = {
+    if (p.length < 34 || le32(p, 30) != 0) return None // BI_RGB only
+    val off = le32(p, 10)
+    val stride = ((w * ch + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (off < 0 || off.toLong + stride.toLong * h > p.length) return None
+    val px = new Array[Int](w * h * ch)
+    var y = 0
+    while (y < h) {
+      val row = off + y * stride
+      // bottom-up storage: stored row y is image row h-1-y
+      val outBase = (h - 1 - y) * w * ch
+      var i = 0
+      val rowBytes = w * ch
+      while (i < rowBytes) { // padding bytes excluded
+        px(outBase + i) = p(row + i) & 0xff
+        i += 1
+      }
       y += 1
     }
-    val n = w.toLong * h * ch
-    Some(PixelStats("bmp", w, h, ch, sum.toDouble / n, mn, mx))
+    Some(px)
   }
 
-  private def decodePngPixels(p: Array[Byte], w: Int, h: Int,
-      ch: Int): Option[PixelStats] = {
+  private def decodePngRaw(p: Array[Byte], w: Int, h: Int,
+      ch: Int): Option[Array[Int]] = {
     if ((p(24) & 0xff) != 8) return None // 8-bit depth only
     if (p.length > 28 && (p(28) & 0xff) != 0) return None // no Adam7
     // palette images index a PLTE we don't decode
@@ -234,9 +253,7 @@ object Multimodal {
     // undo scanline filters; prev/cur hold RECONSTRUCTED byte values
     val cur = new Array[Int](rowBytes)
     val prev = new Array[Int](rowBytes)
-    var sum = 0L
-    var mn = 255
-    var mx = 0
+    val px = new Array[Int](w * h * ch)
     var y = 0
     while (y < h) {
       val base = y * (rowBytes + 1)
@@ -262,17 +279,65 @@ object Multimodal {
             (x + pred) & 0xff
         }
         cur(i) = v
-        sum += v
-        if (v < mn) mn = v
-        if (v > mx) mx = v
+        px(y * rowBytes + i) = v // PNG rows are already top-down
         i += 1
       }
       System.arraycopy(cur, 0, prev, 0, rowBytes)
       y += 1
     }
-    val n = w.toLong * h * ch
-    Some(PixelStats("png", w, h, ch, sum.toDouble / n, mn, mx))
+    Some(px)
   }
+
+  // ---- spatial tier: resize + perceptual hash over decoded pixels ----
+
+  /** Nearest-neighbor downsample to `ow`×`oh`, summing channels into
+    * one luminance-proxy value per output pixel (channel SUM, not
+    * mean — stays in exact integers; per-image hashes are scale-
+    * invariant to it).
+    */
+  def resizeNearestLuma(w: Int, h: Int, ch: Int, px: Array[Int],
+      ow: Int, oh: Int): Array[Long] = {
+    val out = new Array[Long](ow * oh)
+    var j = 0
+    while (j < oh) {
+      val sy = j * h / oh
+      var i = 0
+      while (i < ow) {
+        val sx = i * w / ow
+        var s = 0L
+        var c = 0
+        val base = (sy * w + sx) * ch
+        while (c < ch) { s += px(base + c); c += 1 }
+        out(j * ow + i) = s
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Average-hash (aHash), the classic perceptual image fingerprint:
+    * decode → nearest-neighbor 8×8 resize → threshold each cell at the
+    * mean. Returned as a 64-char '0'/'1' string in row-major order
+    * (portable across engines — no sign games with bit 63). The
+    * mean comparison is exact integer math: cell×64 > total.
+    * Near-duplicate images (re-encodes, minor edits) collide; the
+    * hash is grouping key material for perceptual dedup.
+    */
+  def aHashBits(p: Array[Byte]): Option[String] =
+    decodeRaw(p).map { case (_, w, h, ch, px) =>
+      val cells = resizeNearestLuma(w, h, ch, px, 8, 8)
+      var total = 0L
+      var k = 0
+      while (k < 64) { total += cells(k); k += 1 }
+      val sb = new java.lang.StringBuilder(64)
+      k = 0
+      while (k < 64) {
+        sb.append(if (cells(k) * 64 > total) '1' else '0')
+        k += 1
+      }
+      sb.toString
+    }
 
   /** Full VALID 24-bpp BMP (BI_RGB, bottom-up, padded strides):
     * `f(x, y, c)` supplies channel c ∈ {0=R, 1=G, 2=B} of pixel (x, y),

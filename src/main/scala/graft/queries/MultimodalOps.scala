@@ -227,6 +227,63 @@ object MultimodalOps {
             col("n_frames"), col("frame_idx"), col("y_mean"),
             col("y_min"), col("y_max"))
           .orderBy("media_id", "frame_idx")
+      }),
+
+    Q("q139_perceptual_hash",
+      "REAL resize tier + perceptual dedup: decoded BMP/PNG pixels are " +
+        "nearest-neighbor downsampled to 8×8 and mean-thresholded into " +
+        "the classic aHash (64-bit fingerprint as a portable bit " +
+        "string); the oracle recomputes the hash from the synthesis " +
+        "formula, so any defect in spatial orientation (BMP bottom-up " +
+        "un-flip!), NN index math or thresholding hash-fails — " +
+        "n_same groups perceptual duplicates",
+      Some("""WITH g AS (
+          SELECT doc_id,
+            CAST(doc_id % 24 + 9 AS INT) AS w,
+            CAST(doc_id % 20 + 9 AS INT) AS h,
+            CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS INT) AS ch
+          FROM documents),
+        cells AS (
+          SELECT g.doc_id, j.j * 8 + i.i AS k,
+            SUM((g.doc_id*7 + ((i.i*g.w)//8)*3 + ((j.j*g.h)//8)*5
+                 + c.c*11) % 256) AS v
+          FROM g, range(0, 8) i(i), range(0, 8) j(j), range(0, 3) c(c)
+          WHERE c.c < g.ch
+          GROUP BY g.doc_id, j.j * 8 + i.i),
+        tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY doc_id),
+        hashes AS (
+          SELECT c.doc_id,
+            string_agg(CASE WHEN c.v * 64 > t.total THEN '1' ELSE '0' END,
+              '' ORDER BY c.k) AS ahash
+          FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+          GROUP BY c.doc_id)
+        SELECT doc_id AS media_id, ahash,
+          CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+        FROM hashes ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 24 + 9).toInt
+            val h = (id % 20 + 9).toInt
+            def f(x: Int, y: Int, c: Int): Int =
+              ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+            if (id % 2 == 0)
+              Multimodal.MediaRow(id, "bmp",
+                Multimodal.syntheticBmpImage(w, h, f))
+            else {
+              val colorType = if (id % 4 == 1) 2 else 0
+              Multimodal.MediaRow(id, "png",
+                Multimodal.syntheticPngImage(w, h, colorType, f))
+            }
+          }
+        val hashes = media.mapPartitions { rows =>
+          rows.map(r => (r.media_id, Multimodal.aHashBits(r.payload).orNull))
+        }.toDF("media_id", "ahash")
+        hashes.withColumn("n_same",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ahash"))))
+          .orderBy("media_id")
       })
   )
 }

@@ -120,6 +120,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(Array.empty[Byte]) == ((-1, 0L)))
   }
 
+  test("aHash is format-invariant: BMP (bottom-up BGR) and PNG " +
+    "(top-down RGB) of the SAME image hash identically, and the " +
+    "decoded raster matches ImageIO spatially") {
+    // a vertically-asymmetric gradient: any orientation defect (missing
+    // BMP un-flip) flips the hash, any channel-order defect changes the
+    // per-pixel sum
+    def f(x: Int, y: Int, c: Int): Int = (x * 2 + y * 29 + c * 7) % 256
+    val bmp = Multimodal.syntheticBmpImage(33, 21, f)
+    val png = Multimodal.syntheticPngImage(33, 21, 2, f)
+    val hb = Multimodal.aHashBits(bmp).get
+    val hp = Multimodal.aHashBits(png).get
+    assert(hb.length == 64 && hb.count(ch => ch == '0' || ch == '1') == 64)
+    assert(hb == hp, s"bmp=$hb png=$hp")
+    // spatial referee: ImageIO's raster, summed across bands, must
+    // equal decodeRaw at every coordinate (BGR vs RGB cancels in the sum)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bmp))
+    val (_, w, h, ch, px) = Multimodal.decodeRaw(bmp).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val ref = (0 until img.getRaster.getNumBands)
+        .map(img.getRaster.getSample(x, y, _)).sum
+      val got = (0 until ch).map(c => px((y * w + x) * ch + c)).sum
+      assert(got == ref, s"($x,$y)")
+    }
+    // constant image → degenerate threshold: cell*64 > total is false
+    // everywhere → all-zeros hash, not a crash
+    val flat = Multimodal.syntheticPngImage(16, 16, 0, (_, _, _) => 99)
+    assert(Multimodal.aHashBits(flat).get == "0" * 64)
+    // undecodable payloads flow as None
+    assert(Multimodal.aHashBits("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("WAV decode matches the javax.sound referee across bit depths " +
     "and channel counts") {
     // javax.sound.sampled is the independent referee — a full audio
