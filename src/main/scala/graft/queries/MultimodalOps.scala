@@ -284,6 +284,86 @@ object MultimodalOps {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("ahash"))))
           .orderBy("media_id")
+      }),
+
+    Q("q140_perceptual_near_dup",
+      "perceptual NEAR-dup join with guaranteed recall: 64-bit aHashes " +
+        "split into 8 bands of 8 bits — by pigeonhole, any pair within " +
+        "Hamming distance 7 shares at least one full band, so the band " +
+        "equi-join's candidate set provably covers every qualifying " +
+        "pair; exact Hamming distance verifies candidates. The same " +
+        "multi-index shape as the SimHash text tier (q62), composed " +
+        "over the image tier — the oracle brute-forces all pairs, so " +
+        "a single missed candidate hash-fails the recall claim",
+      Some("""WITH g AS (
+          SELECT doc_id,
+            CAST(doc_id % 24 + 9 AS INT) AS w,
+            CAST(doc_id % 20 + 9 AS INT) AS h,
+            CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS INT) AS ch
+          FROM documents),
+        cells AS (
+          SELECT g.doc_id, j.j * 8 + i.i AS k,
+            SUM((g.doc_id*7 + ((i.i*g.w)//8)*3 + ((j.j*g.h)//8)*5
+                 + c.c*11) % 256) AS v
+          FROM g, range(0, 8) i(i), range(0, 8) j(j), range(0, 3) c(c)
+          WHERE c.c < g.ch
+          GROUP BY g.doc_id, j.j * 8 + i.i),
+        tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY doc_id),
+        hashes AS (
+          SELECT c.doc_id,
+            string_agg(CASE WHEN c.v * 64 > t.total THEN '1' ELSE '0' END,
+              '' ORDER BY c.k) AS ahash
+          FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+          GROUP BY c.doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(list_sum(list_transform(range(1, 65), i ->
+              CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+                     <> substr(b.ahash, CAST(i AS INT), 1)
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, dist FROM pairs WHERE dist <= 7
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 24 + 9).toInt
+            val h = (id % 20 + 9).toInt
+            def f(x: Int, y: Int, c: Int): Int =
+              ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+            if (id % 2 == 0)
+              Multimodal.MediaRow(id, "bmp",
+                Multimodal.syntheticBmpImage(w, h, f))
+            else {
+              val colorType = if (id % 4 == 1) 2 else 0
+              Multimodal.MediaRow(id, "png",
+                Multimodal.syntheticPngImage(w, h, colorType, f))
+            }
+          }
+        val hashes = media.mapPartitions { rows =>
+          rows.map(r => (r.media_id, Multimodal.aHashBits(r.payload).orNull))
+        }.toDF("media_id", "ahash").filter(col("ahash").isNotNull)
+        // 8×8-bit band index: candidates = pairs agreeing on >=1 band
+        val bands = hashes.select(col("media_id"), col("ahash"),
+          explode(sequence(lit(0), lit(7))).as("bi"))
+          .withColumn("band", expr("substring(ahash, bi*8 + 1, 8)"))
+        val cands = bands.select(col("media_id").as("a_id"),
+            col("ahash").as("a_hash"), col("bi"), col("band"))
+          .join(bands.select(col("media_id").as("b_id"),
+            col("ahash").as("b_hash"), col("bi"), col("band")),
+            Seq("bi", "band"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+          .distinct()
+        cands
+          .withColumn("dist",
+            expr("""aggregate(sequence(1, 64), 0L, (acc, i) ->
+              acc + IF(substring(a_hash, i, 1) = substring(b_hash, i, 1),
+                0L, 1L))"""))
+          .filter(col("dist") <= 7)
+          .select(col("a_id"), col("b_id"), col("dist"))
+          .orderBy("a_id", "b_id")
       })
   )
 }
