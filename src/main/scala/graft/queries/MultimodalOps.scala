@@ -288,66 +288,92 @@ object MultimodalOps {
 
     Q("q140_perceptual_near_dup",
       "perceptual NEAR-dup join with guaranteed recall: 64-bit aHashes " +
-        "split into 8 bands of 8 bits — by pigeonhole, any pair within " +
-        "Hamming distance 7 shares at least one full band, so the band " +
+        "split into 4 bands of 16 bits — by pigeonhole, any pair within " +
+        "Hamming distance 3 shares at least one full band, so the band " +
         "equi-join's candidate set provably covers every qualifying " +
         "pair; exact Hamming distance verifies candidates. The same " +
         "multi-index shape as the SimHash text tier (q62), composed " +
-        "over the image tier — the oracle brute-forces all pairs, so " +
-        "a single missed candidate hash-fails the recall claim",
-      Some("""WITH g AS (
-          SELECT doc_id,
-            CAST(doc_id % 24 + 9 AS INT) AS w,
-            CAST(doc_id % 20 + 9 AS INT) AS h,
-            CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS INT) AS ch
-          FROM documents),
+        "over the image tier. Image content is seed-MULTIPLICATIVE " +
+        "(an additive per-image offset would cancel in the aHash mean " +
+        "threshold, collapsing the corpus into a few thousand giant " +
+        "exact-dup classes — measured 2.2M pairs / 428 s at sf0.1 " +
+        "before this fix); every doc_id%100==1 shares its seed with " +
+        "doc_id-1 plus a one-pixel corner edit, planting cross-format " +
+        "BMP/PNG near-dup pairs. The oracle brute-forces all pairs " +
+        "over packed 64-bit hashes, so a single missed candidate " +
+        "hash-fails the recall claim",
+      Some("""WITH p AS (
+          SELECT doc_id, seed,
+            CAST(seed % 24 + 9 AS INT) AS w,
+            CAST(seed % 20 + 9 AS INT) AS h,
+            CAST(CASE WHEN seed % 4 = 3 THEN 1 ELSE 3 END AS INT) AS ch,
+            ((seed * 2654435761) % 1000003) % 251 + 2 AS mult,
+            ((seed * 2654435761) % 1000003) % 17 AS twist
+          FROM (SELECT doc_id,
+              doc_id - CASE WHEN doc_id % 20 = 1 THEN 1 ELSE 0 END AS seed
+            FROM documents)),
         cells AS (
-          SELECT g.doc_id, j.j * 8 + i.i AS k,
-            SUM((g.doc_id*7 + ((i.i*g.w)//8)*3 + ((j.j*g.h)//8)*5
-                 + c.c*11) % 256) AS v
-          FROM g, range(0, 8) i(i), range(0, 8) j(j), range(0, 3) c(c)
-          WHERE c.c < g.ch
-          GROUP BY g.doc_id, j.j * 8 + i.i),
+          SELECT p.doc_id, j.j * 8 + i.i AS k,
+            SUM((p.mult * (((i.i*p.w)//8)*7 + ((j.j*p.h)//8)*11 + c.c*3 + 1)
+                 + p.twist * ((i.i*p.w)//8) * ((j.j*p.h)//8)
+                 + CASE WHEN p.doc_id % 20 = 1 AND i.i = 0 AND j.j = 0
+                        THEN 16 ELSE 0 END) % 256) AS v
+          FROM p, range(0, 8) i(i), range(0, 8) j(j), range(0, 3) c(c)
+          WHERE c.c < p.ch
+          GROUP BY p.doc_id, j.j * 8 + i.i),
         tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY doc_id),
-        hashes AS (
+        hx AS (
           SELECT c.doc_id,
-            string_agg(CASE WHEN c.v * 64 > t.total THEN '1' ELSE '0' END,
-              '' ORDER BY c.k) AS ahash
+            CAST(SUM(CASE WHEN c.v * 64 > t.total AND c.k < 32
+              THEN (CAST(1 AS BIGINT) << c.k) ELSE 0 END) AS BIGINT) AS h1,
+            CAST(SUM(CASE WHEN c.v * 64 > t.total AND c.k >= 32
+              THEN (CAST(1 AS BIGINT) << (c.k - 32)) ELSE 0 END) AS BIGINT)
+              AS h2
           FROM cells c JOIN tot t ON c.doc_id = t.doc_id
-          GROUP BY c.doc_id),
-        pairs AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-            CAST(list_sum(list_transform(range(1, 65), i ->
-              CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
-                     <> substr(b.ahash, CAST(i AS INT), 1)
-                   THEN 1 ELSE 0 END)) AS BIGINT) AS dist
-          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
-        SELECT a_id, b_id, dist FROM pairs WHERE dist <= 7
+          GROUP BY c.doc_id)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(xor(a.h1, b.h1))
+             + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS dist
+        FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
         ORDER BY a_id, b_id"""),
       (s, d) => {
         import s.implicits._
         val media = table(s, d, "documents").select(col("doc_id")).as[Long]
           .map { id =>
-            val w = (id % 24 + 9).toInt
-            val h = (id % 20 + 9).toInt
-            def f(x: Int, y: Int, c: Int): Int =
-              ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+            val planted = id % 20 == 1
+            val seed = if (planted) id - 1 else id
+            val w = (seed % 24 + 9).toInt
+            val h = (seed % 20 + 9).toInt
+            val ch = if (seed % 4 == 3) 1 else 3
+            val mix = (seed * 2654435761L) % 1000003L
+            val mult = (mix % 251 + 2).toInt
+            val twist = (mix % 17).toInt
+            // mult MULTIPLIES the spatial term: distinct seeds diverge in
+            // bit pattern, not just offset (offsets cancel in the mean).
+            // The planted corner edit hits only the pixel NN-sampled by
+            // cell (0,0), and is small (+16/channel) so the image-mean
+            // shift flips few borderline cells: planted pairs land at
+            // Hamming 0-2, inside the banded join's d<=3 guarantee.
+            def f(x: Int, y: Int, c: Int): Int = {
+              val pert = if (planted && x == 0 && y == 0) 16 else 0
+              (mult * (x * 7 + y * 11 + c * 3 + 1) + twist * x * y + pert) % 256
+            }
             if (id % 2 == 0)
               Multimodal.MediaRow(id, "bmp",
                 Multimodal.syntheticBmpImage(w, h, f))
-            else {
-              val colorType = if (id % 4 == 1) 2 else 0
+            else
               Multimodal.MediaRow(id, "png",
-                Multimodal.syntheticPngImage(w, h, colorType, f))
-            }
+                Multimodal.syntheticPngImage(w, h, if (ch == 1) 0 else 2, f))
           }
         val hashes = media.mapPartitions { rows =>
           rows.map(r => (r.media_id, Multimodal.aHashBits(r.payload).orNull))
         }.toDF("media_id", "ahash").filter(col("ahash").isNotNull)
-        // 8×8-bit band index: candidates = pairs agreeing on >=1 band
+        // 4×16-bit band index: 2^16 bucket values stay sparse at corpus
+        // scale (8-bit bands saturate at 256 values → n²/256 candidates)
         val bands = hashes.select(col("media_id"), col("ahash"),
-          explode(sequence(lit(0), lit(7))).as("bi"))
-          .withColumn("band", expr("substring(ahash, bi*8 + 1, 8)"))
+          explode(sequence(lit(0), lit(3))).as("bi"))
+          .withColumn("band", expr("substring(ahash, bi*16 + 1, 16)"))
         val cands = bands.select(col("media_id").as("a_id"),
             col("ahash").as("a_hash"), col("bi"), col("band"))
           .join(bands.select(col("media_id").as("b_id"),
@@ -361,7 +387,7 @@ object MultimodalOps {
             expr("""aggregate(sequence(1, 64), 0L, (acc, i) ->
               acc + IF(substring(a_hash, i, 1) = substring(b_hash, i, 1),
                 0L, 1L))"""))
-          .filter(col("dist") <= 7)
+          .filter(col("dist") <= 3)
           .select(col("a_id"), col("b_id"), col("dist"))
           .orderBy("a_id", "b_id")
       })
