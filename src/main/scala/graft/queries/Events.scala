@@ -363,11 +363,22 @@ object Events {
             expr("clk_ts < err_ts + INTERVAL 30 MINUTES"))
           .select(col("err_id"), col("user_id"), col("clk_ts"))
         val outDir = scratchDir("ssj_out", d)
-        val q = joined.writeStream.format("parquet")
-          .option("path", s"$outDir/data")
-          .option("checkpointLocation", s"$outDir/_chk")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // A stream-stream join commits 2 state stores per shuffle
+        // partition per micro-batch; the partition count is frozen into
+        // the checkpoint at first start. At this drain's volume, 32
+        // partitions are pure commit overhead (measured 8.8 s → mostly
+        // state-store churn), so the streaming stage runs at 8 — a
+        // production feed sizes this to its throughput ONCE, up front,
+        // since it cannot change without a new checkpoint.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = joined.writeStream.format("parquet")
+            .option("path", s"$outDir/data")
+            .option("checkpointLocation", s"$outDir/_chk")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         val matched = s.read.schema(joined.schema).parquet(s"$outDir/data")
         val counts = matched.groupBy(col("err_id"))
           .agg(count(lit(1)).as("n_clicks"))

@@ -1124,6 +1124,14 @@ object Pipeline {
             .select(least(col("l_id"), col("r_id")).as("a_id"),
               greatest(col("l_id"), col("r_id")).as("b_id"))
             .distinct()
+        // The topology is many small iterative jobs (per-batch band
+        // joins + CC merge rounds) over micro-batch-sized frames; at 32
+        // shuffle partitions the wall is task scheduling, not data.
+        // Scope the whole drain to 8 — state/exchange sizing follows
+        // batch volume, not corpus volume, in an incremental design.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
         var index = bandsOf(raw.filter(col("doc_id") % 10 =!= 0))
           .localCheckpoint()
         var forest = graft.dedup.Dedup.dupClusters(
@@ -1150,6 +1158,7 @@ object Pipeline {
           .start()
         q.awaitTermination()
         forest.orderBy("doc_id")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),
   )
 }
