@@ -566,6 +566,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Guaranteed-recall Jaccard set-similarity join ACROSS two relations
+    * (R-S AllPairs/PPJoin) — the contamination shape: an eval/benchmark
+    * split probed against a train corpus, every cross pair with
+    * J ≥ tNum/tDen returned.
+    *
+    * Recall lemma, cross-relation form: order all elements by one
+    * SHARED total order (df asc over R ∪ S, ties by element). Each set
+    * keeps its first sz − ⌈t·sz⌉ + 1 elements as prefix. If J(r, s) ≥ t
+    * and the two prefixes were disjoint, every common element would lie
+    * past one of the prefix ends, so the overlap would be at most
+    * min(⌈t·|r|⌉, ⌈t·|s|⌉) − 1 < ⌈t·max(|r|, |s|)⌉ ≤ |r ∩ s| — a
+    * contradiction. The proof never uses that the sets come from the
+    * same relation, only that both prefixes follow the same order, so
+    * the df map MUST be computed over the union (an eval-only or
+    * train-only order breaks the guarantee).
+    *
+    * Scale shapes (same as [[setSimilarityPairs]], asymmetric): the df
+    * map stays a keyed shuffle join (element space grows with the
+    * corpus — never broadcast); candidates are an (element) equi-join
+    * of the two prefix frames carrying only (element, id, sz), with the
+    * size-ratio window t·|s| ≤ |r| ≤ |s|/t applied in cross-multiplied
+    * integer form; exact Jaccard runs on candidates alone. No a < b
+    * dedup — the relations are distinct, so every candidate is already
+    * one directed (probe, corpus) pair. A probe split much smaller than
+    * the corpus (the usual contamination case) makes the probe prefix
+    * frame broadcast-able; Spark's planner picks that up from size
+    * stats, and AQE re-plans it at runtime when the estimate is off.
+    */
+  def setSimilarityPairsRS(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val rSized = setSimilaritySized(probe, idCol, textCol)
+    val sSized = setSimilaritySized(corpus, idCol, textCol)
+    val rElems = rSized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
+    val sElems = sSized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
+    val dfreq = rElems.select(col("e")).union(sElems.select(col("e")))
+      .groupBy(col("e")).agg(count(lit(1)).as("df"))
+    def prefixOf(elems: DataFrame): DataFrame = {
+      val minOverlap = floor((col("sz").cast("long") * tNum + (tDen - 1)) / tDen)
+      elems.join(dfreq, "e")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("df"), col("e"))))
+        .filter(col("rn") <= col("sz") - minOverlap + 1)
+        .select(col("e"), col("id"), col("sz"))
+    }
+    val cand = prefixOf(rElems).as("a")
+      .join(prefixOf(sElems).as("b"),
+        col("a.e") === col("b.e") &&
+          col("b.sz") * tDen >= col("a.sz") * tNum &&
+          col("a.sz") * tDen >= col("b.sz") * tNum)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(array_union(col("a_sh"), col("b_sh")))
+    cand.join(rSized.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sSized.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .filter(inter * tDen >= uni * tNum)
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / uni).as("jacc"))
+  }
+
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -498,6 +498,39 @@ object Embeddings {
             "left_anti")
           .select(col("cluster"), col("vec_id"))
           .orderBy("cluster", "vec_id")
+      }),
+
+    Q("q142_gram_matrix",
+      "distributed Gram matrix (the covariance / PCA-whitening " +
+        "pre-step): one-pass TypedImperativeAggregate holding the " +
+        "full dims(dims+1)/2 upper triangle as fixed-size state — ONE " +
+        "~16 KB state row per map partition shuffles at ANY corpus " +
+        "size, the k-means flat-shuffle story taken to zero group " +
+        "keys; products ride the 1e-12 integer lattice so partial " +
+        "merges are associative and the 2 080 sums are engine-exact",
+      Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+          p AS (SELECT i.i AS di, j.j AS dj,
+              CAST(round(e[CAST(i.i + 1 AS INT)] * e[CAST(j.j + 1 AS INT)]
+                * 1000000000000.0) AS BIGINT) AS p
+            FROM v, range(0, 64) i(i), range(0, 64) j(j)
+            WHERE j.j >= i.i)
+        SELECT CAST(di AS INT) AS di, CAST(dj AS INT) AS dj,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS g
+        FROM p GROUP BY di, dj ORDER BY di, dj"""),
+      (s, d) => {
+        // See graft.functions.GramMatrixAgg for the scale story (one
+        // fixed-size state row per partition) and the overflow-loud
+        // lattice arithmetic. The single result row fans back out to
+        // 2 080 (di, dj) rows only at output — a bounded explode.
+        val v = table(s, d, "embeddings")
+          .select(col("embedding").cast("array<double>").as("e"))
+        v.agg(graft.functions.GramMatrixAgg.gram(s, col("e"), 64).as("gm"))
+          .select(col("gm.n").as("n"), explode(col("gm.g")).as("x"))
+          .select(col("x.di").as("di"), col("x.dj").as("dj"), col("n"),
+            (col("x.s").cast("double") / 1e12).as("g"))
+          .orderBy("di", "dj")
       })
   )
 }

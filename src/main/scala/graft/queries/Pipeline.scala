@@ -1160,5 +1160,112 @@ object Pipeline {
         forest.orderBy("doc_id")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),
+
+    Q("q141_cross_split_contamination",
+      "guaranteed-recall R-S Jaccard contamination join: the eval " +
+        "split (doc_id%10=0) probed against the train corpus with the " +
+        "AllPairs prefix filter over a SHARED element order (df over " +
+        "R∪S — a one-sided order would break the recall lemma); the " +
+        "oracle brute-forces every cross pair, so a single missed " +
+        "pair hash-fails. Complements q92's exact-overlap check with " +
+        "the set-similarity tier, and the self-join family (q106/q118) " +
+        "with the two-relation shape a real decontamination run needs",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+          s AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w
+                WHERE len(${sqlShingles("ws")}) > 0)
+        SELECT e.doc_id AS a_id, t.doc_id AS b_id,
+          CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE) /
+            len(list_distinct(e.sh || t.sh)) AS jacc
+        FROM s e JOIN s t ON e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+        WHERE len(list_intersect(e.sh, t.sh)) * 2 >=
+          len(list_distinct(e.sh || t.sh))
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Dedup.setSimilarityPairsRS(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", tNum = 1, tDen = 2)
+          .orderBy("a_id", "b_id")
+      }),
+
+    Q("q143_pagerank",
+      "integer-lattice PageRank (5 unrolled iterations, damping 0.85) " +
+        "over the MinHash-LSH near-dup graph: centrality in the " +
+        "duplication graph ranks how 'templated' a document is — the " +
+        "graph-analytics shape (per-iteration shuffle = |edges|) the " +
+        "CC family doesn't cover. All arithmetic is integer (ranks " +
+        "scaled 1e9, contributions via integer division), so 5 " +
+        "join-agg rounds are bit-identical in both engines — no " +
+        "floating accumulation anywhere",
+      Some {
+        val prIters = (1 to 5).map { k =>
+          s"""pr$k AS (SELECT n0.doc_id,
+            CAST(150000000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS pr
+          FROM n0 LEFT JOIN (SELECT e.dst AS doc_id,
+              SUM(p.pr // d.deg) AS c
+            FROM e JOIN pr${k - 1} p ON e.src = p.doc_id
+            JOIN deg d ON e.src = d.src GROUP BY e.dst) s USING (doc_id))"""
+        }.mkString(",\n        ")
+        s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+          sh2 AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+          sig2 AS (SELECT doc_id,
+            ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+            FROM sh2),
+          bands AS (SELECT doc_id,
+            unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+            unnest([0, 1, 2, 3]) AS bi FROM sig2),
+          pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+              AND a.doc_id < b.doc_id),
+          e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+          n0 AS (SELECT doc_id FROM documents),
+          pr0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS pr FROM n0),
+          $prIters
+        SELECT doc_id, pr FROM pr5 ORDER BY doc_id"""
+      },
+      (s, d) => {
+        // The simple (non-dangling-redistributing) PageRank variant on
+        // the undirected near-dup graph: isolated docs hold the bare
+        // teleport mass 0.15. Each iteration is the canonical join-agg:
+        // ranks ⋈ edges on src (shuffle = |edges|), groupBy dst with
+        // map-side partial sums, left-join back onto the full node set.
+        // Integer contributions (pr div deg, then ·85 div 100) keep the
+        // 5 rounds associative and engine-exact — the float version
+        // would drift per partitioning. At 100 TB the edge frame is the
+        // standing near-dup pair set (q34); 5 iterations = 5 shuffles
+        // of it, each AQE-coalesced, with the rank frame co-partitioned
+        // on src across rounds.
+        import graft.functions.GraftFunctions
+        val docs = table(s, d, "documents")
+        val bands = docs.select(col("doc_id"), posexplode(
+            GraftFunctions.minhashBands(s,
+              GraftFunctions.shingles(s, col("text")))))
+          .toDF("doc_id", "bi", "bv")
+        val pairs = bands.as("a").join(bands.as("b").hint("merge"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .localCheckpoint() // 5 consumers; pin the pair computation
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val nodes = docs.select(col("doc_id"))
+        var ranks = nodes.withColumn("pr", lit(1000000000L))
+        for (_ <- 1 to 5) {
+          val sums = edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst").as("doc_id"), expr("pr div deg").as("c"))
+            .groupBy(col("doc_id")).agg(sum(col("c")).as("in_c"))
+          ranks = nodes.join(sums, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(150000000L) +
+                expr("(coalesce(in_c, 0L) * 85) div 100")).as("pr"))
+        }
+        ranks.orderBy("doc_id")
+      }),
   )
 }

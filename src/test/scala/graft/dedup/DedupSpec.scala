@@ -277,6 +277,43 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L }) // below t excluded
   }
 
+  test("setSimilarityPairsRS: cross-relation recall vs brute-force referee") {
+    def shingles(s: String): Set[String] =
+      s.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    // probe = eval docs, corpus = train docs; the planted contamination
+    // pair (101, 1) only shares elements RARE IN THE PROBE but common in
+    // the corpus — a probe-only df order would likely still find it, but
+    // a corpus-only order computed without probe elements breaks ties
+    // differently; the union order is what the lemma licenses.
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "p q r s t u v w",
+      3L -> "alpha beta gamma x y z",
+      4L -> "one two", // empty shingle set, must drop out
+      5L -> "m n o m n o m n o")
+    val probe = Seq(
+      101L -> "alpha beta gamma delta epsilon zeta", // J=1 with corpus 1
+      102L -> "alpha beta gamma delta epsilon eta", // high-J with corpus 1
+      103L -> "completely different eval text here now", // no match
+      104L -> "p q r s t u v w x") // J = 6/7 with corpus 2
+    val brute = (for {
+      (ia, sa) <- probe; (ib, sb) <- corpus
+      (ha, hb) = (shingles(sa), shingles(sb)) if ha.nonEmpty && hb.nonEmpty
+      (i, u) = ((ha & hb).size, (ha | hb).size) if i * 2 >= u
+    } yield (ia, ib, i.toDouble / u)).toSet
+    val got = Dedup.setSimilarityPairsRS(
+        probe.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text", tNum = 1, tDen = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((101L, 1L, 1.0)))
+    assert(got.exists { case (a, b, _) => a == 104L && b == 2L })
+    assert(!got.exists { case (a, _, _) => a == 103L })
+    // direction check: pairs are (probe, corpus), never within a relation
+    assert(got.forall { case (a, b, _) => a >= 101L && b < 101L })
+  }
+
   test("BloomGate: no false negatives, bounded sketch, exact gated dedup") {
     import graft.functions.BloomGate
     val corpus = (1L to 200L).map(i => (i, s"corpus document number $i"))
