@@ -1251,12 +1251,20 @@ object Pipeline {
           .distinct()
         val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
           .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .localCheckpoint() // 5 consumers; pin the pair computation
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint() // pin the pair computation off the loop
+        // degree folds into the edge frame ONCE, pre-partitioned on src
+        // and pinned: localCheckpoint preserves the hash partitioning,
+        // so each iteration's join re-shuffles only the (small) rank
+        // frame — the standing edge frame never moves again, which is
+        // exactly the co-partitioning a 100 TB graph run would pin
+        val contribEdges = edges
+          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+          .repartition(col("src"))
+          .localCheckpoint()
         val nodes = docs.select(col("doc_id"))
         var ranks = nodes.withColumn("pr", lit(1000000000L))
         for (_ <- 1 to 5) {
-          val sums = edges.join(deg, "src")
+          val sums = contribEdges
             .join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .select(col("dst").as("doc_id"), expr("pr div deg").as("c"))
             .groupBy(col("doc_id")).agg(sum(col("c")).as("in_c"))

@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -75,6 +75,7 @@ object ScaleProbe {
     val doR5 = fam == "all" || fam == "r5"
     val doR6 = fam == "all" || fam == "r6"
     val doR7 = fam == "all" || fam == "r7"
+    val doR8 = fam == "all" || fam == "r8"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -495,6 +496,94 @@ object ScaleProbe {
           TextFunctions.hashedBuckets(
             TextFunctions.words(col("text")), 1024)).as("raw"))
           .agg(min(col("raw")), max(col("raw"))).count()
+      }
+      }
+
+      if (doR8) {
+      // --- round-5 late additions: gram matrix, pagerank, perceptual
+      // band join, cross-relation contamination.
+      val emb = table(spark, sfDir, "embeddings")
+      // stream over the replica range (so map partitions scale with
+      // mult) and broadcast the small vector table; returning n from
+      // the state proves the aggregate genuinely saw rows × mult
+      val embX = spark.range(mult).select(col("id").as("rep"))
+        .crossJoin(emb.select(
+          col("embedding").cast("array<double>").as("e")))
+      // the zero-group-key flat-shuffle claim: ONE ~16 KB state row per
+      // map partition at any corpus size
+      time(s"gram matrix 64-dim @${mult}x") {
+        embX.agg(graft.functions.GramMatrixAgg
+          .gram(spark, col("e"), 64).as("gm"))
+          .select(col("gm.n")).collect()(0).getLong(0)
+      }
+      // pagerank: per-iteration shuffle = |edges| + |ranks|; replicas
+      // decorrelated so the LSH graph grows linearly, not quadratically
+      time(s"pagerank 5 iters on lsh graph @${mult}x") {
+        import graft.functions.GraftFunctions
+        val decorr = docsX.select(col("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+        val bands = decorr.select(col("doc_id"), posexplode(
+            GraftFunctions.minhashBands(spark,
+              GraftFunctions.shingles(spark, col("text")))))
+          .toDF("doc_id", "bi", "bv")
+        val pairs = bands.as("a").join(bands.as("b").hint("merge"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .localCheckpoint()
+        // deg folded in once, pinned partitioned-on-src (see q143)
+        val contribEdges = edges
+          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+          .repartition(col("src"))
+          .localCheckpoint()
+        val nodes = decorr.select(col("doc_id"))
+        var ranks = nodes.withColumn("pr", lit(1000000000L))
+        for (_ <- 1 to 5) {
+          val sums = contribEdges
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst").as("doc_id"), expr("pr div deg").as("c"))
+            .groupBy(col("doc_id")).agg(sum(col("c")).as("in_c"))
+          ranks = nodes.join(sums, Seq("doc_id"), "left")
+            .select(col("doc_id"), (lit(150000000L) +
+              expr("(coalesce(in_c, 0L) * 85) div 100")).as("pr"))
+        }
+        ranks.agg(min(col("pr")), max(col("pr"))).count()
+      }
+      // perceptual near-dup band join (q140's shape, hash tier only —
+      // decode is a proven narrow map): 4×16-bit bands over 64-bit
+      // fingerprints; diverse hashes keep buckets sparse, planted
+      // doc_id%20==1 twins supply the qualifying pairs
+      time(s"perceptual band join 4x16 @${mult}x") {
+        val h = docsX.select(col("doc_id"),
+          when(col("doc_id") % 20 === 1, xxhash64(col("doc_id") - 1))
+            .otherwise(xxhash64(col("doc_id"))).as("h"))
+        val bands = h.select(col("doc_id"), col("h"), posexplode(
+            array((0 until 4).map(b =>
+              shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          .toDF("doc_id", "h", "bi", "bv")
+        bands.as("a").join(bands.as("b").hint("merge"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.h").as("ah"), col("b.h").as("bh"))
+          .distinct()
+          .filter(bit_count(col("ah").bitwiseXOR(col("bh"))) <= 3)
+          .count()
+      }
+      // cross-relation contamination: probe side FIXED (the realistic
+      // case — the benchmark suite doesn't grow), corpus grows ×mult;
+      // work should track the corpus prefix mass, not probe×corpus
+      time(s"rs contamination, fixed probe @${mult}x") {
+        val probe = docs.filter(col("doc_id") % 10 === 0)
+        val corpusX = docsX.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), regexp_replace(col("text"), lit(" "),
+            concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+        graft.dedup.Dedup.setSimilarityPairsRS(probe, corpusX,
+          "doc_id", "text", tNum = 1, tDen = 2).count()
       }
       }
 
