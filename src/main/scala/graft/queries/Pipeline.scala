@@ -1251,20 +1251,23 @@ object Pipeline {
           .distinct()
         val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
           .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .localCheckpoint() // pin the pair computation off the loop
-        // degree folds into the edge frame ONCE, pre-partitioned on src
-        // and pinned: localCheckpoint preserves the hash partitioning,
-        // so each iteration's join re-shuffles only the (small) rank
-        // frame — the standing edge frame never moves again, which is
-        // exactly the co-partitioning a 100 TB graph run would pin
-        val contribEdges = edges
-          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-          .repartition(col("src"))
-          .localCheckpoint()
+          .localCheckpoint() // 5 consumers; pin the pair computation
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val nodes = docs.select(col("doc_id"))
         var ranks = nodes.withColumn("pr", lit(1000000000L))
+        // This exact loop shape is the MEASURED winner (r8 probe):
+        // recomputing deg/ranks per iteration keeps their size stats
+        // visible, so AQE broadcasts both node-sized frames and each
+        // iteration's only exchange is the partial-agged contribution
+        // groupBy (≤ nodes rows/partition). Folding deg into a
+        // checkpointed edge frame looked cheaper but the stats-less
+        // LogicalRDD forced sort-merge joins — 3× the shuffle (357M vs
+        // 117M rows at 100×). At billion-node scale the rank frame
+        // stops being broadcastable and the lever becomes bucketed
+        // edge storage (Warehouse.writeBucketed) — the join then
+        // shuffles only ranks.
         for (_ <- 1 to 5) {
-          val sums = contribEdges
+          val sums = edges.join(deg, "src")
             .join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .select(col("dst").as("doc_id"), expr("pr div deg").as("c"))
             .groupBy(col("doc_id")).agg(sum(col("c")).as("in_c"))

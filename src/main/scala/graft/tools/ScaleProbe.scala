@@ -535,15 +535,14 @@ object ScaleProbe {
         val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
           .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
           .localCheckpoint()
-        // deg folded in once, pinned partitioned-on-src (see q143)
-        val contribEdges = edges
-          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-          .repartition(col("src"))
-          .localCheckpoint()
+        // recompute deg/ranks per iteration — the measured winner: AQE
+        // broadcasts both node-sized frames (see q143's comment; the
+        // checkpointed-fold variant sort-merged at 3× the shuffle)
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val nodes = decorr.select(col("doc_id"))
         var ranks = nodes.withColumn("pr", lit(1000000000L))
         for (_ <- 1 to 5) {
-          val sums = contribEdges
+          val sums = edges.join(deg, "src")
             .join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .select(col("dst").as("doc_id"), expr("pr div deg").as("c"))
             .groupBy(col("doc_id")).agg(sum(col("c")).as("in_c"))
