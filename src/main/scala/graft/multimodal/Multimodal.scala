@@ -339,6 +339,49 @@ object Multimodal {
       sb.toString
     }
 
+  /** Perceptual NEAR-dup candidate join over aHash bit strings with
+    * guaranteed recall: the 64-bit hash splits into 4 disjoint 16-bit
+    * bands; by pigeonhole any pair within Hamming distance 3 agrees on
+    * at least one full band, so the band equi-join's candidate set
+    * provably covers every qualifying pair, and the exact Hamming
+    * distance then verifies candidates. 16-bit bands (not 8) because
+    * the band value space must outgrow the corpus: 8-bit bands have
+    * 256 values and floor the candidate count at n²/256 REGARDLESS of
+    * hash quality — measured as q140's 2.2M-pair blowup. At billions
+    * of images the same saturation eventually reaches 2¹⁶; the levers
+    * are longer hashes or two-level banding, the SimHash trade
+    * ([[graft.dedup.Dedup.simhashBandPairs]]).
+    *
+    * Input: (idCol, hashCol) with hashCol a 64-char '0'/'1' string
+    * ([[aHashBits]]). Output: (a_id, b_id, dist) with a_id < b_id and
+    * dist ≤ maxDist ≤ 3.
+    */
+  def perceptualNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
+      idCol: String = "media_id", hashCol: String = "ahash",
+      maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16 banding guarantees recall only for dist <= 3, got $maxDist")
+    import org.apache.spark.sql.functions._
+    val h = hashes.select(col(idCol), col(hashCol))
+      .filter(col(hashCol).isNotNull)
+    val bands = h.select(col(idCol), col(hashCol),
+      explode(sequence(lit(0), lit(3))).as("bi"))
+      .withColumn("band", expr(s"substring($hashCol, bi*16 + 1, 16)"))
+    bands.select(col(idCol).as("a_id"), col(hashCol).as("a_hash"),
+        col("bi"), col("band"))
+      .join(bands.select(col(idCol).as("b_id"), col(hashCol).as("b_hash"),
+        col("bi"), col("band")), Seq("bi", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+      .distinct()
+      .withColumn("dist",
+        expr("""aggregate(sequence(1, 64), 0L, (acc, i) ->
+          acc + IF(substring(a_hash, i, 1) = substring(b_hash, i, 1),
+            0L, 1L))"""))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** Full VALID 24-bpp BMP (BI_RGB, bottom-up, padded strides):
     * `f(x, y, c)` supplies channel c ∈ {0=R, 1=G, 2=B} of pixel (x, y),
     * truncated to a byte.

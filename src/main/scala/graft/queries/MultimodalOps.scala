@@ -368,27 +368,10 @@ object MultimodalOps {
           }
         val hashes = media.mapPartitions { rows =>
           rows.map(r => (r.media_id, Multimodal.aHashBits(r.payload).orNull))
-        }.toDF("media_id", "ahash").filter(col("ahash").isNotNull)
-        // 4×16-bit band index: 2^16 bucket values stay sparse at corpus
-        // scale (8-bit bands saturate at 256 values → n²/256 candidates)
-        val bands = hashes.select(col("media_id"), col("ahash"),
-          explode(sequence(lit(0), lit(3))).as("bi"))
-          .withColumn("band", expr("substring(ahash, bi*16 + 1, 16)"))
-        val cands = bands.select(col("media_id").as("a_id"),
-            col("ahash").as("a_hash"), col("bi"), col("band"))
-          .join(bands.select(col("media_id").as("b_id"),
-            col("ahash").as("b_hash"), col("bi"), col("band")),
-            Seq("bi", "band"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
-          .distinct()
-        cands
-          .withColumn("dist",
-            expr("""aggregate(sequence(1, 64), 0L, (acc, i) ->
-              acc + IF(substring(a_hash, i, 1) = substring(b_hash, i, 1),
-                0L, 1L))"""))
-          .filter(col("dist") <= 3)
-          .select(col("a_id"), col("b_id"), col("dist"))
+        }.toDF("media_id", "ahash")
+        // 4×16-bit band index — see Multimodal.perceptualNearDupPairs
+        // for the recall lemma and the band-saturation rationale
+        Multimodal.perceptualNearDupPairs(hashes, "media_id", "ahash", 3)
           .orderBy("a_id", "b_id")
       })
   )

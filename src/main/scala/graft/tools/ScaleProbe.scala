@@ -578,9 +578,13 @@ object ScaleProbe {
       // work should track the corpus prefix mass, not probe×corpus
       time(s"rs contamination, fixed probe @${mult}x") {
         val probe = docs.filter(col("doc_id") % 10 === 0)
+        // rep 0 keeps the raw text so genuine cross-matches survive at
+        // every multiplier (the probe is raw); reps 1+ decorrelate
         val corpusX = docsX.filter(col("doc_id") % 2 =!= 0)
-          .select(col("doc_id"), regexp_replace(col("text"), lit(" "),
-            concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+          .select(col("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit(" "),
+                concat(lit(" w"), col("rep"), lit(" ")))).as("text"))
         graft.dedup.Dedup.setSimilarityPairsRS(probe, corpusX,
           "doc_id", "text", tNum = 1, tDen = 2).count()
       }

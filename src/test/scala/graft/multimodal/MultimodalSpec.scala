@@ -285,4 +285,47 @@ class MultimodalSpec extends SparkSpec {
       1).isEmpty)
     assert(AudioVideo.sampleY4mFrames(Array.empty[Byte], 1).isEmpty)
   }
+
+  test("perceptualNearDupPairs: exact recall vs brute-force referee, " +
+    "planted Hamming 0-3 twins found, nulls dropped") {
+    // deterministic diverse 64-bit hashes + planted near-dups at every
+    // distance the banding guarantees (0..3) and decoys just past it
+    def bits(seed: Long): String = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      val sb = new StringBuilder
+      (0 until 64).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(if (((x >>> 33) & 1L) == 1L) '1' else '0')
+      }
+      sb.toString
+    }
+    def flip(h: String, ks: Int*): String = {
+      val a = h.toCharArray
+      ks.foreach(k => a(k) = if (a(k) == '0') '1' else '0')
+      new String(a)
+    }
+    val base = (0L until 40L).map(i => i -> bits(i)).toMap
+    val rows = base.toSeq ++ Seq(
+      100L -> base(0L), // dist 0
+      101L -> flip(base(1L), 5), // dist 1
+      102L -> flip(base(2L), 3, 40), // dist 2
+      103L -> flip(base(3L), 0, 21, 63), // dist 3 (boundary, kept)
+      104L -> flip(base(4L), 1, 17, 33, 49), // dist 4 in ALL 4 bands:
+      // banding may or may not surface it as a candidate, but the
+      // exact verify must drop it either way
+      105L -> null.asInstanceOf[String]) // undecodable → dropped
+    val got = Multimodal.perceptualNearDupPairs(
+        rows.toDF("media_id", "ahash"), "media_id", "ahash", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute referee over non-null hashes
+    val hs = rows.filter(_._2 != null)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.contains((0L, 100L, 0L)) && got.contains((1L, 101L, 1L)))
+    assert(got.contains((2L, 102L, 2L)) && got.contains((3L, 103L, 3L)))
+    assert(!got.exists { case (a, b, _) => b == 104L || a == 104L || b == 105L })
+  }
 }
