@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1278,5 +1279,136 @@ object Pipeline {
         }
         ranks.orderBy("doc_id")
       }),
+
+    Q("q144_bpe_merges",
+      "distributed BPE tokenizer TRAINING (3 merge rounds): word types " +
+        "+ corpus frequencies, adjacent symbol-pair counting, argmax " +
+        "merge selection (count desc, pair asc tiebreak), greedy-left " +
+        "merge application — the iterative shape behind every modern " +
+        "tokenizer, run as Spark rounds. The corpus-sized shuffle " +
+        "happens ONCE (word-frequency groupBy); each round then " +
+        "shuffles only vocab-sized pair counts and broadcasts the " +
+        "1-row winner back into the merge lambda. The oracle unrolls " +
+        "all three rounds, so a divergence in any round's count, " +
+        "tiebreak or merge application cascades into a hash fail",
+      Some(s"""$bpeSqlCtes
+        SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, cnt
+          FROM b1
+        UNION ALL SELECT 2, a, b, cnt FROM b2
+        UNION ALL SELECT 3, a, b, cnt FROM b3
+        ORDER BY round"""),
+      (s, d) => {
+        val (winners, _) = bpeTrain(s, d)
+        winners.zipWithIndex.map { case (best, i) =>
+          best.select(lit((i + 1).toLong).as("round"), col("a").as("sym_a"),
+            col("b").as("sym_b"), col("cnt"))
+        }.reduce(_ union _).orderBy("round")
+      }),
+
+    Q("q145_bpe_encode",
+      "BPE ENCODE with the trained merges — the apply half of the " +
+        "tokenizer loop: the final merged symbol sequences from q144's " +
+        "3 training rounds, re-weighted by corpus word frequency, give " +
+        "the deployed vocabulary's token distribution (top-10 by corpus " +
+        "count, count desc / token asc tiebreak). At scale encode is a " +
+        "narrow map over word types against a broadcast merge list — " +
+        "the only shuffle here is the vocab-sized token-count groupBy; " +
+        "a wrong merge in ANY training round surfaces as a different " +
+        "token spelling and hash-fails",
+      Some(s"""$bpeSqlCtes,
+          tok AS (SELECT freq, unnest(seq) AS tok FROM seq3)
+        SELECT tok, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM tok GROUP BY tok
+          ORDER BY cnt DESC, tok LIMIT 10"""),
+      (s, d) => {
+        val (_, encoded) = bpeTrain(s, d)
+        encoded.select(col("freq"), explode(col("seq")).as("tok"))
+          .groupBy("tok").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(10)
+      }),
   )
+
+  /** Shared BPE trainer behind q144/q145: word-frequency table (the one
+    * corpus-sized shuffle), then `rounds` iterations of vocab-sized
+    * pair-count → 1-row argmax winner → greedy-left merge (winner
+    * broadcast into the fold lambda). Returns the per-round winner
+    * frames and the final merged sequences. The reference has no
+    * tokenizer trainer; this is engine surface for LLM-data pipelines.
+    */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int = 3)
+      : (Seq[DataFrame], DataFrame) = {
+    import graft.text.TextFunctions
+    // BPE trains on word TYPES weighted by corpus frequency, so the
+    // single corpus-sized shuffle is the wf groupBy; every round after
+    // is vocab-sized. Production BPE runs thousands of merges by
+    // batching non-overlapping winners per round — the per-round
+    // dataflow is exactly this.
+    val wf = table(s, d, "documents")
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var seqd = wf.select(col("freq"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("seq"))
+    val winners = (1 to rounds).map { _ =>
+      val pairCounts = seqd.filter(size(col("seq")) > 1)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(seq) - 1), i ->
+            struct(element_at(seq, i) AS a,
+              element_at(seq, CAST(i + 1 AS INT)) AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      // 1-row winner: deterministic tiebreak, pinned (consumed by
+      // both the output union and the merge lambda)
+      val best = pairCounts
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      // greedy-left merge; ordered CASE because Spark 4 runs ANSI
+      // (element_at on an empty array would throw; WHEN branches
+      // evaluate in order, AND does not short-circuit)
+      seqd = seqd.crossJoin(broadcast(
+          best.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("seq", expr(
+          """aggregate(seq, cast(array() as array<string>), (acc, x) ->
+            CASE WHEN size(acc) = 0 THEN array(x)
+              WHEN element_at(acc, -1) = ma AND x = mb
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                  array(concat(ma, mb)))
+              ELSE concat(acc, array(x)) END)"""))
+        .select(col("freq"), col("seq"))
+      best
+    }
+    (winners, seqd)
+  }
+
+  /** DuckDB mirror of [[bpeTrain]]: WITH-chain through seq3, unrolled.
+    * (lazy: referenced from `qs` entries that initialize before this
+    * val would, being declared below them)
+    */
+  private lazy val bpeSqlCtes: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""p$k AS (SELECT freq, unnest(list_transform(range(1, len(seq)),
+          i -> [seq[CAST(i AS INT)], seq[CAST(i + 1 AS INT)]])) AS pr
+        FROM seq${k - 1}),
+      c$k AS (SELECT pr[1] AS a, pr[2] AS b,
+          CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p$k GROUP BY pr[1], pr[2]),
+      b$k AS (SELECT a, b, cnt FROM c$k
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      seq$k AS (SELECT s.freq,
+          list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+            list_transform(s.seq, x -> [x])),
+            (acc, x) -> CASE WHEN len(acc) = 0 THEN x
+              WHEN acc[-1] = b.a AND x[1] = b.b
+                THEN acc[1:len(acc)-1] || [b.a || b.b]
+              ELSE acc || x END) AS seq
+        FROM seq${k - 1} s CROSS JOIN b$k b)"""
+    }.mkString(",\n          ")
+    s"""WITH wt AS (SELECT unnest($sqlWords) AS w FROM documents),
+      wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wt
+        WHERE length(w) > 0 GROUP BY w),
+      seq0 AS (SELECT freq, list_transform(range(1, length(w) + 1),
+          i -> substr(w, CAST(i AS INT), 1)) AS seq FROM wf),
+      $rounds"""
+  }
 }
