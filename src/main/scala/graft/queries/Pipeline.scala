@@ -1335,7 +1335,7 @@ object Pipeline {
     * frames and the final merged sequences. The reference has no
     * tokenizer trainer; this is engine surface for LLM-data pipelines.
     */
-  private def bpeTrain(s: SparkSession, d: String, rounds: Int = 3)
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int = 3)
       : (Seq[DataFrame], DataFrame) = {
     import graft.text.TextFunctions
     // BPE trains on word TYPES weighted by corpus frequency, so the
@@ -1343,10 +1343,20 @@ object Pipeline {
     // is vocab-sized. Production BPE runs thousands of merges by
     // batching non-overlapping winners per round — the per-round
     // dataflow is exactly this.
+    // localCheckpoint pins the corpus→vocab reduction: without it,
+    // round 1's `size(seq) > 1` filter — a deterministic function of
+    // the group key — gets pushed BELOW this aggregate and evaluates
+    // the interpreted transform/substring HOF once per corpus TOKEN
+    // instead of once per word type (measured 92 s vs 23 s for the
+    // pair tier at the 100x probe), and the now-divergent subtree
+    // costs ReuseExchange the single corpus scan across rounds. The
+    // checkpointed frame is vocab-sized; downstream joins are
+    // explicitly broadcast-hinted, so losing stats is harmless.
     val wf = table(s, d, "documents")
       .select(explode(TextFunctions.words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     var seqd = wf.select(col("freq"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("seq"))
@@ -1363,19 +1373,28 @@ object Pipeline {
       val best = pairCounts
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .localCheckpoint()
-      // greedy-left merge; ordered CASE because Spark 4 runs ANSI
-      // (element_at on an empty array would throw; WHEN branches
-      // evaluate in order, AND does not short-circuit)
-      seqd = seqd.crossJoin(broadcast(
-          best.select(col("a").as("ma"), col("b").as("mb"))))
-        .withColumn("seq", expr(
-          """aggregate(seq, cast(array() as array<string>), (acc, x) ->
-            CASE WHEN size(acc) = 0 THEN array(x)
-              WHEN element_at(acc, -1) = ma AND x = mb
-                THEN concat(slice(acc, 1, size(acc) - 1),
-                  array(concat(ma, mb)))
-              ELSE concat(acc, array(x)) END)"""))
-        .select(col("freq"), col("seq"))
+      // Merge exhaustion (every word down to one symbol): crossJoin
+      // with the now-empty winner would silently empty the whole
+      // vocabulary, so stop merging instead. Cheap test — best is
+      // already materialized. The unrolled DuckDB oracle keeps the
+      // unconditional CROSS JOIN; it only diverges on corpora whose
+      // pairs exhaust within `rounds`, which the documents table
+      // cannot (BpeSpec pins the library behavior).
+      if (!best.isEmpty) {
+        // greedy-left merge; ordered CASE because Spark 4 runs ANSI
+        // (element_at on an empty array would throw; WHEN branches
+        // evaluate in order, AND does not short-circuit)
+        seqd = seqd.crossJoin(broadcast(
+            best.select(col("a").as("ma"), col("b").as("mb"))))
+          .withColumn("seq", expr(
+            """aggregate(seq, cast(array() as array<string>), (acc, x) ->
+              CASE WHEN size(acc) = 0 THEN array(x)
+                WHEN element_at(acc, -1) = ma AND x = mb
+                  THEN concat(slice(acc, 1, size(acc) - 1),
+                    array(concat(ma, mb)))
+                ELSE concat(acc, array(x)) END)"""))
+          .select(col("freq"), col("seq"))
+      }
       best
     }
     (winners, seqd)

@@ -10,7 +10,7 @@ package graft.tools
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -76,6 +76,7 @@ object ScaleProbe {
     val doR6 = fam == "all" || fam == "r6"
     val doR7 = fam == "all" || fam == "r7"
     val doR8 = fam == "all" || fam == "r8"
+    val doR9 = fam == "all" || fam == "r9"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -587,6 +588,74 @@ object ScaleProbe {
                 concat(lit(" w"), col("rep"), lit(" ")))).as("text"))
         graft.dedup.Dedup.setSimilarityPairsRS(probe, corpusX,
           "doc_id", "text", tNum = 1, tDen = 2).count()
+      }
+      }
+
+      if (doR9) {
+      // --- BPE trainer (q144/q145 shape). Replica words get a _rep
+      // suffix so the word-TYPE table genuinely grows ×mult (raw
+      // replicas would dedup to a mult-independent vocab; real corpora
+      // grow sublinearly — this is the worst case). The claim under
+      // test: the corpus-token stream aggregates map-side down to
+      // vocab-sized partials in the wf groupBy, each merge round's
+      // pair-count shuffle is vocab-sized (never corpus-sized), and
+      // the merge APPLICATION is a zero-shuffle narrow map against a
+      // broadcast 1-row winner.
+      val bpeWords = docsX
+        .select(explode(split(col("text"), "\\s+")).as("w0"), col("rep"))
+        .filter(length(col("w0")) > 0)
+        .select(concat(col("w0"), lit("_"), col("rep")).as("w"))
+      // the production shape (bpeTrain): wf localCheckpoint'd, so the
+      // corpus→vocab reduction runs exactly once and nothing can sink
+      // below it. Metered as ONE tier because the checkpoint is eager.
+      var wfd: DataFrame = null
+      time(s"bpe wf groupBy + checkpoint @${mult}x") {
+        wfd = bpeWords.groupBy("w").agg(count(lit(1)).as("freq"))
+          .localCheckpoint()
+        wfd.count()
+      }
+      val seq0 = wfd.select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("seq"))
+      // CONTRAST row — the naive un-checkpointed frame: Catalyst
+      // pushes `size(seq) > 1` (a function of the group key) below the
+      // aggregate, evaluating the interpreted transform/substring HOF
+      // per corpus TOKEN instead of per word type (92 s vs 23 s
+      // end-to-end at 100x when first measured)
+      val seq0Naive = bpeWords.groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("seq"))
+      time(s"bpe pair counts, naive pushdown hazard @${mult}x") {
+        seq0Naive.filter(size(col("seq")) > 1)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(seq) - 1), i ->
+              struct(element_at(seq, i) AS a,
+                element_at(seq, CAST(i + 1 AS INT)) AS b))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt")).count()
+      }
+      time(s"bpe pair counts @${mult}x") {
+        seq0.filter(size(col("seq")) > 1)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(seq) - 1), i ->
+              struct(element_at(seq, i) AS a,
+                element_at(seq, CAST(i + 1 AS INT)) AS b))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt")).count()
+      }
+      time(s"bpe merge apply (narrow) @${mult}x") {
+        // winner pinned as a literal pair: isolates the apply tier the
+        // way production encode runs it (merge list broadcast to every
+        // task, fold in-row) — the metered shuffle is the final count's
+        // 1-row partials only
+        seq0.select(col("freq"), expr(
+            """aggregate(seq, cast(array() as array<string>), (acc, x) ->
+              CASE WHEN size(acc) = 0 THEN array(x)
+                WHEN element_at(acc, -1) = 'e' AND x = '_'
+                  THEN concat(slice(acc, 1, size(acc) - 1), array('e_'))
+                ELSE concat(acc, array(x)) END)""").as("seq"))
+          .select(sum(size(col("seq")))).count()
       }
       }
 
