@@ -1326,6 +1326,34 @@ object Pipeline {
           .groupBy("tok").agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("tok")).limit(10)
       }),
+
+    Q("q146_systematic_sample",
+      "systematic weighted sampling by cumulative token mass: documents " +
+        "in doc_id order, global running total of n_chars, and every " +
+        "doc that carries the total across a 5000-char stride boundary " +
+        "is selected — the deterministic 'one doc per N tokens of " +
+        "corpus mass' draw used for budgeted eval/calibration sets " +
+        "(heavier docs proportionally likelier, no RNG, stable under " +
+        "backfill). The running total is the two-phase distributed " +
+        "scan in graft.ops.PrefixSum — Spark's declarative " +
+        "Window.orderBy without partitionBy would collapse the corpus " +
+        "into ONE task; the scan keeps every tier bounded or narrow. " +
+        "Integer `div` on both engines keeps boundary math exact at " +
+        "any magnitude (no double rounding)",
+      Some("""WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          CAST(SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+          FROM documents)
+        SELECT doc_id, w, cw FROM c
+        WHERE cw // 5000 > (cw - w) // 5000
+        ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        graft.ops.PrefixSum.withRunningTotal(docs, "doc_id", "w", "cw")
+          .filter(expr("(cw div 5000) > ((cw - w) div 5000)"))
+          .orderBy("doc_id")
+      }),
   )
 
   /** Shared BPE trainer behind q144/q145: word-frequency table (the one

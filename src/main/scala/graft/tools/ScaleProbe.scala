@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -77,6 +77,7 @@ object ScaleProbe {
     val doR7 = fam == "all" || fam == "r7"
     val doR8 = fam == "all" || fam == "r8"
     val doR9 = fam == "all" || fam == "r9"
+    val doR10 = fam == "all" || fam == "r10"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -656,6 +657,36 @@ object ScaleProbe {
                   THEN concat(slice(acc, 1, size(acc) - 1), array('e_'))
                 ELSE concat(acc, array(x)) END)""").as("seq"))
           .select(sum(size(col("seq")))).count()
+      }
+      }
+
+      if (doR10) {
+      // --- global prefix sum (q146 shape) over the replicated fact
+      // table: unique ordering key per (rep, line), weight l_quantity.
+      // The claim: the two-phase scan shuffles each row ONCE (the range
+      // exchange) plus numParts bounded total rows, and both passes run
+      // at full parallelism — vs the declarative global window, whose
+      // plan is Exchange SinglePartition + Sort: every row through one
+      // task, the shape that dies first at cluster scale.
+      val keyed = liX.select(
+        (col("rep") * 100000000L + col("l_orderkey") * 10 +
+          col("l_linenumber")).as("k"),
+        col("l_quantity").cast("long").as("w"))
+      time(s"prefix sum two-phase @${mult}x") {
+        graft.ops.PrefixSum.withRunningTotal(keyed, "k", "w", "cw")
+          .filter(expr("(cw div 1000000) > ((cw - w) div 1000000)"))
+          .count()
+      }
+      if (mult <= 10) {
+        // the naive tier is omitted at 100x: 60M rows through a single
+        // window task takes minutes and proves nothing new
+        time(s"prefix sum naive global window @${mult}x") {
+          val w = Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          keyed.withColumn("cw", sum(col("w")).over(w))
+            .filter(expr("(cw div 1000000) > ((cw - w) div 1000000)"))
+            .count()
+        }
       }
       }
 

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two-phase distributed scan must agree with a sequential
+  * scanLeft for any input, including layouts with empty/skewed range
+  * partitions — and must actually run multi-partition (a single-task
+  * plan would pass the value check while proving nothing).
+  */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches a sequential scanLeft across many partitions") {
+    val rows = (1L to 10000L).map(i => (i, i % 97))
+    val df = rows.toDF("k", "w").repartition(16) // scrambled input order
+    val got = PrefixSum.withRunningTotal(df, "k", "w", "cw", numParts = 8)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = rows.map(_._2).scanLeft(0L)(_ + _).tail
+      .zip(rows.map(_._1)).map(_.swap)
+    assert(got.toSeq == want)
+  }
+
+  test("runs genuinely distributed — more than one scan partition") {
+    val df = (1L to 1000L).map(i => (i, 1L)).toDF("k", "w")
+    val parted = df.repartitionByRange(8, col("k"))
+    assert(parted.rdd.getNumPartitions > 1)
+    val out = PrefixSum.withRunningTotal(df, "k", "w", "cw", numParts = 8)
+    assert(out.agg(max("cw")).as[Long].head() == 1000L)
+  }
+
+  test("zero-weight rows advance nothing and duplicates of cw survive") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, 0L), (4L, 7L))
+      .toDF("k", "w")
+    val got = PrefixSum.withRunningTotal(df, "k", "w", "cw", numParts = 4)
+      .orderBy("k").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(5L, 5L, 5L, 12L))
+  }
+
+  test("systematic stride selection picks exactly the boundary-crossing rows") {
+    // masses 4,4,4,4 with stride 5: cw = 4,8,12,16; crossings at
+    // 5 (row 2), 10 (row 3), 15 (row 4)
+    val df = (1L to 4L).map(i => (i, 4L)).toDF("k", "w")
+    val got = PrefixSum.withRunningTotal(df, "k", "w", "cw", numParts = 2)
+      .filter(expr("(cw div 5) > ((cw - w) div 5)"))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+}
