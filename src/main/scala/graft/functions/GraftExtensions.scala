@@ -43,5 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.NearestSeedName, classOf[NearestSeedExpr]),
       (exprs: Seq[Expression]) => NearestSeedExpr(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }
 }
