@@ -462,6 +462,45 @@ object Events {
           .groupBy(col("cohort_day"), col("day_offset"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy("cohort_day", "day_offset")
+      }),
+
+    Q("q147_concurrency_peaks",
+      "peak concurrent activity per hour via a distributed sweep line: " +
+        "each event becomes an interval (start ts, deterministic " +
+        "60-300 s duration from its id), intervals explode to +1/-1 " +
+        "boundary deltas keyed so ends sort before starts at the same " +
+        "microsecond (touching intervals don't overlap), and the " +
+        "global running total of deltas — graft.plans.RunningTotal, " +
+        "the two-phase scan, NOT a single-task Window.orderBy — is the " +
+        "concurrency profile; max per hour bucket. Within a key tie " +
+        "all deltas share a sign, so the hourly MAX is tie-order " +
+        "independent even though per-row totals are not. All math in " +
+        "integer microseconds — engine-exact",
+      Some("""WITH b AS (
+          SELECT epoch_us(ts) * 2 + 1 AS k, epoch_us(ts) AS us,
+            CAST(1 AS BIGINT) AS delta FROM events
+          UNION ALL
+          SELECT (epoch_us(ts) + (60 + event_id % 240) * 1000000) * 2 AS k,
+            epoch_us(ts) + (60 + event_id % 240) * 1000000 AS us,
+            CAST(-1 AS BIGINT) AS delta FROM events),
+        c AS (
+          SELECT us, SUM(delta) OVER (ORDER BY k
+            ROWS UNBOUNDED PRECEDING) AS cw FROM b)
+        SELECT us // 3600000000 AS hour_idx, CAST(MAX(cw) AS BIGINT) AS peak
+        FROM c GROUP BY hour_idx ORDER BY hour_idx"""),
+      (s, d) => {
+        val ev = events(s, d).select(
+          expr("unix_micros(ts)").as("su"),
+          (expr("unix_micros(ts)") +
+            (lit(60) + col("event_id") % 240) * 1000000L).as("eu"))
+        val bounds = ev.select((col("su") * 2 + 1).as("k"),
+            col("su").as("us"), lit(1L).as("delta"))
+          .unionAll(ev.select((col("eu") * 2).as("k"),
+            col("eu").as("us"), lit(-1L).as("delta")))
+        graft.ops.PrefixSum.withRunningTotal(bounds, "k", "delta", "cw")
+          .groupBy(expr("us div 3600000000").as("hour_idx"))
+          .agg(max(col("cw")).as("peak"))
+          .orderBy("hour_idx")
       })
   )
 }

@@ -38,6 +38,17 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == Seq(5L, 5L, 5L, 12L))
   }
 
+  test("sweep line: ends sort before starts, so touching intervals never overlap") {
+    // [0,10), [5,15), [10,20): peak concurrency 2. A tie-break that
+    // applied the start at 10 before the end at 10 would report 3.
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L)).toDF("s", "e")
+    val bounds = iv.select((col("s") * 2 + 1).as("k"), lit(1L).as("delta"))
+      .unionAll(iv.select((col("e") * 2).as("k"), lit(-1L).as("delta")))
+    val peak = PrefixSum.withRunningTotal(bounds, "k", "delta", "cw", 4)
+      .agg(max("cw")).as[Long].head()
+    assert(peak == 2L)
+  }
+
   test("systematic stride selection picks exactly the boundary-crossing rows") {
     // masses 4,4,4,4 with stride 5: cw = 4,8,12,16; crossings at
     // 5 (row 2), 10 (row 3), 15 (row 4)
