@@ -50,9 +50,36 @@ case class RunningTotal(
 }
 
 object RunningTotalStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, RowFrame, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  import org.apache.spark.sql.catalyst.plans.logical.Window
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RunningTotal(k, w, a, child) =>
       RunningTotalExec(k, w, a, planLater(child)) :: Nil
+
+    // AUTO-ROUTE: a global running sum written declaratively —
+    //   sum(w).over(Window.orderBy(k).rowsBetween(unboundedPreceding,
+    //   currentRow))
+    // — plans by default as Exchange SinglePartition + Sort + Window:
+    // the whole input through one task. When the shape is exactly a
+    // running total we substitute the two-phase scan. Guards keep the
+    // semantics identical: single window expression, empty
+    // partitionSpec, ascending key, an explicit ROWS frame (the
+    // DEFAULT frame for an ordered window is RANGE, whose tied rows
+    // all receive the peer-group total — different on ties, so RANGE
+    // stays on the built-in), non-nullable LONG input (SQL sum skips
+    // nulls and yields NULL for an all-null prefix; the operator has
+    // no null path), no DISTINCT, no FILTER clause. Overflow matches
+    // ANSI: the operator accumulates via addExact.
+    case Window(Seq(alias @ Alias(WindowExpression(
+          AggregateExpression(Sum(weight, _), _, false, None, _),
+          WindowSpecDefinition(Nil, Seq(SortOrder(key, Ascending, _, _)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          _)), Nil, _, child, _)
+        if weight.dataType == LongType && !weight.nullable =>
+      RunningTotalExec(key, weight, alias.toAttribute, planLater(child)) :: Nil
+
     case _ => Nil
   }
 }
@@ -108,13 +135,13 @@ case class RunningTotalExec(
     val totals = totalsRDD.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(Seq(weightExpr), childOutput)
       var s = 0L
-      it.foreach(r => s += proj(r).getLong(0))
+      it.foreach(r => s = Math.addExact(s, proj(r).getLong(0)))
       Iterator((pid, s))
     }.collect()
 
     val perPid = Array.fill(childRDD.getNumPartitions)(0L)
     totals.foreach { case (pid, s) => perPid(pid) = s }
-    val offsets = perPid.scanLeft(0L)(_ + _)
+    val offsets = perPid.scanLeft(0L)(Math.addExact)
 
     val outAttrs = output
     childRDD.mapPartitionsWithIndex { (pid, it) =>
@@ -124,7 +151,7 @@ case class RunningTotalExec(
       val cumRow = new GenericInternalRow(1)
       var acc = offsets(pid)
       it.map { r =>
-        acc += wProj(r).getLong(0)
+        acc = Math.addExact(acc, wProj(r).getLong(0))
         cumRow.setLong(0, acc)
         outProj(joined(r, cumRow))
       }

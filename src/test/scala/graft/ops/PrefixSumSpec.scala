@@ -49,6 +49,30 @@ class PrefixSumSpec extends SparkSpec {
     assert(peak == 2L)
   }
 
+  test("auto-route: a global ROWS-frame running sum plans as RunningTotalExec") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, 2L)).toDF("k", "w")
+    val win = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.withColumn("cw", sum(col("w")).over(win))
+    assert(cum.queryExecution.executedPlan.toString
+      .contains("RunningTotal"))
+    val got = cum.orderBy("k").collect().map(_.getLong(2)).toSeq
+    assert(got == (1L to 500L).map(_ * 2))
+  }
+
+  test("auto-route declines RANGE frames — tied rows share the peer-group total") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "w")
+    // default frame for an ordered window is RANGE: both k=1 rows must
+    // see 30 — the built-in path, which the strategy must leave alone
+    val cum = df.withColumn("cw", sum(col("w")).over(Window.orderBy("k")))
+    assert(!cum.queryExecution.executedPlan.toString
+      .contains("RunningTotal"))
+    assert(cum.orderBy("k", "w").collect().map(_.getLong(2)).toSeq ==
+      Seq(30L, 30L, 35L))
+  }
+
   test("systematic stride selection picks exactly the boundary-crossing rows") {
     // masses 4,4,4,4 with stride 5: cw = 4,8,12,16; crossings at
     // 5 (row 2), 10 (row 3), 15 (row 4)
