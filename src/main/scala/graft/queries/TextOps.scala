@@ -758,6 +758,69 @@ object TextOps {
               .as("fertility"),
             array_join(slice(bpe, 1, 5), "|").as("head_tokens"))
           .orderBy("doc_id")
+      }),
+
+    Q("q148_pmi_collocations",
+      "collocation extraction: top-20 adjacent word pairs by pointwise " +
+        "mutual information, min bigram count 5 — the phrase-mining " +
+        "primitive (multi-word expressions for tokenizer vocab and " +
+        "n-gram features). Bigram and unigram counts partial-aggregate " +
+        "map-side to distinct-type-sized shuffles; the two unigram " +
+        "lookups stay KEYED joins (word space grows with the corpus, " +
+        "never broadcast-safe); the totals frame is the only broadcast " +
+        "(1 row by construction). PMI's per-row ln rounds to " +
+        "DECIMAL(30,12) — exact comparison across engines, same " +
+        "discipline as q100 — and count-desc/pair-asc tiebreaks make " +
+        "the limit deterministic",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+          u AS (SELECT unnest(ws) AS wd FROM w),
+          uc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM u
+            WHERE length(wd) > 0 GROUP BY wd),
+          bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+              i -> [ws[CAST(i AS INT)], ws[CAST(i + 1 AS INT)]])) AS pr
+            FROM w),
+          bc AS (SELECT pr[1] AS a, pr[2] AS b,
+              CAST(COUNT(*) AS BIGINT) AS cab
+            FROM bg WHERE length(pr[1]) > 0 AND length(pr[2]) > 0
+            GROUP BY pr[1], pr[2]),
+          tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM bc)
+        SELECT a, b, cab,
+          CAST(ln(CAST(cab AS DOUBLE) * t.n /
+            (ca.c * CAST(cb.c AS DOUBLE))) AS DECIMAL(30,12)) AS pmi
+        FROM bc JOIN uc ca ON bc.a = ca.wd
+                JOIN uc cb ON bc.b = cb.wd
+                CROSS JOIN tot t
+        WHERE cab >= 5
+        ORDER BY pmi DESC, a, b LIMIT 20"""),
+      (s, d) => {
+        val w = table(s, d, "documents")
+          .select(split(col("text"), "\\s+").as("ws"))
+        val uc = w.select(explode(col("ws")).as("wd"))
+          .filter(length(col("wd")) > 0)
+          .groupBy("wd").agg(count(lit(1)).as("c"))
+        // guard BEFORE the transform: Spark's sequence(1, 0) is the
+        // DESCENDING [1, 0] (DuckDB's range(1, 1) is empty), so a
+        // single-word doc would evaluate element_at(ws, 0) and throw
+        // under ANSI
+        val bc = w.filter(size(col("ws")) > 1).select(explode(expr(
+            """transform(sequence(1, size(ws) - 1), i ->
+              struct(element_at(ws, i) AS a,
+                element_at(ws, CAST(i + 1 AS INT)) AS b))""")).as("p"))
+          .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("cab"))
+        val tot = bc.agg(sum(col("cab")).as("n"))
+        bc.filter(col("cab") >= 5)
+          .join(uc.select(col("wd"), col("c").as("ca")),
+            col("a") === col("wd")).drop("wd")
+          .join(uc.select(col("wd"), col("c").as("cb")),
+            col("b") === col("wd")).drop("wd")
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("cab"),
+            log(col("cab").cast("double") * col("n") /
+              (col("ca") * col("cb").cast("double")))
+              .cast("decimal(30,12)").as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
       })
   )
 }
