@@ -86,8 +86,12 @@ case class GramMatrixAgg(
       val ei = arr.getDouble(i)
       var j = i
       while (j < dims) {
+        // half-AWAY-FROM-ZERO, matching SQL round() in both engines;
+        // Math.round is half-toward-+inf and loses one lattice unit on
+        // negative products landing exactly on a .5 boundary
+        val p = ei * arr.getDouble(j) * 1e12
         buf(k) = Math.addExact(buf(k),
-          Math.round(ei * arr.getDouble(j) * 1e12))
+          (if (p >= 0) Math.floor(p + 0.5) else Math.ceil(p - 0.5)).toLong)
         k += 1
         j += 1
       }

@@ -154,4 +154,16 @@ object Fixtures {
              {"value": ""}]}]}},
         {"Header": {"ColData": [{"value": "Beta Parts", "id": "57"}]},
          "Rows": {"Row": []}}]}}"""
+
+  /** Page 2 of the paginated ByVendor fetch (S7): one more vendor, no
+    * `hasMore` → the fetch loop must stop after this page.
+    */
+  val byVendorReportPage2: String =
+    """{"Header": {"Time": "2024-04-01", "StartPeriod": "2015-01-01", "EndPeriod": "2024-03-31"},
+      "Rows": {"Row": [
+        {"Header": {"ColData": [{"value": "Gamma Co", "id": "99"}]},
+         "Rows": {"Row": [
+           {"ColData": [{"value": "2024-02-02"}, {"value": "Bill"}, {"value": "B-2"},
+             {"value": "Yes"}, {"value": "memo"}, {"value": "Accounts Payable"},
+             {"value": "10.00"}]}]}}]}}"""
 }

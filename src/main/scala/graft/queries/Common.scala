@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** A declared query: Spark implementation + (where SQL-expressible) the
   * byte-equivalent DuckDB oracle SQL the driver hash-checks against
@@ -31,16 +31,36 @@ object Common {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same file
-    * (verified: epoch_us(ts) == epoch_us(CAST(ts AS TIMESTAMP))), so both
-    * sides see identical µs timestamps.
+  /** The `events` table's `ts` column has shipped in two physical parquet
+    * types across testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader only accepts via the `nanosAsLong` shim, surfacing
+    * as a LongType of epoch-nanos — and plain timestamp[us], which
+    * surfaces as TIMESTAMP_NTZ. Sniff the loaded dtype and normalize both
+    * to TimestampType at µs precision: the session timezone is pinned to
+    * UTC everywhere (Bench/Verify/specs), so the NTZ→LTZ cast is
+    * value-preserving and both generations land on the exact µs instants
+    * DuckDB sees reading the same file natively.
+    *
+    * The `nanosAsLong` conf must stay set for the lifetime of the scan
+    * (the parquet reader consults it at execution, not just at schema
+    * inference), so it cannot be scoped try/finally here; it is a no-op
+    * for µs-typed files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType (µs, UTC instant)
+    * whatever physical type the file carried. Works on streaming frames
+    * too (pure projection).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => // nanosAsLong shim output: epoch-nanos → truncate to µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _: TimestampNTZType => // timestamp[us] file: reinterpret as UTC instant
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
 
   /** Order-insensitive exact double sum (see class doc). */

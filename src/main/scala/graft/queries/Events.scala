@@ -215,9 +215,8 @@ object Events {
         val raw = s.read.parquet(s"$d/events.parquet")
         // the file source streams a directory; pathGlobFilter narrows it
         // to the events table
-        val stream = s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = normalizeTs(s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
         val outDir = scratchDir("drain", d)
         val q = graft.streaming.EventStream.tumblingCounts(stream)
           .writeStream

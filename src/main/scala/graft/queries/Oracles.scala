@@ -156,4 +156,27 @@ object Oracles {
     ) t(vendor_id, vendor_name, date, transaction_type, doc_num, posting,
         description, account, amount, start_period, end_period, report_time)
     ORDER BY vendor_id, date NULLS FIRST"""
+
+  /** [[byVendor]]'s three rows plus page 2's Gamma Co row — the expected
+    * union of the S7 paginated fetch (hasMore page 1 + terminal page 2).
+    */
+  val byVendorPaged: String = """
+    SELECT CAST(vendor_id AS INT) AS vendor_id, vendor_name,
+      CAST(date AS DATE) AS date, transaction_type, doc_num, posting,
+      description, account, CAST(amount AS DOUBLE) AS amount,
+      CAST(start_period AS DATE) AS start_period,
+      CAST(end_period AS DATE) AS end_period,
+      CAST(report_time AS DATE) AS report_time
+    FROM (VALUES
+      (56, 'Acme Supply', '2024-03-05', 'Bill', 'B-1001', 'Yes', 'note',
+       'Accounts Payable', 1250.5, '2015-01-01', '2024-03-31', '2024-04-01'),
+      (56, 'Acme Supply', '2024-03-20', 'Bill Payment (Check)', 'P-77', 'Yes',
+       '', 'Checking', NULL, '2015-01-01', '2024-03-31', '2024-04-01'),
+      (57, 'Beta Parts', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       '2015-01-01', '2024-03-31', '2024-04-01'),
+      (99, 'Gamma Co', '2024-02-02', 'Bill', 'B-2', 'Yes', 'memo',
+       'Accounts Payable', 10.0, '2015-01-01', '2024-03-31', '2024-04-01')
+    ) t(vendor_id, vendor_name, date, transaction_type, doc_num, posting,
+        description, account, amount, start_period, end_period, report_time)
+    ORDER BY vendor_id, date NULLS FIRST"""
 }

@@ -58,6 +58,54 @@ object QboPipelines {
       Reports.TransactionListByVendor.parse(s, Fixtures.byVendorReport))
       .orderBy(col("vendor_id"), col("date").asc_nulls_first)
 
+  /** Fixture Reports-API backend for the S7 paginated fetch loop: serves
+    * the ByVendor report in two pages keyed on `start_position`, rejects
+    * requests missing the pagination + `columns=` projection params the
+    * reference sends (so the query FAILS if the fetch loop stops sending
+    * them), and flags `hasMore` on every page but the last.
+    */
+  private final class PagedByVendorBackend extends QboReportsApi {
+    def report(name: String, params: Seq[(String, String)]): String = {
+      require(name == "TransactionListByVendor", name)
+      val p = params.toMap
+      require(p.get("columns").contains("Vendor ID, Vendor Name"), p)
+      require(p.get("max_results").contains("100"), p)
+      p("start_position").toInt match {
+        case 1 =>
+          Fixtures.byVendorReport.replaceFirst("\\{", "{\"hasMore\": true, ")
+        case 101 => Fixtures.byVendorReportPage2
+        case other => throw new IllegalArgumentException(
+          s"fetch loop overran the terminal page: start_position=$other")
+      }
+    }
+  }
+
+  /** S7 end-to-end: paginated fetch (hasMore stop predicate, column
+    * projection pushed to the server) → union-of-pages parse → W4.
+    */
+  def byVendorPagedWarehouse(s: SparkSession): DataFrame =
+    Reports.TransactionListByVendor.warehouse(
+      Reports.TransactionListByVendor.parsePages(s,
+        Reports.Fetch.transactionListByVendor(new PagedByVendorBackend,
+          "2015-01-01", "2024-03-31",
+          columns = Some("Vendor ID, Vendor Name"))))
+      .orderBy(col("vendor_id"), col("date").asc_nulls_first)
+
+  /** W3 end-to-end: the Bill warehouse frame through the JDBC sink into
+    * an embedded Derby database and back out through the JDBC source —
+    * the same `toJdbc`/`fromJdbc` pair a live warehouse load uses. The
+    * pid-scoped in-memory db name keeps concurrent bench/verify JVMs
+    * isolated; overwrite mode makes repeat calls idempotent.
+    */
+  def billsJdbcRoundTrip(s: SparkSession): DataFrame = {
+    val staged = billsWarehouse(s)
+    val url = s"jdbc:derby:memory:graft_rt_p${ProcessHandle.current().pid()};create=true"
+    graft.load.Warehouse.toJdbc(staged, url, "bills_wh")
+    graft.load.Warehouse.fromJdbc(s, url, "bills_wh")
+      .select(staged.columns.map(col).toSeq: _*)
+      .orderBy("id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("qbo_vendor_spend",
       "downstream analytics across two QBO pipelines: billed vs paid per vendor",
@@ -102,6 +150,15 @@ object QboPipelines {
     Q("qbo_transaction_list", "TransactionList report: S6+P7+P9+C2+C6+W4",
       Some(Oracles.transactionList), (s, _) => transactionListWarehouse(s)),
     Q("qbo_txnlist_by_vendor", "ByVendor report: S7+P8 intended semantics+W4",
-      Some(Oracles.byVendor), (s, _) => byVendorWarehouse(s))
+      Some(Oracles.byVendor), (s, _) => byVendorWarehouse(s)),
+    Q("qbo_byvendor_paged",
+      "S7 paginated fetch against a fixture backend: hasMore stop " +
+        "predicate, start_position advance, columns= server-side " +
+        "projection, union-of-pages parse, W4 cast layer",
+      Some(Oracles.byVendorPaged), (s, _) => byVendorPagedWarehouse(s)),
+    Q("qbo_jdbc_roundtrip",
+      "W3 JDBC warehouse round-trip: Bill warehouse frame → toJdbc " +
+        "(embedded Derby) → fromJdbc → values identical to qbo_bills",
+      Some(Oracles.bills), (s, _) => billsJdbcRoundTrip(s))
   )
 }

@@ -768,10 +768,12 @@ object TextOps {
         "map-side to distinct-type-sized shuffles; the two unigram " +
         "lookups stay KEYED joins (word space grows with the corpus, " +
         "never broadcast-safe); the totals frame is the only broadcast " +
-        "(1 row by construction). PMI's per-row ln rounds to " +
-        "DECIMAL(30,12) — exact comparison across engines, same " +
-        "discipline as q100 — and count-desc/pair-asc tiebreaks make " +
-        "the limit deterministic",
+        "(1 row by construction). Cross-engine determinism: the ORDER BY " +
+        "ranks on the pre-ln ratio cab*N/(ca*cb) — IEEE mul/div are " +
+        "correctly rounded, hence bit-identical in both engines, and ln " +
+        "is monotone so the ranking equals PMI order — while the emitted " +
+        "PMI rounds to DECIMAL(20,6), far above each engine's ≤1-ulp " +
+        "libm-ln discrepancy; pair-asc tiebreaks pin the limit",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
           u AS (SELECT unnest(ws) AS wd FROM w),
           uc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM u
@@ -786,26 +788,21 @@ object TextOps {
           tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM bc)
         SELECT a, b, cab,
           CAST(ln(CAST(cab AS DOUBLE) * t.n /
-            (ca.c * CAST(cb.c AS DOUBLE))) AS DECIMAL(30,12)) AS pmi
+            (ca.c * CAST(cb.c AS DOUBLE))) AS DECIMAL(20,6)) AS pmi
         FROM bc JOIN uc ca ON bc.a = ca.wd
                 JOIN uc cb ON bc.b = cb.wd
                 CROSS JOIN tot t
         WHERE cab >= 5
-        ORDER BY pmi DESC, a, b LIMIT 20"""),
+        ORDER BY CAST(cab AS DOUBLE) * t.n /
+          (ca.c * CAST(cb.c AS DOUBLE)) DESC, a, b LIMIT 20"""),
       (s, d) => {
         val w = table(s, d, "documents")
           .select(split(col("text"), "\\s+").as("ws"))
         val uc = w.select(explode(col("ws")).as("wd"))
           .filter(length(col("wd")) > 0)
           .groupBy("wd").agg(count(lit(1)).as("c"))
-        // guard BEFORE the transform: Spark's sequence(1, 0) is the
-        // DESCENDING [1, 0] (DuckDB's range(1, 1) is empty), so a
-        // single-word doc would evaluate element_at(ws, 0) and throw
-        // under ANSI
-        val bc = w.filter(size(col("ws")) > 1).select(explode(expr(
-            """transform(sequence(1, size(ws) - 1), i ->
-              struct(element_at(ws, i) AS a,
-                element_at(ws, CAST(i + 1 AS INT)) AS b))""")).as("p"))
+        val bc = w.select(explode(
+            graft.text.TextFunctions.adjacentPairs(col("ws"))).as("p"))
           .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("cab"))
@@ -816,11 +813,13 @@ object TextOps {
           .join(uc.select(col("wd"), col("c").as("cb")),
             col("b") === col("wd")).drop("wd")
           .crossJoin(broadcast(tot))
-          .select(col("a"), col("b"), col("cab"),
-            log(col("cab").cast("double") * col("n") /
-              (col("ca") * col("cb").cast("double")))
-              .cast("decimal(30,12)").as("pmi"))
-          .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+          // same operand order as the oracle: (cab_dbl * n) / (ca * cb_dbl)
+          .withColumn("ratio", col("cab").cast("double") * col("n") /
+            (col("ca") * col("cb").cast("double")))
+          .select(col("a"), col("b"), col("cab"), col("ratio"),
+            log(col("ratio")).cast("decimal(20,6)").as("pmi"))
+          .orderBy(col("ratio").desc, col("a"), col("b")).limit(20)
+          .drop("ratio")
       })
   )
 }

@@ -36,6 +36,18 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int = 3): Column =
     array_distinct(wordShingles(words(text), k))
 
+  /** Adjacent token pairs as `struct(a, b)` — the collocation/PMI unit
+    * (q148). Guard BEFORE the transform: Spark's `sequence(1, 0)` is the
+    * DESCENDING [1, 0] (unlike DuckDB's empty `range`), so a one-token
+    * array would evaluate `element_at(ws, 0)` and throw under ANSI.
+    */
+  def adjacentPairs(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("a"),
+          element_at(ws, (i + 1).cast("int")).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
   /** Fraction of tokens drawn from a stopword list (quality signal). */
   def stopwordRatio(ws: Column, stop: Seq[String]): Column =
     size(filter(ws, w => w.isin(stop: _*))).cast("double") / size(ws)

@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -78,6 +78,7 @@ object ScaleProbe {
     val doR8 = fam == "all" || fam == "r8"
     val doR9 = fam == "all" || fam == "r9"
     val doR10 = fam == "all" || fam == "r10"
+    val doR11 = fam == "all" || fam == "r11"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -688,6 +689,38 @@ object ScaleProbe {
             .count()
         }
       }
+      }
+
+      if (doR11) {
+      // --- SCD2 with the dimension stored BUCKETED on the key
+      // (q129/T40's at-scale configuration, the fix the r7 row's comment
+      // promises): the bucketed+sorted scan already satisfies the
+      // full-outer join's required distribution and ordering, so the
+      // dim-side exchange (and sort) vanish — the metered shuffle must
+      // track the ~1% CDC batch, not the dimension. Contrast with the
+      // r7 row, where BOTH sides shuffle. The bucketed write itself is
+      // the one-time layout cost and is deliberately outside the meter
+      // (paid once, amortized over every nightly merge).
+      val cust = table(spark, sfDir, "customer")
+      val dimSrc = cust.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("c_custkey") + col("rep") * 10000000L).as("k"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+      val tbl = s"scd2_dim_bucketed_${mult}x"
+      graft.load.Warehouse.writeBucketed(dimSrc, tbl, "k", 32)
+      val dimB = spark.table(tbl)
+      // batch comes from the UNBUCKETED source frame: it must shuffle
+      // (that's the honest CDC shape); only the dim side may skip its
+      // exchange
+      val batchX = dimSrc.filter(col("k") % 100 === 0)
+        .select(col("k"), lit("MOVED").as("segment"),
+          (col("acctbal") + 1).as("acctbal"))
+      time(s"scd2 merge, BUCKETED dim, 1% cdc @${mult}x") {
+        graft.load.Warehouse.mergeScd2(dimB, batchX, "k",
+          Seq("segment", "acctbal"), "2024-06-15").count()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
       }
 
       if (doCC) {

@@ -39,6 +39,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1) == Seq("one two three", "two three four"))
   }
 
+  test("adjacentPairs: n-1 ordered pairs; one-token and empty arrays → empty, not a crash") {
+    val got = Seq("a b c d", "solo", "x y").toDF("text")
+      .select(TextFunctions.adjacentPairs(TextFunctions.words(col("text"))))
+      .as[Seq[(String, String)]].collect()
+    assert(got(0) == Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(got(1).isEmpty)
+    assert(got(2) == Seq(("x", "y")))
+  }
+
   test("ShingleSetExpr ≡ the HOF shingleSet, bit for bit (incl. order)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
