@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -79,6 +79,7 @@ object ScaleProbe {
     val doR9 = fam == "all" || fam == "r9"
     val doR10 = fam == "all" || fam == "r10"
     val doR11 = fam == "all" || fam == "r11"
+    val doR12 = fam == "all" || fam == "r12"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -721,6 +722,99 @@ object ScaleProbe {
           Seq("segment", "acctbal"), "2024-06-15").count()
       }
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
+
+      if (doR12) {
+      // --- round-6 curation shapes (T59/T60/T61) ---
+      val docs6 = table(spark, sfDir, "documents")
+      val docs6X = docs6.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          col("text"), col("lang"), col("rep"))
+      // DSIR (q149 shape): both hashed-unigram LMs partial-aggregate
+      // map-side to ≤1024 bucket rows per partition — the model-side
+      // shuffle is bounded by buckets × partitions at ANY corpus size,
+      // and scoring probes the broadcast 1024-row log-ratio table.
+      // Expected: shuffle rows ≈ docs (the per-doc partial sums) +
+      // O(1024×32), i.e. linear with a flat model term.
+      time(s"dsir weights (1024-bucket LMs) @${mult}x") {
+        val tok = docs6X.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "\\s+")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            (hash32(concat(lit("b:"), col("w"))) % 1024).as("b"))
+        val ct = tok.filter(col("lang") === "en").groupBy("b")
+          .agg(count(lit(1)).as("ct"))
+        val cr = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tot = tok.agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .as("nt"), count(lit(1)).as("nr"))
+        val lr = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
+          .select(col("b"), log(((coalesce(col("ct"), lit(0L)) + 1)
+            .cast("double") * (col("nr") + 1024).cast("double")) /
+            ((col("cr") + 1).cast("double") * (col("nt") + 1024)
+              .cast("double"))).as("lr"))
+        tok.join(broadcast(lr), Seq("b")).groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sum(col("lr")).as("s")).count()
+      }
+      // Exact substring dedup (q150 shape): one 8-byte hash row per
+      // token position is the honest floor — text never shuffles.
+      // Replicas are decorrelated by interleaving a rep-specific token,
+      // so duplicated-window mass stays the PLANTED intra-replica dups
+      // (linear), not the ×mult² cross-replica explosion a naive
+      // replication would measure.
+      time(s"substring dedup 8-tok windows @${mult}x") {
+        // interleave a rep-specific token between every word: all
+        // windows become rep-local, so cross-replica collisions vanish
+        val t = docs6X.select(col("doc_id"),
+          split(regexp_replace(
+            regexp_replace(col("text"), lit("\\s+"), lit(" ")),
+            lit(" "), concat(lit(" z"), col("rep").cast("string"), lit(" "))),
+            " ").as("ws"))
+          .filter(size(col("ws")) >= 8)
+        val wins = t.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 7),
+            i => hash32(concat_ws(" ", slice(col("ws"), i, lit(8))))))
+            .as("wh"))
+        val dup = wins.groupBy("wh").agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("wh")
+        wins.join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
+      // Principal direction (q151 shape): the Gram pass is ONE ~16 KB
+      // state row per map partition (flat at any corpus size); matvecs
+      // run on the 64×64 lattice frame; the projection folds against a
+      // single broadcast array row — expected shuffle rows ≈ map
+      // partitions, FLAT 1×→100×.
+      val emb6 = table(spark, sfDir, "embeddings")
+      val emb6X = emb6.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+      time(s"principal projection (gram+2 matvec+fold) @${mult}x") {
+        val gm = emb6X
+          .agg(graft.functions.GramMatrixAgg.gram(spark, col("e"), 64).as("gm"))
+          .select(explode(col("gm.g")).as("x"))
+          .select(col("x.di").as("di"), col("x.dj").as("dj"),
+            round(col("x.s").cast("double") / 1e6).cast("long").as("g"))
+        val gf = gm.union(gm.filter(col("di") =!= col("dj"))
+          .select(col("dj").as("di"), col("di").as("dj"), col("g")))
+        val v1 = gf.groupBy("di").agg(sum(col("g")).as("x1"))
+          .select(col("di").as("j"), col("x1"))
+        val v2 = gf.join(broadcast(v1), col("dj") === col("j"))
+          .groupBy("di").agg(sum(col("g")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("x1"))
+            .as("x2"))
+        val v2arr = v2.agg(array_sort(collect_list(struct(col("di"),
+          col("x2")))).as("sx"))
+          .select(transform(col("sx"), x => x.getField("x2")).as("pc"))
+        emb6X.crossJoin(broadcast(v2arr))
+          .select(col("vec_id"), aggregate(
+            zip_with(transform(col("e"), x => round(x * 1e6)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+              col("pc"), (a, b) => a * b),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+            (acc, x) => (acc + x)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("proj"))
+          .agg(max(abs(col("proj")))).count()
+      }
       }
 
       if (doCC) {
