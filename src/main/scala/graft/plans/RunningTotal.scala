@@ -56,56 +56,69 @@ object RunningTotalStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RunningTotal(k, w, a, child) =>
-      RunningTotalExec(k, w, a, planLater(child)) :: Nil
+      RunningTotalExec(SortOrder(k, Ascending) :: Nil, w :: Nil, a :: Nil,
+        planLater(child)) :: Nil
 
-    // AUTO-ROUTE: a global running sum written declaratively —
-    //   sum(w).over(Window.orderBy(k).rowsBetween(unboundedPreceding,
+    // AUTO-ROUTE: global running sums written declaratively —
+    //   sum(w).over(Window.orderBy(k...).rowsBetween(unboundedPreceding,
     //   currentRow))
-    // — plans by default as Exchange SinglePartition + Sort + Window:
-    // the whole input through one task. When the shape is exactly a
-    // running total we substitute the two-phase scan. Guards keep the
-    // semantics identical: single window expression, empty
-    // partitionSpec, ascending key, an explicit ROWS frame (the
-    // DEFAULT frame for an ordered window is RANGE, whose tied rows
-    // all receive the peer-group total — different on ties, so RANGE
-    // stays on the built-in), non-nullable LONG input (SQL sum skips
-    // nulls and yields NULL for an all-null prefix; the operator has
-    // no null path), no DISTINCT, no FILTER clause. Overflow matches
-    // ANSI: the operator accumulates via addExact.
-    case Window(Seq(alias @ Alias(WindowExpression(
-          AggregateExpression(Sum(weight, _), _, false, None, _),
-          WindowSpecDefinition(Nil, Seq(SortOrder(key, Ascending, _, _)),
-            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-          _)), Nil, _, child, _)
-        if weight.dataType == LongType && !weight.nullable =>
-      RunningTotalExec(key, weight, alias.toAttribute, planLater(child)) :: Nil
+    // — plan by default as Exchange SinglePartition + Sort + Window:
+    // the whole input through one task. When every expression in the
+    // Window node is exactly a running total over the node's own order
+    // we substitute the two-phase scan (N sums ride one pass — the
+    // ROC-curve shape). Guards keep the semantics identical: empty
+    // partitionSpec, an explicit ROWS frame (the DEFAULT frame for an
+    // ordered window is RANGE, whose tied rows all receive the
+    // peer-group total — different on ties, so RANGE stays on the
+    // built-in), non-nullable LONG inputs (SQL sum skips nulls and
+    // yields NULL for an all-null prefix; the operator has no null
+    // path), no DISTINCT, no FILTER clause. Any key count/direction is
+    // fine — the operator just requires the window's own total order.
+    // Overflow matches ANSI: the operator accumulates via addExact.
+    case Window(aliases, Nil, orderSpec, child, _)
+        if aliases.nonEmpty && orderSpec.nonEmpty && aliases.forall {
+          case Alias(WindowExpression(
+              AggregateExpression(Sum(weight, _), _, false, None, _),
+              WindowSpecDefinition(Nil, os,
+                SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+                  CurrentRow))), _) =>
+            os == orderSpec && weight.dataType == LongType &&
+              !weight.nullable
+          case _ => false
+        } =>
+      val pairs = aliases.collect {
+        case a @ Alias(WindowExpression(
+            AggregateExpression(Sum(weight, _), _, _, _, _), _), _) =>
+          (weight, a.toAttribute)
+      }
+      RunningTotalExec(orderSpec, pairs.map(_._1), pairs.map(_._2),
+        planLater(child)) :: Nil
 
     case _ => Nil
   }
 }
 
 case class RunningTotalExec(
-    key: Expression,
-    weight: Expression,
-    cumAttr: Attribute,
+    sortKeys: Seq[SortOrder],
+    weights: Seq[Expression],
+    cumAttrs: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
+  require(weights.nonEmpty && weights.size == cumAttrs.size)
 
-  override def output: Seq[Attribute] = child.output :+ cumAttr
+  override def output: Seq[Attribute] = child.output ++ cumAttrs
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(cumAttr :: Nil)
-
-  private def sortOrder: SortOrder = SortOrder(key, Ascending)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(cumAttrs)
 
   /** Totally-ordered range partitions; EnsureRequirements reuses an
     * existing RangePartitioning on the key (e.g. from an upstream
     * repartitionByRange) instead of inserting a second exchange.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(sortOrder :: Nil) :: Nil
+    OrderedDistribution(sortKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    (sortOrder :: Nil) :: Nil
+    sortKeys :: Nil
 
   // appending a column invalidates neither the child's partitioning
   // nor its ordering
@@ -117,7 +130,8 @@ case class RunningTotalExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val weightExpr = weight
+    val weightExprs = weights
+    val n = weights.size
     val childRDD = child.execute()
 
     // Per-partition totals are order-independent, so the totals job
@@ -133,26 +147,38 @@ case class RunningTotalExec(
       case _ => childRDD
     }
     val totals = totalsRDD.mapPartitionsWithIndex { (pid, it) =>
-      val proj = UnsafeProjection.create(Seq(weightExpr), childOutput)
-      var s = 0L
-      it.foreach(r => s = Math.addExact(s, proj(r).getLong(0)))
+      val proj = UnsafeProjection.create(weightExprs, childOutput)
+      val s = Array.fill(n)(0L)
+      it.foreach { r =>
+        val w = proj(r)
+        var i = 0
+        while (i < n) { s(i) = Math.addExact(s(i), w.getLong(i)); i += 1 }
+      }
       Iterator((pid, s))
     }.collect()
 
-    val perPid = Array.fill(childRDD.getNumPartitions)(0L)
+    val perPid = Array.fill(childRDD.getNumPartitions)(Array.fill(n)(0L))
     totals.foreach { case (pid, s) => perPid(pid) = s }
-    val offsets = perPid.scanLeft(0L)(Math.addExact)
+    // exclusive per-column offsets: offsets(p)(i) = Σ_{p' < p} totals(p')(i)
+    val offsets = perPid.scanLeft(Array.fill(n)(0L)) { (acc, s) =>
+      Array.tabulate(n)(i => Math.addExact(acc(i), s(i)))
+    }
 
     val outAttrs = output
     childRDD.mapPartitionsWithIndex { (pid, it) =>
-      val wProj = UnsafeProjection.create(Seq(weightExpr), childOutput)
+      val wProj = UnsafeProjection.create(weightExprs, childOutput)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
-      val cumRow = new GenericInternalRow(1)
-      var acc = offsets(pid)
+      val cumRow = new GenericInternalRow(n)
+      val acc = offsets(pid).clone()
       it.map { r =>
-        acc = Math.addExact(acc, wProj(r).getLong(0))
-        cumRow.setLong(0, acc)
+        val w = wProj(r)
+        var i = 0
+        while (i < n) {
+          acc(i) = Math.addExact(acc(i), w.getLong(i))
+          cumRow.setLong(i, acc(i))
+          i += 1
+        }
         outProj(joined(r, cumRow))
       }
     }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -24,17 +25,30 @@ object Curation {
   private val B = 1024 // hashed-feature buckets (DSIR + classifier)
   private val W = 8    // substring-dedup window, in tokens
 
+  // DuckDB twins of the shingle/minhash pipeline (same as TextOps's
+  // private copies — the oracle strings are per-file by precedent)
+  private val P = Hashing.P
+  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
+  private def sqlShingles(ws: String) =
+    s"list_distinct(list_transform(range(1, len($ws)-1), i -> array_to_string(($ws)[i:i+2], ' ')))"
+  private def sqlMinhash(sh: String, j: Int) =
+    s"list_min(list_transform($sh, s -> (CAST('0x' || substr(md5(s),1,8) AS BIGINT) % $P * ${Hashing.HashA(j)} + ${Hashing.HashB(j)}) % $P))"
+
   val qs: Seq[Q] = Seq(
     Q("q149_dsir_weights",
       "DSIR-style importance weights: hashed-unigram LMs (1024 buckets) " +
         "fit on the target domain (lang=en) and on the raw pool; each " +
         "doc scores avg log(p_target/p_raw) over its token buckets — " +
         "the data-selection primitive behind importance resampling",
-      Some(s"""WITH tok AS (SELECT doc_id, lang,
-            CAST('0x' || substr(md5('b:' || w), 1, 8) AS BIGINT) % $B AS b
-          FROM (SELECT doc_id, lang,
-              unnest(regexp_split_to_array(text, '\\s+')) AS w
-            FROM documents)),
+      Some(s"""WITH toks AS (SELECT doc_id, lang,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        tok AS (SELECT doc_id, lang,
+            unnest(list_transform(ws, t ->
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(t)+1),
+                  i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+                (a, b) -> (a*31 + b) % ${Hashing.P}) % $B)) AS b
+          FROM toks),
         ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
           WHERE lang = 'en' GROUP BY b),
         cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY b),
@@ -54,37 +68,46 @@ object Curation {
         GROUP BY doc_id ORDER BY dsir_weight DESC, doc_id LIMIT 50"""),
       (s, d) => {
         // Importance resampling needs two n-gram LMs over the SAME
-        // hashed feature space (Xie et al., DSIR). Both count tables
-        // partial-aggregate map-side to ≤1024 rows — at 100 TB the
-        // feature model is still one broadcast; only per-doc partial
-        // sums shuffle. Determinism: the log-ratio is ONE ln() of an
-        // exactly-computed rational (integer counts, products < 2^53
-        // at this scale — the 100 TB variant moves the products onto
-        // a decimal lattice first), rounded to DECIMAL(30,12) before
-        // the associative decimal sum, same discipline as q100; the
-        // final avg is a single IEEE division, identical cross-engine.
-        val tok = table(s, d, "documents")
+        // hashed feature space (Xie et al., DSIR) — here T42's
+        // fingerprint buckets, so the classifier and the sampler share
+        // one feature definition. The corpus is tokenized+hashed ONCE
+        // (the codegen'd rolling hash — measured ~an-order cheaper
+        // than per-token md5) and exchanged once, as per-doc bucket
+        // HISTOGRAMS (≤min(tokens,1024) rows/doc); both the model fit
+        // and the scoring read that one exchange (ReuseExchange), so
+        // everything downstream is histogram/model-sized. At 100 TB
+        // the model is still one 1024-row broadcast. Determinism: the
+        // log-ratio is ONE ln() of an exactly-computed rational
+        // (integer counts, products < 2^53 at this scale — the 100 TB
+        // variant moves the products onto a decimal lattice first),
+        // rounded to DECIMAL(30,12); score = Σ n_db·lr[b] on the
+        // decimal lattice — identical to the per-token sum; the final
+        // avg is a single IEEE division, identical cross-engine.
+        val hist = table(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            explode(words(col("text"))).as("w"))
-          .select(col("doc_id"), col("lang"),
-            (hash32(concat(lit("b:"), col("w"))) % B).as("b"))
-        val ct = tok.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val cr = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-        val tot = tok.agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-          count(lit(1)).as("nr"))
-        val lr = cr.join(ct, Seq("b"), "left")
-          .crossJoin(broadcast(tot))
+            explode(hashedBuckets(words(col("text")), B)).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("nb"))
+        val bc = hist.groupBy("b").agg(sum(col("nb")).as("cr"),
+          coalesce(sum(when(col("lang") === "en", col("nb"))), lit(0L))
+            .as("ct"))
+        val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+        val lr = bc.crossJoin(broadcast(tot))
           .select(col("b"),
-            log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            log(((col("ct") + 1).cast("double")
                   * (col("nr") + B).cast("double")) /
                 ((col("cr") + 1).cast("double")
                   * (col("nt") + B).cast("double")))
-              .cast("decimal(30,12)").as("lr"))
-        tok.join(broadcast(lr), Seq("b"))
+              // (24,12) not (30,12): with nb at DECIMAL(13,0) the
+              // product is 13+24+1 = 38 digits, so Spark keeps scale
+              // 12 EXACTLY — at (30,12) the 51-digit product would be
+              // silently re-rounded to a coarser scale and drift off
+              // the oracle in the 8th decimal (observed)
+              .cast("decimal(24,12)").as("lr"))
+        hist.join(broadcast(lr), Seq("b"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+          .agg(sum(col("nb")).as("n_tokens"),
+            sum(col("nb").cast(DecimalType(13, 0)) * col("lr")).as("slr"))
           .select(col("doc_id"), col("n_tokens"),
             (col("slr").cast("double") / col("n_tokens")).as("dsir_weight"))
           .orderBy(col("dsir_weight").desc, col("doc_id")).limit(50)
@@ -126,9 +149,7 @@ object Curation {
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= W)
         val wins = t.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - (W - 1)),
-            i => hash32(concat_ws(" ", slice(col("ws"), i, lit(W))))))
-            .as("wh"))
+          explode(windowHashes(col("ws"), W)).as("wh"))
         val dup = wins.groupBy("wh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")
@@ -310,9 +331,12 @@ object Curation {
           hashedLinearScore(hashedBuckets(words(col("text")), B))
             .as("score"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        // count() (not sum) so the per-score columns are NON-NULLABLE
+        // longs — one of the auto-route's guards (SQL sum over an
+        // all-null prefix is NULL; the operator has no null path)
         val byScore = scored.groupBy("score")
-          .agg(sum(col("pos")).as("n_pos"),
-            (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+          .agg(count(when(col("pos") === 1L, 1)).as("n_pos"),
+            count(when(col("pos") === 0L, 1)).as("n_neg"))
         val w = Window.orderBy(col("score").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byScore.select(col("score"),
@@ -321,6 +345,275 @@ object Curation {
           .withColumn("prec",
             col("cum_tp").cast("double") / (col("cum_tp") + col("cum_fp")))
           .orderBy(col("score").desc)
+      }),
+
+    Q("q154_novelty_profile",
+      "temporal novelty audit: fraction of each doc's 8-token windows " +
+        "whose FIRST corpus occurrence (min doc_id) is the doc itself — " +
+        "what an incremental crawl actually adds vs re-crawls",
+      Some(s"""WITH t AS (SELECT doc_id,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        tt AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= $W),
+        w AS (SELECT doc_id,
+            CAST('0x' || substr(md5(array_to_string(
+              ws[CAST(i AS INT):CAST(i + ${W - 1} AS INT)], ' ')), 1, 8)
+              AS BIGINT) AS wh
+          FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${W - 1}))
+            AS i) g),
+        fs AS (SELECT wh, MIN(doc_id) AS first_doc FROM w GROUP BY wh)
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+          CAST(SUM(CASE WHEN fs.first_doc = w.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN fs.first_doc = w.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty
+        FROM w JOIN fs USING (wh)
+        GROUP BY w.doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        // q150's window frame with MIN instead of COUNT DISTINCT:
+        // first-occurrence attribution makes dedup *incremental* —
+        // content is charged to the earliest doc_id (crawl order), so
+        // re-crawls score ~0 novelty. min() partial-aggregates
+        // map-side; both shuffles carry only (hash, id) pairs.
+        val t = table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= W)
+        val wins = t.select(col("doc_id"),
+          explode(windowHashes(col("ws"), W)).as("wh"))
+        val firstSeen = wins.groupBy("wh").agg(min("doc_id").as("first_doc"))
+        wins.join(firstSeen, Seq("wh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_windows"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q155_epoch_shuffle",
+      "deterministic epoch reshuffle: per-epoch global permutation by " +
+        "seeded hash order, positions enumerated by the RunningTotal " +
+        "operator, every 500th slot sampled with its shard assignment",
+      Some("""WITH e AS (SELECT epoch, doc_id,
+            CAST('0x' || substr(md5('ep' || CAST(epoch AS VARCHAR) || ':'
+              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+          FROM documents, (SELECT unnest([0, 1]) AS epoch) ep),
+        p AS (SELECT epoch, doc_id, h,
+            ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+              AS pos
+          FROM e)
+        SELECT epoch, pos, doc_id, h % 64 AS shard FROM p
+        WHERE pos % 500 = 0 ORDER BY epoch, pos"""),
+      (s, d) => {
+        // Training wants a DIFFERENT, REPRODUCIBLE permutation per
+        // epoch — rand() gives neither. Seeded hash order gives both,
+        // and the global position comes from a ROWS running count that
+        // the strategy auto-routes onto RunningTotalExec: one range
+        // exchange + 32 bounded rows, never a single-task sort (the
+        // difference between a working shuffler and a dead one at
+        // 100 TB). Each epoch is its own global pass; shard is the
+        // hash residue so (epoch, shard) manifests are derivable
+        // without another shuffle.
+        val base = table(s, d, "documents").select(col("doc_id"))
+        Seq(0, 1).map { ep =>
+          val framed = base.select(lit(ep).as("epoch"), col("doc_id"),
+            hash32(concat(lit(s"ep$ep:"), col("doc_id").cast("string")))
+              .as("h"))
+          val w = Window.orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          framed.withColumn("pos", sum(lit(1L)).over(w))
+            .filter(col("pos") % 500 === 0)
+            .select(col("epoch"), col("pos"), col("doc_id"),
+              (col("h") % 64).as("shard"))
+        }.reduce(_ unionAll _).orderBy("epoch", "pos")
+      }),
+
+    Q("q156_quantile_calibration",
+      "cross-source score calibration: q131's quality score cut into " +
+        "per-source deciles (ntile over a deterministic total order) — " +
+        "the per-(source, decile) count/lo/hi/avg table that tells you " +
+        "whether one threshold transfers across sources",
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        w AS (SELECT doc_id, source, len(ws) AS n_tokens,
+            list_transform(ws, t ->
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(t)+1),
+                  i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+                (a, b) -> (a*31 + b) % ${Hashing.P}) % $B) AS buckets
+          FROM toks),
+        sc AS (SELECT doc_id, source,
+            CAST(list_sum(list_transform(buckets, b -> b % 201 - 100))
+              AS DOUBLE) / (100.0 * n_tokens) AS q
+          FROM w),
+        dec AS (SELECT source, q, NTILE(10) OVER (PARTITION BY source
+            ORDER BY q, doc_id) AS decile FROM sc)
+        SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(q) AS lo, MAX(q) AS hi,
+          CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS avg_q
+        FROM dec GROUP BY source, decile ORDER BY source, decile"""),
+      (s, d) => {
+        // Quality scores are NOT comparable across sources (different
+        // length/vocabulary profiles); mixing pipelines filter per
+        // source by quantile, not by one global threshold. The decile
+        // cut is a KEYED window (per source — parallel across sources
+        // at any scale); the tie-broken total order (q, doc_id) makes
+        // ntile deterministic in both engines. Per-row q is a single
+        // IEEE division of exact integers; the decile avg rides the
+        // DECIMAL(30,12) lattice.
+        val ws = words(col("text"))
+        val sc = table(s, d, "documents").select(col("doc_id"),
+          col("source"),
+          (hashedLinearScore(hashedBuckets(ws, B)).cast("double") /
+            (lit(100.0) * size(ws))).as("q"))
+        val dec = sc.withColumn("decile", ntile(10).over(
+          Window.partitionBy("source").orderBy(col("q"), col("doc_id"))))
+        dec.groupBy("source", "decile")
+          .agg(count(lit(1)).as("n"), min(col("q")).as("lo"),
+            max(col("q")).as("hi"),
+            (sum(col("q").cast(DecimalType(30, 12))).cast("double") /
+              count(lit(1))).as("avg_q"))
+          .orderBy("source", "decile")
+      }),
+
+    Q("q157_gopher_filter",
+      "Gopher-style composite quality gate: length, mean word length, " +
+        "stopword ratio, and distinct-token ratio rules evaluated " +
+        "per doc in one narrow pass — per-lang pass counts and " +
+        "per-rule failure attribution",
+      Some("""WITH t AS (SELECT lang,
+            regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        r AS (SELECT lang,
+            CASE WHEN len(ws) BETWEEN 12 AND 80 THEN 0 ELSE 1 END AS f_len,
+            CASE WHEN CAST(list_sum(list_transform(ws, w -> length(w)))
+                AS DOUBLE) / len(ws) BETWEEN 3.0 AND 9.0
+              THEN 0 ELSE 1 END AS f_awl,
+            CASE WHEN CAST(len(list_filter(ws, w -> w IN ('the', 'and',
+                'of', 'to', 'in', 'is', 'that', 'for'))) AS DOUBLE)
+                / len(ws) >= 0.04 THEN 0 ELSE 1 END AS f_stop,
+            CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                >= 0.4 THEN 0 ELSE 1 END AS f_distinct
+          FROM t)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN f_len + f_awl + f_stop + f_distinct = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+          CAST(SUM(f_len) AS BIGINT) AS fail_len,
+          CAST(SUM(f_awl) AS BIGINT) AS fail_awl,
+          CAST(SUM(f_stop) AS BIGINT) AS fail_stop,
+          CAST(SUM(f_distinct) AS BIGINT) AS fail_distinct
+        FROM r GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        // The composite document gate every LLM corpus ships (Gopher/
+        // C4/RedPajama rules): each rule is an in-row ratio against a
+        // constant — zero shuffle until the per-lang rollup, codegen
+        // end to end. Failure ATTRIBUTION (per-rule counts, not just
+        // pass/fail) is what makes threshold tuning possible. Ratios
+        // compare identical IEEE doubles in both engines; the
+        // stopword list is the en profile from LangStopwords.
+        val ws = words(col("text"))
+        val enStops = LangStopwords.toMap.apply("en")
+        def flag(pass: Column): Column = when(pass, 0L).otherwise(1L)
+        val r = table(s, d, "documents").select(col("lang"),
+          flag(size(ws).between(12, 80)).as("f_len"),
+          flag(avgWordLen(ws).between(3.0, 9.0)).as("f_awl"),
+          flag(stopwordRatio(ws, enStops) >= 0.04).as("f_stop"),
+          flag((size(array_distinct(ws)).cast("double") / size(ws)) >= 0.4)
+            .as("f_distinct"))
+        r.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(when(col("f_len") + col("f_awl") + col("f_stop") +
+              col("f_distinct") === 0, 1L).otherwise(0L)).as("n_pass"),
+            sum(col("f_len")).as("fail_len"),
+            sum(col("f_awl")).as("fail_awl"),
+            sum(col("f_stop")).as("fail_stop"),
+            sum(col("f_distinct")).as("fail_distinct"))
+          .orderBy("lang")
+      }),
+
+    Q("q158_cluster_quality_keep",
+      "near-dup cluster quality arbitration: LSH candidates → exact " +
+        "Jaccard ≥ 0.8 edges → connected components → keep each " +
+        "cluster's HIGHEST-quality member (T42 score, doc_id tiebreak) " +
+        "— per-cluster keeper + score spread",
+      Some(s"""WITH RECURSIVE
+        w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, ${sqlShingles("ws")} AS sh FROM w),
+        sig AS (SELECT doc_id,
+          ${(0 until 8).map(j => s"${sqlMinhash("sh", j)} AS h$j").mkString(", ")}
+          FROM sh),
+        bands AS (SELECT doc_id,
+          unnest([h0*$P+h1, h2*$P+h3, h4*$P+h5, h6*$P+h7]) AS bv,
+          unnest([0, 1, 2, 3]) AS bi FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        scored AS (SELECT p.a_id, p.b_id FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.a_id
+          JOIN sh sb ON sb.doc_id = p.b_id
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            len(list_distinct(sa.sh || sb.sh)) >= 0.8),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM scored
+          UNION SELECT b_id, a_id FROM scored),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        qual AS (SELECT doc_id,
+            CAST(list_sum(list_transform(
+              list_transform(ws, t ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(t)+1),
+                    i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+                  (a, b) -> (a*31 + b) % $P) % $B),
+              b -> b % 201 - 100)) AS BIGINT) AS score
+          FROM w),
+        m AS (SELECT c.cluster_id, c.doc_id, q.score
+          FROM comp c JOIN qual q USING (doc_id)),
+        sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+            MAX(score) AS best_score, MIN(score) AS worst_score
+          FROM m GROUP BY cluster_id),
+        keep AS (SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+              PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+            FROM m) t WHERE rn = 1)
+        SELECT k.cluster_id, k.keep_id, s.n_members, s.best_score,
+          s.worst_score
+        FROM keep k JOIN sizes s USING (cluster_id)
+        ORDER BY cluster_id"""),
+      (s, d) => {
+        // q87 keeps each cluster's MINIMUM id — the arbitrary-but-
+        // deterministic rule. Production pipelines keep the BEST
+        // member: same LSH → Jaccard-gate → CC machinery, then the
+        // keeper is argmax quality (integer T42 score, doc_id
+        // tiebreak) via the partitioned-top-1 shape the TopK strategy
+        // heaps. Only ids, band keys, and (id, score) pairs shuffle;
+        // scores join AFTER clustering so the quality scan touches
+        // the corpus once.
+        val docs = table(s, d, "documents")
+        val sh = graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text")
+        val edges = graft.dedup.Dedup.lshCandidatePairsFromShingles(sh)
+          .join(sh.toDF("a_id", "a_sh"), "a_id")
+          .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .filter(graft.functions.Jaccard(s, col("a_sh"), col("b_sh")) >= 0.8)
+          .select("a_id", "b_id")
+        val quality = docs.select(col("doc_id"),
+          hashedLinearScore(hashedBuckets(words(col("text")), B))
+            .as("score"))
+        val m = graft.dedup.Dedup.dupClusters(edges)
+          .join(quality, Seq("doc_id"))
+        val stats = m.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"), max("score").as("best_score"),
+            min("score").as("worst_score"))
+        val keep = m.withColumn("rn", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keep_id"))
+        keep.join(stats, Seq("cluster_id"))
+          .select(col("cluster_id"), col("keep_id"), col("n_members"),
+            col("best_score"), col("worst_score"))
+          .orderBy("cluster_id")
       })
   )
 }

@@ -106,6 +106,20 @@ object QboPipelines {
       .orderBy("id")
   }
 
+  /** W2 end-to-end: the Bill warehouse frame through the CSV debug sink
+    * and back with the frame's own schema — proves the debug artifact
+    * is faithful (quoting, nulls, timestamps), not just writable. The
+    * scratch dir is pid-scoped and reset per call.
+    */
+  def billsCsvRoundTrip(s: SparkSession): DataFrame = {
+    val staged = billsWarehouse(s)
+    val path = Common.scratchDir("csv_rt", "bills")
+    graft.load.Warehouse.debugCsv(staged, path)
+    s.read.option("header", "true").schema(staged.schema).csv(path)
+      .select(staged.columns.map(col).toSeq: _*)
+      .orderBy("id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("qbo_vendor_spend",
       "downstream analytics across two QBO pipelines: billed vs paid per vendor",
@@ -159,6 +173,12 @@ object QboPipelines {
     Q("qbo_jdbc_roundtrip",
       "W3 JDBC warehouse round-trip: Bill warehouse frame → toJdbc " +
         "(embedded Derby) → fromJdbc → values identical to qbo_bills",
-      Some(Oracles.bills), (s, _) => billsJdbcRoundTrip(s))
+      Some(Oracles.bills), (s, _) => billsJdbcRoundTrip(s)),
+
+    Q("qbo_csv_roundtrip",
+      "W2 CSV debug sink round-trip: Bill warehouse frame → header'd " +
+        "CSV → read back under the frame's schema → values identical " +
+        "to qbo_bills",
+      Some(Oracles.bills), (s, _) => billsCsvRoundTrip(s))
   )
 }

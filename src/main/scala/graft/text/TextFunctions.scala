@@ -36,6 +36,16 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int = 3): Column =
     array_distinct(wordShingles(words(text), k))
 
+  /** 32-bit hash per w-token sliding window — the exact-substring-dedup
+    * unit (q150/q154): text reduces to fixed-width hashes before any
+    * shuffle. Same below-w guard as [[wordShingles]].
+    */
+  def windowHashes(ws: Column, w: Int): Column =
+    when(size(ws) >= w,
+      transform(sequence(lit(1), size(ws) - (w - 1)),
+        i => graft.ops.Hashing.hash32(concat_ws(" ", slice(ws, i, lit(w))))))
+      .otherwise(lit(Array.empty[Long]))
+
   /** Adjacent token pairs as `struct(a, b)` — the collocation/PMI unit
     * (q148). Guard BEFORE the transform: Spark's `sequence(1, 0)` is the
     * DESCENDING [1, 0] (unlike DuckDB's empty `range`), so a one-token

@@ -737,22 +737,26 @@ object ScaleProbe {
       // Expected: shuffle rows ≈ docs (the per-doc partial sums) +
       // O(1024×32), i.e. linear with a flat model term.
       time(s"dsir weights (1024-bucket LMs) @${mult}x") {
-        val tok = docs6X.select(col("doc_id"), col("lang"),
-          explode(split(col("text"), "\\s+")).as("w"))
-          .select(col("doc_id"), col("lang"),
-            (hash32(concat(lit("b:"), col("w"))) % 1024).as("b"))
-        val ct = tok.filter(col("lang") === "en").groupBy("b")
-          .agg(count(lit(1)).as("ct"))
-        val cr = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-        val tot = tok.agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
-          .as("nt"), count(lit(1)).as("nr"))
-        val lr = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
-          .select(col("b"), log(((coalesce(col("ct"), lit(0L)) + 1)
+        // q149's shape: tokens hashed (codegen rolling fingerprint)
+        // and exchanged ONCE as per-doc bucket histograms; model fit
+        // and scoring both read that exchange (ReuseExchange)
+        val hist = docs6X.select(col("doc_id"), col("lang"),
+          explode(graft.text.TextFunctions.hashedBuckets(
+            split(col("text"), "\\s+"), 1024)).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("nb"))
+        val bc = hist.groupBy("b").agg(sum(col("nb")).as("cr"),
+          coalesce(sum(when(col("lang") === "en", col("nb"))), lit(0L))
+            .as("ct"))
+        val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+        val lr = bc.crossJoin(broadcast(tot))
+          .select(col("b"), log(((col("ct") + 1)
             .cast("double") * (col("nr") + 1024).cast("double")) /
             ((col("cr") + 1).cast("double") * (col("nt") + 1024)
               .cast("double"))).as("lr"))
-        tok.join(broadcast(lr), Seq("b")).groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), sum(col("lr")).as("s")).count()
+        hist.join(broadcast(lr), Seq("b")).groupBy("doc_id")
+          .agg(sum(col("nb")).as("n"), sum(col("nb") * col("lr")).as("s"))
+          .count()
       }
       // Exact substring dedup (q150 shape): one 8-byte hash row per
       // token position is the honest floor — text never shuffles.

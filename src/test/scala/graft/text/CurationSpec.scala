@@ -50,8 +50,10 @@ class CurationSpec extends SparkSpec {
 
   test("q149 DSIR: exact recomputation on the hashed-bucket LMs") {
     val B = 1024
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
     val tok = docs.flatMap { case (id, text, lang, _) =>
-      text.split("\\s+").map(w => (id, lang, hash32("b:" + w) % B))
+      text.split("\\s+").map(w => (id, lang, fp(w) % B))
     }
     val ct = tok.filter(_._2 == "en").groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
     val cr = tok.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
@@ -131,6 +133,99 @@ class CurationSpec extends SparkSpec {
     assert(rows.last._2 == nPos && rows.last._3 == nNeg)
     rows.foreach { r =>
       assert(r._4 == r._2.toDouble / (r._2 + r._3))
+    }
+  }
+
+  test("q153/q155 plan through the generalized RunningTotal operator") {
+    // desc key + two parallel sums (q153); two-key ascending order
+    // (q155) — both must hit the operator, not a single-task WindowExec
+    Seq("q153_roc_sweep", "q155_epoch_shuffle").foreach { name =>
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RunningTotal"), s"$name lost the auto-route")
+      assert(!plan.contains("Window "), s"$name fell back to WindowExec")
+    }
+  }
+
+  test("q154 novelty: exact sequential first-occurrence referee") {
+    val wins = docs.flatMap { case (id, text, _, _) =>
+      val ws = text.split("\\s+")
+      ws.sliding(8).filter(_.length == 8).map(w => (id, hash32(w.mkString(" "))))
+    }
+    val firstDoc = wins.groupBy(_._2).map { case (wh, xs) =>
+      wh -> xs.map(_._1).min }
+    val expect = wins.groupBy(_._1).map { case (id, xs) =>
+      val novel = xs.count(x => firstDoc(x._2) == id).toLong
+      (id, xs.size.toLong, novel, novel.toDouble / xs.size)
+    }.toSeq.sortBy(_._1)
+    val got = q("q154_novelty_profile")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("q155 epoch shuffle: epochs permute differently but reproducibly") {
+    val a = q("q155_epoch_shuffle").as[(Int, Long, Long, Long)].collect().toSeq
+    val b = q("q155_epoch_shuffle").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(a == b) // deterministic across runs
+    assert(a.forall(_._2 % 500 == 0))
+    val ep0 = a.filter(_._1 == 0).map(r => r._2 -> r._3)
+    val ep1 = a.filter(_._1 == 1).map(r => r._2 -> r._3)
+    // same sampled positions, different docs at them (new permutation)
+    assert(ep0.map(_._1) == ep1.map(_._1))
+    assert(ep0 != ep1)
+  }
+
+  test("q157 gopher gate: each rule attributes its own planted failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val pass20 = (1 to 19).map(i => s"word$i").mkString("the ", " ", "")
+    Seq(
+      (1L, pass20, "xx"),                                    // passes all
+      (2L, "the alpha beta gamma delta epsil zeta etaa", "xx"), // len only (8)
+      (3L, ("the" +: (0 until 14).map(i =>
+        s"${('a' + i / 4).toChar}${('a' + i % 4).toChar}"))
+        .mkString(" "), "xx"),                               // awl only (<3)
+      (4L, (1 to 15).map(i => s"unik$i").mkString(" "), "xx"), // stop only
+      (5L, ("the " + Seq.fill(19)("word").mkString(" ")), "xx") // distinct only
+    ).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.qs.find(_.name == "q157_gopher_filter").get
+      .run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("xx", 5L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("q158 arbitration: keeper is the argmax-quality member") {
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    def score(text: String): Long =
+      text.split("\\s+").map(w => fp(w) % 1024 % 201 - 100).sum
+    val scores = docs.map { case (id, text, _, _) => id -> score(text) }.toMap
+    val rows = q("q158_cluster_quality_keep")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (clusterId, keepId, nMembers, best, worst) =>
+      assert(nMembers >= 2)
+      assert(worst <= best)
+      assert(clusterId <= keepId) // cluster label is the min member id
+      assert(scores(keepId) == best, s"keeper $keepId is not the best member")
+    }
+  }
+
+  test("q156 calibration: deciles partition each source, bounds nest") {
+    val rows = q("q156_quantile_calibration")
+      .as[(String, Int, Long, Double, Double, Double)].collect().toSeq
+    val bySource = rows.groupBy(_._1)
+    val srcSizes = docs.groupBy(_._4).map { case (s, xs) => s -> xs.size.toLong }
+    bySource.foreach { case (src, ds) =>
+      assert(ds.map(_._2).sorted == (1 to 10), s"$src missing deciles")
+      assert(ds.map(_._3).sum == srcSizes(src), s"$src counts off")
+      // consecutive deciles cannot overlap: hi(d) <= lo(d+1)
+      ds.sortBy(_._2).sliding(2).foreach {
+        case Seq(lo1, hi1) => assert(lo1._5 <= hi1._4 + 1e-15)
+        case _ =>
+      }
+      ds.foreach(d => assert(d._4 <= d._6 && d._6 <= d._5))
     }
   }
 }
