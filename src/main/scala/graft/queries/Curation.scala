@@ -614,6 +614,150 @@ object Curation {
           .select(col("cluster_id"), col("keep_id"), col("n_members"),
             col("best_score"), col("worst_score"))
           .orderBy("cluster_id")
+      }),
+
+    Q("q159_span_removal",
+      "exact substring dedup, the EDITING half: duplicated 8-token " +
+        "window positions merge into spans per doc; emit removed/kept " +
+        "token counts and merged-span counts for the 100 most-trimmed " +
+        "docs — what Lee-et-al. dedup actually deletes",
+      Some(s"""WITH t AS (SELECT doc_id,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        tt AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= $W),
+        w AS (SELECT doc_id, i,
+            CAST('0x' || substr(md5(array_to_string(
+              ws[CAST(i AS INT):CAST(i + ${W - 1} AS INT)], ' ')), 1, 8)
+              AS BIGINT) AS wh
+          FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${W - 1}))
+            AS i) g),
+        dup AS (SELECT wh FROM w GROUP BY wh
+          HAVING COUNT(DISTINCT doc_id) > 1),
+        st AS (SELECT doc_id, list_sort(list(i)) AS starts
+          FROM w JOIN dup USING (wh) GROUP BY doc_id),
+        cov AS (SELECT doc_id, list_distinct(flatten(
+            list_transform(starts, s -> range(s, s + $W)))) AS covset
+          FROM st)
+        SELECT tt.doc_id, CAST(tt.n AS BIGINT) AS n_tokens,
+          CAST(len(covset) AS BIGINT) AS removed_tokens,
+          CAST(tt.n - len(covset) AS BIGINT) AS kept_tokens,
+          CAST(len(list_filter(covset,
+            p -> NOT list_contains(covset, p - 1))) AS BIGINT) AS n_spans
+        FROM cov JOIN tt USING (doc_id)
+        ORDER BY removed_tokens DESC, doc_id LIMIT 100"""),
+      (s, d) => {
+        // q150 says WHICH docs are contaminated; this says what the
+        // cleaner would cut. Duplicate window starts collect per doc
+        // (ids + 4-byte positions — still no text on the wire), then
+        // span merging is pure in-row array algebra: expand each start
+        // to its covered positions, distinct, and count span heads
+        // (covered p with p-1 uncovered). O(spans²) per doc via
+        // array_contains — fine to ~1e3 dup windows/doc; beyond that
+        // the sorted-fold form replaces it.
+        val t = table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= W)
+        val wins = t.select(col("doc_id"),
+          posexplode(windowHashes(col("ws"), W)).as(Seq("p0", "wh")))
+          .select(col("doc_id"), (col("p0") + 1).as("i"), col("wh"))
+        val dup = wins.groupBy("wh")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("wh")
+        val st = wins.join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(array_sort(collect_list(col("i"))).as("starts"))
+        val cov = st.select(col("doc_id"),
+          array_distinct(flatten(transform(col("starts"),
+            x => sequence(x, x + (W - 1))))).as("covset"))
+        cov.join(t.select(col("doc_id"), size(col("ws")).cast("long")
+            .as("n_tokens")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("covset")).cast("long").as("removed_tokens"),
+            (col("n_tokens") - size(col("covset"))).as("kept_tokens"),
+            size(filter(col("covset"),
+              p => !array_contains(col("covset"), p - 1))).cast("long")
+              .as("n_spans"))
+          .orderBy(col("removed_tokens").desc, col("doc_id")).limit(100)
+      }),
+
+    Q("q160_vocab_coverage",
+      "vocabulary coverage knee: word types in descending frequency " +
+        "order, cumulative token mass AND type rank as two parallel " +
+        "running sums on the RunningTotal operator — how many types " +
+        "cover 50/90/99% of all tokens",
+      Some("""WITH u AS (SELECT unnest(regexp_split_to_array(text, '\s+'))
+            AS w FROM documents),
+        c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY w),
+        o AS (SELECT w, cnt,
+            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank FROM c),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        thr AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS bp)
+        SELECT bp, MIN(rank) AS n_types, t.total AS total_tokens
+        FROM thr, o CROSS JOIN tot t
+        WHERE cum * 10000 >= bp * t.total
+        GROUP BY bp, t.total ORDER BY bp"""),
+      (s, d) => {
+        // The tokenizer-budget question ("how big must the vocab be")
+        // as one pass: the type table is vocab-sized (corpus tokens
+        // partial-aggregate map-side), and BOTH running columns —
+        // cumulative mass and rank — ride a single generalized
+        // RunningTotal window over (cnt DESC, w). Threshold compare
+        // is exact integer cross-multiplication, no division anywhere.
+        val c = table(s, d, "documents")
+          .select(explode(words(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val wdw = Window.orderBy(col("cnt").desc, col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val o = c.select(col("cnt"),
+          sum(col("cnt")).over(wdw).as("cum"),
+          sum(lit(1L)).over(wdw).as("rank"))
+        val tot = c.agg(sum(col("cnt")).as("total"))
+        val thr = s.range(1).select(explode(array(lit(5000L), lit(9000L),
+          lit(9900L))).as("bp"))
+        o.crossJoin(broadcast(thr)).crossJoin(broadcast(tot))
+          .filter(col("cum") * 10000 >= col("bp") * col("total"))
+          .groupBy("bp", "total")
+          .agg(min(col("rank")).as("n_types"))
+          .select(col("bp"), col("n_types"), col("total").as("total_tokens"))
+          .orderBy("bp")
+      }),
+
+    Q("q161_source_leakage",
+      "cross-source leakage matrix: for every source pair, how many " +
+        "distinct 8-token windows they share — the shard-level view of " +
+        "q150's contamination",
+      Some(s"""WITH t AS (SELECT doc_id, source,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        tt AS (SELECT doc_id, source, ws, len(ws) AS n FROM t
+          WHERE len(ws) >= $W),
+        w AS (SELECT source,
+            CAST('0x' || substr(md5(array_to_string(
+              ws[CAST(i AS INT):CAST(i + ${W - 1} AS INT)], ' ')), 1, 8)
+              AS BIGINT) AS wh
+          FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${W - 1}))
+            AS i) g),
+        sw AS (SELECT DISTINCT source, wh FROM w)
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sw a JOIN sw b ON a.wh = b.wh AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, d) => {
+        // Leakage between SHARDS decides where dedup effort goes. The
+        // (source, window-hash) frame map-side-distincts before the
+        // self-join, so join input is bounded by distinct windows ×
+        // sources and the output by sources² — the matrix, not the
+        // corpus. Same honest window floor as q150 underneath.
+        val sw = table(s, d, "documents")
+          .select(col("source"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= W)
+          .select(col("source"), explode(windowHashes(col("ws"), W)).as("wh"))
+          .distinct()
+        sw.toDF("source_a", "wh")
+          .join(sw.toDF("source_b", "wh"), "wh")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("source_a", "source_b")
       })
   )
 }

@@ -212,6 +212,63 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q159 span removal: exact sequential merge referee") {
+    val winsByDoc = docs.map { case (id, text, _, _) =>
+      val ws = text.split("\\s+")
+      id -> ws.sliding(8).filter(_.length == 8).zipWithIndex
+        .map { case (w, i) => (i + 1, hash32(w.mkString(" "))) }.toSeq
+    }.toMap
+    val dupHashes = winsByDoc.toSeq.flatMap { case (id, ws) =>
+      ws.map(w => (id, w._2)) }
+      .groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val nTok = docs.map { case (id, t, _, _) => id -> t.split("\\s+").length }.toMap
+    val expect = winsByDoc.toSeq.flatMap { case (id, ws) =>
+      val starts = ws.filter(w => dupHashes(w._2)).map(_._1)
+      if (starts.isEmpty) None
+      else {
+        val cov = starts.flatMap(s => s until s + 8).distinct
+        val covSet = cov.toSet
+        val spans = cov.count(p => !covSet(p - 1))
+        Some((id, nTok(id).toLong, cov.size.toLong,
+          (nTok(id) - cov.size).toLong, spans.toLong))
+      }
+    }.sortBy { case (id, _, rm, _, _) => (-rm, id) }.take(100)
+    val got = q("q159_span_removal")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("q160 coverage: exact referee and the RunningTotal route") {
+    val counts = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, xs) => (w, xs.size.toLong) }.toSeq
+    val ordered = counts.sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    val cums = ordered.scanLeft(0L)(_ + _._2).drop(1)
+    def nTypes(bp: Long): Long =
+      (cums.indexWhere(c => c * 10000 >= bp * total) + 1).toLong
+    val df = q("q160_vocab_coverage")
+    val got = df.as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(5000L, 9000L, 9900L).map(bp => (bp, nTypes(bp), total)))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("RunningTotal"))
+  }
+
+  test("q161 leakage: brute-force shared-window matrix agrees") {
+    val sw = docs.flatMap { case (_, text, _, src) =>
+      val ws = text.split("\\s+")
+      ws.sliding(8).filter(_.length == 8).map(w => (src, hash32(w.mkString(" "))))
+    }.distinct
+    val byWh = sw.groupBy(_._2).values
+    val expect = byWh.flatMap { xs =>
+      val srcs = xs.map(_._1).distinct.sorted
+      for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = q("q161_source_leakage")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("q156 calibration: deciles partition each source, bounds nest") {
     val rows = q("q156_quantile_calibration")
       .as[(String, Int, Long, Double, Double, Double)].collect().toSeq
