@@ -148,8 +148,17 @@ object Curation {
         val t = table(s, d, "documents")
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= W)
+        // localCheckpoint: the window frame feeds two consumers (the
+        // dup-hash build and the semi-join probe) and a plain shared
+        // subtree does NOT get ReuseExchange'd here — Catalyst pushes
+        // the semi join below any repartition barrier, so the two
+        // subtrees differ and the corpus would be tokenized+md5'd
+        // twice. Materializing the (id, hash) rows once (the q144
+        // wf-checkpoint pattern) halves the dominant narrow stage;
+        // AQE still broadcasts the dup side off runtime stats.
         val wins = t.select(col("doc_id"),
           explode(windowHashes(col("ws"), W)).as("wh"))
+          .localCheckpoint()
         val dup = wins.groupBy("wh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")
@@ -377,8 +386,11 @@ object Curation {
         val t = table(s, d, "documents")
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= W)
+        // localCheckpoint for the same reason as q150: two consumers
+        // (first-seen build, attribution probe), no exchange to share
         val wins = t.select(col("doc_id"),
           explode(windowHashes(col("ws"), W)).as("wh"))
+          .localCheckpoint()
         val firstSeen = wins.groupBy("wh").agg(min("doc_id").as("first_doc"))
         wins.join(firstSeen, Seq("wh"))
           .groupBy("doc_id")
@@ -656,9 +668,11 @@ object Curation {
         val t = table(s, d, "documents")
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= W)
+        // localCheckpoint: dup-hash build + position probe, as in q150
         val wins = t.select(col("doc_id"),
           posexplode(windowHashes(col("ws"), W)).as(Seq("p0", "wh")))
           .select(col("doc_id"), (col("p0") + 1).as("i"), col("wh"))
+          .localCheckpoint()
         val dup = wins.groupBy("wh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")

@@ -773,14 +773,21 @@ object ScaleProbe {
             lit(" "), concat(lit(" z"), col("rep").cast("string"), lit(" "))),
             " ").as("ws"))
           .filter(size(col("ws")) >= 8)
+        // localCheckpoint matches q150's shipped shape: the window
+        // frame materializes once for its two consumers (Catalyst
+        // pushes the semi join below any repartition barrier, so a
+        // shared-exchange form is not available here)
         val wins = t.select(col("doc_id"),
           explode(transform(sequence(lit(1), size(col("ws")) - 7),
             i => hash32(concat_ws(" ", slice(col("ws"), i, lit(8))))))
             .as("wh"))
+          .localCheckpoint()
         val dup = wins.groupBy("wh").agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")
         wins.join(dup, Seq("wh"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1))).count()
+        // checkpoint blocks are released by the ContextCleaner once the
+        // frame is unreferenced — no explicit unpersist needed
       }
       // Principal direction (q151 shape): the Gram pass is ONE ~16 KB
       // state row per map partition (flat at any corpus size); matvecs

@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("q161: the distinct (source, window) frame is computed once") {
+    // The leakage matrix self-joins the map-side-distinct frame on the
+    // window hash: both join sides must read ONE exchange (the second
+    // side as a ReusedExchange in the AQE plan). A regression here
+    // re-tokenizes and re-hashes the whole corpus — doubling the only
+    // corpus-sized stage of the query.
+    val df = SparkEntry.queries("q161_source_leakage")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q106: corpus scanned+shingled once, all consumers reuse exchanges") {
     // The PPJoin pipeline has four consumers of the (id, shingles)
     // frame: prefix elements, df counts, and both verify joins. At
