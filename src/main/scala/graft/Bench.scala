@@ -16,17 +16,29 @@ import org.apache.spark.sql.SparkSession
   * not plans. The median of 5 is robust to one or two contended reps;
   * the min is the best-case floor (closest to an uncontended cluster
   * executor). Queries run in name order.
+  *
+  * Artifact completeness (round-7): at 172 queries the stdout line with
+  * full query names + full-precision doubles grew past the driver's
+  * capture limit — BENCH_r06.json truncated at ~60 queries and parsed
+  * as null. Two fixes: (a) the stdout "queries"/"queries_min" maps use
+  * SHORT keys (the `qNNN` prefix for `qNNN_*` names, the full name
+  * otherwise — the prefix is unique by construction) and 3-decimal
+  * values, keeping the whole line a few KB; (b) the COMPLETE map with
+  * full names and full precision is also written to BENCH_full.json in
+  * the repo root (git-tracked per round), referenced from the stdout
+  * line as "queries_file".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       // same extensions as Verify: benched plans = shipped plans
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // NOTE: forcing small file splits (spark.sql.files.maxPartitionBytes
@@ -65,13 +77,39 @@ object Bench {
           name -> (-1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
+
+    // short key: the unique qNNN prefix for qNNN_* names (matches the
+    // driver contract's own "q1" example), full name otherwise
+    val ShortKey = "^(q[0-9]+)_.*$".r
+    def short(name: String): String = name match {
+      case ShortKey(p) => p
+      case other => other
+    }
+    def fmt3(d: Double): String = f"$d%.3f"
+
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+
+    val qs = jmap(results.map { case (k, (med, _)) => short(k) -> fmt3(med) })
+    val qsMin = jmap(results.map { case (k, (_, mn)) => short(k) -> fmt3(mn) })
     val failed = results.collect { case (k, (med, _)) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+
+    // complete, full-precision, full-name artifact for the repo
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""sf":"$sfDir","key_scheme":"full",""" +
+      s""""queries":${jmap(results.map { case (k, (med, _)) => k -> med.toString })},""" +
+      s""""queries_min":${jmap(results.map { case (k, (_, mn)) => k -> mn.toString })},""" +
+      s""""failed":[${failed.mkString(",")}]}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullOut), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"key_scheme":"qNNN prefix of full query name","queries_file":"$fullOut","queries":$qs,"queries_min":$qsMin,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

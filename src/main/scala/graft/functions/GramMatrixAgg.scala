@@ -52,8 +52,20 @@ case class GramMatrixAgg(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double>, got ${other.sql}")
+      s"$prettyName requires array<double> or array<long>, got ${other.sql}")
+  }
+
+  // integer-input path: elements are already on an integer lattice
+  // (e.g. round(e*1e6) quantized ONCE at the pipeline entry), so each
+  // product el_i*el_j is exact Long arithmetic — no double ever touches
+  // the state, which is what makes the result cross-engine bit-exact
+  // (round-7 structural fix for the q151 family of double-rounding
+  // boundary flakes)
+  private lazy val longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   private val cellType = StructType(Seq(
@@ -82,20 +94,34 @@ case class GramMatrixAgg(
         s"$prettyName: expected $dims dims, got ${arr.numElements()}")
     var i = 0
     var k = 0
-    while (i < dims) {
-      val ei = arr.getDouble(i)
-      var j = i
-      while (j < dims) {
-        // half-AWAY-FROM-ZERO, matching SQL round() in both engines;
-        // Math.round is half-toward-+inf and loses one lattice unit on
-        // negative products landing exactly on a .5 boundary
-        val p = ei * arr.getDouble(j) * 1e12
-        buf(k) = Math.addExact(buf(k),
-          (if (p >= 0) Math.floor(p + 0.5) else Math.ceil(p - 0.5)).toLong)
-        k += 1
-        j += 1
+    if (longInput) {
+      while (i < dims) {
+        val ei = arr.getLong(i)
+        var j = i
+        while (j < dims) {
+          buf(k) = Math.addExact(buf(k),
+            Math.multiplyExact(ei, arr.getLong(j)))
+          k += 1
+          j += 1
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      while (i < dims) {
+        val ei = arr.getDouble(i)
+        var j = i
+        while (j < dims) {
+          // half-AWAY-FROM-ZERO, matching SQL round() in both engines;
+          // Math.round is half-toward-+inf and loses one lattice unit on
+          // negative products landing exactly on a .5 boundary
+          val p = ei * arr.getDouble(j) * 1e12
+          buf(k) = Math.addExact(buf(k),
+            (if (p >= 0) Math.floor(p + 0.5) else Math.ceil(p - 0.5)).toLong)
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
     }
     buf(nCells) += 1L
     buf

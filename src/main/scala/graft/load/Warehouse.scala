@@ -1,6 +1,6 @@
 package graft.load
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse load patterns (SURVEY §2.5 W3-W5).
@@ -174,8 +174,31 @@ object Warehouse {
     * file for eyeballs — `coalesce(1)` is deliberate and only sane for
     * debug-sized frames; production sinks stay parquet.
     */
+  /** Explicit, distinct null vs empty-string markers: Spark's CSV
+    * defaults write null as "" and read "" back as null, so a genuine
+    * empty string would silently round-trip to null. Writing nulls as
+    * the sentinel `\N` (the classic mysqldump/Hive convention) and
+    * empty strings as `""` keeps the two distinguishable; the reader
+    * in [[fromDebugCsv]] uses the same pair.
+    */
+  val CsvNullMarker = "\\N"
+
   def debugCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("nullValue", CsvNullMarker)
+      .option("emptyValue", "\"\"")
+      .csv(path)
+
+  /** Read a [[debugCsv]] artifact back with the writer's null/empty
+    * conventions (schema supplied by the caller — CSV carries none).
+    */
+  def fromDebugCsv(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.option("header", "true")
+      .option("nullValue", CsvNullMarker)
+      .option("emptyValue", "\"\"")
+      .schema(schema).csv(path)
 
   /** Interleave the low 16 bits of `c` with zeros (Morton spread) using
     * the classic magic-mask shifts — pure codegen'd Column bit ops.

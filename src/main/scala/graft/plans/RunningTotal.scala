@@ -51,6 +51,7 @@ case class RunningTotal(
 
 object RunningTotalStrategy extends SparkStrategy {
   import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, RowFrame, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.{EvalMode, NumericEvalContext}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.Window
 
@@ -74,11 +75,17 @@ object RunningTotalStrategy extends SparkStrategy {
     // yields NULL for an all-null prefix; the operator has no null
     // path), no DISTINCT, no FILTER clause. Any key count/direction is
     // fine — the operator just requires the window's own total order.
-    // Overflow matches ANSI: the operator accumulates via addExact.
+    // Overflow matches ANSI ONLY: the operator accumulates via
+    // addExact (throws on overflow), so the route is pinned to
+    // EvalMode.ANSI sums — a try_sum (TRY mode: NULL on overflow) or a
+    // legacy-mode sum (wraps silently) would change overflow semantics
+    // if routed here, so both fall back to the built-in WindowExec.
     case Window(aliases, Nil, orderSpec, child, _)
         if aliases.nonEmpty && orderSpec.nonEmpty && aliases.forall {
           case Alias(WindowExpression(
-              AggregateExpression(Sum(weight, _), _, false, None, _),
+              AggregateExpression(
+                Sum(weight, NumericEvalContext(EvalMode.ANSI, _)),
+                _, false, None, _),
               WindowSpecDefinition(Nil, os,
                 SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
                   CurrentRow))), _) =>

@@ -175,16 +175,17 @@ object Curation {
         "integer lattice (Gram matrix → 2 exact matvec rounds → " +
         "per-vector projection): the deterministic PCA step behind " +
         "spectral diversity mining — 20 most extreme vectors",
-      Some("""WITH v AS (SELECT vec_id, label,
-            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(s"""WITH v AS (SELECT vec_id, label,
+            ${graft.similarity.Vectors.latticizeSql(
+              "CAST(embedding AS DOUBLE[])")} AS el FROM embeddings),
         p AS (SELECT i.i AS di, j.j AS dj,
-            CAST(round(e[CAST(i.i + 1 AS INT)] * e[CAST(j.j + 1 AS INT)]
-              * 1000000000000.0) AS BIGINT) AS p
+            el[CAST(i.i + 1 AS INT)] * el[CAST(j.j + 1 AS INT)] AS p
           FROM v, range(0, 64) i(i), range(0, 64) j(j) WHERE j.j >= i.i),
         gut AS (SELECT di, dj, CAST(SUM(p) AS BIGINT) AS glat
           FROM p GROUP BY di, dj),
         g2 AS (SELECT di, dj,
-            CAST(round(CAST(glat AS DOUBLE) / 1000000.0) AS BIGINT) AS g
+            CAST((CASE WHEN glat < 0 THEN -1 ELSE 1 END) *
+              ((abs(glat) + 500000) // 1000000) AS BIGINT) AS g
           FROM gut),
         gf AS (SELECT di, dj, g FROM g2
           UNION ALL SELECT dj AS di, di AS dj, g FROM g2 WHERE di <> dj),
@@ -194,8 +195,7 @@ object Curation {
             CAST(SUM(CAST(gf.g AS HUGEINT) * v1.x1) AS HUGEINT) AS x2
           FROM gf JOIN v1 ON gf.dj = v1.i GROUP BY gf.di),
         proj AS (SELECT v.vec_id, v.label,
-            CAST(SUM(CAST(CAST(round(e[CAST(dm.i + 1 AS INT)]
-              * 1000000.0) AS BIGINT) AS HUGEINT) * v2.x2)
+            CAST(SUM(CAST(el[CAST(dm.i + 1 AS INT)] AS HUGEINT) * v2.x2)
               AS DECIMAL(38,0)) AS proj
           FROM v, range(0, 64) dm(i) JOIN v2 ON dm.i = v2.i
           GROUP BY v.vec_id, v.label)
@@ -206,25 +206,33 @@ object Curation {
         // corpus-sized job (GramMatrixAgg — a single ~16 KB state row
         // per map partition, q142's flat-shuffle story); both matvec
         // rounds run on the 64×64 lattice frame and every later join
-        // side is broadcast-bounded (≤4096 rows). The iteration stays
-        // on integers end to end — Gram entries rescaled to the 1e-6
-        // lattice (one exact double division + half-away round, both
-        // engines identical), matvecs in DECIMAL(38,0) — so the
-        // projection is engine-exact with NO transcendental anywhere,
-        // the same trick as q143's integer PageRank. Two rounds of
-        // G·1 suffice for a selection direction (documented, like
-        // q144's unrolled BPE rounds); more rounds would renormalize
-        // on the lattice between steps. The per-vector projection is
-        // a zero-shuffle narrow fold: v2 rides in as ONE broadcast
-        // array row, zip_with/aggregate keep it inside codegen.
+        // side is broadcast-bounded (≤4096 rows). Round-7 structural
+        // determinism fix: the ONLY double→integer step is the entry
+        // quantization el = latticize(e) (floor/ceil on the binary
+        // double — exact IEEE ops, bit-identical in both engines;
+        // see Vectors.latticize for why round() is not safe), and
+        // everything after — Gram products, the 1e12→1e6 rescale
+        // (half-away-from-zero via exact integer (abs+500000) div 1e6,
+        // sign-split so truncating and flooring division agree), both
+        // matvecs in DECIMAL(38,0), the projection fold — is pure
+        // integer arithmetic, the same trick as q143's integer
+        // PageRank, so the output cannot drift across engines or
+        // testdata instances. Two rounds of G·1 suffice for a
+        // selection direction (documented, like q144's unrolled BPE
+        // rounds); more rounds would renormalize on the lattice
+        // between steps. The per-vector projection is a zero-shuffle
+        // narrow fold: v2 rides in as ONE broadcast array row,
+        // zip_with/aggregate keep it inside codegen.
         val v = table(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("e"))
+            graft.similarity.Vectors.latticize(
+              col("embedding").cast("array<double>")).as("el"))
         val gm = v
-          .agg(graft.functions.GramMatrixAgg.gram(s, col("e"), 64).as("gm"))
+          .agg(graft.functions.GramMatrixAgg.gram(s, col("el"), 64).as("gm"))
           .select(explode(col("gm.g")).as("x"))
           .select(col("x.di").as("di"), col("x.dj").as("dj"),
-            round(col("x.s").cast("double") / 1e6).cast("long").as("g"))
+            expr("CAST((CASE WHEN x.s < 0 THEN -1 ELSE 1 END) * " +
+              "((abs(x.s) + 500000L) DIV 1000000L) AS BIGINT)").as("g"))
         val gf = gm.union(gm.filter(col("di") =!= col("dj"))
           .select(col("dj").as("di"), col("di").as("dj"), col("g")))
         val v1 = gf.groupBy("di").agg(sum(col("g")).as("x1"))
@@ -240,8 +248,7 @@ object Curation {
           .select(col("vec_id"), col("label"),
             aggregate(
               zip_with(
-                transform(col("e"),
-                  x => round(x * 1e6).cast(DecimalType(38, 0))),
+                transform(col("el"), x => x.cast(DecimalType(38, 0))),
                 col("pc"), (a, b) => a * b),
               lit(0).cast(DecimalType(38, 0)),
               (acc, x) => (acc + x).cast(DecimalType(38, 0)))
@@ -275,7 +282,10 @@ object Curation {
         // heaps — no per-group sort materializes the full groups.
         val g = table(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            substring(col("source"), 4, 10).cast("int").as("prio"),
+            // substr-to-END (no length cap) to parse the identical
+            // suffix as the oracle's substr(source, 4) — a fixed length
+            // would silently diverge on suffixes longer than the cap
+            expr("substr(source, 4)").cast("int").as("prio"),
             md5(encode(concat_ws(" ", slice(words(col("text")), 1, 8)),
               "UTF-8")).as("dg"))
         val r = g.withColumn("rn", row_number().over(

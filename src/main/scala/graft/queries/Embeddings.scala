@@ -506,13 +506,18 @@ object Embeddings {
         "full dims(dims+1)/2 upper triangle as fixed-size state — ONE " +
         "~16 KB state row per map partition shuffles at ANY corpus " +
         "size, the k-means flat-shuffle story taken to zero group " +
-        "keys; products ride the 1e-12 integer lattice so partial " +
-        "merges are associative and the 2 080 sums are engine-exact",
-      Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
+        "keys. Round-7 structural determinism fix: elements quantize " +
+        "ONCE onto the 1e-6 lattice via floor/ceil on the binary " +
+        "double (exact IEEE ops, identical in both engines — never " +
+        "round(), which is decimal-vs-binary boundary-sensitive), and " +
+        "every product after that is exact Long arithmetic, so the " +
+        "2 080 sums are associative and cross-engine bit-exact; the " +
+        "emitted g is an exact long→double cast + division, both " +
+        "correctly-rounded IEEE ops",
+      Some(s"""WITH v AS (SELECT ${Vectors.latticizeSql(
+            "CAST(embedding AS DOUBLE[])")} AS el FROM embeddings),
           p AS (SELECT i.i AS di, j.j AS dj,
-              CAST(round(e[CAST(i.i + 1 AS INT)] * e[CAST(j.j + 1 AS INT)]
-                * 1000000000000.0) AS BIGINT) AS p
+              el[CAST(i.i + 1 AS INT)] * el[CAST(j.j + 1 AS INT)] AS p
             FROM v, range(0, 64) i(i), range(0, 64) j(j)
             WHERE j.j >= i.i)
         SELECT CAST(di AS INT) AS di, CAST(dj AS INT) AS dj,
@@ -525,8 +530,9 @@ object Embeddings {
         // lattice arithmetic. The single result row fans back out to
         // 2 080 (di, dj) rows only at output — a bounded explode.
         val v = table(s, d, "embeddings")
-          .select(col("embedding").cast("array<double>").as("e"))
-        v.agg(graft.functions.GramMatrixAgg.gram(s, col("e"), 64).as("gm"))
+          .select(Vectors.latticize(
+            col("embedding").cast("array<double>")).as("el"))
+        v.agg(graft.functions.GramMatrixAgg.gram(s, col("el"), 64).as("gm"))
           .select(col("gm.n").as("n"), explode(col("gm.g")).as("x"))
           .select(col("x.di").as("di"), col("x.dj").as("dj"), col("n"),
             (col("x.s").cast("double") / 1e12).as("g"))

@@ -115,7 +115,7 @@ object QboPipelines {
     val staged = billsWarehouse(s)
     val path = Common.scratchDir("csv_rt", "bills")
     graft.load.Warehouse.debugCsv(staged, path)
-    s.read.option("header", "true").schema(staged.schema).csv(path)
+    graft.load.Warehouse.fromDebugCsv(s, path, staged.schema)
       .select(staged.columns.map(col).toSeq: _*)
       .orderBy("id")
   }

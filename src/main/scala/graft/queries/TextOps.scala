@@ -768,12 +768,16 @@ object TextOps {
         "map-side to distinct-type-sized shuffles; the two unigram " +
         "lookups stay KEYED joins (word space grows with the corpus, " +
         "never broadcast-safe); the totals frame is the only broadcast " +
-        "(1 row by construction). Cross-engine determinism: the ORDER BY " +
-        "ranks on the pre-ln ratio cab*N/(ca*cb) — IEEE mul/div are " +
-        "correctly rounded, hence bit-identical in both engines, and ln " +
-        "is monotone so the ranking equals PMI order — while the emitted " +
-        "PMI rounds to DECIMAL(20,6), far above each engine's ≤1-ulp " +
-        "libm-ln discrepancy; pair-asc tiebreaks pin the limit",
+        "(1 row by construction). Cross-engine determinism (round-7 " +
+        "structural fix): NOTHING transcendental or double-rounded is " +
+        "ever emitted — the ORDER BY ranks on the pre-ln ratio " +
+        "cab*N/(ca*cb) (IEEE mul/div are correctly rounded, hence " +
+        "bit-identical in both engines, and ln is monotone so the " +
+        "ranking equals PMI order), and the output carries the exact " +
+        "integer counts (cab, ca, cb, n) plus the rank; the consumer " +
+        "takes ln(cab*n/(ca*cb)) at whatever precision it wants. The " +
+        "rank window runs AFTER the limit, over 20 rows — never a " +
+        "global single-partition window at corpus scale",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
           u AS (SELECT unnest(ws) AS wd FROM w),
           uc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM u
@@ -785,16 +789,19 @@ object TextOps {
               CAST(COUNT(*) AS BIGINT) AS cab
             FROM bg WHERE length(pr[1]) > 0 AND length(pr[2]) > 0
             GROUP BY pr[1], pr[2]),
-          tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM bc)
-        SELECT a, b, cab,
-          CAST(ln(CAST(cab AS DOUBLE) * t.n /
-            (ca.c * CAST(cb.c AS DOUBLE))) AS DECIMAL(20,6)) AS pmi
-        FROM bc JOIN uc ca ON bc.a = ca.wd
-                JOIN uc cb ON bc.b = cb.wd
-                CROSS JOIN tot t
-        WHERE cab >= 5
-        ORDER BY CAST(cab AS DOUBLE) * t.n /
-          (ca.c * CAST(cb.c AS DOUBLE)) DESC, a, b LIMIT 20"""),
+          tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM bc),
+          sel AS (SELECT a, b, cab, ca.c AS ca, cb.c AS cb, t.n AS n,
+              CAST(cab AS DOUBLE) * t.n / (ca.c * CAST(cb.c AS DOUBLE))
+                AS ratio
+            FROM bc JOIN uc ca ON bc.a = ca.wd
+                    JOIN uc cb ON bc.b = cb.wd
+                    CROSS JOIN tot t
+            WHERE cab >= 5
+            ORDER BY ratio DESC, a, b LIMIT 20)
+        SELECT a, b, cab, ca, cb, n,
+          CAST(row_number() OVER (ORDER BY ratio DESC, a, b) AS INT)
+            AS pmi_rank
+        FROM sel"""),
       (s, d) => {
         val w = table(s, d, "documents")
           .select(split(col("text"), "\\s+").as("ws"))
@@ -807,7 +814,7 @@ object TextOps {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("cab"))
         val tot = bc.agg(sum(col("cab")).as("n"))
-        bc.filter(col("cab") >= 5)
+        val sel = bc.filter(col("cab") >= 5)
           .join(uc.select(col("wd"), col("c").as("ca")),
             col("a") === col("wd")).drop("wd")
           .join(uc.select(col("wd"), col("c").as("cb")),
@@ -816,10 +823,13 @@ object TextOps {
           // same operand order as the oracle: (cab_dbl * n) / (ca * cb_dbl)
           .withColumn("ratio", col("cab").cast("double") * col("n") /
             (col("ca") * col("cb").cast("double")))
-          .select(col("a"), col("b"), col("cab"), col("ratio"),
-            log(col("ratio")).cast("decimal(20,6)").as("pmi"))
           .orderBy(col("ratio").desc, col("a"), col("b")).limit(20)
-          .drop("ratio")
+        // rank over the 20 selected rows only (not a corpus-scale window)
+        sel.withColumn("pmi_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("ratio").desc, col("a"), col("b"))))
+          .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+            col("n"), col("pmi_rank"))
       })
   )
 }

@@ -40,6 +40,29 @@ object Vectors {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Quantize a double vector onto the 1e-6 integer lattice as
+    * `array<long>`, half-away-from-zero — the ONE double→integer step
+    * for the exact Gram/power-iteration family (q142/q151). Built from
+    * floor/ceil on the binary double value only (both exact IEEE
+    * operations, bit-identical in Spark and DuckDB at every boundary),
+    * deliberately NOT `round()`: Spark's round() routes through the
+    * double's shortest *decimal* representation (BigDecimal.valueOf)
+    * while DuckDB rounds the *binary* value, and those disagree exactly
+    * at representation boundaries — the root cause of the round-6
+    * cross-engine hash flakes.
+    */
+  def latticize(a: Column, scale: Double = 1e6): Column =
+    transform(a, x =>
+      when(x >= 0, floor(x * scale + 0.5))
+        .otherwise(ceil(x * scale - 0.5))
+        .cast("long"))
+
+  /** The DuckDB-side twin of [[latticize]] (same floor/ceil semantics). */
+  def latticizeSql(arrayExpr: String, scale: String = "1000000.0"): String =
+    s"list_transform($arrayExpr, x -> CAST(CASE WHEN x >= 0 " +
+      s"THEN floor(x * $scale + 0.5) " +
+      s"ELSE ceil(x * $scale - 0.5) END AS BIGINT))"
+
   /** LCG-derived hyperplane coefficient for (plane p, dimension d). */
   def planeCoef(p: Column, d: Column): Column =
     (((p * 64 + d) * 1103515245L + 12345L) % 2147483648L).cast("double") /

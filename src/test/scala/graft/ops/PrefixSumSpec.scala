@@ -73,6 +73,19 @@ class PrefixSumSpec extends SparkSpec {
       Seq(30L, 30L, 35L))
   }
 
+  test("auto-route declines try_sum — TRY overflow semantics (NULL) differ " +
+      "from the operator's addExact throw") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("k", "w")
+    val cum = df.withColumn("cw", expr("try_sum(w)").over(
+      Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    assert(!cum.queryExecution.executedPlan.toString
+      .contains("RunningTotal"))
+    assert(cum.orderBy("k").collect().map(_.getLong(2)).toSeq ==
+      Seq(10L, 30L, 35L))
+  }
+
   test("systematic stride selection picks exactly the boundary-crossing rows") {
     // masses 4,4,4,4 with stride 5: cw = 4,8,12,16; crossings at
     // 5 (row 2), 10 (row 3), 15 (row 4)

@@ -80,19 +80,25 @@ class CurationSpec extends SparkSpec {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
       .as[(Long, Int, Seq[Double])].collect().toSeq
     val dims = 64
-    // Gram on the 1e-12 lattice, then rescale to 1e-6 exactly as the query
+    // round-7 semantics: quantize ONCE onto the 1e-6 lattice
+    // (half-away-from-zero on the binary double, the latticize
+    // contract), then everything downstream is pure integer
+    def lat(x: Double): Long =
+      (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)).toLong
+    val els = vecs.map { case (id, label, e) => (id, label, e.map(lat)) }
     val g = Array.ofDim[Long](dims, dims)
-    for ((_, _, e) <- vecs; i <- 0 until dims; j <- i until dims)
-      g(i)(j) += math.round(e(i) * e(j) * 1e12)
+    for ((_, _, el) <- els; i <- 0 until dims; j <- i until dims)
+      g(i)(j) += el(i) * el(j)
+    // exact integer half-away rescale of the 1e-12 lattice to 1e-6
     val g2 = Array.tabulate(dims, dims) { (i, j) =>
       val v = if (j >= i) g(i)(j) else g(j)(i)
-      math.round(v.toDouble / 1e6)
+      (if (v < 0) -1L else 1L) * ((math.abs(v) + 500000L) / 1000000L)
     }
     val v1 = g2.map(_.sum)
     val v2 = Array.tabulate(dims)(i =>
       (0 until dims).map(j => BigInt(g2(i)(j)) * v1(j)).sum)
-    val expect = vecs.map { case (id, label, e) =>
-      val p = (0 until dims).map(d => BigInt(math.round(e(d) * 1e6)) * v2(d)).sum
+    val expect = els.map { case (id, label, el) =>
+      val p = (0 until dims).map(d => BigInt(el(d)) * v2(d)).sum
       (id, label, p)
     }.sortBy { case (id, _, p) => (-p.abs, id) }.take(20)
     val got = q("q151_principal_projection")
