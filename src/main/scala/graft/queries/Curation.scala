@@ -34,6 +34,29 @@ object Curation {
   private def sqlMinhash(sh: String, j: Int) =
     s"list_min(list_transform($sh, s -> (CAST('0x' || substr(md5(s),1,8) AS BIGINT) % $P * ${Hashing.HashA(j)} + ${Hashing.HashB(j)}) % $P))"
 
+  /** q150 and its Bloom-gated variant q162 compute the SAME result
+    * (Bloom positives are verified exactly by the semi-join; no false
+    * negatives), so they share one oracle.
+    */
+  private val substringDedupSql =
+    s"""WITH t AS (SELECT doc_id,
+          regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+      tt AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= $W),
+      w AS (SELECT doc_id,
+          CAST('0x' || substr(md5(array_to_string(
+            ws[CAST(i AS INT):CAST(i + ${W - 1} AS INT)], ' ')), 1, 8)
+            AS BIGINT) AS wh
+        FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${W - 1}))
+          AS i) g),
+      dup AS (SELECT wh FROM w GROUP BY wh
+        HAVING COUNT(DISTINCT doc_id) > 1),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        FROM w JOIN dup USING (wh) GROUP BY doc_id)
+      SELECT tt.doc_id, CAST(tt.n - ${W - 1} AS BIGINT) AS n_windows,
+        pd.n_dup
+      FROM tt JOIN pd USING (doc_id)
+      ORDER BY n_dup DESC, doc_id LIMIT 100"""
+
   val qs: Seq[Q] = Seq(
     Q("q149_dsir_weights",
       "DSIR-style importance weights: hashed-unigram LMs (1024 buckets) " +
@@ -55,17 +78,20 @@ object Curation {
         tot AS (SELECT
             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
             CAST(COUNT(*) AS BIGINT) AS nr FROM tok),
-        lr AS (SELECT cr.b,
-            CAST(ln((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
-                     * CAST(t.nr + $B AS DOUBLE)) /
-                    (CAST(cr.cr + 1 AS DOUBLE)
-                     * CAST(t.nt + $B AS DOUBLE)))
-              AS DECIMAL(30,12)) AS lr
-          FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot t)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-          CAST(SUM(l.lr) AS DOUBLE) / COUNT(*) AS dsir_weight
-        FROM tok JOIN lr l ON tok.b = l.b
-        GROUP BY doc_id ORDER BY dsir_weight DESC, doc_id LIMIT 50"""),
+        lrn AS (SELECT cr.b,
+            (COALESCE(ct.ct, 0) + 1) * (t.nr + $B) AS lnum,
+            (cr.cr + 1) * (t.nt + $B) AS lden
+          FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot t),
+        lr AS (SELECT b,
+            ${graft.functions.FixedLog.lnLat12Sql("lnum", "lden")} AS lr
+          FROM lrn),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM(CAST(l.lr AS HUGEINT)) AS DECIMAL(38,0)) AS slr
+          FROM tok JOIN lr l ON tok.b = l.b GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+          CAST(slr AS DOUBLE) /
+            CAST(n_tokens * 1000000000000 AS DOUBLE) AS dsir_weight
+        FROM agg ORDER BY dsir_weight DESC, doc_id LIMIT 50"""),
       (s, d) => {
         // Importance resampling needs two n-gram LMs over the SAME
         // hashed feature space (Xie et al., DSIR) — here T42's
@@ -76,13 +102,15 @@ object Curation {
         // HISTOGRAMS (≤min(tokens,1024) rows/doc); both the model fit
         // and the scoring read that one exchange (ReuseExchange), so
         // everything downstream is histogram/model-sized. At 100 TB
-        // the model is still one 1024-row broadcast. Determinism: the
-        // log-ratio is ONE ln() of an exactly-computed rational
-        // (integer counts, products < 2^53 at this scale — the 100 TB
-        // variant moves the products onto a decimal lattice first),
-        // rounded to DECIMAL(30,12); score = Σ n_db·lr[b] on the
-        // decimal lattice — identical to the per-token sum; the final
-        // avg is a single IEEE division, identical cross-engine.
+        // the model is still one 1024-row broadcast. Determinism
+        // (round-7 structural): the log-ratio rides FixedLog.lnLat12 —
+        // the engine-exact integer digit algorithm — over the exactly-
+        // computed rational (integer counts; the 100 TB variant moves
+        // the products onto a decimal lattice first), evaluated only
+        // on the 1024-row model frame. score = Σ n_db·lr_lat[b] in
+        // DECIMAL(38,0); the emitted weight is one decimal→double
+        // cast + one IEEE division, both correctly rounded in both
+        // engines — NO transcendental and NO round-on-double anywhere.
         val hist = table(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             explode(hashedBuckets(words(col("text")), B)).as("b"))
@@ -93,23 +121,17 @@ object Curation {
             .as("ct"))
         val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
         val lr = bc.crossJoin(broadcast(tot))
-          .select(col("b"),
-            log(((col("ct") + 1).cast("double")
-                  * (col("nr") + B).cast("double")) /
-                ((col("cr") + 1).cast("double")
-                  * (col("nt") + B).cast("double")))
-              // (24,12) not (30,12): with nb at DECIMAL(13,0) the
-              // product is 13+24+1 = 38 digits, so Spark keeps scale
-              // 12 EXACTLY — at (30,12) the 51-digit product would be
-              // silently re-rounded to a coarser scale and drift off
-              // the oracle in the 8th decimal (observed)
-              .cast("decimal(24,12)").as("lr"))
+          .select(col("b"), graft.functions.FixedLog.lnLat12(
+            (col("ct") + 1) * (col("nr") + B),
+            (col("cr") + 1) * (col("nt") + B)).as("lr"))
         hist.join(broadcast(lr), Seq("b"))
           .groupBy("doc_id")
           .agg(sum(col("nb")).as("n_tokens"),
-            sum(col("nb").cast(DecimalType(13, 0)) * col("lr")).as("slr"))
+            sum(col("nb").cast(DecimalType(25, 0)) * col("lr")).as("slr"))
           .select(col("doc_id"), col("n_tokens"),
-            (col("slr").cast("double") / col("n_tokens")).as("dsir_weight"))
+            (col("slr").cast("double") /
+              (col("n_tokens") * lit(1000000000000L)).cast("double"))
+              .as("dsir_weight"))
           .orderBy(col("dsir_weight").desc, col("doc_id")).limit(50)
       }),
 
@@ -118,23 +140,7 @@ object Curation {
         "rolls to a 32-bit hash; windows whose hash occurs in >1 " +
         "distinct doc mark duplicated spans — per-doc duplicated-window " +
         "counts for the 100 most contaminated docs",
-      Some(s"""WITH t AS (SELECT doc_id,
-            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
-        tt AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= $W),
-        w AS (SELECT doc_id,
-            CAST('0x' || substr(md5(array_to_string(
-              ws[CAST(i AS INT):CAST(i + ${W - 1} AS INT)], ' ')), 1, 8)
-              AS BIGINT) AS wh
-          FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${W - 1}))
-            AS i) g),
-        dup AS (SELECT wh FROM w GROUP BY wh
-          HAVING COUNT(DISTINCT doc_id) > 1),
-        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
-          FROM w JOIN dup USING (wh) GROUP BY doc_id)
-        SELECT tt.doc_id, CAST(tt.n - ${W - 1} AS BIGINT) AS n_windows,
-          pd.n_dup
-        FROM tt JOIN pd USING (doc_id)
-        ORDER BY n_dup DESC, doc_id LIMIT 100"""),
+      Some(substringDedupSql),
       (s, d) => {
         // The suffix-array-free version of Lee et al.'s exact substring
         // dedup: the honest cost floor is one row PER TOKEN POSITION,
@@ -782,6 +788,52 @@ object Curation {
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("source_a", "source_b")
+      }),
+
+    Q("q162_substring_dedup_bloom",
+      s"q150's exact substring dedup with the Bloom probe gate wired " +
+        "in (VERDICT r6 item 5): the dup-hash side builds a bounded " +
+        "Bloom sketch, and the corpus-sized window stream filters on " +
+        "mightContain BEFORE the semi-join shuffle — definite " +
+        "negatives (the overwhelming bulk at production dup rates) " +
+        "never leave their scan tasks; Bloom positives are verified " +
+        "exactly by the semi-join, so the result is IDENTICAL to q150 " +
+        "(no false negatives) and the two queries share one oracle",
+      Some(substringDedupSql),
+      (s, d) => {
+        // q150's honest floor is one 8-byte hash row per token
+        // position through TWO shuffles (dup-hash groupBy + semi-join
+        // probe). The groupBy is irreducible (it DEFINES duplication);
+        // this variant removes the second corpus-sized shuffle: the
+        // ~1-bit-per-hash sketch rides to the probe as a scalar
+        // subquery (never collected, never a task-binary literal) and
+        // the narrow mightContain filter drops non-duplicated windows
+        // at the scan. Probe shuffle mass goes from ALL windows to
+        // dup-rate + FP-rate — the r12 probe row in BASELINE.md
+        // measures the reduction. The dup frame is checkpointed: it
+        // feeds both the sketch build and the exact verify join, and
+        // is bounded by distinct duplicated hashes (<< corpus).
+        val t = table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= W)
+        val wins = t.select(col("doc_id"),
+          explode(windowHashes(col("ws"), W)).as("wh"))
+          .localCheckpoint()
+        val dup = wins.groupBy("wh")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("wh")
+          .localCheckpoint()
+        val sk = graft.functions.BloomGate.sketch(dup, col("wh"),
+          expectedItems = 1L << 16, numBits = 1L << 20)
+        val gated = wins.filter(
+          graft.functions.BloomGate.mightContain(sk, col("wh"),
+            tag = "q162_dupwin"))
+        val perDoc = gated.join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        t.select(col("doc_id"),
+            (size(col("ws")) - (W - 1)).cast("long").as("n_windows"))
+          .join(perDoc, Seq("doc_id"))
+          .orderBy(col("n_dup").desc, col("doc_id")).limit(100)
       })
   )
 }

@@ -216,7 +216,7 @@ object Embeddings {
     Q("q86_centroids",
       "per-label centroid vector (elementwise mean), long (label, dim) form",
       Some(s"""WITH e AS (SELECT label,
-          CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS xq,
+          unnest(${Vectors.latticizeSql("CAST(embedding AS DOUBLE[])")}) AS xq,
           unnest(range(len(embedding))) AS dim
         FROM embeddings)
         SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
@@ -230,15 +230,17 @@ object Embeddings {
         // integers: float-derived doubles are dyadic, so a direct
         // double→DECIMAL sum can land on a rounding TIE that DuckDB
         // (half-even) and Spark (HALF_UP) resolve differently — seen on
-        // this very dataset (0.1983642578125 at scale 12). round() ties
-        // go half-away-from-zero in both engines and the multiply is
-        // double-evaluated in both, so the integer path is tie-free.
+        // this very dataset (0.1983642578125 at scale 12). The
+        // quantization is latScalar's floor/ceil half-away on the
+        // BINARY double (round-7: round() itself is decimal-vs-binary
+        // boundary-sensitive across engines), so the grid point is
+        // bit-identical everywhere and integer sums are associative.
         table(s, d, "embeddings")
           .select(col("label"),
             posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
           .groupBy(col("label"), col("dim").cast("long").as("dim"))
           .agg(count(lit(1)).as("n"),
-            (sum(round(col("x") * 1000000).cast("long")).cast("double")
+            (sum(Vectors.latScalar(col("x"), 1e6)).cast("double")
               / 1000000.0 / count(lit(1))).as("c"))
           .orderBy("label", "dim")
       }),
@@ -276,7 +278,7 @@ object Embeddings {
               ROW_NUMBER() OVER (PARTITION BY v.vec_id
                 ORDER BY ${sqlSqDist("v.e", "s.se")}, s.sid) AS rn
             FROM v CROSS JOIN s0 s) t WHERE rn = 1),
-        x1 AS (SELECT sid, CAST(round(unnest(e) * 1000000) AS BIGINT) AS xq,
+        x1 AS (SELECT sid, unnest(${Vectors.latticizeSql("e")}) AS xq,
             unnest(range(len(e))) AS dim FROM a1),
         c1 AS (SELECT sid, dim, CAST(SUM(xq) AS BIGINT) AS s,
             COUNT(*) AS n FROM x1 GROUP BY 1, 2),
@@ -287,7 +289,7 @@ object Embeddings {
               ROW_NUMBER() OVER (PARTITION BY v.vec_id
                 ORDER BY ${sqlSqDist("v.e", "s.se")}, s.sid) AS rn
             FROM v CROSS JOIN s1 s) t WHERE rn = 1),
-        x2 AS (SELECT sid, CAST(round(unnest(e) * 1000000) AS BIGINT) AS xq,
+        x2 AS (SELECT sid, unnest(${Vectors.latticizeSql("e")}) AS xq,
             unnest(range(len(e))) AS dim FROM a2),
         c2 AS (SELECT sid, dim, CAST(SUM(xq) AS BIGINT) AS s,
             COUNT(*) AS n FROM x2 GROUP BY 1, 2)
@@ -318,7 +320,7 @@ object Embeddings {
           asg.select(col("cluster"),
               posexplode(col("e")).as(Seq("dim", "x")))
             .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
-            .agg(sum(round(col("x") * 1000000).cast("long")).as("s"),
+            .agg(sum(Vectors.latScalar(col("x"), 1e6)).as("s"),
               count(lit(1)).as("n"))
         def codebook(cent: org.apache.spark.sql.DataFrame) =
           cent.select(col("cluster"), col("dim"),
@@ -350,10 +352,10 @@ object Embeddings {
           FROM v CROSS JOIN sp),
         cb AS (SELECT vec_id AS c, s, sub AS csub FROM sub WHERE vec_id < 8),
         dist AS (SELECT a.vec_id, a.s, b.c,
-            CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               list_transform(range(1, 9),
                 i -> (a.sub[i] - b.csub[i]) * (a.sub[i] - b.csub[i]))),
-              (x, y) -> x + y) * 1000000000000.0) AS BIGINT) AS dq
+              (x, y) -> x + y)""", "1000000000000.0")} AS dq
           FROM sub a JOIN cb b ON a.s = b.s),
         codes AS (SELECT vec_id, s, c FROM (SELECT *,
             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dq, c) AS rn
@@ -388,8 +390,8 @@ object Embeddings {
           .toDF("c", "s", "csub")
         val dist = sub.join(broadcast(cb), "s")
           .select(col("vec_id"), col("s"), col("c"),
-            round(Vectors.sqDist(col("sub"), col("csub")) * 1e12)
-              .cast("long").as("dq"))
+            Vectors.latScalar(
+              Vectors.sqDist(col("sub"), col("csub")), 1e12).as("dq"))
         val codes = dist
           .groupBy(col("vec_id"), col("s"))
           .agg(min(struct(col("dq"), col("c"))).as("m"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import Common._
 import graft.dedup.Dedup
@@ -418,38 +419,49 @@ object Pipeline {
             CAST(COUNT(DISTINCT w) AS BIGINT) AS v
           FROM u WHERE doc_id % 10 <> 0),
         ev AS (SELECT e.doc_id,
-            CAST(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (t.n + t.v))
-              AS DECIMAL(30,12)) AS lp
+            """ + graft.functions.FixedLog.lnLat12Sql(
+              "COALESCE(c.c, 0) + 1", "t.n + t.v") + """ AS lp
           FROM u e LEFT JOIN cnt c ON e.w = c.w CROSS JOIN tot t
           WHERE e.doc_id % 10 = 0)
         SELECT doc_id, COUNT(*) AS n_tokens,
-          CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+          CAST(SUM(lp) AS DOUBLE) /
+            CAST(COUNT(*) * 1000000000000 AS DOUBLE) AS avg_logprob
         FROM ev GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => {
         // The perplexity-proxy quality filter: a unigram LM fit on the
         // train split scores every eval doc. Token counts aggregate
         // map-side; scoring is one shuffle join on the word. The 1-row
         // totals frame is the only broadcast (bounded by construction).
-        // Per-token logprobs round to DECIMAL(30,12) BEFORE summing:
-        // double-sum order differs between engines, decimal sum is
-        // associative (and the cast also absorbs any last-ULP ln()
-        // difference between libm implementations).
+        // Determinism (round-7 structural): per-token logprobs are
+        // FixedLog.lnLat12 integers — the engine-exact digit algorithm
+        // replaces ln()+decimal-cast (whose libm-ULP + decimal-boundary
+        // interplay is testdata-instance-sensitive); the integer sum is
+        // associative, and the emitted average is one exact long→double
+        // cast + one IEEE division. Scale shape: the 46-step fold runs
+        // on the DISTINCT count values (≤ |vocab| rows, broadcast
+        // back), never per corpus token.
         val u = table(s, d, "documents")
           .select(col("doc_id"), explode(words(col("text"))).as("w"))
         val train = u.filter(col("doc_id") % 10 =!= 0)
         val cnt = train.groupBy("w").agg(count(lit(1)).as("c"))
         val tot = train.agg(count(lit(1)).as("n"),
           countDistinct("w").as("v"))
+        // lnLat over distinct counts only (plus the unseen-word c=0 row)
+        val lp = cnt.select(col("c").as("lc")).distinct()
+          .union(s.range(1).select(lit(0L).as("lc")))
+          .crossJoin(broadcast(tot))
+          .select(col("lc"), graft.functions.FixedLog.lnLat12(
+            col("lc") + 1, col("n") + col("v")).as("lp"))
         u.filter(col("doc_id") % 10 === 0)
           .join(cnt, Seq("w"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"),
-            log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-              (col("n") + col("v")))
-              .cast("decimal(30,12)").as("lp"))
+          .withColumn("cc", coalesce(col("c"), lit(0L)))
+          .join(broadcast(lp), col("cc") === col("lc"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("slp").cast("double") /
+              (col("n_tokens") * lit(1000000000000L)).cast("double"))
+              .as("avg_logprob"))
           .orderBy("doc_id")
       }),
 
@@ -883,16 +895,21 @@ object Pipeline {
         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
             CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
-        sc AS (SELECT tf.doc_id, CAST(
-            ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
-            (CAST(tf.tf AS DOUBLE) * 2.2) /
-            (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-              (CAST(t.sumdl AS DOUBLE) / t.n)))
-          AS DECIMAL(30,12)) AS s
-          FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id)
+        idf AS (SELECT term,
+            ${graft.functions.FixedLog.lnLat12Sql(
+              "2 * t.n + 2", "2 * d.df + 1")} AS idf_lat
+          FROM dfq d CROSS JOIN tot t),
+        sc AS (SELECT tf.doc_id,
+            CAST((CAST(i.idf_lat AS HUGEINT) * 22 * tf.tf * t.sumdl
+                  + ((10 * tf.tf * t.sumdl + 3 * t.sumdl
+                      + 9 * dl.dl * t.n) // 2))
+              // (10 * tf.tf * t.sumdl + 3 * t.sumdl + 9 * dl.dl * t.n)
+              AS BIGINT) AS s
+          FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id)
           CROSS JOIN tot t),
-        r AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25 FROM sc
-          GROUP BY doc_id)
+        r AS (SELECT doc_id,
+            CAST(CAST(SUM(s) AS HUGEINT) AS DOUBLE) /
+              1000000000000.0 AS bm25 FROM sc GROUP BY doc_id)
         SELECT doc_id, bm25, rn FROM (SELECT *, CAST(ROW_NUMBER() OVER (
             ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn FROM r) z
         WHERE rn <= 10 ORDER BY rn"""),
@@ -935,22 +952,42 @@ object Pipeline {
           .select(col("doc_id"), size(words(col("text"))).as("dl"))
           .repartition(col("doc_id"))
         val tot = dlf.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-        val idf = log(lit(1) +
-          (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-        val tfNorm = (col("tf").cast("double") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-            col("dl").cast("double") /
-            (col("sumdl").cast("double") / col("n"))))
+        // Determinism (round-7 structural): idf = ln((n+1)/(df+0.5)) =
+        // lnLat12(2n+2, 2df+1) on the integer lattice (FixedLog — the
+        // engine-exact digit algorithm, evaluated on the ≤|query|-row
+        // df frame, NOT per posting); tfNorm is an exact integer
+        // rational 22·tf·sumdl / (10·tf·sumdl + 3·sumdl + 9·dl·n), so
+        // each per-term score is one half-away integer division and
+        // the per-doc sum is associative Long addition — no ln-ULP
+        // skew, no decimal-boundary rounding, nothing
+        // testdata-sensitive.
+        // the (always-true) sumdl >= 0 filter pins sumdl in this
+        // lineage: idf only reads n, and without the pin column
+        // pruning would shrink this branch's tot subtree to (n) — no
+        // longer canonically equal to the main branch's (n, sumdl)
+        // aggregate, costing the ReusedExchange and a THIRD corpus
+        // scan (the q112 plan gate catches exactly this)
+        val idff = dfq.crossJoin(broadcast(tot))
+          .filter(col("sumdl") >= 0)
+          .select(col("term"), graft.functions.FixedLog.lnLat12(
+            col("n") * 2 + 2, col("df") * 2 + 1).as("idf_lat"))
+        val den2 = (col("tf") * col("sumdl") * 10
+          + col("sumdl") * 3 + col("dl") * col("n") * 9).cast("long")
+        val sLat = call_function("div",
+          col("idf_lat").cast(DecimalType(38, 0)) *
+            (col("tf") * col("sumdl") * 22).cast(DecimalType(38, 0)) +
+            call_function("div", den2, lit(2L)).cast(DecimalType(38, 0)),
+          den2)
         // top-10 via TakeOrderedAndProject (per-partition heaps, driver
         // merges 10×partitions rows), NOT a global row_number window —
         // the rank window then runs over the bounded 10-row frame only.
         val w = Window.orderBy(col("bm25").desc, col("doc_id"))
-        tf.join(broadcast(dfq), "term")
+        tf.join(broadcast(idff), "term")
           .join(dlf, "doc_id")
           .crossJoin(broadcast(tot))
-          .select(col("doc_id"), (idf * tfNorm).cast("decimal(30,12)").as("s"))
+          .select(col("doc_id"), sLat.cast("long").as("s"))
           .groupBy("doc_id")
-          .agg(sum(col("s")).cast("double").as("bm25"))
+          .agg((sum(col("s")).cast("double") / lit(1e12)).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id")).limit(10)
           .withColumn("rn", row_number().over(w).cast("long"))
           .orderBy("rn")

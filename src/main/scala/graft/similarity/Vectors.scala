@@ -63,6 +63,20 @@ object Vectors {
       s"THEN floor(x * $scale + 0.5) " +
       s"ELSE ceil(x * $scale - 0.5) END AS BIGINT))"
 
+  /** Scalar [[latticize]]: one double onto an integer lattice,
+    * half-away-from-zero via floor/ceil on the binary value (exact IEEE
+    * ops — the cross-engine-safe replacement for `round(x*scale)`).
+    */
+  def latScalar(x: Column, scale: Double): Column =
+    when(x >= 0, floor(x * scale + 0.5))
+      .otherwise(ceil(x * scale - 0.5))
+      .cast("long")
+
+  /** DuckDB twin of [[latScalar]] ($x spliced twice — keep it simple). */
+  def latScalarSql(x: String, scale: String): String =
+    s"CAST(CASE WHEN ($x) >= 0 THEN floor(($x) * $scale + 0.5) " +
+      s"ELSE ceil(($x) * $scale - 0.5) END AS BIGINT)"
+
   /** LCG-derived hyperplane coefficient for (plane p, dimension d). */
   def planeCoef(p: Column, d: Column): Column =
     (((p * 64 + d) * 1103515245L + 12345L) % 2147483648L).cast("double") /

@@ -750,10 +750,9 @@ object ScaleProbe {
             .as("ct"))
         val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
         val lr = bc.crossJoin(broadcast(tot))
-          .select(col("b"), log(((col("ct") + 1)
-            .cast("double") * (col("nr") + 1024).cast("double")) /
-            ((col("cr") + 1).cast("double") * (col("nt") + 1024)
-              .cast("double"))).as("lr"))
+          .select(col("b"), graft.functions.FixedLog.lnLat12(
+            (col("ct") + 1) * (col("nr") + 1024),
+            (col("cr") + 1) * (col("nt") + 1024)).as("lr"))
         hist.join(broadcast(lr), Seq("b")).groupBy("doc_id")
           .agg(sum(col("nb")).as("n"), sum(col("nb") * col("lr")).as("s"))
           .count()
@@ -789,6 +788,33 @@ object ScaleProbe {
         // checkpoint blocks are released by the ContextCleaner once the
         // frame is unreferenced — no explicit unpersist needed
       }
+      // Bloom-gated variant (q162 shape): identical result, but the
+      // probe side filters on the bounded sketch BEFORE the semi-join
+      // exchange — probe shuffle mass drops from ALL windows to
+      // dup-rate + FP-rate. Compare this row's shuffle rows against
+      // the previous row's: that delta is the T25 mitigation, measured.
+      time(s"substring dedup bloom-gated @${mult}x") {
+        val t = docs6X.select(col("doc_id"),
+          split(regexp_replace(
+            regexp_replace(col("text"), lit("\\s+"), lit(" ")),
+            lit(" "), concat(lit(" z"), col("rep").cast("string"), lit(" "))),
+            " ").as("ws"))
+          .filter(size(col("ws")) >= 8)
+        val wins = t.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 7),
+            i => hash32(concat_ws(" ", slice(col("ws"), i, lit(8))))))
+            .as("wh"))
+          .localCheckpoint()
+        val dup = wins.groupBy("wh").agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("wh")
+          .localCheckpoint()
+        val sk = graft.functions.BloomGate.sketch(dup, col("wh"),
+          expectedItems = 1L << 16, numBits = 1L << 20)
+        wins.filter(graft.functions.BloomGate.mightContain(sk, col("wh"),
+            tag = s"probe_r12_bloom_$mult"))
+          .join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
       // Principal direction (q151 shape): the Gram pass is ONE ~16 KB
       // state row per map partition (flat at any corpus size); matvecs
       // run on the 64×64 lattice frame; the projection folds against a
@@ -799,11 +825,15 @@ object ScaleProbe {
         .select((col("vec_id") * mult + col("rep")).as("vec_id"),
           col("embedding").cast("array<double>").as("e"))
       time(s"principal projection (gram+2 matvec+fold) @${mult}x") {
+        // round-7 shipped shape: quantize once (latticize), pure
+        // integer after — see q151
         val gm = emb6X
-          .agg(graft.functions.GramMatrixAgg.gram(spark, col("e"), 64).as("gm"))
+          .select(graft.similarity.Vectors.latticize(col("e")).as("el"))
+          .agg(graft.functions.GramMatrixAgg.gram(spark, col("el"), 64).as("gm"))
           .select(explode(col("gm.g")).as("x"))
           .select(col("x.di").as("di"), col("x.dj").as("dj"),
-            round(col("x.s").cast("double") / 1e6).cast("long").as("g"))
+            expr("CAST((CASE WHEN x.s < 0 THEN -1 ELSE 1 END) * " +
+              "((abs(x.s) + 500000L) DIV 1000000L) AS BIGINT)").as("g"))
         val gf = gm.union(gm.filter(col("di") =!= col("dj"))
           .select(col("dj").as("di"), col("di").as("dj"), col("g")))
         val v1 = gf.groupBy("di").agg(sum(col("g")).as("x1"))
@@ -817,8 +847,9 @@ object ScaleProbe {
           .select(transform(col("sx"), x => x.getField("x2")).as("pc"))
         emb6X.crossJoin(broadcast(v2arr))
           .select(col("vec_id"), aggregate(
-            zip_with(transform(col("e"), x => round(x * 1e6)
-              .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            zip_with(transform(
+              graft.similarity.Vectors.latticize(col("e")),
+              x => x.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
               col("pc"), (a, b) => a * b),
             lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
             (acc, x) => (acc + x)

@@ -126,10 +126,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p)
   }
 
-  test("q112: corpus scanned twice (postings, lengths), both reused") {
+  test("q112: corpus scanned twice (postings, lengths), all branches reused") {
     // tf and df hang off one exploded-postings exchange; doc lengths and
-    // corpus totals off one repartition — the runtime plan must show
-    // exactly 2 corpus FileScans and 2 ReusedExchanges. A regression
+    // corpus totals off one repartition; since round-7 the idf branch
+    // additionally reuses the totals BROADCAST (its sumdl filter-pin
+    // keeps the subtree canonically equal) — the runtime plan must show
+    // exactly 2 corpus FileScans and 3 ReusedExchanges. A regression
     // here re-scans (and re-explodes) the 100 TB corpus per consumer.
     val df = SparkEntry.queries("q112_bm25_topk")(spark, sfDir)
     df.collect()
@@ -138,7 +140,7 @@ class PlanSpec extends SparkSpec {
     val scans = "FileScan parquet".r.findAllIn(finalPlan).size
     assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$finalPlan")
     val reused = "ReusedExchange".r.findAllIn(finalPlan).size
-    assert(reused == 2, s"expected 2 ReusedExchanges, got $reused:\n$finalPlan")
+    assert(reused == 3, s"expected 3 ReusedExchanges, got $reused:\n$finalPlan")
   }
 
   test("q114: zero-shuffle assignment feeds TopKPerGroup directly") {

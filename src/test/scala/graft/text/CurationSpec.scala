@@ -59,19 +59,41 @@ class CurationSpec extends SparkSpec {
     val cr = tok.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
     val nt = tok.count(_._2 == "en").toLong
     val nr = tok.size.toLong
-    val lr: Map[Long, BigDecimal] = cr.map { case (b, c) =>
-      val x = (ct.getOrElse(b, 0L) + 1).toDouble * (nr + B).toDouble /
-        ((c + 1).toDouble * (nt + B).toDouble)
-      b -> BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // independent BigInt port of the FixedLog.lnLat12 digit algorithm
+    // (round-7 semantics: the lattice value is DEFINED, not approximated)
+    def lnLatRef(num: Long, den: Long): Long = {
+      if (num == den) return 0L
+      val (a, b, sgn) = if (num >= den) (num, den, 1L) else (den, num, -1L)
+      var d = BigInt(b); var e = 0L
+      for (k <- Seq(32, 16, 8, 4, 2, 1))
+        if (BigInt(a) / BigInt(2).pow(k) >= d) { d *= BigInt(2).pow(k); e += k }
+      var m = BigInt(a) * BigInt("1000000000000000000") / d
+      var f = 0L
+      val one = BigInt("1000000000000000000")
+      for (_ <- 1 to 40) {
+        val t = m * m / one
+        if (t >= one * 2) { m = t / 2; f = f * 2 + 1 } else { m = t; f = f * 2 }
+      }
+      val t40 = BigInt(e) * BigInt(2).pow(40) + f
+      sgn * ((t40 * BigInt("693147180559945309") +
+        BigInt("549755813888000000")) /
+        BigInt("1099511627776000000")).toLong
+    }
+    val lr: Map[Long, Long] = cr.map { case (b, c) =>
+      b -> lnLatRef((ct.getOrElse(b, 0L) + 1) * (nr + B),
+        (c + 1) * (nt + B))
     }
     val expect = tok.groupBy(_._1).map { case (id, xs) =>
-      val s = xs.map(x => lr(x._3)).sum
-      (id, xs.size.toLong, s.toDouble / xs.size)
+      val s = xs.map(x => BigInt(lr(x._3))).sum
+      (id, xs.size.toLong,
+        s.toDouble / (xs.size.toLong * 1000000000000L).toDouble)
     }.toSeq.sortBy { case (id, _, w) => (-w, id) }.take(50)
     val got = q("q149_dsir_weights").as[(Long, Long, Double)].collect().toSeq
     assert(got.map(x => (x._1, x._2)) == expect.map(x => (x._1, x._2)))
     got.zip(expect).foreach { case (g, e) =>
-      assert(math.abs(g._3 - e._3) < 1e-12, s"weight mismatch at ${g._1}")
+      // bit-exact: both sides are the same defined integer-lattice value
+      // through the same two correctly-rounded IEEE ops
+      assert(g._3 == e._3, s"weight mismatch at ${g._1}")
     }
   }
 
