@@ -790,10 +790,13 @@ object ScaleProbe {
       }
       // Bloom-gated variant (q162 shape): identical result, but the
       // probe side filters on the bounded sketch BEFORE the semi-join
-      // exchange — probe shuffle mass drops from ALL windows to
-      // dup-rate + FP-rate. Compare this row's shuffle rows against
-      // the previous row's: that delta is the T25 mitigation, measured.
-      time(s"substring dedup bloom-gated @${mult}x") {
+      // exchange. IMPORTANT measurement caveat: at local probe sizes
+      // AQE broadcasts the dup side, so the probe side never exchanges
+      // in EITHER variant and the default-regime rows show no delta —
+      // the gate's savings live in the SHUFFLED-join regime (at 100 TB
+      // the dup-hash side exceeds any broadcast threshold). The pair
+      // below disables broadcast to measure that regime directly.
+      def substrFrames() = {
         val t = docs6X.select(col("doc_id"),
           split(regexp_replace(
             regexp_replace(col("text"), lit("\\s+"), lit(" ")),
@@ -808,13 +811,42 @@ object ScaleProbe {
         val dup = wins.groupBy("wh").agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")
           .localCheckpoint()
+        (wins, dup)
+      }
+      // sketch sized WITH the corpus (bits linear in expected dup
+      // cardinality — a fixed-size sketch saturates at 10x and its FP
+      // rate goes to 1, silently re-admitting every window; measured)
+      time(s"substring dedup bloom-gated @${mult}x") {
+        val (wins, dup) = substrFrames()
         val sk = graft.functions.BloomGate.sketch(dup, col("wh"),
-          expectedItems = 1L << 16, numBits = 1L << 20)
+          expectedItems = (1L << 16) * mult, numBits = (1L << 20) * mult)
         wins.filter(graft.functions.BloomGate.mightContain(sk, col("wh"),
             tag = s"probe_r12_bloom_$mult"))
           .join(dup, Seq("wh"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1))).count()
       }
+      // shuffled-regime pair: broadcast disabled (incl. AQE's runtime
+      // conversion) to expose the probe-side exchange both variants
+      // carry at corpus scale — THIS delta is the T25 mitigation.
+      val prevBT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      time(s"substring dedup PLAIN shuffled-regime @${mult}x") {
+        val (wins, dup) = substrFrames()
+        wins.join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
+      time(s"substring dedup BLOOM shuffled-regime @${mult}x") {
+        val (wins, dup) = substrFrames()
+        val sk = graft.functions.BloomGate.sketch(dup, col("wh"),
+          expectedItems = (1L << 16) * mult, numBits = (1L << 20) * mult)
+        wins.filter(graft.functions.BloomGate.mightContain(sk, col("wh"),
+            tag = s"probe_r12_bloom_sh_$mult"))
+          .join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBT)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       // Principal direction (q151 shape): the Gram pass is ONE ~16 KB
       // state row per map partition (flat at any corpus size); matvecs
       // run on the 64×64 lattice frame; the projection folds against a
