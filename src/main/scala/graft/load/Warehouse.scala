@@ -200,6 +200,53 @@ object Warehouse {
       .option("emptyValue", "\"\"")
       .schema(schema).csv(path)
 
+  /** The cloud-safe committer configuration for an output URI — the
+    * deployment wiring SURVEY §2.5 documents for the reference's
+    * `s3://` destinations. S3 renames are copies, so the default
+    * FileOutputCommitter is either slow (v1) or unsafe under task
+    * retry (v2); the magic committer writes task output to its final
+    * destination under `__magic` paths and completes multipart uploads
+    * at job commit — no rename at all. The class names are Spark's own
+    * cloud-committer bindings (`spark-hadoop-cloud` module); they and
+    * `hadoop-aws` must be on the deployment classpath (this sandbox has
+    * neither, and no egress — which is exactly why the mapping lives in
+    * ONE audited function instead of scattered notes).
+    */
+  def committerConfFor(uri: String): Map[String, String] =
+    if (uri.startsWith("s3a://")) Map(
+      "spark.hadoop.fs.s3a.committer.name" -> "magic",
+      "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+      "spark.sql.parquet.output.committer.class" ->
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+      "spark.sql.sources.commitProtocolClass" ->
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+    else Map.empty
+
+  /** One write entry point for every Hadoop-FS scheme (`file://`,
+    * `hdfs://`, `s3a://`): applies [[committerConfFor]] scoped to the
+    * write (restored after, like [[appendMonth]]'s overwrite-mode
+    * scoping), then writes. Returns the applied settings so callers
+    * and the spec can audit the wiring.
+    */
+  def writePath(df: DataFrame, uri: String,
+      format: String = "parquet"): Map[String, String] = {
+    val cloudConf = committerConfFor(uri)
+    val spark = df.sparkSession
+    val prev = cloudConf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    // the SET loop sits INSIDE the restore scope: Spark validates
+    // committer classes at set-time, so on a deployment missing the
+    // spark-hadoop-cloud bindings the set itself fails fast — and the
+    // keys applied before it must still roll back (spec-checked)
+    try {
+      cloudConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      df.write.mode("overwrite").format(format).save(uri)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    cloudConf
+  }
+
   /** Interleave the low 16 bits of `c` with zeros (Morton spread) using
     * the classic magic-mask shifts — pure codegen'd Column bit ops.
     */
