@@ -92,7 +92,6 @@ object Bench {
         .mkString("{", ",", "}")
 
     val qs = jmap(results.map { case (k, (med, _)) => short(k) -> fmt3(med) })
-    val qsMin = jmap(results.map { case (k, (_, mn)) => short(k) -> fmt3(mn) })
     val failed = results.collect { case (k, (med, _)) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
@@ -109,7 +108,10 @@ object Bench {
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"key_scheme":"qNNN prefix of full query name","queries_file":"$fullOut","queries":$qs,"queries_min":$qsMin,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // stdout stays well under capture-truncation size: short keys,
+    // 3 decimals, medians only (mins + full names + full precision are
+    // in the queries_file artifact)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"key_scheme":"qNNN prefix of full query name","queries_file":"$fullOut","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
