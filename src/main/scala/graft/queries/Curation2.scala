@@ -85,23 +85,32 @@ object Curation2 {
         sh AS (SELECT doc_id, list_distinct(list_transform(
             range(1, len(ws)-1),
             i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
         scored AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-            CAST(len(a.sh) AS BIGINT) AS na,
-            CAST(len(b.sh) AS BIGINT) AS nb
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+            CAST(len(a.hs) AS BIGINT) AS na,
+            CAST(len(b.hs) AS BIGINT) AS nb
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
         SELECT a_id, b_id, n_inter, na, nb,
           CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
         FROM scored WHERE n_inter * 2 >= least(na, nb)
         ORDER BY containment DESC, a_id, b_id"""),
       (s, d) => {
-        // one shared shingle frame feeds the index, the probe prefix,
-        // and both exact-verify joins (the q32 ReuseExchange shape)
-        val sh = Dedup.shingleFrame(table(s, d, "documents"),
-          "doc_id", "text")
-        val hashes = sh.select(col("doc_id"),
-          array_sort(transform(col("sh"), x => Hashing.hash32(x)))
-            .as("hs"))
+        // The working set is HASHED shingle sets (8-byte longs — the
+        // declared containment unit; a 32-bit collision perturbs both
+        // engines identically, the q150 window-hash discipline), so
+        // the one materialized frame is long-arrays, not strings.
+        // localCheckpoint because FOUR consumers read it (index, probe
+        // prefix, both verify joins) and column pruning pushes
+        // differing projections below a repartition — plain
+        // ReuseExchange is unavailable (measured: 4 corpus scans
+        // without, 1 with — the q150 window-frame pattern).
+        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
         // full inverted index (id, hash) — the honest floor, same row
         // class as q150's window hashes
         val idx = hashes.select(col("doc_id").as("i_id"),
@@ -115,13 +124,13 @@ object Curation2 {
             greatest(col("p_id"), col("i_id")).as("b_id"))
           .distinct()
         cand
-          .join(sh.toDF("a_id", "a_sh"), "a_id")
-          .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .join(hashes.toDF("a_id", "a_hs"), "a_id")
+          .join(hashes.toDF("b_id", "b_hs"), "b_id")
           .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("a_sh"), col("b_sh")))
+            size(array_intersect(col("a_hs"), col("b_hs")))
               .cast("long").as("n_inter"),
-            size(col("a_sh")).cast("long").as("na"),
-            size(col("b_sh")).cast("long").as("nb"))
+            size(col("a_hs")).cast("long").as("na"),
+            size(col("b_hs")).cast("long").as("nb"))
           .filter(col("n_inter") * 2 >= least(col("na"), col("nb")))
           .withColumn("containment",
             col("n_inter").cast("double") / least(col("na"), col("nb")))
