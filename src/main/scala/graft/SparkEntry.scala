@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextOps.qs ++ graft.queries.Embeddings.qs ++
       graft.queries.QboPipelines.qs ++ graft.queries.MultimodalOps.qs ++
       graft.queries.Pipeline.qs ++ graft.queries.Curation.qs ++
-      graft.queries.Curation2.qs ++ graft.queries.Audit.qs
+      graft.queries.Curation2.qs ++ graft.queries.Audit.qs ++
+      graft.queries.Audit2.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
