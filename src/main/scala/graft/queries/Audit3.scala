@@ -209,6 +209,31 @@ object Audit3 {
             expr("CAST((n_padded - n_tokens) * 1000000L DIV n_padded " +
               "AS LONG)").as("waste_ppm"))
           .orderBy("max_len")
+      }),
+
+    Q("q180_salted_join_agg",
+      "explicit salt-and-replicate skew join (graft.ops.Skew, " +
+        "driver-checked): lineitem ⋈ supplier with hot keys split 8 " +
+        "ways — the fallback for skew the planner can't see (AQE's " +
+        "runtime skew split covers sort-merge; the salted form covers " +
+        "replicable small sides and pre-AQE engines). The salt is " +
+        "RESULT-INVARIANT (it only re-partitions work), so the plain " +
+        "unsalted join is the exact oracle; revenue per nation through " +
+        "the decimal lattice",
+      Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+            AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+          .select("l_suppkey", "l_extendedprice")
+        val sup = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice"), 6).as("revenue"))
+          .orderBy("s_nationkey")
       })
   )
 }

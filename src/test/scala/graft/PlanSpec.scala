@@ -143,6 +143,28 @@ class PlanSpec extends SparkSpec {
     assert(reused == 3, s"expected 3 ReusedExchanges, got $reused:\n$finalPlan")
   }
 
+  test("q164: corpus scanned+shingled once (checkpointed hash frame " +
+      "feeds all four consumers)") {
+    // The containment join's hashed-shingle frame has four consumers
+    // (inverted index, probe prefix, both verify joins) and column
+    // pruning pushes differing projections below the repartition, so
+    // ReuseExchange can't dedup — the localCheckpoint materializes the
+    // long-array frame ONCE and the runtime plan must show exactly one
+    // parquet scan (checkpoint reads appear as ExistingRDD scans). A
+    // regression here re-scans and re-shingles the corpus per consumer
+    // (measured 4× before the fix).
+    val df = SparkEntry.queries("q164_containment_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 0,
+      s"expected 0 parquet scans in final plan (checkpoint feeds all " +
+        s"consumers), got $scans:\n$finalPlan")
+    // 3, not 4: the idx/pre pair shares one exchange over the RDD scan
+    assert("Scan ExistingRDD".r.findAllIn(finalPlan).size >= 3, finalPlan)
+  }
+
   test("q114: zero-shuffle assignment feeds TopKPerGroup directly") {
     // Nearest-seed assignment is an in-row argmin against the broadcast
     // seed array: the only exchanges in the plan are the bounded
