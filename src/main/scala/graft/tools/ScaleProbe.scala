@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -80,6 +80,7 @@ object ScaleProbe {
     val doR10 = fam == "all" || fam == "r10"
     val doR11 = fam == "all" || fam == "r11"
     val doR12 = fam == "all" || fam == "r12"
+    val doR13 = fam == "all" || fam == "r13"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -888,6 +889,49 @@ object ScaleProbe {
               .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("proj"))
           .agg(max(abs(col("proj")))).count()
+      }
+      }
+
+      if (doR13) {
+      // --- round-7 containment join (q164 / T76 shape) ---
+      // Guaranteed-recall overlap probe: every doc probes its
+      // floor(n/2)+1 smallest shingle hashes against the full inverted
+      // index. The scale hazard is HOT SHINGLES: a hash shared by k
+      // docs contributes O(k_probe · k_index) candidate pairs, so the
+      // probe tracks candidate mass explicitly. Replicas decorrelated
+      // (intra-rep containment only) → expected LINEAR candidate
+      // growth; super-linear growth here means the corpus needs the
+      // documented mitigations (stopword-shingle drop, or the q108
+      // bucket cap at a declared recall tradeoff).
+      val docs7 = table(spark, sfDir, "documents")
+      val docs7X = docs7.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          // normalize whitespace FIRST: an unreplaced multi-space
+          // separator would leave shingles shared across ALL replicas
+          // (hot across reps → spurious super-linear candidate mass —
+          // observed 64x at 10x before this normalize)
+          regexp_replace(regexp_replace(col("text"),
+              lit("\\s+"), lit(" ")),
+            lit(" "), concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+      time(s"containment overlap join @${mult}x") {
+        val hashes = graft.dedup.Dedup.shingleFrame(docs7X, "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        val idx = hashes.select(col("doc_id").as("i_id"),
+          explode(col("hs")).as("h"))
+        val pre = hashes.select(col("doc_id").as("p_id"),
+          explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+        val cand = pre.join(idx, "h")
+          .filter(col("p_id") =!= col("i_id"))
+          .select(least(col("p_id"), col("i_id")).as("a_id"),
+            greatest(col("p_id"), col("i_id")).as("b_id"))
+          .distinct()
+        cand.join(hashes.toDF("a_id", "a_hs"), "a_id")
+          .join(hashes.toDF("b_id", "b_hs"), "b_id")
+          .filter(size(array_intersect(col("a_hs"), col("b_hs"))) * 2 >=
+            least(size(col("a_hs")), size(col("b_hs"))))
+          .count()
       }
       }
 
