@@ -85,7 +85,10 @@ object Bench {
       case ShortKey(p) => p
       case other => other
     }
-    def fmt3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT (ADVICE-r7): f"" interpolation formats under the JVM
+    // default locale — a comma-decimal locale would emit invalid JSON.
+    def fmt3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }

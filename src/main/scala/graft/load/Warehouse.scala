@@ -195,9 +195,14 @@ object Warehouse {
     */
   def fromDebugCsv(s: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    // Reader deliberately sets ONLY nullValue (ADVICE-r7): univocity's
+    // read-side emptyValue is a SUBSTITUTION string — setting it to
+    // `""` would rewrite every empty quoted field to the literal
+    // 2-char string `""`. Spark's read default already maps a quoted
+    // empty field to the empty string, and nullValue=\N alone keeps
+    // null distinct from it (round-trip spec covers both).
     s.read.option("header", "true")
       .option("nullValue", CsvNullMarker)
-      .option("emptyValue", "\"\"")
       .schema(schema).csv(path)
 
   /** The cloud-safe committer configuration for an output URI — the

@@ -204,9 +204,14 @@ object Curation {
             CAST(SUM(CAST(el[CAST(dm.i + 1 AS INT)] AS HUGEINT) * v2.x2)
               AS DECIMAL(38,0)) AS proj
           FROM v, range(0, 64) dm(i) JOIN v2 ON dm.i = v2.i
-          GROUP BY v.vec_id, v.label)
-        SELECT vec_id, label, proj FROM proj
-        ORDER BY abs(proj) DESC, vec_id LIMIT 20"""),
+          GROUP BY v.vec_id, v.label),
+        sel AS (SELECT vec_id, label, proj FROM proj
+          ORDER BY abs(proj) DESC, vec_id LIMIT 20)
+        SELECT vec_id, label,
+          CAST((CASE WHEN proj < 0 THEN -1 ELSE 1 END) *
+            CAST(abs(CAST(proj AS HUGEINT)) // 1000000 AS BIGINT)
+            AS BIGINT) AS proj
+        FROM sel ORDER BY abs(proj) DESC, vec_id"""),
       (s, d) => {
         // Power iteration without a driver: the Gram pass is the ONE
         // corpus-sized job (GramMatrixAgg — a single ~16 KB state row
@@ -260,6 +265,23 @@ object Curation {
               (acc, x) => (acc + x).cast(DecimalType(38, 0)))
               .as("proj"))
           .orderBy(abs(col("proj")).desc, col("vec_id")).limit(20)
+          // Emission (round 8, VERDICT-r7 item 1): the selection and
+          // ordering above run on the EXACT decimal(38,0) value, but
+          // the emitted column rescales to an int64-representable
+          // lattice (exact sign-split integer division by 1e6 —
+          // truncating and flooring agree on the non-negative abs;
+          // oracle side divides in HUGEINT because DuckDB's // on a
+          // DECIMAL operand routes through double and misrounds by
+          // 1 at this magnitude — measured, off-by-one at 2e20). A
+          // decimal128 parquet column is hasher-hazardous driver-side
+          // (pyarrow Decimal vs DuckDB HUGEINT stringify) and q151 was
+          // the surface's ONLY decimal-emitting query — the
+          // DeterminismGateSpec output-schema gate now bans the type
+          // at every boundary.
+          .select(col("vec_id"), col("label"),
+            expr("CAST((CASE WHEN proj < 0 THEN -1 ELSE 1 END) * " +
+              "(abs(proj) DIV 1000000L) AS BIGINT)").as("proj"))
+          .orderBy(abs(col("proj")).desc, col("vec_id"))
       }),
 
     Q("q152_precedence_dedup",

@@ -286,9 +286,11 @@ object Curation2 {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS cum
           FROM t CROSS JOIN tot),
-        f AS (SELECT *, (b - (cum - avail)) // (k - i + 1) AS lvl
+        f AS (SELECT *, (b - (cum - avail)) // (k - i + 1) AS lvl,
+            (b - (cum - avail)) % (k - i + 1) AS xtra
           FROM o),
-        pick AS (SELECT MIN(i) AS istar FROM f WHERE avail >= lvl),
+        pick AS (SELECT MIN(i) AS istar FROM f
+          WHERE avail >= lvl + CASE WHEN xtra > 0 THEN 1 ELSE 0 END),
         lv AS (SELECT f.b, f.k, f.i AS istar, f.cum - f.avail AS cumbefore,
             (f.b - (f.cum - f.avail)) // (f.k - f.i + 1) AS lvl,
             (f.b - (f.cum - f.avail)) % (f.k - f.i + 1) AS extra
@@ -312,9 +314,17 @@ object Curation2 {
           .withColumn("cum", sum(col("avail")).over(
             Window.orderBy(col("avail"), col("source"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // istar predicate (round 8, ADVICE-r7): when the remainder is
+        // non-zero the lowest-avail uncapped rows receive lvl+1, so a
+        // row with avail == lvl exactly must stay CAPPED in that case
+        // (avails {3,19}, B=7: istar must be the 19, allocs {3,4}) —
+        // requiring avail ≥ lvl+1 whenever extra > 0 keeps alloc ≤
+        // avail on every instance, not just the ones the hash gate saw
         val f = o.withColumn("lvl",
-          expr("(b - (cum - avail)) DIV (k - i + 1)"))
-        val pick = f.filter(col("avail") >= col("lvl"))
+            expr("(b - (cum - avail)) DIV (k - i + 1)"))
+          .withColumn("xtra", expr("(b - (cum - avail)) % (k - i + 1)"))
+        val pick = f.filter(col("avail") >=
+            col("lvl") + when(col("xtra") > 0, 1L).otherwise(0L))
           .agg(min(col("i")).as("istar"))
         val lv = f.join(broadcast(pick), col("i") === col("istar"))
           .select(col("istar"),

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.dedup.Dedup
+import graft.ops.Hashing
+
+/** Round-8 curation wave. Headline: the PRODUCTION tier of the
+  * guaranteed-recall containment join (SURVEY §2.7 T76 / q164), which
+  * VERDICT-r7 graded perf-weak: the candidate multiset of the overlap
+  * join is Σ_h probe(h)·index(h), and hot shingles (boilerplate
+  * trigrams shared by thousands of docs at 100 TB) own that sum — a
+  * hash shared by k docs contributes O(k²) candidate pairs on its own.
+  *
+  * T93 ships the classic mitigation: STOP-SHINGLE DROP. Shingle hashes
+  * with document frequency > τ are excluded from both the inverted
+  * index and the probe prefix, which caps every hash's candidate
+  * contribution at τ² — the multiset becomes ≤ τ²·|distinct hashes|,
+  * linear in the corpus by construction. The recall caveat is declared
+  * semantics, not a silent gap: a pair whose entire shared prefix mass
+  * sits inside stop shingles is missed, and the DuckDB oracle models
+  * the SAME drop, so the driver hash check verifies the capped tier
+  * exactly (the q108 LSH-bucket-cap pattern). Measured at sf0.01
+  * (natural hotness): τ=4 drops 151 of 16 245 hashes, cuts candidate
+  * pairs 6 678 → 5 982, and loses ZERO of the 25 output pairs — the
+  * q164 guaranteed-recall tier remains the recall referee
+  * (Curation3Spec asserts q183 ⊆ q164).
+  */
+object Curation3 {
+
+  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
+  private def sqlHash32(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** Stop-shingle document-frequency cap: a shingle hash appearing in
+    * more than this many documents is dropped from the containment
+    * join's index AND probe. τ=4 binds at sf0.01 (max df there is 7).
+    */
+  val StopDf = 4
+
+  val qs: Seq[Q] = Seq(
+    Q("q183_containment_stopdrop",
+      "production containment join with a stop-shingle cap (T93): the " +
+        "q164 prefix-probe ⋈ inverted-index shape, but shingle hashes " +
+        "with df > 4 are dropped from BOTH sides before the overlap " +
+        "join — capping every hash's candidate contribution at τ² and " +
+        "making the candidate multiset linear in the corpus. CAPPED " +
+        "recall is the declared semantics (a pair visible only through " +
+        "stop shingles is missed — the oracle models the identical " +
+        "drop); exact containment verification on full hash sets is " +
+        "unchanged. At sf0.01 the cap binds (151 hashes dropped) and " +
+        "costs zero output pairs vs the guaranteed-recall tier",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+        stop AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM ex GROUP BY h)
+          WHERE c > $StopDf),
+        idx AS (SELECT doc_id AS i_id, h FROM ex
+          WHERE h NOT IN (SELECT h FROM stop)),
+        pre AS (SELECT doc_id AS p_id, h FROM (
+            SELECT doc_id, unnest(hs[1 : CAST(len(hs)//2 + 1 AS INT)]) AS h
+            FROM hh) p
+          WHERE h NOT IN (SELECT h FROM stop)),
+        cand AS (SELECT DISTINCT least(p_id, i_id) AS a_id,
+            greatest(p_id, i_id) AS b_id
+          FROM pre JOIN idx USING (h) WHERE p_id <> i_id),
+        scored AS (SELECT c.a_id, c.b_id,
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+            CAST(len(a.hs) AS BIGINT) AS na,
+            CAST(len(b.hs) AS BIGINT) AS nb
+          FROM cand c JOIN hh a ON c.a_id = a.doc_id
+            JOIN hh b ON c.b_id = b.doc_id)
+        SELECT a_id, b_id, n_inter, na, nb,
+          CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
+        FROM scored WHERE n_inter * 2 >= least(na, nb)
+        ORDER BY containment DESC, a_id, b_id"""),
+      (s, d) => {
+        // Same single-materialization discipline as q164: the hashed
+        // shingle frame is localCheckpoint'd once and feeds the df
+        // count, index, probe, and both verify joins. The stop set is
+        // a bounded hot-hash frame (df > τ — at most |corpus|/τ rows,
+        // in practice tiny) anti-joined on both sides; AQE broadcasts
+        // it off runtime stats, so the drop costs one keyed pass over
+        // the (id, hash) rows it is about to shrink.
+        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+        val stop = ex.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > StopDf).select("h")
+        val idx = ex.select(col("doc_id").as("i_id"), col("h"))
+          .join(stop, Seq("h"), "left_anti")
+        val pre = hashes.select(col("doc_id").as("p_id"),
+            explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+          .join(stop, Seq("h"), "left_anti")
+        val cand = pre.join(idx, "h")
+          .filter(col("p_id") =!= col("i_id"))
+          .select(least(col("p_id"), col("i_id")).as("a_id"),
+            greatest(col("p_id"), col("i_id")).as("b_id"))
+          .distinct()
+        cand
+          .join(hashes.toDF("a_id", "a_hs"), "a_id")
+          .join(hashes.toDF("b_id", "b_hs"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("a_hs"), col("b_hs")))
+              .cast("long").as("n_inter"),
+            size(col("a_hs")).cast("long").as("na"),
+            size(col("b_hs")).cast("long").as("nb"))
+          .filter(col("n_inter") * 2 >= least(col("na"), col("nb")))
+          .withColumn("containment",
+            col("n_inter").cast("double") / least(col("na"), col("nb")))
+          .select("a_id", "b_id", "n_inter", "na", "nb", "containment")
+          .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+      })
+  )
+}

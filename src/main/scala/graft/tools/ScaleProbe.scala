@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -81,6 +81,7 @@ object ScaleProbe {
     val doR11 = fam == "all" || fam == "r11"
     val doR12 = fam == "all" || fam == "r12"
     val doR13 = fam == "all" || fam == "r13"
+    val doR14 = fam == "all" || fam == "r14"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -933,6 +934,74 @@ object ScaleProbe {
             least(size(col("a_hs")), size(col("b_hs"))))
           .count()
       }
+      }
+
+      if (doR14) {
+      // --- round-8 containment STOP-DROP tier (q183 / T93) ---
+      // VERDICT-r7 graded the q164 tier perf-weak: its ceiling is the
+      // candidate multiset Σ_h probe(h)·index(h), owned by hot
+      // shingles. The mitigation (df > τ hashes dropped from index AND
+      // probe) caps each hash's contribution at τ². This probe
+      // measures (a) the multiset full vs capped — the reduction
+      // VERDICT asked to see at 10× — and (b) the capped join's
+      // end-to-end wall on the same tag-inflated stress corpus the r13
+      // rows used, so the numbers are comparable. The stress corpus
+      // DELIBERATELY has pathological hotness; output-pair loss vs the
+      // r13 full-tier count is reported, not hidden (capped recall is
+      // the tier's declared semantics).
+      val tau = graft.queries.Curation3.StopDf
+      val docs8 = table(spark, sfDir, "documents")
+      val docs8X = docs8.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          regexp_replace(regexp_replace(col("text"),
+              lit("\\s+"), lit(" ")),
+            lit(" "), concat(lit(" w"), col("rep"), lit(" "))).as("text"))
+      def contain(docs: DataFrame, label: String): Unit = {
+        val hashes = graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+        val dfc = ex.groupBy("h").agg(count(lit(1)).as("c"))
+        val preC = hashes.select(
+            explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("np"))
+        val massFrame = preC.join(dfc, "h")
+        time(s"$label multiset full+capped") {
+          val r = massFrame.agg(
+            sum(col("np") * col("c")).as("full"),
+            sum(when(col("c") <= tau, col("np") * col("c"))
+              .otherwise(lit(0L))).as("capped")).head()
+          println(f"[scale]   $label candidate multiset: " +
+            f"full=${r.getLong(0)}%,d capped=${r.getLong(1)}%,d " +
+            f"(${100.0 * (r.getLong(0) - r.getLong(1)) / math.max(1L, r.getLong(0))}%.1f%% drop)")
+          r.getLong(1)
+        }
+        time(s"$label stop-drop join") {
+          val stop = dfc.filter(col("c") > tau).select("h")
+          val idx = ex.select(col("doc_id").as("i_id"), col("h"))
+            .join(stop, Seq("h"), "left_anti")
+          val pre = hashes.select(col("doc_id").as("p_id"),
+              explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+            .join(stop, Seq("h"), "left_anti")
+          val cand = pre.join(idx, "h")
+            .filter(col("p_id") =!= col("i_id"))
+            .select(least(col("p_id"), col("i_id")).as("a_id"),
+              greatest(col("p_id"), col("i_id")).as("b_id"))
+            .distinct()
+          cand.join(hashes.toDF("a_id", "a_hs"), "a_id")
+            .join(hashes.toDF("b_id", "b_hs"), "b_id")
+            .filter(size(array_intersect(col("a_hs"), col("b_hs"))) * 2 >=
+              least(size(col("a_hs")), size(col("b_hs"))))
+            .count()
+        }
+      }
+      // production-shaped row (VERDICT-r7 item 6): the corpus at its
+      // NATURAL hotness, unreplicated — run once, not per multiplier
+      if (mult == mults.head)
+        contain(docs8.select(col("doc_id"), col("text")),
+          "containment natural@1x")
+      contain(docs8X, s"containment stress@${mult}x")
       }
 
       if (doCC) {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
 
@@ -46,7 +46,33 @@ class DeterminismGateSpec extends SparkSpec {
     "org.apache.spark.sql.catalyst.expressions.Expm1",
     "org.apache.spark.sql.catalyst.expressions.Pow")
 
-  private def offenders(e: Expression): Seq[String] = {
+  /** The ONE sanctioned double→decimal cast is the Common.dsum/davg
+    * aggregation idiom: `Sum(Cast(money_double AS DECIMAL(30, 2|4|6|12)))`
+    * over value-lattice data. Round-8 narrowing (ADVICE-r7): the
+    * exemption keys on the full SHAPE — precision 30 AND documented
+    * scale AND the cast sitting directly under a Sum — not on scale
+    * alone, so an off-pattern boundary-sensitive cast like
+    * double→DECIMAL(38,12) over non-lattice data is a build failure.
+    */
+  private def isDsumShape(c: Cast, parent: Option[Expression]): Boolean =
+    (c.child.dataType, c.dataType) match {
+      case (DoubleType | FloatType, dt: DecimalType) =>
+        dt.precision == 30 && Set(2, 4, 6, 12).contains(dt.scale) &&
+          parent.exists {
+            case _ if parent.get.getClass.getName ==
+              "org.apache.spark.sql.catalyst.expressions.aggregate.Sum" =>
+              true
+            // dsumOver: ExtractWindowExpressions re-parents the Sum's
+            // cast argument into a child Project under a synthetic
+            // `_w<N>` alias — the only producer of that name shape
+            case a: Alias => a.name.matches("_w\\d+")
+            case _ => false
+          }
+      case _ => false
+    }
+
+  private def offenders(e: Expression,
+      parent: Option[Expression]): Seq[String] = {
     val self = e.getClass.getName match {
       case n if transcendental.contains(n) =>
         Seq(s"transcendental ${e.getClass.getSimpleName}($e)")
@@ -59,8 +85,8 @@ class DeterminismGateSpec extends SparkSpec {
       case _ => e match {
         case c: Cast => (c.child.dataType, c.dataType) match {
           case (DoubleType | FloatType, dt: DecimalType)
-              if !Set(2, 4, 6, 12).contains(dt.scale) =>
-            Seq(s"cast double→${dt.sql}: $c")
+              if !isDsumShape(c, parent) =>
+            Seq(s"cast double→${dt.sql} outside the Sum(dsum) shape: $c")
           case _ => Nil
         }
         case _ => Nil
@@ -68,11 +94,11 @@ class DeterminismGateSpec extends SparkSpec {
     }
     val sub = e.collect { case sq: SubqueryExpression => sq.plan }
       .flatMap(planOffenders)
-    self ++ e.children.flatMap(offenders) ++ sub
+    self ++ e.children.flatMap(offenders(_, Some(e))) ++ sub
   }
 
   private def planOffenders(plan: LogicalPlan): Seq[String] =
-    plan.flatMap(node => node.expressions.flatMap(offenders))
+    plan.flatMap(node => node.expressions.flatMap(offenders(_, None)))
 
   test("no query contains a transcendental, a round-on-double, or an " +
       "off-pattern double→decimal cast") {
@@ -88,5 +114,41 @@ class DeterminismGateSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"\nboundary-sensitive expressions found (see scaladoc for the " +
         s"safe replacements):\n${bad.mkString("\n")}")
+  }
+
+  /** Round-8 gate (VERDICT-r7 item 4): no declared query may EMIT a
+    * DecimalType column. Decimal intermediates are fine (exact lattice
+    * arithmetic is the engine's whole determinism strategy), but a
+    * decimal at the output boundary hits driver-side hash paths no
+    * other query exercises — pyarrow's decimal128 and DuckDB's
+    * HUGEINT-backed decimal canonicalize differently, which kept q151
+    * red for two rounds with zero value drift. Every query must land
+    * its outputs on bigint-on-a-lattice or double, the discipline the
+    * rest of the surface already follows.
+    */
+  private def containsDecimal(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: DecimalType => true
+    case a: org.apache.spark.sql.types.ArrayType =>
+      containsDecimal(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      containsDecimal(m.keyType) || containsDecimal(m.valueType)
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => containsDecimal(f.dataType))
+    case _ => false
+  }
+
+  test("no query output schema contains a DecimalType column") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, sfDir).schema
+        val hits = schema.fields.filter(f => containsDecimal(f.dataType))
+        if (hits.isEmpty) Nil
+        else Seq(s"$name: ${hits.map(f => s"${f.name}: ${f.dataType.sql}")
+          .mkString(", ")}")
+    }
+    assert(bad.isEmpty,
+      s"\ndecimal-emitting query outputs (rescale to BIGINT on a " +
+        s"lattice or cast to DOUBLE at the boundary):\n${bad.mkString("\n")}")
   }
 }

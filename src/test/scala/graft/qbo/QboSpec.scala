@@ -169,6 +169,30 @@ class WarehouseSpec extends SparkSpec {
     assert(back == Set(("x", 1.5), ("y", 2.0)))
   }
 
+  test("debugCsv round-trips null vs empty string DISTINCTLY (W2, " +
+      "ADVICE-r7)") {
+    // The writer marks null as \N and empty as "" — and the READER must
+    // set only nullValue: univocity's read-side emptyValue is a
+    // substitution, so the round-7 reader turned a genuine empty string
+    // into the literal 2-char text `""` (verified in ADVICE-r7).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csv_ne").toString + "/out"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1, "plain"),
+        org.apache.spark.sql.Row(2, ""),
+        org.apache.spark.sql.Row(3, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    Warehouse.debugCsv(df, dir)
+    val back = Warehouse.fromDebugCsv(spark, dir, df.schema)
+      .collect().map(r => (r.getInt(0), Option(r.get(1)))).toSet
+    assert(back == Set((1, Some("plain")), (2, Some("")), (3, None)), back)
+  }
+
   test("writeZOrdered narrows per-file ranges on BOTH columns (W6)") {
     // Z-order vs linear sort: after a linear sort by l_orderkey the
     // second column spans nearly its whole domain in every file (scan

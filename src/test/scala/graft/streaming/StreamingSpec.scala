@@ -59,6 +59,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").select("event_id").distinct().count() == 200)
   }
 
+  test("dropDuplicatesWithinWatermark evicts state as the watermark " +
+      "advances and re-admits a late duplicate after eviction (T91, " +
+      "VERDICT-r7 item 5)") {
+    // q179 replays with a CONSTANT event time, so the whole 100 TB
+    // argument for this operator — bounded state — was asserted, not
+    // measured. This case drives multi-batch ADVANCING watermarks:
+    //  batch 1: A@0s twice          → one emission (in-watermark dedup)
+    //  batch 2: B@3600s             → watermark jumps to 3000s; A's
+    //                                 state (expiry 600s) becomes
+    //                                 evictable
+    //  batch 3: C@3700s             → eviction materializes
+    //                                 (numRowsRemoved > 0 measured)
+    //  batch 4: A@3650s (late dup)  → above the watermark but its
+    //                                 original state is GONE → A is
+    //                                 emitted AGAIN: the documented
+    //                                 semantics this operator trades
+    //                                 for bounded state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("dg", "secs")
+      .select(col("dg"), timestamp_seconds(col("secs")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("dg")
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("wm_evict").start()
+    def step(rows: (String, Long)*): Unit = {
+      input.addData(rows); q.processAllAvailable()
+    }
+    step(("A", 0L), ("A", 60L))
+    step(("B", 3600L))
+    step(("C", 3700L))
+    step(("A", 3650L))
+    q.stop()
+    val out = spark.table("wm_evict").select("dg")
+      .as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+    // late-duplicate ADMISSION: A emitted twice (once per state life)
+    assert(out == Map("A" -> 2, "B" -> 1, "C" -> 1), out.toString)
+    // bounded state, measured: eviction actually removed rows, and the
+    // final state holds fewer keys than were ever inserted
+    val progresses = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    val removed = progresses.map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark advance never evicted state rows")
+    val finalRows = progresses.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(finalRows >= 0 && finalRows < 4,
+      s"state grew unboundedly: $finalRows rows for 3 distinct keys")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val dir = Files.createTempDirectory("graft-ssj").toString
     val batchEvents = Common.events(spark, sfDir)

@@ -89,4 +89,26 @@ class Curation2Spec extends SparkSpec {
       }
     }
   }
+
+  test("q167 edge (ADVICE-r7): avail == lvl with a non-zero remainder " +
+      "stays capped — avails {3,19}, B=7 allocates {3,4}, never {4,3}") {
+    // Constructed instance hitting the exact boundary the round-7
+    // formula got wrong: istar=1 has lvl = 7 DIV 2 = 3 = avail and
+    // extra = 1, so the old `avail >= lvl` predicate made the 3-token
+    // source uncapped and handed it lvl+1 = 4 > avail. The corrected
+    // predicate (avail >= lvl+1 when extra > 0) pushes istar to the
+    // 19-token source: allocs {3, 4}, Σ = B = ⌊22/3⌋ = 7.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wf_edge").toString
+    Seq((1L, "a b c", "en", "s1", 5L),
+        (2L, (1 to 19).map(i => s"w$i").mkString(" "), "en", "s2", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation2.qs.find(_.name == "q167_token_budget").get
+      .run(spark, dir)
+      .select("source", "avail", "alloc", "capped")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("s1", 3L, 3L, true), ("s2", 19L, 4L, false)),
+      rows.toSeq.toString)
+  }
 }

@@ -123,6 +123,11 @@ class CurationSpec extends SparkSpec {
       val p = (0 until dims).map(d => BigInt(el(d)) * v2(d)).sum
       (id, label, p)
     }.sortBy { case (id, _, p) => (-p.abs, id) }.take(20)
+      // round-8 emission contract: selection/order on the exact value,
+      // emitted column = sign-split truncating division by 1e6 (BIGINT)
+      .map { case (id, label, p) =>
+        (id, label, (if (p < 0) BigInt(-1) else BigInt(1)) * (p.abs / 1000000))
+      }
     val got = q("q151_principal_projection")
       .select(col("vec_id"), col("label"), col("proj").cast("string"))
       .as[(Long, Int, String)].collect().toSeq
