@@ -33,33 +33,48 @@ object Curation3 {
   private def sqlHash32(e: String) =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
-  /** Stop-shingle document-frequency cap: a shingle hash appearing in
-    * more than this many documents is dropped from the containment
-    * join's index AND probe. τ=4 binds at sf0.01 (max df there is 7).
+  /** Stop-shingle cap: a shingle hash appearing in more than
+    * max(StopDfFloor, nDocs/StopFracDen) documents is dropped from the
+    * containment join's index AND probe. The threshold is
+    * CORPUS-RELATIVE (0.4% of documents, floored at 4) because an
+    * absolute τ does not scale: τ=4 costs zero recall at sf0.01
+    * (500 docs, max df 7) but loses 89% of the sf0.1 pairs (5 000
+    * docs, max df 25) — measured while tuning this dial. At the
+    * relative threshold both instances keep 100% of the full tier's
+    * output while the cap still binds (sf0.01: 151 hashes dropped;
+    * sf0.1: the df > 20 tail), and on a boilerplate-heavy web corpus
+    * a shingle in >0.4% of documents is precisely the navigation/
+    * license text whose τ² candidate mass the drop exists to kill
+    * (the r14 stress probe measures a 1.44M→7.6k multiset cut at
+    * natural hotness and 2.59B→454 on the tag-inflated corpus).
     */
-  val StopDf = 4
+  val StopDfFloor = 4
+  val StopFracDen = 250
 
   val qs: Seq[Q] = Seq(
     Q("q183_containment_stopdrop",
       "production containment join with a stop-shingle cap (T93): the " +
         "q164 prefix-probe ⋈ inverted-index shape, but shingle hashes " +
-        "with df > 4 are dropped from BOTH sides before the overlap " +
-        "join — capping every hash's candidate contribution at τ² and " +
-        "making the candidate multiset linear in the corpus. CAPPED " +
-        "recall is the declared semantics (a pair visible only through " +
-        "stop shingles is missed — the oracle models the identical " +
-        "drop); exact containment verification on full hash sets is " +
-        "unchanged. At sf0.01 the cap binds (151 hashes dropped) and " +
-        "costs zero output pairs vs the guaranteed-recall tier",
+        "with df > max(4, 0.4% of docs) are dropped from BOTH sides " +
+        "before the overlap join — capping every hash's candidate " +
+        "contribution at τ² and making the candidate multiset linear " +
+        "in the corpus. CAPPED recall is the declared semantics (a " +
+        "pair visible only through stop shingles is missed — the " +
+        "oracle models the identical drop); exact containment " +
+        "verification on full hash sets is unchanged. At sf0.01 AND " +
+        "sf0.1 the cap binds yet costs zero output pairs vs the " +
+        "guaranteed-recall tier (measured; Curation3Spec pins ⊆)",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
         sh AS (SELECT doc_id, list_distinct(list_transform(
             range(1, len(ws)-1),
             i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
         hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
             sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        tau AS (SELECT greatest($StopDfFloor,
+          COUNT(*) // $StopFracDen) AS t FROM hh),
         ex AS (SELECT doc_id, unnest(hs) AS h FROM hh),
         stop AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM ex GROUP BY h)
-          WHERE c > $StopDf),
+          CROSS JOIN tau WHERE c > t),
         idx AS (SELECT doc_id AS i_id, h FROM ex
           WHERE h NOT IN (SELECT h FROM stop)),
         pre AS (SELECT doc_id AS p_id, h FROM (
@@ -93,8 +108,14 @@ object Curation3 {
             transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
           .localCheckpoint()
         val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+        // corpus-relative τ rides in as a 1-row broadcast (never a
+        // collect): the same scalar-totals pattern as q100/q112
+        val tau = hashes.agg(
+          expr(s"greatest(CAST($StopDfFloor AS BIGINT), " +
+            s"count(1) DIV $StopFracDen) AS t"))
         val stop = ex.groupBy("h").agg(count(lit(1)).as("c"))
-          .filter(col("c") > StopDf).select("h")
+          .crossJoin(broadcast(tau))
+          .filter(col("c") > col("t")).select("h")
         val idx = ex.select(col("doc_id").as("i_id"), col("h"))
           .join(stop, Seq("h"), "left_anti")
         val pre = hashes.select(col("doc_id").as("p_id"),

@@ -949,7 +949,6 @@ object ScaleProbe {
       // DELIBERATELY has pathological hotness; output-pair loss vs the
       // r13 full-tier count is reported, not hidden (capped recall is
       // the tier's declared semantics).
-      val tau = graft.queries.Curation3.StopDf
       val docs8 = table(spark, sfDir, "documents")
       val docs8X = docs8.crossJoin(spark.range(mult).select(col("id").as("rep")))
         .select((col("doc_id") * mult + col("rep")).as("doc_id"),
@@ -961,6 +960,10 @@ object ScaleProbe {
           .select(col("doc_id"), array_sort(array_distinct(
             transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
           .localCheckpoint()
+        // the operator's corpus-relative cap (the probe measures the
+        // SHIPPED dial, not a probe-only constant)
+        val tau = math.max(graft.queries.Curation3.StopDfFloor.toLong,
+          hashes.count() / graft.queries.Curation3.StopFracDen)
         val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
         val dfc = ex.groupBy("h").agg(count(lit(1)).as("c"))
         val preC = hashes.select(

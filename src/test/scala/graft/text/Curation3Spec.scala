@@ -43,7 +43,9 @@ class Curation3Spec extends SparkSpec {
         transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
     val ex = hashes.select(explode(col("hs")).as("h"))
     val df = ex.groupBy("h").agg(count(lit(1)).as("c"))
-    val nStop = df.filter(col("c") > Curation3.StopDf).count()
+    val tau = math.max(Curation3.StopDfFloor.toLong,
+      hashes.count() / Curation3.StopFracDen)
+    val nStop = df.filter(col("c") > tau).count()
     assert(nStop > 0, "stop set empty — the cap does not bind at sf0.01")
     // candidate multiset Σ_h probe(h)·index(h): the quantity VERDICT-r7
     // named as this tier's scale ceiling. Hot hashes own it, so the
@@ -56,7 +58,7 @@ class Curation3Spec extends SparkSpec {
     def mass(f: org.apache.spark.sql.DataFrame): Long =
       f.agg(sum(col("np") * col("ni"))).head().getLong(0)
     val mFull = mass(joined)
-    val mCap = mass(joined.filter(col("c") <= Curation3.StopDf))
+    val mCap = mass(joined.filter(col("c") <= tau))
     assert(mCap < mFull, s"no candidate-mass reduction: $mCap vs $mFull")
     info(s"candidate multiset: $mFull -> $mCap " +
       f"(${100.0 * (mFull - mCap) / mFull}%.1f%% drop, $nStop stop hashes)")
