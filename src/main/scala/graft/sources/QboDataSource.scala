@@ -47,7 +47,8 @@ class QboDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new QboTable(schema, properties.get("entity"), properties.get("feed"))
+    new QboTable(schema, properties.get("entity"), properties.get("feed"),
+      Option(properties.get("fetchPartitions")).map(_.toInt).getOrElse(1))
 }
 
 object QboDataSource {
@@ -74,19 +75,32 @@ object QboPageFeeds {
   def pages(name: String): Seq[String] =
     feeds.getOrElse(name,
       throw new IllegalArgumentException(s"unknown feed: $name"))
+
+  /** Page-at-a-time access for the parallel-fetch path: None past the
+    * end of the feed. A live HTTP backend implements the same contract
+    * by translating `idx` to `STARTPOSITION (idx-1)*100+1` and
+    * returning None on an empty/short-terminated page (every full page
+    * of the real API is exactly 100 rows, so the position arithmetic
+    * is exact — SURVEY §2.1 S3/S4).
+    */
+  def feedPage(name: String, idx: Int): Option[String] = {
+    val ps = pages(name)
+    if (idx >= 1 && idx <= ps.length) Some(ps(idx - 1)) else None
+  }
 }
 
-class QboTable(schema: StructType, entity: String, feed: String)
-    extends Table with SupportsRead {
+class QboTable(schema: StructType, entity: String, feed: String,
+    fetchPartitions: Int) extends Table with SupportsRead {
   override def name(): String = s"qbo/$entity"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new QboScanBuilder(schema, entity, feed)
+    new QboScanBuilder(schema, entity, feed, fetchPartitions)
 }
 
-class QboScanBuilder(fullSchema: StructType, entity: String, feed: String)
+class QboScanBuilder(fullSchema: StructType, entity: String, feed: String,
+    fetchPartitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -132,15 +146,39 @@ class QboScanBuilder(fullSchema: StructType, entity: String, feed: String)
       val w = QboDateWindow.fromFilters(pushed)
       s"qbo/$entity${w.paramString}"
     }
+    /** Two page→partition strategies (VERDICT-r7 item 7):
+      *  - default (`fetchPartitions` ≤ 1): the feed's known page list,
+      *    one page per partition — right when pages are already local
+      *    strings (fixtures) or the page count is known;
+      *  - speculative fan-out (`fetchPartitions` = P > 1): P strided
+      *    partitions; partition k FETCHES pages k, k+P, k+2P, … at
+      *    read time inside its executor task and stops at the first
+      *    past-the-end page. No coordination, every page covered
+      *    exactly once, ≤ P wasted probe requests total — this is how
+      *    a live paginated API scales its ingest with executors
+      *    instead of the reference's one-page-at-a-time driver loop
+      *    (`qb_billpayments.py:66-79`).
+      */
     override def planInputPartitions(): Array[InputPartition] =
-      QboPageFeeds.pages(feed).toArray.map(p =>
-        QboPagePartition(entity, p): InputPartition)
+      if (fetchPartitions > 1)
+        (1 to fetchPartitions).map(k =>
+          QboStridePartition(entity, feed, k, fetchPartitions): InputPartition)
+          .toArray
+      else
+        QboPageFeeds.pages(feed).toArray.map(p =>
+          QboPagePartition(entity, p): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       new QboReaderFactory(entity, parseSchema, prunedSchema, pushed)
   }
 }
 
 case class QboPagePartition(entity: String, pageJson: String) extends InputPartition
+
+/** Speculative fan-out partition: fetches pages `first, first+stride,
+  * first+2·stride, …` until the feed reports past-the-end.
+  */
+case class QboStridePartition(entity: String, feed: String,
+    first: Int, stride: Int) extends InputPartition
 
 /** The `start_date`/`end_date` request window distilled from pushed
   * TxnDate filters (plus exact evaluation of each accepted filter, used
@@ -208,7 +246,16 @@ class QboReaderFactory(entity: String, parseSchema: StructType,
     outSchema: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[QboPagePartition]
+    // page JSONs, LAZILY: the stride path must not fetch page k+stride
+    // before the elements of page k are consumed (a live backend's
+    // fetch happens right here, inside the executor task)
+    val pageIter: Iterator[String] = partition match {
+      case QboPagePartition(_, json) => Iterator.single(json)
+      case QboStridePartition(_, feed, first, stride) =>
+        Iterator.iterate(first)(_ + stride)
+          .map(idx => QboPageFeeds.feedPage(feed, idx))
+          .takeWhile(_.isDefined).map(_.get)
+    }
     new PartitionReader[InternalRow] {
       // Catalyst's own JSON parser → from_json-identical semantics.
       private val toStruct = JsonToStructs(parseSchema, Map.empty,
@@ -220,11 +267,11 @@ class QboReaderFactory(entity: String, parseSchema: StructType,
       private val outIdx = outSchema.fieldNames.map(n => parseSchema.fieldNames.indexOf(n))
       private val identityProjection = outIdx.length == parseSchema.length &&
         outIdx.zipWithIndex.forall { case (p0, i) => p0 == i }
-      private val iter: Iterator[String] = {
-        val mapper = new ObjectMapper()
-        val arr = mapper.readTree(p.pageJson).path("QueryResponse").path(entity)
-        if (arr.isArray) arr.elements().asScala.map(_.toString).toSeq.iterator
-        else Iterator.empty
+      private val mapper = new ObjectMapper()
+      private val iter: Iterator[String] = pageIter.flatMap { pageJson =>
+        val arr = mapper.readTree(pageJson).path("QueryResponse").path(entity)
+        if (arr.isArray) arr.elements().asScala.map(_.toString).toSeq
+        else Seq.empty[String]
       }
       private var current: InternalRow = _
       override def next(): Boolean = {
