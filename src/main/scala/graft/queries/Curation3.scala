@@ -139,6 +139,76 @@ object Curation3 {
             col("n_inter").cast("double") / least(col("na"), col("nb")))
           .select("a_id", "b_id", "n_inter", "na", "nb", "containment")
           .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+      }),
+
+    Q("q184_containment_positional",
+      "containment join with PPJoin-style POSITIONAL prefix bounds " +
+        "(T94) — the guaranteed-recall mitigation for the q164 tier's " +
+        "candidate blowup: every (probe-prefix hash, index hash) match " +
+        "carries its rank in BOTH sorted hash arrays, and the pair " +
+        "survives only if 2·(1 + min(na−i−1, nb−j−1)) ≥ min(na, nb) — " +
+        "an upper bound on the achievable overlap from this match " +
+        "onward. The FIRST shared element of any true ≥0.5-containment " +
+        "pair always passes the bound (everything shared sits at later " +
+        "ranks on both sides), so recall is EXACT — the oracle is the " +
+        "same all-pairs brute force as q164 and the hash match is the " +
+        "recall proof. The bound prunes candidates BEFORE the distinct " +
+        "exchange, cutting precisely the duplicated-pair shuffle mass " +
+        "the r13 probe measured at 10×",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        scored AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+            CAST(len(a.hs) AS BIGINT) AS na,
+            CAST(len(b.hs) AS BIGINT) AS nb
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, n_inter, na, nb,
+          CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
+        FROM scored WHERE n_inter * 2 >= least(na, nb)
+        ORDER BY containment DESC, a_id, b_id"""),
+      (s, d) => {
+        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        // index side: every hash with its rank j in the doc's sorted
+        // array + the doc's set size (posexplode keeps slice ranks =
+        // array ranks because the prefix is a head slice)
+        val idx = hashes
+          .select(col("doc_id").as("i_id"), size(col("hs")).as("nb"),
+            posexplode(col("hs")).as(Seq("j", "h")))
+        val pre = hashes
+          .select(col("doc_id").as("p_id"), size(col("hs")).as("na"),
+            posexplode(expr("slice(hs, 1, size(hs) div 2 + 1)"))
+              .as(Seq("i", "h")))
+        val cand = pre.join(idx, "h")
+          .filter(col("p_id") =!= col("i_id"))
+          // positional bound: overlap from this match onward cannot
+          // exceed 1 + min(remaining on either side); prune BEFORE the
+          // distinct exchange — these rows never shuffle
+          .filter((lit(1) + least(col("na") - col("i") - 1,
+            col("nb") - col("j") - 1)) * 2 >= least(col("na"), col("nb")))
+          .select(least(col("p_id"), col("i_id")).as("a_id"),
+            greatest(col("p_id"), col("i_id")).as("b_id"))
+          .distinct()
+        cand
+          .join(hashes.toDF("a_id", "a_hs"), "a_id")
+          .join(hashes.toDF("b_id", "b_hs"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("a_hs"), col("b_hs")))
+              .cast("long").as("n_inter"),
+            size(col("a_hs")).cast("long").as("na"),
+            size(col("b_hs")).cast("long").as("nb"))
+          .filter(col("n_inter") * 2 >= least(col("na"), col("nb")))
+          .withColumn("containment",
+            col("n_inter").cast("double") / least(col("na"), col("nb")))
+          .select("a_id", "b_id", "n_inter", "na", "nb", "containment")
+          .orderBy(col("containment").desc, col("a_id"), col("b_id"))
       })
   )
 }

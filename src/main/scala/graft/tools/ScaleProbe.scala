@@ -980,6 +980,30 @@ object ScaleProbe {
             f"(${100.0 * (r.getLong(0) - r.getLong(1)) / math.max(1L, r.getLong(0))}%.1f%% drop)")
           r.getLong(1)
         }
+        time(s"$label positional join") {
+          // q184 / T94: recall-EXACT positional prefix bounds — prunes
+          // the duplicated-pair mass before the distinct exchange
+          val idx = hashes.select(col("doc_id").as("i_id"),
+            size(col("hs")).as("nb"),
+            posexplode(col("hs")).as(Seq("j", "h")))
+          val pre = hashes.select(col("doc_id").as("p_id"),
+            size(col("hs")).as("na"),
+            posexplode(expr("slice(hs, 1, size(hs) div 2 + 1)"))
+              .as(Seq("i", "h")))
+          val cand = pre.join(idx, "h")
+            .filter(col("p_id") =!= col("i_id"))
+            .filter((lit(1) + least(col("na") - col("i") - 1,
+              col("nb") - col("j") - 1)) * 2 >=
+              least(col("na"), col("nb")))
+            .select(least(col("p_id"), col("i_id")).as("a_id"),
+              greatest(col("p_id"), col("i_id")).as("b_id"))
+            .distinct()
+          cand.join(hashes.toDF("a_id", "a_hs"), "a_id")
+            .join(hashes.toDF("b_id", "b_hs"), "b_id")
+            .filter(size(array_intersect(col("a_hs"), col("b_hs"))) * 2 >=
+              least(size(col("a_hs")), size(col("b_hs"))))
+            .count()
+        }
         time(s"$label stop-drop join") {
           val stop = dfc.filter(col("c") > tau).select("h")
           val idx = ex.select(col("doc_id").as("i_id"), col("h"))

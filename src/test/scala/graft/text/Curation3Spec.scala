@@ -35,6 +35,43 @@ class Curation3Spec extends SparkSpec {
         s"of ${full.size} pairs — re-measure and update the q183 docs")
   }
 
+  test("q184 = q164 exactly (positional bounds are recall-lossless) " +
+      "while generating strictly fewer candidate pairs") {
+    val full = Curation2.qs.find(_.name == "q164_containment_pairs").get
+      .run(spark, sfDir)
+      .select("a_id", "b_id", "n_inter").as[(Long, Long, Long)]
+      .collect().toSet
+    val pos = Curation3.qs.find(_.name == "q184_containment_positional")
+      .get.run(spark, sfDir)
+      .select("a_id", "b_id", "n_inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pos == full, "positional tier must be recall-exact")
+    // candidate-pair counts BEFORE exact verification: the positional
+    // bound must prune (this is its entire reason to exist)
+    val hashes = graft.dedup.Dedup.shingleFrame(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
+      .localCheckpoint()
+    val idx = hashes.select(col("doc_id").as("i_id"),
+      size(col("hs")).as("nb"), posexplode(col("hs")).as(Seq("j", "h")))
+    val pre = hashes.select(col("doc_id").as("p_id"),
+      size(col("hs")).as("na"),
+      posexplode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as(Seq("i", "h")))
+    val joined = pre.join(idx, "h").filter(col("p_id") =!= col("i_id"))
+    def pairs(f: org.apache.spark.sql.DataFrame): Long =
+      f.select(least(col("p_id"), col("i_id")),
+        greatest(col("p_id"), col("i_id"))).distinct().count()
+    val unbounded = pairs(joined)
+    val bounded = pairs(joined.filter(
+      (lit(1) + least(col("na") - col("i") - 1, col("nb") - col("j") - 1))
+        * 2 >= least(col("na"), col("nb"))))
+    assert(bounded < unbounded,
+      s"positional bound pruned nothing: $bounded vs $unbounded")
+    info(s"candidate pairs: $unbounded -> $bounded " +
+      f"(${100.0 * (unbounded - bounded) / unbounded}%.1f%% pruned)")
+  }
+
   test("q183 cap binds at sf0.01: the stop set is non-empty and the " +
       "candidate multiset shrinks") {
     val hashes = graft.dedup.Dedup.shingleFrame(
