@@ -209,6 +209,133 @@ object Curation3 {
             col("n_inter").cast("double") / least(col("na"), col("nb")))
           .select("a_id", "b_id", "n_inter", "na", "nb", "containment")
           .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+      }),
+
+    Q("q185_containment_threshold_curve",
+      "containment-threshold tuning curve (T95): pair counts per " +
+        "containment DECILE (≥0.5) plus the cumulative pairs-at-or-" +
+        "above count — the dial that picks the sweep threshold before " +
+        "committing a 100 TB dedup config (q172's band-curve pattern, " +
+        "applied to the containment tier). Buckets by exact integer " +
+        "cross-multiplication ((10·ni) DIV min, never the double " +
+        "ratio), curve rows bounded at 10 at any corpus size; the " +
+        "cumulative sum runs on the bounded decile frame",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        scored AS (SELECT
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS ni,
+            CAST(least(len(a.hs), len(b.hs)) AS BIGINT) AS mn
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id),
+        pairs AS (SELECT least(9, (10 * ni) // mn) AS decile
+          FROM scored WHERE ni * 2 >= mn),
+        curve AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY decile)
+        SELECT CAST(decile AS BIGINT) AS decile, n_pairs,
+          CAST(SUM(n_pairs) OVER (ORDER BY decile DESC) AS BIGINT)
+            AS n_at_or_above
+        FROM curve ORDER BY decile"""),
+      (s, d) => {
+        // candidates from the recall-exact positional tier (q184), so
+        // the curve is the TRUE pair distribution, not an estimate
+        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        val idx = hashes
+          .select(col("doc_id").as("i_id"), size(col("hs")).as("nb"),
+            posexplode(col("hs")).as(Seq("j", "h")))
+        val pre = hashes
+          .select(col("doc_id").as("p_id"), size(col("hs")).as("na"),
+            posexplode(expr("slice(hs, 1, size(hs) div 2 + 1)"))
+              .as(Seq("i", "h")))
+        val cand = pre.join(idx, "h")
+          .filter(col("p_id") =!= col("i_id"))
+          .filter((lit(1) + least(col("na") - col("i") - 1,
+            col("nb") - col("j") - 1)) * 2 >= least(col("na"), col("nb")))
+          .select(least(col("p_id"), col("i_id")).as("a_id"),
+            greatest(col("p_id"), col("i_id")).as("b_id"))
+          .distinct()
+        val curve = cand
+          .join(hashes.toDF("a_id", "a_hs"), "a_id")
+          .join(hashes.toDF("b_id", "b_hs"), "b_id")
+          .select(size(array_intersect(col("a_hs"), col("b_hs")))
+              .cast("long").as("ni"),
+            least(size(col("a_hs")), size(col("b_hs")))
+              .cast("long").as("mn"))
+          .filter(col("ni") * 2 >= col("mn"))
+          .select(least(lit(9L), expr("(10 * ni) DIV mn")).as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+        curve.withColumn("n_at_or_above",
+            sum(col("n_pairs")).over(org.apache.spark.sql.expressions
+              .Window.orderBy(col("decile").desc)))
+          .select(col("decile").cast("long"), col("n_pairs"),
+            col("n_at_or_above").cast("long").as("n_at_or_above"))
+          .orderBy("decile")
+      }),
+
+    Q("q186_shingle_df_profile",
+      "shingle document-frequency tail profile (T96): per log2(df) " +
+        "bucket, the number of distinct shingle hashes, the inverted-" +
+        "index mass (Σdf), and the candidate-mass attribution " +
+        "Σ probe(h)·df(h) with its share in ppm — THE table that " +
+        "sizes q183's stop-shingle cap before a sweep: it shows " +
+        "exactly which hotness buckets own the overlap join's " +
+        "quadratic candidate mass. floor(log2) as exact binary digit " +
+        "count (q174's discipline); output rows bounded by log2(max " +
+        "df) at any corpus size",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+        pre AS (SELECT doc_id, unnest(hs[1 : CAST(len(hs)//2 + 1 AS INT)])
+            AS h FROM hh),
+        dfc AS (SELECT h, COUNT(*) AS c FROM ex GROUP BY h),
+        pc AS (SELECT h, COUNT(*) AS np FROM pre GROUP BY h),
+        m AS (SELECT dfc.h, dfc.c, COALESCE(pc.np, 0) AS np
+          FROM dfc LEFT JOIN pc ON dfc.h = pc.h),
+        tot AS (SELECT SUM(np * c) AS tm FROM m),
+        b AS (SELECT CAST(length(printf('%b', c)) - 1 AS BIGINT)
+            AS log2_df, c, np FROM m)
+        SELECT log2_df, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+          CAST(SUM(c) AS BIGINT) AS index_mass,
+          CAST(SUM(np * c) AS BIGINT) AS cand_mass,
+          CAST((1000000 * SUM(np * c)) // tm AS BIGINT) AS cand_share_ppm
+        FROM b CROSS JOIN tot GROUP BY log2_df, tm ORDER BY log2_df"""),
+      (s, d) => {
+        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        val ex = hashes.select(explode(col("hs")).as("h"))
+        val pre = hashes.select(
+          explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+        val dfc = ex.groupBy("h").agg(count(lit(1)).as("c"))
+        val pc = pre.groupBy("h").agg(count(lit(1)).as("np"))
+        val m = dfc.join(pc, Seq("h"), "left")
+          .select(col("c"), coalesce(col("np"), lit(0L)).as("np"))
+        val tot = m.agg(sum(col("np") * col("c")).as("tm"))
+        m.select(
+            (length(conv(col("c").cast("string"), 10, 2)) - 1)
+              .cast("long").as("log2_df"),
+            col("c"), col("np"))
+          .crossJoin(broadcast(tot))
+          .groupBy("log2_df", "tm")
+          .agg(count(lit(1)).as("n_hashes"),
+            sum(col("c")).as("index_mass"),
+            sum(col("np") * col("c")).as("cand_mass"))
+          .select(col("log2_df"), col("n_hashes"), col("index_mass"),
+            col("cand_mass"),
+            expr("(1000000 * cand_mass) DIV tm").as("cand_share_ppm"))
+          .orderBy("log2_df")
       })
   )
 }

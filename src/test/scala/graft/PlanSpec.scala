@@ -165,6 +165,23 @@ class PlanSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(finalPlan).size >= 3, finalPlan)
   }
 
+  test("q183/q184: containment mitigation tiers inherit the q164 " +
+      "single-scan checkpoint shape") {
+    // both new tiers add consumers of the hashed-shingle frame (df
+    // count / positional index) — the checkpoint must still be the
+    // only corpus materialization or the mitigation costs a re-scan
+    for (name <- Seq("q183_containment_stopdrop",
+        "q184_containment_positional")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+      assert(scans == 0,
+        s"$name: expected 0 parquet scans in final plan, got $scans")
+    }
+  }
+
   test("q114: zero-shuffle assignment feeds TopKPerGroup directly") {
     // Nearest-seed assignment is an in-row argmin against the broadcast
     // seed array: the only exchanges in the plan are the bounded
