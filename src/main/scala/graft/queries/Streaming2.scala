@@ -50,6 +50,91 @@ object Streaming2 {
         query.awaitTermination()
         s.read.parquet(s"$scratch/data")
           .select("source", "dg").orderBy("source", "dg")
+      }),
+
+    Q("q187_stream_containment_gate",
+      "streaming containment ingest gate (T97): arriving documents " +
+        "(doc_id % 10 = 0) are checked per micro-batch against a " +
+        "STANDING inverted index of the accepted corpus for shingle " +
+        "containment ≥ 0.5 — the ingest-time quote/excerpt filter. " +
+        "Candidates via the recall-exact positional bound (T94: a " +
+        "qualifying match must sit inside one side's prefix region, " +
+        "so full×full joined-then-bounded equals the union of both " +
+        "prefix probes), exact verification on full hash sets, " +
+        "verdict = (n_contained, first match) per arriving doc — " +
+        "emission is arrival-order-free, so the batch brute-force " +
+        "oracle hash-matches the drained stream",
+      Some(s"""WITH w AS (SELECT doc_id,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)))) AS hs
+          FROM sh),
+        ev AS (SELECT * FROM hh WHERE doc_id % 10 = 0),
+        tr AS (SELECT * FROM hh WHERE doc_id % 10 <> 0),
+        scored AS (SELECT e.doc_id AS e_id, t.doc_id AS t_id,
+            CAST(len(list_intersect(e.hs, t.hs)) AS BIGINT) AS ni,
+            CAST(least(len(e.hs), len(t.hs)) AS BIGINT) AS mn
+          FROM ev e JOIN tr t ON true),
+        hits AS (SELECT e_id, t_id FROM scored WHERE ni * 2 >= mn)
+        SELECT ev.doc_id,
+          CAST(COALESCE(g.n, 0) AS BIGINT) AS n_contained,
+          g.fm AS first_match
+        FROM ev LEFT JOIN (SELECT e_id, COUNT(*) AS n, MIN(t_id) AS fm
+          FROM hits GROUP BY e_id) g ON ev.doc_id = g.e_id
+        ORDER BY ev.doc_id"""),
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.ops.Hashing
+        // standing side: the accepted corpus's hash sets + positional
+        // inverted index, built once outside the stream (the q102
+        // stream-static pattern); the hash frame is checkpointed so
+        // batches re-probe without re-shingling
+        def hashFrame(df: org.apache.spark.sql.DataFrame) =
+          graft.dedup.Dedup.shingleFrame(df, "doc_id", "text")
+            .select(col("doc_id"), array_sort(array_distinct(
+              transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+        val raw = s.read.parquet(s"$d/documents.parquet")
+        val train = hashFrame(raw.filter(col("doc_id") % 10 =!= 0))
+          .toDF("t_id", "t_hs").localCheckpoint()
+        val trainPos = train.select(col("t_id"),
+          size(col("t_hs")).as("nb"),
+          posexplode(col("t_hs")).as(Seq("j", "h")))
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val outDir = Common.scratchDir("scontain", d)
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$outDir/_chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val eh = hashFrame(batch).toDF("e_id", "e_hs").localCheckpoint()
+            val cand = eh.select(col("e_id"), size(col("e_hs")).as("na"),
+                posexplode(col("e_hs")).as(Seq("i", "h")))
+              .join(trainPos, "h")
+              .filter((lit(1) + least(col("na") - col("i") - 1,
+                col("nb") - col("j") - 1)) * 2 >=
+                least(col("na"), col("nb")))
+              .select("e_id", "t_id").distinct()
+            val hits = cand
+              .join(eh, "e_id").join(train, "t_id")
+              .filter(size(array_intersect(col("e_hs"), col("t_hs"))) * 2
+                >= least(size(col("e_hs")), size(col("t_hs"))))
+              .groupBy("e_id")
+              .agg(count(lit(1)).as("n"), min(col("t_id")).as("fm"))
+            eh.select(col("e_id")).join(hits, Seq("e_id"), "left")
+              .select(col("e_id").as("doc_id"),
+                coalesce(col("n"), lit(0L)).as("n_contained"),
+                col("fm").as("first_match"))
+              .write.mode("append").parquet(s"$outDir/table")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$outDir/table").orderBy("doc_id")
       })
   )
 }
