@@ -72,6 +72,35 @@ class Curation3Spec extends SparkSpec {
       f"(${100.0 * (unbounded - bounded) / unbounded}%.1f%% pruned)")
   }
 
+  test("q185 curve on planted excerpts: known containments land in " +
+      "deciles 5/7/9 with the right cumulative") {
+    // One 60-word base doc and three excerpts from DISJOINT regions
+    // (so cross-excerpt pairs share nothing) with hand-computed
+    // trigram-shingle containments: 10/13 → decile 7, 8/14 → 5,
+    // 10/11 → 9; a fourth doc shares one shingle (1/13 < 0.5,
+    // excluded). Exact-integer decile arithmetic makes these
+    // assertions instance-independent.
+    val a = (1 to 60).map(i => s"a$i")
+    val docs = Seq(
+      (1L, a.mkString(" "), "en", "s", 0L),
+      (2L, (a.slice(0, 12) ++ Seq("u1", "u2", "u3")).mkString(" "),
+        "en", "s", 0L),
+      (3L, (a.slice(24, 34) ++ (1 to 6).map(i => s"v$i")).mkString(" "),
+        "en", "s", 0L),
+      (4L, (a.slice(44, 56) :+ "w1").mkString(" "), "en", "s", 0L),
+      (5L, (a.slice(4, 7) ++ (1 to 12).map(i => s"z$i")).mkString(" "),
+        "en", "s", 0L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curve").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation3.qs
+      .find(_.name == "q185_containment_threshold_curve").get
+      .run(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((5L, 1L, 3L), (7L, 1L, 2L), (9L, 1L, 1L)), got)
+  }
+
   test("q183 cap binds at sf0.01: the stop set is non-empty and the " +
       "candidate multiset shrinks") {
     val hashes = graft.dedup.Dedup.shingleFrame(
