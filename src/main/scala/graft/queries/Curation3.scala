@@ -336,6 +336,67 @@ object Curation3 {
             col("cand_mass"),
             expr("(1000000 * cand_mass) DIV tm").as("cand_share_ppm"))
           .orderBy("log2_df")
+      }),
+
+    Q("q188_sql_text_containment",
+      "the positional containment join driven ENTIRELY from SQL text " +
+        "(T98, the q138 pattern): a SQL-only user composes " +
+        "graft_shingles + built-in md5/conv hashing + posexplode over " +
+        "a temp view and gets the recall-exact T94 tier — same " +
+        "all-pairs brute-force oracle as q164/q184, so the hash match " +
+        "is the recall proof for the SQL formulation too. Trade " +
+        "declared: SQL text has no localCheckpoint, so the corpus is " +
+        "re-shingled per CTE consumer (the Scala API's checkpointed " +
+        "frame is the production form; this query proves SURFACE " +
+        "parity, not the best plan)",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        scored AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+            CAST(len(a.hs) AS BIGINT) AS na,
+            CAST(len(b.hs) AS BIGINT) AS nb
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, n_inter, na, nb,
+          CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
+        FROM scored WHERE n_inter * 2 >= least(na, nb)
+        ORDER BY containment DESC, a_id, b_id"""),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("docs_contain_v")
+        s.sql("""
+          WITH hh AS (
+            SELECT doc_id, array_sort(array_distinct(transform(
+                graft_shingles(text),
+                s -> CAST(conv(substring(md5(encode(s, 'UTF-8')), 1, 8),
+                  16, 10) AS BIGINT)))) AS hs
+            FROM docs_contain_v),
+          idx AS (SELECT doc_id AS i_id, size(hs) AS nb,
+              posexplode(hs) AS (j, h) FROM hh),
+          pre AS (SELECT doc_id AS p_id, size(hs) AS na,
+              posexplode(slice(hs, 1, size(hs) div 2 + 1)) AS (i, h)
+            FROM hh),
+          cand AS (SELECT DISTINCT least(p_id, i_id) AS a_id,
+              greatest(p_id, i_id) AS b_id
+            FROM pre JOIN idx USING (h)
+            WHERE p_id <> i_id
+              AND (1 + least(na - i - 1, nb - j - 1)) * 2
+                >= least(na, nb)),
+          sc AS (SELECT c.a_id, c.b_id,
+              CAST(size(array_intersect(a.hs, b.hs)) AS BIGINT)
+                AS n_inter,
+              CAST(size(a.hs) AS BIGINT) AS na,
+              CAST(size(b.hs) AS BIGINT) AS nb
+            FROM cand c JOIN hh a ON c.a_id = a.doc_id
+              JOIN hh b ON c.b_id = b.doc_id)
+          SELECT a_id, b_id, n_inter, na, nb,
+            CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
+          FROM sc WHERE n_inter * 2 >= least(na, nb)
+          ORDER BY containment DESC, a_id, b_id""")
       })
   )
 }

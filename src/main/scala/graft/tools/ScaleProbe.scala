@@ -970,6 +970,7 @@ object ScaleProbe {
             explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
           .groupBy("h").agg(count(lit(1)).as("np"))
         val massFrame = preC.join(dfc, "h")
+        var fullMass = 0L
         time(s"$label multiset full+capped") {
           val r = massFrame.agg(
             sum(col("np") * col("c")).as("full"),
@@ -978,7 +979,27 @@ object ScaleProbe {
           println(f"[scale]   $label candidate multiset: " +
             f"full=${r.getLong(0)}%,d capped=${r.getLong(1)}%,d " +
             f"(${100.0 * (r.getLong(0) - r.getLong(1)) / math.max(1L, r.getLong(0))}%.1f%% drop)")
+          fullMass = r.getLong(0)
           r.getLong(1)
+        }
+        // un-mitigated q164 tier for comparison, but only when its
+        // candidate multiset is tractable (the stress@10× full tier is
+        // a measured 437–559 s — no need to re-burn it per probe run)
+        if (fullMass < 100000000L) time(s"$label full join") {
+          val idx = hashes.select(col("doc_id").as("i_id"),
+            explode(col("hs")).as("h"))
+          val pre = hashes.select(col("doc_id").as("p_id"),
+            explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+          val cand = pre.join(idx, "h")
+            .filter(col("p_id") =!= col("i_id"))
+            .select(least(col("p_id"), col("i_id")).as("a_id"),
+              greatest(col("p_id"), col("i_id")).as("b_id"))
+            .distinct()
+          cand.join(hashes.toDF("a_id", "a_hs"), "a_id")
+            .join(hashes.toDF("b_id", "b_hs"), "b_id")
+            .filter(size(array_intersect(col("a_hs"), col("b_hs"))) * 2 >=
+              least(size(col("a_hs")), size(col("b_hs"))))
+            .count()
         }
         time(s"$label positional join") {
           // q184 / T94: recall-EXACT positional prefix bounds — prunes
@@ -1029,6 +1050,21 @@ object ScaleProbe {
         contain(docs8.select(col("doc_id"), col("text")),
           "containment natural@1x")
       contain(docs8X, s"containment stress@${mult}x")
+      // BOILERPLATE corpus: the realistic middle ground between the
+      // clean natural corpus (no hot shingles at all) and the
+      // tag-inflated stress corpus (every other shingle hot): the
+      // NATURAL corpus with a fixed 12-word footer appended to every
+      // 3rd doc — the web navigation/license shape the stop cap is
+      // FOR. Footer shingles have df ≈ N/3 ≫ τ while the rest of the
+      // text keeps its natural df profile.
+      if (mult == mults.head) {
+        val footer = " the quick brown fox jumps over the lazy dog" +
+          " near the riverbank"
+        val docs8B = docs8.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(footer)))
+            .otherwise(col("text")).as("text"))
+        contain(docs8B, "containment boiler@1x")
+      }
       }
 
       if (doCC) {
