@@ -397,6 +397,47 @@ object Curation3 {
             CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
           FROM sc WHERE n_inter * 2 >= least(na, nb)
           ORDER BY containment DESC, a_id, b_id""")
+      }),
+
+    Q("q189_recency_decay_score",
+      "recency-weighted user activity scoring with an EXACT half-life " +
+        "decay (T99): weight = cents(value) · 2^(20−k) where k = " +
+        "weeks-ago capped at 20 — the half-life decay every freshness-" +
+        "weighted ranking uses, but computed as integer bit shifts on " +
+        "the cent lattice instead of exp(−λt) (banned transcendental: " +
+        "1-ulp skew would re-rank ties differently per engine). " +
+        "Reference day = MAX(day) rides in as a 1-row broadcast; " +
+        "epoch-day DIV arithmetic is q137's engine-exact discipline; " +
+        "the per-user sum is associative integer addition. Shuffle = " +
+        "users, then a 100-row TakeOrdered heap",
+      Some(s"""WITH d AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day,
+            ${graft.similarity.Vectors.latScalarSql("value", "100.0")}
+              AS cents
+          FROM events),
+        r AS (SELECT MAX(day) AS ref FROM d),
+        w AS (SELECT user_id,
+            cents * (CAST(1 AS BIGINT) <<
+              CAST(20 - least((ref - day) // 7, 20) AS INT)) AS wt
+          FROM d CROSS JOIN r)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(wt) AS BIGINT) AS score
+        FROM w GROUP BY user_id
+        ORDER BY score DESC, user_id LIMIT 100"""),
+      (s, d) => {
+        val dd = events(s, d).select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          graft.similarity.Vectors.latScalar(col("value"), 100.0)
+            .as("cents"))
+        val ref = dd.agg(max(col("day")).as("ref"))
+        dd.crossJoin(broadcast(ref))
+          .select(col("user_id"),
+            expr("cents * shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(20 - least((ref - day) DIV 7, 20L) AS INT))")
+              .as("wt"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("score"))
+          .orderBy(col("score").desc, col("user_id")).limit(100)
       })
   )
 }
