@@ -438,6 +438,54 @@ object Curation3 {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("score"))
           .orderBy(col("score").desc, col("user_id")).limit(100)
+      }),
+
+    Q("q190_lsh_s_curve",
+      "theoretical MinHash-LSH S-curve table (T100): detection " +
+        "probability 1 − (1 − s^r)^b for every (b, r) split of the " +
+        "8-hash budget × similarity s ∈ {0.5 … 0.9} — the companion " +
+        "to q172's EMPIRICAL candidate-mass curve; together they are " +
+        "the full (b, r) tuning decision before a 100 TB sweep. " +
+        "Powers computed as left-associated multiplication folds " +
+        "(identical correctly-rounded IEEE sequences in both engines), " +
+        "never pow() — the determinism gate would reject the " +
+        "transcendental form. 20 rows at any scale; corpus-free " +
+        "(reads nothing, a pure config table)",
+      Some("""WITH cfg AS (SELECT * FROM (VALUES (1, 8), (2, 4),
+            (4, 2), (8, 1)) t(b, r)),
+        sv AS (SELECT s10 FROM (VALUES (5), (6), (7), (8), (9)) u(s10)),
+        g AS (SELECT b, r, s10,
+            CAST(s10 AS DOUBLE) / 10 AS s FROM cfg CROSS JOIN sv),
+        pr AS (SELECT b, r, s10, s,
+            list_reduce(list_transform(range(1, r + 1), i -> s),
+              (x, y) -> x * y) AS sr
+          FROM g),
+        pd AS (SELECT b, r, s10, sr,
+            1 - list_reduce(list_transform(range(1, b + 1), i -> 1 - sr),
+              (x, y) -> x * y) AS p_detect
+          FROM pr)
+        SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+          CAST(s10 AS BIGINT) AS s10, p_detect
+        FROM pd ORDER BY b, s10"""),
+      (s, d) => {
+        s.sql("""
+          WITH cfg AS (SELECT * FROM VALUES (1, 8), (2, 4), (4, 2),
+            (8, 1) AS t(b, r)),
+          sv AS (SELECT s10 FROM VALUES (5), (6), (7), (8), (9)
+            AS u(s10)),
+          g AS (SELECT b, r, s10, CAST(s10 AS DOUBLE) / 10 AS s
+            FROM cfg CROSS JOIN sv),
+          pr AS (SELECT b, r, s10, s,
+              aggregate(sequence(1, r), CAST(1.0 AS DOUBLE),
+                (acc, x) -> acc * s) AS sr
+            FROM g),
+          pd AS (SELECT b, r, s10, sr,
+              1 - aggregate(sequence(1, b), CAST(1.0 AS DOUBLE),
+                (acc, x) -> acc * (1 - sr)) AS p_detect
+            FROM pr)
+          SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+            CAST(s10 AS BIGINT) AS s10, p_detect
+          FROM pd ORDER BY b, s10""")
       })
   )
 }
