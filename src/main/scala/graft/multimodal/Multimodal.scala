@@ -87,7 +87,64 @@ object Multimodal {
       val bpp = le16(28)
       if (w > 0 && h > 0 && bpp > 0 && bpp % 8 == 0) Some(("bmp", w, h, bpp / 8))
       else None
+    } else if (p.length >= 4 && (p(0) & 0xff) == 0xff &&
+        (p(1) & 0xff) == 0xd8) {
+      // JPEG (round 8): a REAL marker scan, not fixed offsets — dims
+      // live in whichever SOFn segment follows an arbitrary number of
+      // variable-length segments (APPn/COM/DQT/DHT…), so the parser
+      // must walk the segment chain exactly like libjpeg does. SOF
+      // family = C0-CF minus C4 (DHT), C8 (JPG reserved), CC (DAC).
+      def be16(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+      var i = 2
+      var out: Option[(String, Int, Int, Int)] = None
+      var done = false
+      while (!done && i + 3 < p.length) {
+        if ((p(i) & 0xff) != 0xff) { done = true } // corrupt stream
+        else {
+          val m = p(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+            if (i + 9 < p.length) {
+              val h = be16(i + 5); val w = be16(i + 7)
+              val nc = p(i + 9) & 0xff
+              if (w > 0 && h > 0 && nc > 0) out = Some(("jpeg", w, h, nc))
+            }
+            done = true
+          } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+            i += 2 // standalone marker, no length field
+          } else if (m == 0xd9 || m == 0xda) {
+            done = true // EOI / SOS before any SOF → no dims
+          } else {
+            i += 2 + be16(i + 2) // variable-length segment skip
+          }
+        }
+      }
+      out
     } else None
+  }
+
+  /** Minimal VALID JPEG header bytes: SOI, a JFIF APP0, a COM segment
+    * and a dummy DQT (so the decoder's marker WALK is exercised, not
+    * just a fixed SOF offset), SOF0 with the dims, EOI. `nc` = 1
+    * (grayscale) or 3 (YCbCr).
+    */
+  def syntheticJpeg(w: Int, h: Int, nc: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { bos.write(0xff); bos.write(b) }
+    def be16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xe0); be16(16) // APP0, len 16
+    bos.write("JFIF".getBytes("US-ASCII")); bos.write(0)
+    bos.write(1); bos.write(1); bos.write(0); be16(72); be16(72); bos.write(0); bos.write(0)
+    val comment = "graft synthetic".getBytes("US-ASCII")
+    m(0xfe); be16(2 + comment.length); bos.write(comment) // COM
+    m(0xdb); be16(2 + 65); bos.write(0) // DQT: id 0 + 64 zero entries
+    for (_ <- 0 until 64) bos.write(0)
+    m(0xc0); be16(8 + 3 * nc) // SOF0
+    bos.write(8); be16(h); be16(w); bos.write(nc)
+    for (c <- 1 to nc) { bos.write(c); bos.write(0x11); bos.write(0) }
+    m(0xd9) // EOI
+    bos.toByteArray
   }
 
   /** Minimal VALID PNG header bytes (signature + IHDR payload; CRC and

@@ -75,6 +75,37 @@ object MultimodalOps {
           .orderBy("media_id")
       }),
 
+    Q("q191_jpeg_headers",
+      "JPEG container decode (T101): per-doc synthesized JPEG streams " +
+        "— SOI, JFIF APP0, COM, dummy DQT, SOF0, EOI — flow through " +
+        "the binary pipeline; the decoder must WALK the marker chain " +
+        "(variable-length segment skips, standalone-marker handling, " +
+        "SOF-family match excluding DHT/JPG/DAC) to recover " +
+        "width/height/components, exactly like libjpeg. The oracle " +
+        "knows the synthesis formula, so any defect in the segment " +
+        "walk hash-fails; MultimodalSpec additionally parses a REAL " +
+        "ImageIO-written JPEG with the same scanner",
+      Some("""SELECT doc_id AS media_id, 'jpeg' AS format,
+          CAST(doc_id % 300 + 1 AS INT) AS width,
+          CAST(doc_id % 200 + 1 AS INT) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+            AS channels
+        FROM documents ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 300 + 1).toInt
+            val h = (id % 200 + 1).toInt
+            val nc = if (id % 2 == 0) 1 else 3
+            Multimodal.MediaRow(id, "jpeg", Multimodal.syntheticJpeg(w, h, nc))
+          }
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("format"), col("width"),
+            col("height"), col("channels"))
+          .orderBy("media_id")
+      }),
+
     Q("q125_pixel_stats",
       "REAL pixel-tier decode: per-doc synthesized 24-bpp BMPs (padded " +
         "strides, bottom-up rows) and PNGs (8-bit gray/RGB, genuine " +

@@ -171,7 +171,8 @@ class PlanSpec extends SparkSpec {
     // count / positional index) — the checkpoint must still be the
     // only corpus materialization or the mitigation costs a re-scan
     for (name <- Seq("q183_containment_stopdrop",
-        "q184_containment_positional")) {
+        "q184_containment_positional", "q185_containment_threshold_curve",
+        "q186_shingle_df_profile")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val finalPlan = df.queryExecution.executedPlan.toString

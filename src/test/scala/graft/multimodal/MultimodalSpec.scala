@@ -45,6 +45,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageHeader(Multimodal.syntheticPng(4, 4, 5)).isEmpty)
   }
 
+  test("JPEG header decode walks the marker chain; a REAL " +
+      "ImageIO-written JPEG parses with the same scanner") {
+    // synthetic: padding segments (APP0 + COM + DQT) before SOF0
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticJpeg(320, 240, 3))
+      .contains(("jpeg", 320, 240, 3)))
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticJpeg(1, 65535, 1))
+      .contains(("jpeg", 1, 65535, 1)))
+    // the strong referee: a genuine JPEG stream produced by the JDK's
+    // libjpeg-class writer (full DQT/DHT/SOS/entropy data) — the
+    // marker walk must skip everything it has never seen and still
+    // land on SOF
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 37; y <- 0 until 23)
+      img.setRGB(x, y, (x * 7 + y * 13) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val real = bos.toByteArray
+    assert(Multimodal.decodeImageHeader(real).contains(("jpeg", 37, 23, 3)),
+      Multimodal.decodeImageHeader(real).toString)
+    // truncation before any SOF → None, never a crash
+    assert(Multimodal.decodeImageHeader(real.take(6)).isEmpty)
+    assert(Multimodal.decodeImageHeader(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
+
   test("pixel decode matches ImageIO on gradient images across " +
     "formats, color types and non-aligned strides") {
     // javax.imageio is the independent referee: a full third-party codec
