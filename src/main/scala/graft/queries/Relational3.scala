@@ -457,6 +457,35 @@ object Relational3 {
             (abs(col("rank_ap90") - lit(0.9) * col("n")) <=
               col("n").cast("double") / 100 + 1).as("p90_rank_ok"))
           .orderBy("o_orderpriority")
+      }),
+
+    Q("q192_lateral_topk",
+      "LATERAL correlated-subquery join (round 8): top-3 orders per " +
+        "customer expressed as SQL-standard `, LATERAL (SELECT … WHERE " +
+        "o_custkey = c.c_custkey ORDER BY … LIMIT 3)` — the per-row " +
+        "subquery form analysts write; Spark's DecorrelateInnerQuery " +
+        "rewrites it to the same join+window plan the TopK strategy " +
+        "heap-routes, so the declarative form costs nothing vs the " +
+        "hand-written row_number pipeline (q04's shape). DuckDB runs " +
+        "the identical SQL text as the oracle",
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey % 7 = 0
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey"""),
+      (s, d) => {
+        table(s, d, "customer").createOrReplaceTempView("customer_lv")
+        table(s, d, "orders").createOrReplaceTempView("orders_lv")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM customer_lv c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lv
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+          WHERE c.c_custkey % 7 = 0
+          ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
       })
   )
 }
