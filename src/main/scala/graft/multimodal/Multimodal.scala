@@ -123,6 +123,107 @@ object Multimodal {
     } else None
   }
 
+  /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment — the
+    * value an image pipeline must read BEFORE pixel hashing/resizing
+    * (a rotated duplicate hashes differently if orientation is
+    * ignored). This is a real TIFF walk: find APP1 with the
+    * `Exif\0\0` preamble, honor the byte-order mark (`II` little- vs
+    * `MM` big-endian — per-file!), follow the IFD0 offset, iterate
+    * 12-byte directory entries to tag 0x0112, and read the SHORT
+    * value from the endianness-dependent half of the value field.
+    * None for anything malformed — never a throw.
+    */
+  def decodeExifOrientation(p: Array[Byte]): Option[Int] = {
+    def be16(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      val m = p(i + 1) & 0xff
+      if (m == 0xe1 && i + 10 < p.length &&
+          p(i + 4) == 'E' && p(i + 5) == 'x' && p(i + 6) == 'i' &&
+          p(i + 7) == 'f' && p(i + 8) == 0 && p(i + 9) == 0) {
+        val t = i + 10 // TIFF header start
+        val segEnd = i + 2 + be16(i + 2)
+        if (t + 8 > p.length || t + 8 > segEnd) return None
+        val little = p(t) == 'I' && p(t + 1) == 'I'
+        val big = p(t) == 'M' && p(t + 1) == 'M'
+        if (!little && !big) return None
+        def u16(j: Int): Int =
+          if (little) (p(j) & 0xff) | ((p(j + 1) & 0xff) << 8)
+          else ((p(j) & 0xff) << 8) | (p(j + 1) & 0xff)
+        def u32(j: Int): Long =
+          if (little) (p(j) & 0xffL) | ((p(j + 1) & 0xffL) << 8) |
+            ((p(j + 2) & 0xffL) << 16) | ((p(j + 3) & 0xffL) << 24)
+          else ((p(j) & 0xffL) << 24) | ((p(j + 1) & 0xffL) << 16) |
+            ((p(j + 2) & 0xffL) << 8) | (p(j + 3) & 0xffL)
+        if (u16(t + 2) != 42) return None
+        val ifd0 = t + u32(t + 4).toInt
+        if (ifd0 + 2 > p.length || ifd0 + 2 > segEnd) return None
+        val n = u16(ifd0)
+        var e = 0
+        while (e < n) {
+          val off = ifd0 + 2 + e * 12
+          if (off + 12 > p.length || off + 12 > segEnd) return None
+          if (u16(off) == 0x0112 && u16(off + 2) == 3 &&
+              u32(off + 4) == 1L) {
+            val v = u16(off + 8) // SHORT sits in the value field's
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          e += 1
+        }
+        return None
+      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i += 2
+      } else if (m == 0xd9 || m == 0xda) {
+        return None
+      } else {
+        i += 2 + be16(i + 2)
+      }
+    }
+    None
+  }
+
+  /** JPEG with an EXIF APP1 segment carrying the orientation tag —
+    * byte order selectable so BOTH TIFF endiannesses are exercised.
+    * IFD0 deliberately holds two entries (a width tag first) so the
+    * decoder's entry ITERATION is tested, not offset zero.
+    */
+  def syntheticExifJpeg(w: Int, h: Int, nc: Int, orientation: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { bos.write(0xff); bos.write(b) }
+    def be16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    m(0xd8)
+    // TIFF payload
+    val tb = new java.io.ByteArrayOutputStream()
+    def t16(v: Int): Unit =
+      if (littleEndian) { tb.write(v & 0xff); tb.write((v >> 8) & 0xff) }
+      else { tb.write((v >> 8) & 0xff); tb.write(v & 0xff) }
+    def t32(v: Int): Unit =
+      if (littleEndian) { tb.write(v & 0xff); tb.write((v >> 8) & 0xff)
+        tb.write((v >> 16) & 0xff); tb.write((v >> 24) & 0xff) }
+      else { tb.write((v >> 24) & 0xff); tb.write((v >> 16) & 0xff)
+        tb.write((v >> 8) & 0xff); tb.write(v & 0xff) }
+    tb.write(if (littleEndian) 'I' else 'M')
+    tb.write(if (littleEndian) 'I' else 'M')
+    t16(42); t32(8) // magic + IFD0 offset
+    t16(2) // two entries
+    t16(0x0100); t16(3); t32(1); t16(w); t16(0) // ImageWidth SHORT
+    t16(0x0112); t16(3); t32(1); t16(orientation); t16(0) // Orientation
+    t32(0) // next-IFD offset
+    val tiff = tb.toByteArray
+    m(0xe1); be16(2 + 6 + tiff.length)
+    bos.write("Exif".getBytes("US-ASCII")); bos.write(0); bos.write(0)
+    bos.write(tiff)
+    m(0xc0); be16(8 + 3 * nc)
+    bos.write(8); be16(h); be16(w); bos.write(nc)
+    for (c <- 1 to nc) { bos.write(c); bos.write(0x11); bos.write(0) }
+    m(0xd9)
+    bos.toByteArray
+  }
+
   /** Minimal VALID JPEG header bytes: SOI, a JFIF APP0, a COM segment
     * and a dummy DQT (so the decoder's marker WALK is exercised, not
     * just a fixed SOF offset), SOF0 with the dims, EOI. `nc` = 1

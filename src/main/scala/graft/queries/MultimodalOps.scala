@@ -106,6 +106,41 @@ object MultimodalOps {
           .orderBy("media_id")
       }),
 
+    Q("q193_exif_orientation",
+      "EXIF orientation decode (T102): per-doc JPEGs carry an APP1 " +
+        "Exif segment whose TIFF payload alternates byte order per " +
+        "doc (II little- vs MM big-endian), and the decoder must do " +
+        "the real TIFF walk — byte-order mark, IFD0 offset, 12-byte " +
+        "entry iteration past a leading width tag — to recover " +
+        "orientation tag 0x0112: the value an image dedup pipeline " +
+        "reads BEFORE pixel hashing (a rotated duplicate hashes " +
+        "differently if orientation is ignored). Dims come from the " +
+        "same marker walk as q191 (APP1 skipped en route to SOF0); " +
+        "the oracle knows the synthesis formula",
+      Some("""SELECT doc_id AS media_id,
+          CAST(doc_id % 8 + 1 AS INT) AS orientation,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          CAST(doc_id % 100 + 1 AS INT) AS width,
+          CAST(doc_id % 80 + 1 AS INT) AS height
+        FROM documents ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 100 + 1).toInt
+            val h = (id % 80 + 1).toInt
+            val le = id % 2 == 0
+            val p = Multimodal.syntheticExifJpeg(w, h, 3,
+              (id % 8 + 1).toInt, le)
+            val ori = Multimodal.decodeExifOrientation(p).getOrElse(-1)
+            val dims = Multimodal.decodeImageHeader(p)
+            (id, ori, if (le) "II" else "MM",
+              dims.map(_._2).getOrElse(-1), dims.map(_._3).getOrElse(-1))
+          }
+          .toDF("media_id", "orientation", "byte_order", "width", "height")
+          .orderBy("media_id")
+      }),
+
     Q("q125_pixel_stats",
       "REAL pixel-tier decode: per-doc synthesized 24-bpp BMPs (padded " +
         "strides, bottom-up rows) and PNGs (8-bit gray/RGB, genuine " +

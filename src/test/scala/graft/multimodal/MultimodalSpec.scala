@@ -71,6 +71,34 @@ class MultimodalSpec extends SparkSpec {
       Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
   }
 
+  test("EXIF orientation decode honors BOTH TIFF byte orders and " +
+      "rejects malformed IFDs as None") {
+    for (le <- Seq(true, false); ori <- 1 to 8)
+      assert(Multimodal.decodeExifOrientation(
+        Multimodal.syntheticExifJpeg(10, 10, 3, ori, le)).contains(ori),
+        s"le=$le ori=$ori")
+    // a plain JFIF jpeg has no APP1 → None
+    assert(Multimodal.decodeExifOrientation(
+      Multimodal.syntheticJpeg(10, 10, 3)).isEmpty)
+    // out-of-range orientation value rejected
+    assert(Multimodal.decodeExifOrientation(
+      Multimodal.syntheticExifJpeg(10, 10, 3, 9, true)).isEmpty)
+    // corrupt byte-order mark rejected
+    val bad = Multimodal.syntheticExifJpeg(10, 10, 3, 5, true)
+    val exifAt = {
+      var i = 2
+      while (!((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xe1))
+        i += 2 + (((bad(i + 2) & 0xff) << 8) | (bad(i + 3) & 0xff))
+      i
+    }
+    bad(exifAt + 10) = 'X'.toByte
+    assert(Multimodal.decodeExifOrientation(bad).isEmpty)
+    // the q191 dims walk still skips the APP1 segment cleanly
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticExifJpeg(33, 44, 3, 6, false))
+      .contains(("jpeg", 33, 44, 3)))
+  }
+
   test("pixel decode matches ImageIO on gradient images across " +
     "formats, color types and non-aligned strides") {
     // javax.imageio is the independent referee: a full third-party codec
