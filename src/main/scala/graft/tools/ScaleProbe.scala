@@ -1001,7 +1001,10 @@ object ScaleProbe {
               least(size(col("a_hs")), size(col("b_hs"))))
             .count()
         }
-        time(s"$label positional join") {
+        // the positional join's PRE-filter mass is the full multiset
+        // (bounding happens after the hash match), so gate it like the
+        // full tier — its 10× stress numbers are already recorded
+        if (fullMass < 3000000000L) time(s"$label positional join") {
           // q184 / T94: recall-EXACT positional prefix bounds — prunes
           // the duplicated-pair mass before the distinct exchange
           val idx = hashes.select(col("doc_id").as("i_id"),
