@@ -486,6 +486,129 @@ object Curation3 {
           SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
             CAST(s10 AS BIGINT) AS s10, p_detect
           FROM pd ORDER BY b, s10""")
+      }),
+
+    Q("q194_containment_auto",
+      "adaptive containment router (T103): the BASELINE-documented " +
+        "tier decision procedure as code — measure the capped " +
+        "candidate multiset Σ min(df,τ)·probe(h) first (one cheap " +
+        "aggregation, the AQE-runtime-stats move), then route: if it " +
+        "fits the declared linear budget (≤ 16·|distinct hashes|) run " +
+        "the q183 stop-drop tier (boilerplate-head corpora — cap " +
+        "costs nothing and kills the hot mass), else the q184 " +
+        "positional tier (hub-shingle mid-tail corpora — exact " +
+        "recall, bound prunes the duplicated-pair exchange). The " +
+        "1-row stats read is a driver-side plan decision on an " +
+        "aggregate, the same class as AQE's runtime replanning — " +
+        "never a data collect. Oracle computes the identical integer " +
+        "rule and emits the matching branch, so the hash check " +
+        "verifies BOTH the routing decision and the routed tier",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        tau AS (SELECT greatest($StopDfFloor,
+          COUNT(*) // $StopFracDen) AS t FROM hh),
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+        dfc AS (SELECT h, COUNT(*) AS c FROM ex GROUP BY h),
+        prec AS (SELECT h, COUNT(*) AS np FROM (
+            SELECT doc_id, unnest(hs[1 : CAST(len(hs)//2 + 1 AS INT)])
+              AS h FROM hh) p GROUP BY h),
+        stats AS (SELECT
+            (SELECT COUNT(*) FROM dfc) AS n_hashes,
+            (SELECT COALESCE(SUM(np * c), 0) FROM prec
+              JOIN dfc USING (h) CROSS JOIN tau WHERE c <= t)
+              AS capped_mass),
+        choice AS (SELECT CASE WHEN capped_mass <= 16 * n_hashes
+            THEN 'stopdrop' ELSE 'positional' END AS tier FROM stats),
+        stop AS (SELECT h FROM dfc CROSS JOIN tau WHERE c > t),
+        sd_cand AS (SELECT DISTINCT least(p.doc_id, i.doc_id) AS a_id,
+            greatest(p.doc_id, i.doc_id) AS b_id
+          FROM (SELECT doc_id, unnest(hs[1 : CAST(len(hs)//2 + 1 AS INT)])
+              AS h FROM hh) p
+          JOIN ex i USING (h)
+          WHERE p.doc_id <> i.doc_id
+            AND h NOT IN (SELECT h FROM stop)),
+        sd AS (SELECT c.a_id, c.b_id,
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+            CAST(len(a.hs) AS BIGINT) AS na,
+            CAST(len(b.hs) AS BIGINT) AS nb
+          FROM sd_cand c JOIN hh a ON c.a_id = a.doc_id
+            JOIN hh b ON c.b_id = b.doc_id),
+        brute AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+            CAST(len(a.hs) AS BIGINT) AS na,
+            CAST(len(b.hs) AS BIGINT) AS nb
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        SELECT tier, a_id, b_id, n_inter FROM sd CROSS JOIN choice
+          WHERE tier = 'stopdrop' AND n_inter * 2 >= least(na, nb)
+        UNION ALL
+        SELECT tier, a_id, b_id, n_inter FROM brute CROSS JOIN choice
+          WHERE tier = 'positional' AND n_inter * 2 >= least(na, nb)
+        ORDER BY a_id, b_id"""),
+      (s, d) => {
+        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .localCheckpoint()
+        val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+        val tau = hashes.agg(
+          expr(s"greatest(CAST($StopDfFloor AS BIGINT), " +
+            s"count(1) DIV $StopFracDen) AS t"))
+        val dfc = ex.groupBy("h").agg(count(lit(1)).as("c"))
+        val prec = hashes.select(col("doc_id"),
+            explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("np"))
+        val st = dfc.join(prec, Seq("h"), "left")
+          .crossJoin(broadcast(tau))
+          .agg(count(lit(1)).as("n_hashes"),
+            coalesce(sum(when(col("c") <= col("t"),
+              coalesce(col("np"), lit(0L)) * col("c"))
+              .otherwise(lit(0L))), lit(0L)).as("capped_mass"))
+          .head()
+        val tier =
+          if (st.getLong(1) <= 16 * st.getLong(0)) "stopdrop"
+          else "positional"
+        val stop = dfc.crossJoin(broadcast(tau))
+          .filter(col("c") > col("t")).select("h")
+        val cand =
+          if (tier == "stopdrop") {
+            val idx = ex.select(col("doc_id").as("i_id"), col("h"))
+              .join(stop, Seq("h"), "left_anti")
+            val pre = hashes.select(col("doc_id").as("p_id"),
+                explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+              .join(stop, Seq("h"), "left_anti")
+            pre.join(idx, "h")
+          } else {
+            val idx = hashes.select(col("doc_id").as("i_id"),
+              size(col("hs")).as("nb"), posexplode(col("hs")).as(Seq("j", "h")))
+            hashes.select(col("doc_id").as("p_id"),
+                size(col("hs")).as("na"),
+                posexplode(expr("slice(hs, 1, size(hs) div 2 + 1)"))
+                  .as(Seq("i", "h")))
+              .join(idx, "h")
+              .filter((lit(1) + least(col("na") - col("i") - 1,
+                col("nb") - col("j") - 1)) * 2 >=
+                least(col("na"), col("nb")))
+          }
+        cand
+          .filter(col("p_id") =!= col("i_id"))
+          .select(least(col("p_id"), col("i_id")).as("a_id"),
+            greatest(col("p_id"), col("i_id")).as("b_id"))
+          .distinct()
+          .join(hashes.toDF("a_id", "a_hs"), "a_id")
+          .join(hashes.toDF("b_id", "b_hs"), "b_id")
+          .select(lit(tier).as("tier"), col("a_id"), col("b_id"),
+            size(array_intersect(col("a_hs"), col("b_hs")))
+              .cast("long").as("n_inter"),
+            size(col("a_hs")).cast("long").as("na"),
+            size(col("b_hs")).cast("long").as("nb"))
+          .filter(col("n_inter") * 2 >= least(col("na"), col("nb")))
+          .select("tier", "a_id", "b_id", "n_inter")
+          .orderBy("a_id", "b_id")
       })
   )
 }

@@ -101,6 +101,42 @@ class Curation3Spec extends SparkSpec {
     assert(got == Seq((5L, 1L, 3L), (7L, 1L, 2L), (9L, 1L, 1L)), got)
   }
 
+  test("q194 router: testdata corpora route to stopdrop; a planted " +
+      "hub-shingle corpus flips to positional and stays recall-exact") {
+    // testdata: capped mass fits the linear budget → stopdrop
+    val t1 = Curation3.qs.find(_.name == "q194_containment_auto").get
+      .run(spark, sfDir).select("tier").distinct()
+      .as[String].collect().toSeq
+    assert(t1 == Seq("stopdrop"), t1.toString)
+    // hub corpus: 2500 docs in 250 groups of 10 sharing a group text
+    // (df=10 retained under τ = max(4, 2500/250) = 10, per-hash mass
+    // ≈ np·c ≫ 16) → capped mass blows the linear budget → the router
+    // must pick the positional tier, whose output equals q164's
+    // guaranteed-recall tier on the same corpus
+    val docs = (0 until 2500).map { i =>
+      val g = i / 10
+      val words = (0 until 12).map(w => s"g${g}w$w") :+ s"u$i"
+      (i.toLong, words.mkString(" "), "en", "s", 0L)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_router").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val auto = Curation3.qs.find(_.name == "q194_containment_auto").get
+      .run(spark, dir)
+    val tiers = auto.select("tier").distinct().as[String].collect().toSeq
+    assert(tiers == Seq("positional"), tiers.toString)
+    val autoPairs = auto.select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    val full = Curation2.qs.find(_.name == "q164_containment_pairs").get
+      .run(spark, dir).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    assert(autoPairs == full,
+      s"router's positional branch diverged: ${autoPairs.size} vs ${full.size}")
+    // the within-group clique is fully recovered: C(10,2)·250 pairs
+    assert(full.size == 45 * 250, full.size.toString)
+  }
+
   test("q183 cap binds at sf0.01: the stop set is non-empty and the " +
       "candidate multiset shrinks") {
     val hashes = graft.dedup.Dedup.shingleFrame(
