@@ -101,6 +101,61 @@ class Curation3Spec extends SparkSpec {
     assert(got == Seq((5L, 1L, 3L), (7L, 1L, 2L), (9L, 1L, 1L)), got)
   }
 
+  test("q184 randomized recall referee: on seeded random corpora the " +
+      "positional tier equals Scala brute force exactly") {
+    // The oracle proves recall on the driver's testdata instances;
+    // this referee re-proves it on corpora the oracle never sees —
+    // three seeded random corpora with heavy vocabulary reuse (so
+    // shared shingles and containment pairs actually occur), compared
+    // against an INDEPENDENT brute-force implementation in plain
+    // Scala over the same md5 hash family.
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    }
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      // docs are random SLICES of a master sequence (the excerpt
+      // shape containment detection exists for), some with unique
+      // noise tails — overlapping slices produce genuine ≥0.5 pairs
+      val master = (0 until 200).map(i => s"m${seed}_$i")
+      val docs = (0 until 80).map { i =>
+        val off = rnd.nextInt(160)
+        val len = 6 + rnd.nextInt(30)
+        val tail = if (rnd.nextInt(10) < 3)
+          Seq.fill(3 + rnd.nextInt(5))(s"u${i}_${rnd.nextInt(99)}")
+        else Seq.empty
+        (i.toLong, (master.slice(off, off + len) ++ tail).mkString(" "),
+          "en", "s", 0L)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_rr$seed").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Curation3.qs.find(_.name == "q184_containment_positional")
+        .get.run(spark, dir)
+        .select("a_id", "b_id", "n_inter").as[(Long, Long, Long)]
+        .collect().toSet
+      // independent brute force: trigram shingles → hash sets →
+      // all-pairs exact containment
+      val hs = docs.map { case (id, text, _, _, _) =>
+        val ws = text.split("\\s+").toSeq
+        id -> ws.sliding(3).filter(_.size == 3)
+          .map(w => hash32(w.mkString(" "))).toSet
+      }.toMap
+      val want = (for {
+        a <- hs.keys; b <- hs.keys; if a < b
+        ni = (hs(a) intersect hs(b)).size
+        if ni * 2 >= math.min(hs(a).size, hs(b).size)
+      } yield (a, b, ni.toLong)).toSet
+      assert(got == want,
+        s"seed $seed: got ${got.size}, want ${want.size}, " +
+          s"missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+      assert(want.nonEmpty, s"seed $seed produced no pairs — referee inert")
+    }
+  }
+
   test("q194 router: testdata corpora route to stopdrop; a planted " +
       "hub-shingle corpus flips to positional and stays recall-exact") {
     // testdata: capped mass fits the linear budget → stopdrop
