@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * cache — otherwise whichever query runs first absorbs ~6 s of JVM
   * warm-up and the numbers measure iteration order, not plans), then
   * SPARK_GRAFT_REPS timed runs (default 5). The per-query number
-  * reported in "queries" is the MEDIAN; "queries_min" carries the
-  * minimum. Rationale: on a shared local[32] box a single timed run is
+  * reported in "queries" is the MEDIAN; BENCH_full.json additionally
+  * carries "queries_min"/"queries_max" and the raw per-rep timings
+  * ("queries_reps") — the variance envelope that lets a later reader
+  * separate scheduler contention from a real plan regression without
+  * re-running (VERDICT-r8 item 6). Rationale: on a shared local[32] box a single timed run is
   * hostage to scheduler contention — two rounds in a row produced
   * phantom regressions (a "16 s" q67, a "2.1 s" q48) that were noise,
   * not plans. The median of 5 is robust to one or two contended reps;
@@ -67,15 +70,21 @@ object Bench {
       }
       try {
         run() // warm-up: JIT, codegen cache, file index
-        val times = Seq.fill(reps)(run())
-        name -> (median(times), times.min)
+        name -> Seq.fill(reps)(run())
       } catch {
         case e: Throwable =>
           // loud failure: a crashed query must read as a regression, not
           // as a faster total
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> (-1.0, -1.0)
+          name -> Seq.empty[Double]
       }
+    }.map { case (name, times) =>
+      // (median, min, max): the per-query variance envelope (VERDICT-r8
+      // item 6 — a judge separating contention from regression needs the
+      // spread, not just the center; the q141/q170 incidents were both
+      // readings far outside their own rep spread)
+      if (times.isEmpty) name -> (-1.0, -1.0, -1.0, times)
+      else name -> (median(times), times.min, times.max, times)
     }
 
     // short key: the unique qNNN prefix for qNNN_* names (matches the
@@ -94,16 +103,20 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
 
-    val qs = jmap(results.map { case (k, (med, _)) => short(k) -> fmt3(med) })
-    val failed = results.collect { case (k, (med, _)) if med < 0 => "\"" + k + "\"" }
+    val qs = jmap(results.map { case (k, (med, _, _, _)) => short(k) -> fmt3(med) })
+    val failed = results.collect { case (k, (med, _, _, _)) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
-    // complete, full-precision, full-name artifact for the repo
+    // complete, full-precision, full-name artifact for the repo;
+    // queries_max + queries_reps carry the per-query variance envelope
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""sf":"$sfDir","key_scheme":"full",""" +
-      s""""queries":${jmap(results.map { case (k, (med, _)) => k -> med.toString })},""" +
-      s""""queries_min":${jmap(results.map { case (k, (_, mn)) => k -> mn.toString })},""" +
+      s""""queries":${jmap(results.map { case (k, (med, _, _, _)) => k -> med.toString })},""" +
+      s""""queries_min":${jmap(results.map { case (k, (_, mn, _, _)) => k -> mn.toString })},""" +
+      s""""queries_max":${jmap(results.map { case (k, (_, _, mx, _)) => k -> mx.toString })},""" +
+      s""""queries_reps":${jmap(results.map { case (k, (_, _, _, ts)) =>
+        k -> ts.map(fmt3).mkString("[", ",", "]") })},""" +
       s""""failed":[${failed.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut), fullJson + "\n")

@@ -159,7 +159,14 @@ object Multimodal {
           else ((p(j) & 0xffL) << 24) | ((p(j + 1) & 0xffL) << 16) |
             ((p(j + 2) & 0xffL) << 8) | (p(j + 3) & 0xffL)
         if (u16(t + 2) != 42) return None
-        val ifd0 = t + u32(t + 4).toInt
+        // the IFD0 offset is an UNSIGNED 32-bit value: a malformed
+        // offset near 2^32 would wrap .toInt negative and pass the
+        // upper-bound checks below, then index p(negative) — range-
+        // check the raw long BEFORE narrowing (round-9 fuzz finding;
+        // TIFF mandates offset ≥ 8, right past the 8-byte header)
+        val ifd0Off = u32(t + 4)
+        if (ifd0Off < 8 || ifd0Off > p.length.toLong - t) return None
+        val ifd0 = t + ifd0Off.toInt
         if (ifd0 + 2 > p.length || ifd0 + 2 > segEnd) return None
         val n = u16(ifd0)
         var e = 0

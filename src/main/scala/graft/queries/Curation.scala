@@ -205,13 +205,13 @@ object Curation {
               AS DECIMAL(38,0)) AS proj
           FROM v, range(0, 64) dm(i) JOIN v2 ON dm.i = v2.i
           GROUP BY v.vec_id, v.label),
-        sel AS (SELECT vec_id, label, proj FROM proj
+        sel AS (SELECT vec_id, label, proj AS exact_proj FROM proj
           ORDER BY abs(proj) DESC, vec_id LIMIT 20)
         SELECT vec_id, label,
-          CAST((CASE WHEN proj < 0 THEN -1 ELSE 1 END) *
-            CAST(abs(CAST(proj AS HUGEINT)) // 1000000 AS BIGINT)
+          CAST((CASE WHEN exact_proj < 0 THEN -1 ELSE 1 END) *
+            CAST(abs(CAST(exact_proj AS HUGEINT)) // 1000000 AS BIGINT)
             AS BIGINT) AS proj
-        FROM sel ORDER BY abs(proj) DESC, vec_id"""),
+        FROM sel ORDER BY abs(exact_proj) DESC, vec_id"""),
       (s, d) => {
         // Power iteration without a driver: the Gram pass is the ONE
         // corpus-sized job (GramMatrixAgg — a single ~16 KB state row
@@ -278,10 +278,20 @@ object Curation {
           // the surface's ONLY decimal-emitting query — the
           // DeterminismGateSpec output-schema gate now bans the type
           // at every boundary.
-          .select(col("vec_id"), col("label"),
+          //
+          // Ordering key (ADVICE-r8 medium): the FINAL sort runs on the
+          // exact decimal value on BOTH sides, never on the rescaled
+          // BIGINT — two top-20 rows that truncate to the same |proj|
+          // on the 1e6 lattice but differ in exact value would
+          // otherwise order differently per engine, data-dependently
+          // (the oracle's outer ORDER BY binds the inner exact column;
+          // here the rescaled output is projected AFTER the exact-key
+          // sort, which adds no exchange and preserves row order).
+          .select(col("vec_id"), col("label"), col("proj").as("exact_proj"),
             expr("CAST((CASE WHEN proj < 0 THEN -1 ELSE 1 END) * " +
-              "(abs(proj) DIV 1000000L) AS BIGINT)").as("proj"))
-          .orderBy(abs(col("proj")).desc, col("vec_id"))
+              "(abs(proj) DIV 1000000L) AS BIGINT)").as("proj_out"))
+          .orderBy(abs(col("exact_proj")).desc, col("vec_id"))
+          .select(col("vec_id"), col("label"), col("proj_out").as("proj"))
       }),
 
     Q("q152_precedence_dedup",

@@ -493,11 +493,15 @@ object Curation3 {
         "tier decision procedure as code — measure the capped " +
         "candidate multiset Σ min(df,τ)·probe(h) first (one cheap " +
         "aggregation, the AQE-runtime-stats move), then route: if it " +
-        "fits the declared linear budget (≤ 16·|distinct hashes|) run " +
-        "the q183 stop-drop tier (boilerplate-head corpora — cap " +
-        "costs nothing and kills the hot mass), else the q184 " +
-        "positional tier (hub-shingle mid-tail corpora — exact " +
-        "recall, bound prunes the duplicated-pair exchange). The " +
+        "fits the τ-derived linear budget (≤ τ·|distinct hashes|, a " +
+        "1/τ fraction of the stop-drop tier's τ²·|hashes| worst-case " +
+        "ceiling — VERDICT-r8 item 2: the budget scales with the " +
+        "corpus-relative cap, where the old constant 16 equalled the " +
+        "ceiling at τ=4 and could never route) run the q183 stop-drop " +
+        "tier (boilerplate-head corpora — cap costs nothing and kills " +
+        "the hot mass), else the q184 positional tier (hub-shingle " +
+        "mid-tail corpora — exact recall, bound prunes the " +
+        "duplicated-pair exchange). The " +
         "1-row stats read is a driver-side plan decision on an " +
         "aggregate, the same class as AQE's runtime replanning — " +
         "never a data collect. Oracle computes the identical integer " +
@@ -520,8 +524,9 @@ object Curation3 {
             (SELECT COUNT(*) FROM dfc) AS n_hashes,
             (SELECT COALESCE(SUM(np * c), 0) FROM prec
               JOIN dfc USING (h) CROSS JOIN tau WHERE c <= t)
-              AS capped_mass),
-        choice AS (SELECT CASE WHEN capped_mass <= 16 * n_hashes
+              AS capped_mass,
+            (SELECT t FROM tau) AS t),
+        choice AS (SELECT CASE WHEN capped_mass <= t * n_hashes
             THEN 'stopdrop' ELSE 'positional' END AS tier FROM stats),
         stop AS (SELECT h FROM dfc CROSS JOIN tau WHERE c > t),
         sd_cand AS (SELECT DISTINCT least(p.doc_id, i.doc_id) AS a_id,
@@ -567,10 +572,25 @@ object Curation3 {
           .agg(count(lit(1)).as("n_hashes"),
             coalesce(sum(when(col("c") <= col("t"),
               coalesce(col("np"), lit(0L)) * col("c"))
-              .otherwise(lit(0L))), lit(0L)).as("capped_mass"))
+              .otherwise(lit(0L))), lit(0L)).as("capped_mass"),
+            coalesce(max(col("t")), lit(StopDfFloor.toLong)).as("t"))
           .head()
+        // τ-derived budget (VERDICT-r8 item 2): stop-drop's candidate
+        // multiset is ≤ τ²·|hashes| BY CONSTRUCTION (each surviving
+        // hash contributes ≤ np·df ≤ τ²), so a useful router must ask
+        // for strictly better than the ceiling. The budget τ·|hashes|
+        // — one 1/τ fraction of that ceiling — accepts stop-drop only
+        // when the MEASURED mass is τ-linear (average surviving hash
+        // behaves like df≈√τ, the boilerplate-head shape where the cap
+        // did its job) and scales with the corpus-relative τ: the old
+        // constant 16 was the ceiling itself at τ=4 (router could
+        // never pick positional on small corpora, e.g. a df=τ hub
+        // lattice where the cap drops NOTHING and stop-drop degrades
+        // to the unmitigated q164 tier) and far below any reasonable
+        // mass at τ=100 (would abandon stop-drop on clean corpora).
+        // Curation3Spec plants the τ=4 disagreement corpus.
         val tier =
-          if (st.getLong(1) <= 16 * st.getLong(0)) "stopdrop"
+          if (st.getLong(1) <= st.getLong(2) * st.getLong(0)) "stopdrop"
           else "positional"
         val stop = dfc.crossJoin(broadcast(tau))
           .filter(col("c") > col("t")).select("h")

@@ -107,6 +107,21 @@ object Streaming2 {
           .filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
         val outDir = Common.scratchDir("scontain", d)
+        // Seed the sink with a zero-row frame of the result schema
+        // (ADVICE-r8): if no arriving docs exist (no doc_id % 10 == 0
+        // rows, or the glob matches nothing) foreachBatch never writes,
+        // and the post-stream read would throw path-not-found — the
+        // empty-corpus edge must degrade to an empty result, not a
+        // crash. doc_id/first_match reuse the table's own id type so
+        // the seed file merges cleanly with batch output.
+        val idType = raw.schema("doc_id").dataType
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id", idType),
+              org.apache.spark.sql.types.StructField("n_contained",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("first_match", idType))))
+          .write.mode("append").parquet(s"$outDir/table")
         val q = stream.writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$outDir/_chk")

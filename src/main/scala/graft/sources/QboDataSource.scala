@@ -70,11 +70,32 @@ object QboPageFeeds {
     "journalentries" -> graft.qbo.Fixtures.journalEntryPages,
     "purchases" -> graft.qbo.Fixtures.purchasePages,
     "deposits" -> graft.qbo.Fixtures.depositPages)
+  // Retry-contract test plumbing (VERDICT-r8 item 4): per-(feed, page)
+  // injected transient failures — the fixture twin of a flaky HTTP
+  // fetch — plus a per-feed fetch-attempt counter, so a spec can prove
+  // the at-least-once-HTTP / exactly-once-rows contract under Spark's
+  // task retry (the failed attempt's rows are discarded wholesale; the
+  // retry re-fetches its whole stride).
+  private val faults = scala.collection.concurrent
+    .TrieMap[(String, Int), java.util.concurrent.atomic.AtomicInteger]()
+  private val calls = scala.collection.concurrent
+    .TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
   def register(name: String, pages: Seq[String]): Unit = feeds.put(name, pages)
+  def known(name: String): Boolean = feeds.contains(name)
   def pages(name: String): Seq[String] =
     feeds.getOrElse(name,
       throw new IllegalArgumentException(s"unknown feed: $name"))
+
+  /** Make the next `times` fetches of page `idx` throw (transient-HTTP
+    * simulation for the task-retry contract spec).
+    */
+  def injectFault(name: String, idx: Int, times: Int): Unit =
+    faults.put((name, idx), new java.util.concurrent.atomic.AtomicInteger(times))
+  def faultsRemaining(name: String, idx: Int): Int =
+    faults.get((name, idx)).map(c => math.max(0, c.get())).getOrElse(0)
+  def fetchCount(name: String): Int =
+    calls.get(name).map(_.get()).getOrElse(0)
 
   /** Page-at-a-time access for the parallel-fetch path: None past the
     * end of the feed. A live HTTP backend implements the same contract
@@ -85,6 +106,11 @@ object QboPageFeeds {
     */
   def feedPage(name: String, idx: Int): Option[String] = {
     val ps = pages(name)
+    calls.getOrElseUpdate(name,
+      new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    if (faults.get((name, idx)).exists(_.getAndDecrement() > 0))
+      throw new java.io.IOException(
+        s"injected transient fetch failure: feed=$name page=$idx")
     if (idx >= 1 && idx <= ps.length) Some(ps(idx - 1)) else None
   }
 }
@@ -176,6 +202,19 @@ case class QboPagePartition(entity: String, pageJson: String) extends InputParti
 
 /** Speculative fan-out partition: fetches pages `first, first+stride,
   * first+2·stride, …` until the feed reports past-the-end.
+  *
+  * Deployment note (ADVICE-r8): unlike [[QboPagePartition]] (which
+  * serializes the page JSON into the partition), this partition carries
+  * only the FEED NAME and resolves pages through the [[QboPageFeeds]]
+  * registry at read time — a fixture stand-in for the HTTP fetch a live
+  * backend performs right there in the executor task. The registry is
+  * populated in the driver JVM, so the fixture backend works only where
+  * executors share that JVM (local mode, which is where every spec and
+  * bench runs); [[QboReaderFactory.createReader]] fails fast with a
+  * descriptive error if the feed is unknown in the current JVM instead
+  * of silently scanning nothing. A live backend would serialize its
+  * endpoint + auth handle here (a tiny closure, not data) and be
+  * cluster-safe by construction.
   */
 case class QboStridePartition(entity: String, feed: String,
     first: Int, stride: Int) extends InputPartition
@@ -252,6 +291,17 @@ class QboReaderFactory(entity: String, parseSchema: StructType,
     val pageIter: Iterator[String] = partition match {
       case QboPagePartition(_, json) => Iterator.single(json)
       case QboStridePartition(_, feed, first, stride) =>
+        // fail FAST and descriptively when the feed is unknown in this
+        // JVM (ADVICE-r8): the registry is driver-populated, so on a
+        // real cluster an executor-side reader would find it empty —
+        // that must be a loud configuration error at reader creation,
+        // never a silent 0-row scan or a lazy mid-read throw
+        if (!QboPageFeeds.known(feed))
+          throw new IllegalStateException(
+            s"qbo feed '$feed' is not registered in this JVM. " +
+              "QboPageFeeds is a driver-JVM fixture registry (local-mode " +
+              "backend); a live backend must serialize its fetch config " +
+              "into the partition — see QboStridePartition's scaladoc.")
         Iterator.iterate(first)(_ + stride)
           .map(idx => QboPageFeeds.feedPage(feed, idx))
           .takeWhile(_.isDefined).map(_.get)

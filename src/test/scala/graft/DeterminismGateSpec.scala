@@ -54,7 +54,8 @@ class DeterminismGateSpec extends SparkSpec {
     * alone, so an off-pattern boundary-sensitive cast like
     * double→DECIMAL(38,12) over non-lattice data is a build failure.
     */
-  private def isDsumShape(c: Cast, parent: Option[Expression]): Boolean =
+  private def isDsumShape(c: Cast, parent: Option[Expression],
+      windowSumRefs: Set[String]): Boolean =
     (c.child.dataType, c.dataType) match {
       case (DoubleType | FloatType, dt: DecimalType) =>
         dt.precision == 30 && Set(2, 4, 6, 12).contains(dt.scale) &&
@@ -64,15 +65,34 @@ class DeterminismGateSpec extends SparkSpec {
               true
             // dsumOver: ExtractWindowExpressions re-parents the Sum's
             // cast argument into a child Project under a synthetic
-            // `_w<N>` alias — the only producer of that name shape
-            case a: Alias => a.name.matches("_w\\d+")
+            // `_w<N>` alias. Round-9 tightening (ADVICE-r8): the name
+            // shape alone is spoofable by a hand-written alias, so the
+            // exemption additionally requires that THIS alias name is
+            // consumed by a Sum inside a Window node of the same plan —
+            // the cast must actually feed a windowed Sum, not merely be
+            // named like one.
+            case a: Alias =>
+              a.name.matches("_w\\d+") && windowSumRefs.contains(a.name)
             case _ => false
           }
       case _ => false
     }
 
-  private def offenders(e: Expression,
-      parent: Option[Expression]): Seq[String] = {
+  /** Names of attributes referenced by a Sum aggregate inside any
+    * Window node's window expressions — the legitimate consumers of the
+    * `_w<N>`-aliased dsumOver cast.
+    */
+  private def windowSumRefNames(plan: LogicalPlan): Set[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.windowExpressions.flatMap(_.collect {
+          case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+            s.references.map(_.name).toSeq
+        }.flatten)
+    }.flatten.toSet
+
+  private def offenders(e: Expression, parent: Option[Expression],
+      windowSumRefs: Set[String]): Seq[String] = {
     val self = e.getClass.getName match {
       case n if transcendental.contains(n) =>
         Seq(s"transcendental ${e.getClass.getSimpleName}($e)")
@@ -85,7 +105,7 @@ class DeterminismGateSpec extends SparkSpec {
       case _ => e match {
         case c: Cast => (c.child.dataType, c.dataType) match {
           case (DoubleType | FloatType, dt: DecimalType)
-              if !isDsumShape(c, parent) =>
+              if !isDsumShape(c, parent, windowSumRefs) =>
             Seq(s"cast double→${dt.sql} outside the Sum(dsum) shape: $c")
           case _ => Nil
         }
@@ -94,11 +114,13 @@ class DeterminismGateSpec extends SparkSpec {
     }
     val sub = e.collect { case sq: SubqueryExpression => sq.plan }
       .flatMap(planOffenders)
-    self ++ e.children.flatMap(offenders(_, Some(e))) ++ sub
+    self ++ e.children.flatMap(offenders(_, Some(e), windowSumRefs)) ++ sub
   }
 
-  private def planOffenders(plan: LogicalPlan): Seq[String] =
-    plan.flatMap(node => node.expressions.flatMap(offenders(_, None)))
+  private def planOffenders(plan: LogicalPlan): Seq[String] = {
+    val wsum = windowSumRefNames(plan)
+    plan.flatMap(node => node.expressions.flatMap(offenders(_, None, wsum)))
+  }
 
   test("no query contains a transcendental, a round-on-double, or an " +
       "off-pattern double→decimal cast") {

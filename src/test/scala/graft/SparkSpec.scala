@@ -7,7 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, TWO task attempts — plain local[N]
+      // pins maxFailures to 1, which makes task-retry semantics
+      // untestable (the QboDataSourceSpec at-least-once-fetch /
+      // exactly-once-rows contract needs a real retry). Harmless for
+      // every other suite: a second attempt only exists after a task
+      // failure.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")

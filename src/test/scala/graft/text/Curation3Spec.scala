@@ -165,8 +165,9 @@ class Curation3Spec extends SparkSpec {
     assert(t1 == Seq("stopdrop"), t1.toString)
     // hub corpus: 2500 docs in 250 groups of 10 sharing a group text
     // (df=10 retained under τ = max(4, 2500/250) = 10, per-hash mass
-    // ≈ np·c ≫ 16) → capped mass blows the linear budget → the router
-    // must pick the positional tier, whose output equals q164's
+    // ≈ np·c ≈ τ², far above the τ·|hashes| budget's per-hash
+    // allowance of τ) → capped mass blows the linear budget → the
+    // router must pick the positional tier, whose output equals q164's
     // guaranteed-recall tier on the same corpus
     val docs = (0 until 2500).map { i =>
       val g = i / 10
@@ -190,6 +191,93 @@ class Curation3Spec extends SparkSpec {
       s"router's positional branch diverged: ${autoPairs.size} vs ${full.size}")
     // the within-group clique is fully recovered: C(10,2)·250 pairs
     assert(full.size == 45 * 250, full.size.toString)
+  }
+
+  test("q194 τ-derived budget: a df=τ hub lattice where the old " +
+      "constant-16 budget and the τ·|hashes| formula disagree — and " +
+      "the formula is right") {
+    // VERDICT-r8 item 2. 1000 docs in 250 groups of 4: each doc is 12
+    // group-shared words + 1 unique word → 10 shared trigram shingles
+    // with df exactly 4 and one df=1 tail shingle. τ = max(4,
+    // 1000/250) = 4, so EVERY hash survives the cap (drop requires
+    // df > τ): the stop set is empty and the stop-drop tier degrades
+    // to the unmitigated q164 join with zero mitigation — routing
+    // there is simply wrong. The measured capped mass (~22k) sits in
+    // the exact disagreement zone: ABOVE the τ-budget 4·|hashes|
+    // (~14k) and BELOW the old constant budget 16·|hashes| (~56k —
+    // which at τ=4 equals the tier's τ²·|hashes| worst-case ceiling,
+    // i.e. the old router could never pick positional on any τ=4
+    // corpus). The formula routes positional; this test proves that
+    // is the right call: the positional bound prunes candidates the
+    // empty stop set cannot, and the routed output stays recall-exact
+    // vs the guaranteed-recall tier.
+    val docs = (0 until 1000).map { i =>
+      val g = i / 4
+      val words = (0 until 12).map(w => s"d${g}w$w") :+ s"uq$i"
+      (i.toLong, words.mkString(" "), "en", "s", 0L)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_taubudget").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // re-derive the router's measured statistics independently
+    val hashes = graft.dedup.Dedup.shingleFrame(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
+      .localCheckpoint()
+    val tau = math.max(Curation3.StopDfFloor.toLong,
+      hashes.count() / Curation3.StopFracDen)
+    assert(tau == 4L, s"corpus must sit at the τ floor, got $tau")
+    val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfc = ex.groupBy("h").agg(count(lit(1)).as("c"))
+    val prec = hashes.select(col("doc_id"),
+        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("np"))
+    val nHashes = dfc.count()
+    val cappedMass = dfc.join(prec, "h").filter(col("c") <= tau)
+      .agg(sum(col("np") * col("c"))).head().getLong(0)
+    val nStop = dfc.filter(col("c") > tau).count()
+    assert(nStop == 0L,
+      s"cap must bind NOTHING on the df=τ lattice, dropped $nStop")
+    // the disagreement zone: old constant says stopdrop, formula says
+    // positional
+    assert(cappedMass > tau * nHashes,
+      s"mass $cappedMass must exceed the τ budget ${tau * nHashes}")
+    assert(cappedMass <= 16 * nHashes,
+      s"mass $cappedMass must fit the old constant budget ${16 * nHashes} " +
+        "— otherwise this corpus shows no disagreement")
+    // the router takes the positional branch…
+    val auto = Curation3.qs.find(_.name == "q194_containment_auto").get
+      .run(spark, dir)
+    val tiers = auto.select("tier").distinct().as[String].collect().toSeq
+    assert(tiers == Seq("positional"), tiers.toString)
+    // …and that branch is the right one: recall-exact (equals the
+    // guaranteed-recall tier — each 4-group yields C(4,2) pairs) while
+    // the positional bound prunes real candidate mass where the empty
+    // stop set pruned none
+    val autoPairs = auto.select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    val full = Curation2.qs.find(_.name == "q164_containment_pairs").get
+      .run(spark, dir).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    assert(autoPairs == full,
+      s"router's positional branch diverged: ${autoPairs.size} vs ${full.size}")
+    assert(full.size == 6 * 250, full.size.toString)
+    val idx = hashes.select(col("doc_id").as("i_id"),
+      size(col("hs")).as("nb"), posexplode(col("hs")).as(Seq("j", "h")))
+    val pre = hashes.select(col("doc_id").as("p_id"),
+      size(col("hs")).as("na"),
+      posexplode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as(Seq("i", "h")))
+    val joined = pre.join(idx, "h").filter(col("p_id") =!= col("i_id"))
+    val unbounded = joined.count()
+    val bounded = joined.filter(
+      (lit(1) + least(col("na") - col("i") - 1, col("nb") - col("j") - 1))
+        * 2 >= least(col("na"), col("nb"))).count()
+    assert(bounded < unbounded,
+      s"positional bound pruned nothing here: $bounded vs $unbounded")
+    info(f"df=τ lattice: mass $cappedMass (τ·n=${tau * nHashes}, " +
+      f"16·n=${16 * nHashes}), candidate rows $unbounded -> $bounded")
   }
 
   test("q183 cap binds at sf0.01: the stop set is non-empty and the " +
