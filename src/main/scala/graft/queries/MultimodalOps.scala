@@ -352,6 +352,61 @@ object MultimodalOps {
           .orderBy("media_id")
       }),
 
+    Q("q195_gzip_member_split",
+      "concatenated-gzip member split (T104, VERDICT-r8 stretch): " +
+        "per-doc synthesized multi-member gzip archives (the WARC/WET " +
+        "crawl-ingest shape — back-to-back RFC 1952 members with FNAME " +
+        "headers, written by java.util.zip.Deflater) flow through the " +
+        "binary tier, and the walker must do the REAL container parse: " +
+        "header-field walk (FNAME path exercised on every member), a " +
+        "genuine streaming Inflater pass to find each member's end " +
+        "(the container has no length field — splitting REQUIRES " +
+        "inflating), CRC32+ISIZE trailer verification. Emitted stats " +
+        "(member count, inflated bytes, inflated BYTE SUM, crc-valid " +
+        "count, joined member names) have closed-form twins, so any " +
+        "defect in header skips, deflate termination or trailer checks " +
+        "hash-fails; byte_sum only matches if the inflated bytes are " +
+        "byte-exact. O(1) memory per member (8 KB streaming buffer), " +
+        "payload bytes never shuffle",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+        m AS (SELECT g.doc_id, g.n, k.k,
+            g.doc_id % 50 + 10 * k.k + 1 AS len,
+            97 + (g.doc_id + k.k) % 26 AS bv
+          FROM g, range(0, 4) k(k) WHERE k.k < g.n)
+        SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_members,
+          CAST(SUM(len) AS BIGINT) AS uncomp_bytes,
+          CAST(SUM(len * bv) AS BIGINT) AS byte_sum,
+          CAST(MAX(n) AS BIGINT) AS n_crc_ok,
+          string_agg('m' || k || '.txt', ',' ORDER BY k) AS names
+        FROM m GROUP BY doc_id ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Compressed
+        // Archive synthesis is executor-side (q110/q125 discipline):
+        // member k of doc id carries (id%50 + 10k + 1) bytes, every
+        // byte 'a' + (id+k)%26 — compressed bytes are Deflater-
+        // implementation-specific but the INFLATED stats are closed-
+        // form, which is what the oracle checks.
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 4 + 1).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            for (k <- 0 until n) {
+              val len = (id % 50 + 10 * k + 1).toInt
+              val b = Array.fill[Byte](len)(('a' + ((id + k) % 26)).toByte)
+              bos.write(Compressed.gzipMember(b, Some(s"m$k.txt")))
+            }
+            val ms = Compressed.splitGzipMembers(bos.toByteArray)
+              .getOrElse(Seq.empty)
+            (id, ms.length.toLong, ms.map(_.uncomp_len).sum,
+              ms.map(_.byte_sum).sum, ms.count(_.crc_ok).toLong,
+              ms.flatMap(_.name).mkString(","))
+          }
+          .toDF("media_id", "n_members", "uncomp_bytes", "byte_sum",
+            "n_crc_ok", "names")
+          .orderBy("media_id")
+      }),
+
     Q("q140_perceptual_near_dup",
       "perceptual NEAR-dup join with guaranteed recall: 64-bit aHashes " +
         "split into 4 bands of 16 bits — by pigeonhole, any pair within " +
