@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -82,6 +82,7 @@ object ScaleProbe {
     val doR12 = fam == "all" || fam == "r12"
     val doR13 = fam == "all" || fam == "r13"
     val doR14 = fam == "all" || fam == "r14"
+    val doR15 = fam == "all" || fam == "r15"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1067,6 +1068,58 @@ object ScaleProbe {
           when(col("doc_id") % 3 === 0, concat(col("text"), lit(footer)))
             .otherwise(col("text")).as("text"))
         contain(docs8B, "containment boiler@1x")
+      }
+      }
+
+      if (doR15) {
+      // --- round-9: streaming containment ingest-gate probe (q187 /
+      // T97, VERDICT-r8 item 3) --- the standing inverted index grows
+      // with the ACCEPTED corpus while the arriving batch stays a
+      // fixed size, so the per-batch latency curve vs corpus size IS
+      // the ingest-gate SLA. Corpus growth is rep-tagged DISJOINT
+      // content (rep 0 keeps the natural text so the true-match set is
+      // CONSTANT across multipliers — only the index size varies);
+      // the probe body is the exact q187 foreachBatch shape: hash the
+      // batch, positional-bound candidate join against the standing
+      // index (recomputed from the checkpointed hash frame, as
+      // shipped), exact verify, per-doc verdict. Three reps per
+      // multiplier separate steady-state from warm-up.
+      val docsS = table(spark, sfDir, "documents")
+      val trainX = docsS.filter(col("doc_id") % 10 =!= 0)
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit(" "),
+              concat(lit(" w"), col("rep"), lit(" ")))).as("text"))
+      val arriving = docsS.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") * mult).as("doc_id"), col("text"))
+      def hashF(df: DataFrame): DataFrame =
+        graft.dedup.Dedup.shingleFrame(df, "doc_id", "text")
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("hs"))
+      var train: DataFrame = null
+      time(s"ingest-gate index build @${mult}x") {
+        train = hashF(trainX).toDF("t_id", "t_hs").localCheckpoint()
+        train.count()
+      }
+      val trainPos = train.select(col("t_id"),
+        size(col("t_hs")).as("nb"),
+        posexplode(col("t_hs")).as(Seq("j", "h")))
+      for (rep <- 1 to 3) time(s"ingest-gate batch probe #$rep @${mult}x") {
+        val eh = hashF(arriving).toDF("e_id", "e_hs").localCheckpoint()
+        val cand = eh.select(col("e_id"), size(col("e_hs")).as("na"),
+            posexplode(col("e_hs")).as(Seq("i", "h")))
+          .join(trainPos, "h")
+          .filter((lit(1) + least(col("na") - col("i") - 1,
+            col("nb") - col("j") - 1)) * 2 >=
+            least(col("na"), col("nb")))
+          .select("e_id", "t_id").distinct()
+        cand.join(eh, "e_id").join(train, "t_id")
+          .filter(size(array_intersect(col("e_hs"), col("t_hs"))) * 2
+            >= least(size(col("e_hs")), size(col("t_hs"))))
+          .groupBy("e_id")
+          .agg(count(lit(1)).as("n"), min(col("t_id")).as("fm"))
+          .count()
       }
       }
 
