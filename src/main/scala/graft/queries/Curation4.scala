@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.dedup.Dedup
+import graft.ops.Hashing
+
+/** Round-9 curation wave (T105-T108): the corpus-statistics operators a
+  * training-data pipeline runs BEFORE committing a 100 TB sweep config
+  * — per-document novelty against the accumulated corpus, the token
+  * frequency spectrum (the Good-Turing dial), byte-level UTF-8 triage,
+  * and the vocabulary-growth (Heaps) curve. All four keep the shuffle
+  * keyed on tokens/shingle-hashes (map-side combinable) with bounded or
+  * doc-sized outputs; none shuffles text or payload bytes.
+  */
+object Curation4 {
+
+  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
+  private def sqlHash32(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  val qs: Seq[Q] = Seq(
+    Q("q196_novelty_rate",
+      "per-document shingle novelty vs the accumulated corpus (T105): " +
+        "treating doc_id as snapshot order, a doc's novelty is the " +
+        "fraction of its distinct trigram-shingle hashes whose FIRST " +
+        "corpus occurrence is this doc — the dial that catches a " +
+        "crawl slice that is mostly re-crawl (low novelty → skip " +
+        "ingest) before paying for dedup. One h-keyed min-aggregation " +
+        "(map-side combinable) + one h-keyed join back; novelty in " +
+        "exact integer ppm; text never shuffles, only (doc_id, hash) " +
+        "pairs — the inverted-index mass that IS this operator's floor",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+        hh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+            sh, s -> ${sqlHash32("s")}))) AS hs FROM sh),
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+        mn AS (SELECT h, MIN(doc_id) AS m FROM ex GROUP BY h)
+        SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN mn.m = ex.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST((1000000 * SUM(CASE WHEN mn.m = ex.doc_id THEN 1 ELSE 0
+            END)) // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM ex JOIN mn USING (h)
+        GROUP BY ex.doc_id ORDER BY ex.doc_id"""),
+      (s, d) => {
+        val ex = Dedup.shingleFrame(table(s, d, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), explode(array_distinct(
+            transform(col("sh"), x => Hashing.hash32(x)))).as("h"))
+          .localCheckpoint() // feeds the min-agg AND the join back
+        val mn = ex.groupBy("h").agg(min(col("doc_id")).as("m"))
+        ex.join(mn, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("m") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("(1000000 * n_novel) DIV n_shingles").as("novelty_ppm"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q197_token_spectrum",
+      "token frequency-of-frequencies spectrum (T106): per log2(tf) " +
+        "bucket, the number of distinct token types, their total " +
+        "occurrence mass, and type-/mass-shares in exact integer ppm " +
+        "— the count-of-counts table behind every Good-Turing-style " +
+        "read (the LOWEST bucket's mass share is the rare-token mass " +
+        "a vocabulary truncation forfeits) and the tokenizer " +
+        "vocabulary-size dial. log2 buckets (exact binary digit " +
+        "count, q174/q186 discipline) keep the table populated and " +
+        "≤ log2(max tf) rows at ANY corpus hotness — an absolute " +
+        "freq ≤ K slice returns zero rows on a corpus whose every " +
+        "token repeats (measured on this testdata). Two map-side-" +
+        "combinable aggregations; totals ride as a 1-row broadcast",
+      Some("""WITH t AS (SELECT unnest(regexp_split_to_array(text,
+            '\s+')) AS tok FROM documents),
+        tf AS (SELECT tok, COUNT(*) AS f FROM t WHERE tok <> ''
+          GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS n_types, SUM(f) AS n_tokens FROM tf),
+        sp AS (SELECT CAST(length(printf('%b', f)) - 1 AS BIGINT)
+            AS log2_tf, COUNT(*) AS nt, SUM(f) AS mass
+          FROM tf GROUP BY 1)
+        SELECT log2_tf, CAST(nt AS BIGINT) AS n_types,
+          CAST(mass AS BIGINT) AS mass,
+          CAST((1000000 * nt) // tot.n_types AS BIGINT)
+            AS type_share_ppm,
+          CAST((1000000 * mass) // tot.n_tokens AS BIGINT)
+            AS mass_share_ppm
+        FROM sp CROSS JOIN tot ORDER BY log2_tf"""),
+      (s, d) => {
+        val tf = table(s, d, "documents")
+          .select(explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val tot = tf.agg(count(lit(1)).as("n_types"),
+          sum(col("f")).as("n_tokens"))
+        tf.select((length(conv(col("f").cast("string"), 10, 2)) - 1)
+            .cast("long").as("log2_tf"), col("f"))
+          .groupBy("log2_tf")
+          .agg(count(lit(1)).as("nt"), sum(col("f")).as("mass"))
+          .crossJoin(broadcast(tot))
+          .select(col("log2_tf"), col("nt").as("n_types"), col("mass"),
+            expr("(1000000 * nt) DIV n_types").as("type_share_ppm"),
+            expr("(1000000 * mass) DIV n_tokens").as("mass_share_ppm"))
+          .orderBy("log2_tf")
+      }),
+
+    Q("q198_utf8_audit",
+      "byte-level UTF-8 validation/repair audit (T107): per-doc " +
+        "synthesized byte payloads cycle five unit shapes — ASCII, " +
+        "2-byte é, 3-byte €, a lone continuation byte 0x80, and a " +
+        "TRUNCATED 3-byte prefix E0 A0 — and the real RFC 3629 " +
+        "decoder (graft.text.Utf8: per-lead continuation windows, " +
+        "overlong/surrogate rejection, Unicode maximal-subpart " +
+        "substitution) must report bytes / valid codepoints / " +
+        "malformed bytes / U+FFFD substitutions / multibyte count. " +
+        "replacements < invalid_bytes exactly on the truncated units " +
+        "(one U+FFFD per maximal subpart), so the hash check verifies " +
+        "the substitution POLICY, not just detection; Utf8Spec " +
+        "additionally referees repaired output byte-for-byte against " +
+        "java.nio's CharsetDecoder on valid, malformed and randomly " +
+        "mutated inputs. Payload bytes never leave the task",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 40 + 10 AS n
+          FROM documents),
+        m AS (SELECT g.doc_id, (g.doc_id + k.k) % 5 AS t
+          FROM g, range(0, 50) k(k) WHERE k.k < g.n)
+        SELECT doc_id,
+          CAST(SUM(CASE t WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+            WHEN 3 THEN 1 ELSE 2 END) AS BIGINT) AS n_bytes,
+          CAST(SUM(CASE WHEN t <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cp_valid,
+          CAST(SUM(CASE t WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 0 END)
+            AS BIGINT) AS n_invalid_bytes,
+          CAST(SUM(CASE WHEN t >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_replacements,
+          CAST(SUM(CASE WHEN t = 1 OR t = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_multibyte
+        FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        // executor-side synthesis (q110/q125 discipline). Unit order
+        // cycles t, t+1, …, so a truncated E0 A0 unit (t=4) is always
+        // followed by ASCII (t=0) or end-of-doc — never by a stray
+        // continuation that would complete it — keeping the oracle
+        // closed-form.
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val units = (id % 40 + 10).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            for (k <- 0 until units) ((id + k) % 5).toInt match {
+              case 0 => bos.write('a')
+              case 1 => bos.write(0xc3); bos.write(0xa9) // é
+              case 2 => bos.write(0xe2); bos.write(0x82); bos.write(0xac) // €
+              case 3 => bos.write(0x80) // lone continuation
+              case _ => bos.write(0xe0); bos.write(0xa0) // truncated 3-byte
+            }
+            val st = graft.text.Utf8.audit(bos.toByteArray)
+            (id, st.n_bytes, st.n_cp_valid, st.n_invalid_bytes,
+              st.n_replacements, st.n_multibyte)
+          }
+          .toDF("doc_id", "n_bytes", "n_cp_valid", "n_invalid_bytes",
+            "n_replacements", "n_multibyte")
+          .orderBy("doc_id")
+      }),
+
+    Q("q199_vocab_growth",
+      "vocabulary-growth (Heaps) curve (T108): distinct token types " +
+        "seen within the first 2^(j+1)-1 documents of snapshot order, " +
+        "per power-of-two bucket — the curve that predicts tokenizer " +
+        "vocabulary size and OOV rate before training it on 100 TB. " +
+        "Each type is attributed to the bucket of its FIRST document " +
+        "(one token-keyed min-aggregation), bucket = exact binary " +
+        "digit count of first_doc+1 (q174 discipline, never log2()); " +
+        "the cumulative vocabulary runs on the ≤ log2(N) bucket rows",
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(
+            text, '\s+')) AS tok FROM documents),
+        fo AS (SELECT tok, MIN(doc_id) AS fd FROM t WHERE tok <> ''
+          GROUP BY tok),
+        b AS (SELECT CAST(length(printf('%b', fd + 1)) - 1 AS BIGINT)
+            AS bucket FROM fo),
+        c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+          FROM b GROUP BY bucket)
+        SELECT bucket,
+          CAST((CAST(1 AS BIGINT) << CAST(bucket + 1 AS INT)) - 1
+            AS BIGINT) AS prefix_docs,
+          new_types,
+          CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+            AS vocab
+        FROM c ORDER BY bucket"""),
+      (s, d) => {
+        val c = table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "\\s+"))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+          .select((length(conv((col("fd") + 1).cast("string"), 10, 2)) - 1)
+            .cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+        c.select(col("bucket"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT)) - 1")
+              .as("prefix_docs"),
+            col("new_types"),
+            sum(col("new_types")).over(org.apache.spark.sql.expressions
+              .Window.orderBy(col("bucket"))).cast("long").as("vocab"))
+          .orderBy("bucket")
+      })
+  )
+}
