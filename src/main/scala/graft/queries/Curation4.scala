@@ -74,8 +74,12 @@ object Curation4 {
         "count, q174/q186 discipline) keep the table populated and " +
         "≤ log2(max tf) rows at ANY corpus hotness — an absolute " +
         "freq ≤ K slice returns zero rows on a corpus whose every " +
-        "token repeats (measured on this testdata). Two map-side-" +
-        "combinable aggregations; totals ride as a 1-row broadcast",
+        "token repeats (measured on this testdata). ONE token-keyed " +
+        "aggregation chain — the corpus-wide totals come from a " +
+        "single-partition window over the bounded bucket frame (≤ " +
+        "log2(max tf) rows), not a second corpus scan (the broadcast-" +
+        "totals form re-read the token aggregation twice — explained " +
+        "and fixed in round 9)",
       Some("""WITH t AS (SELECT unnest(regexp_split_to_array(text,
             '\s+')) AS tok FROM documents),
         tf AS (SELECT tok, COUNT(*) AS f FROM t WHERE tok <> ''
@@ -92,20 +96,23 @@ object Curation4 {
             AS mass_share_ppm
         FROM sp CROSS JOIN tot ORDER BY log2_tf"""),
       (s, d) => {
-        val tf = table(s, d, "documents")
+        val sp = table(s, d, "documents")
           .select(explode(split(col("text"), "\\s+")).as("tok"))
           .filter(col("tok") =!= "")
           .groupBy("tok").agg(count(lit(1)).as("f"))
-        val tot = tf.agg(count(lit(1)).as("n_types"),
-          sum(col("f")).as("n_tokens"))
-        tf.select((length(conv(col("f").cast("string"), 10, 2)) - 1)
+          .select((length(conv(col("f").cast("string"), 10, 2)) - 1)
             .cast("long").as("log2_tf"), col("f"))
           .groupBy("log2_tf")
           .agg(count(lit(1)).as("nt"), sum(col("f")).as("mass"))
-          .crossJoin(broadcast(tot))
+        // totals over the BOUNDED bucket frame (≤ log2 max tf rows):
+        // a single-partition window here is O(log corpus), not a
+        // second pass over the token aggregation
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        sp.withColumn("tot_types", sum(col("nt")).over(w))
+          .withColumn("tot_mass", sum(col("mass")).over(w))
           .select(col("log2_tf"), col("nt").as("n_types"), col("mass"),
-            expr("(1000000 * nt) DIV n_types").as("type_share_ppm"),
-            expr("(1000000 * mass) DIV n_tokens").as("mass_share_ppm"))
+            expr("(1000000 * nt) DIV tot_types").as("type_share_ppm"),
+            expr("(1000000 * mass) DIV tot_mass").as("mass_share_ppm"))
           .orderBy("log2_tf")
       }),
 
