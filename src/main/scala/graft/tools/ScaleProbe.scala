@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -83,6 +83,7 @@ object ScaleProbe {
     val doR13 = fam == "all" || fam == "r13"
     val doR14 = fam == "all" || fam == "r14"
     val doR15 = fam == "all" || fam == "r15"
+    val doR16 = fam == "all" || fam == "r16"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1119,6 +1120,34 @@ object ScaleProbe {
             >= least(size(col("e_hs")), size(col("t_hs"))))
           .groupBy("e_id")
           .agg(count(lit(1)).as("n"), min(col("t_id")).as("fm"))
+          .count()
+      }
+      }
+
+      if (doR16) {
+      // --- round-9: per-doc novelty (q196 / T105) --- the h-keyed
+      // min-aggregation + join back. The operator's mass is the
+      // inverted-index (doc, hash) row set, so shuffle must track the
+      // multiplier LINEARLY — any superlinear growth here would mean
+      // the join back is exchanging more than the index mass. Disjoint
+      // rep-tagged growth, as in r15.
+      val docsN = table(spark, sfDir, "documents")
+      val docsNX = docsN
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit(" "),
+              concat(lit(" w"), col("rep"), lit(" ")))).as("text"))
+      time(s"novelty rate @${mult}x") {
+        val ex = graft.dedup.Dedup.shingleFrame(docsNX, "doc_id", "text")
+          .select(col("doc_id"), explode(array_distinct(
+            transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("h"))
+          .localCheckpoint()
+        val mn = ex.groupBy("h").agg(min(col("doc_id")).as("m"))
+        ex.join(mn, "h").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("m") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
           .count()
       }
       }

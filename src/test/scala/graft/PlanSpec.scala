@@ -183,6 +183,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q197/q199: one corpus scan each — totals/cumulatives run on " +
+      "the bounded bucket frame, never a second token pass") {
+    // q197's original broadcast-totals form re-ran the token
+    // aggregation chain twice (two parquet scans, no exchange reuse —
+    // caught by plan audit in round 9); both spectrum queries must
+    // keep exactly ONE corpus scan with the corpus-wide totals /
+    // cumulative vocab derived from the ≤ log2(max) bucket rows.
+    for (q <- Seq("q197_token_spectrum", "q199_vocab_growth")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val finalPlan = p.split("== Initial Plan ==")(0)
+      val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+      assert(scans == 1, s"$q: expected 1 corpus scan, got $scans:\n$finalPlan")
+    }
+  }
+
+  test("q196: checkpointed (doc, hash) frame feeds the min-agg and " +
+      "the join back — no parquet re-scan") {
+    val df = SparkEntry.queries("q196_novelty_rate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 0,
+      s"expected 0 parquet scans (checkpoint feeds both consumers), " +
+        s"got $scans:\n$finalPlan")
+    assert("Scan ExistingRDD".r.findAllIn(finalPlan).size >= 2, finalPlan)
+  }
+
   test("q114: zero-shuffle assignment feeds TopKPerGroup directly") {
     // Nearest-seed assignment is an in-row argmin against the broadcast
     // seed array: the only exchanges in the plan are the bounded
