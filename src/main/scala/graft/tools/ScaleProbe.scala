@@ -1138,6 +1138,41 @@ object ScaleProbe {
           when(col("rep") === 0, col("text"))
             .otherwise(regexp_replace(col("text"), lit(" "),
               concat(lit(" w"), col("rep"), lit(" ")))).as("text"))
+      // single-core throughput of the gzip member splitter (q195 /
+      // T104): at 100 TB the ingest decompression floor is
+      // bytes/sec/core × cores — measure it once (pure JVM, no Spark;
+      // members sized like WET records). Run only at the first
+      // multiplier; prints compressed and inflated MB/s.
+      if (mult == mults.head) {
+        // text-shaped payload (4096-word vocab in mixed order) → a
+        // realistic ~2-3× deflate ratio, not a degenerate 50× one
+        val payload = {
+          val sb = new StringBuilder
+          var x = 88172645463325252L
+          while (sb.length < 100 * 1024) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            sb.append('w').append(java.lang.Long.toString((x >>> 16) & 4095))
+              .append(' ')
+          }
+          sb.toString.getBytes("US-ASCII")
+        }
+        val member = graft.multimodal.Compressed.gzipMember(payload, None)
+        val archive = {
+          val bos = new java.io.ByteArrayOutputStream()
+          for (_ <- 0 until 512) bos.write(member)
+          bos.toByteArray
+        }
+        graft.multimodal.Compressed.splitGzipMembers(archive) // warm JIT
+        val t0 = System.nanoTime()
+        val ms = graft.multimodal.Compressed.splitGzipMembers(archive).get
+        val secs = (System.nanoTime() - t0) / 1e9
+        val compMb = archive.length / 1e6
+        val rawMb = ms.map(_.uncomp_len).sum / 1e6
+        println(f"[scale] gzip split throughput: ${ms.length} members, " +
+          f"$compMb%.1f MB compressed / $rawMb%.1f MB inflated in " +
+          f"$secs%.2f s = ${compMb / secs}%.0f / ${rawMb / secs}%.0f MB/s " +
+          "single-core")
+      }
       time(s"novelty rate @${mult}x") {
         val ex = graft.dedup.Dedup.shingleFrame(docsNX, "doc_id", "text")
           .select(col("doc_id"), explode(array_distinct(
