@@ -174,6 +174,113 @@ object Curation4 {
           .orderBy("doc_id")
       }),
 
+    Q("q200_pii_scrub",
+      "PII detection + scrubbing audit (T109): deterministic emails " +
+        "and E.164-style phone numbers are planted into each doc's " +
+        "text (formula-positioned, so natural text and plants coexist " +
+        "in one string), then BOTH engines run the same regex " +
+        "pipeline: count matches, replace with <EMAIL>/<PHONE> " +
+        "placeholders, and md5 the scrubbed text — the digest match " +
+        "proves the SCRUB byte-for-byte (a divergent regex dialect, " +
+        "replacement order or anchoring shows up as a hash fail, not " +
+        "a silent partial scrub). Patterns stay in the Java-regex ∩ " +
+        "RE2 common subset (no lookarounds/backrefs — the portable " +
+        "discipline a cross-engine pipeline must hold anyway). " +
+        "Zero-shuffle per-row Column work; the only exchange is the " +
+        "final sort",
+      Some("""WITH p AS (SELECT doc_id, text
+            || CASE WHEN doc_id % 3 >= 1 THEN ' alice' || doc_id
+                 || '@mail.example.org' ELSE '' END
+            || CASE WHEN doc_id % 3 = 2 THEN ' bob.' || doc_id
+                 || '@ex-two.net' ELSE '' END
+            || CASE WHEN doc_id % 2 = 1 THEN ' call +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS ptext
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(ptext,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(ptext, '\+1-555-[0-9]{4}'))
+            AS BIGINT) AS n_phones,
+          md5(regexp_replace(regexp_replace(ptext,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+            'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g'))
+            AS scrubbed_digest
+        FROM p ORDER BY doc_id"""),
+      (s, d) => {
+        val email = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+1-555-[0-9]{4}"
+        table(s, d, "documents")
+          .select(col("doc_id"), expr("""text
+            || CASE WHEN doc_id % 3 >= 1 THEN ' alice' || doc_id
+                 || '@mail.example.org' ELSE '' END
+            || CASE WHEN doc_id % 3 = 2 THEN ' bob.' || doc_id
+                 || '@ex-two.net' ELSE '' END
+            || CASE WHEN doc_id % 2 = 1 THEN ' call +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                 ELSE '' END""").as("ptext"))
+          .select(col("doc_id"),
+            // DataFrame-API regexp_extract_all: the pattern string
+            // reaches the regex engine verbatim (an expr() SQL literal
+            // would eat the backslashes)
+            size(regexp_extract_all(col("ptext"), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("ptext"), lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(encode(
+              regexp_replace(
+                regexp_replace(col("ptext"), email, "<EMAIL>"),
+                phone, "<PHONE>"), "UTF-8")).as("scrubbed_digest"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q201_url_domain_mix",
+      "URL extraction + domain-mix rollup (T110): deterministic URLs " +
+        "(varying scheme, subdomain depth, path) are planted into doc " +
+        "text; both engines regex-extract every URL's HOST, strip the " +
+        "www. prefix, and roll up the registered-domain mix — the " +
+        "per-domain doc/mention counts a crawl-mix audit reads before " +
+        "setting source quotas. Extraction via one capture group in " +
+        "the Java∩RE2 subset; rollup is a host-keyed map-side-" +
+        "combinable agg; output bounded by the domain vocabulary",
+      Some("""WITH p AS (SELECT doc_id, text
+            || ' see https://'
+            || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+            || 'host' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example/p/' || CAST(doc_id AS VARCHAR)
+            || CASE WHEN doc_id % 5 = 0 THEN ' and http://mirror'
+                 || CAST(doc_id % 3 AS VARCHAR) || '.example/x'
+                 ELSE '' END AS ptext
+          FROM documents),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(ptext,
+            'https?://([A-Za-z0-9.-]+)/', 1)) AS host FROM p),
+        h AS (SELECT doc_id, regexp_replace(host, '^www\.', '')
+            AS domain FROM u)
+        SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_mentions
+        FROM h GROUP BY domain ORDER BY domain"""),
+      (s, d) => {
+        table(s, d, "documents")
+          .select(col("doc_id"), expr("""text
+            || ' see https://'
+            || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+            || 'host' || CAST(doc_id % 7 AS STRING)
+            || '.example/p/' || CAST(doc_id AS STRING)
+            || CASE WHEN doc_id % 5 = 0 THEN ' and http://mirror'
+                 || CAST(doc_id % 3 AS STRING) || '.example/x'
+                 ELSE '' END""").as("ptext"))
+          .select(col("doc_id"), explode(expr(
+            "regexp_extract_all(ptext, 'https?://([A-Za-z0-9.-]+)/', 1)"))
+            .as("host"))
+          .select(col("doc_id"),
+            regexp_replace(col("host"), "^www\\.", "").as("domain"))
+          .groupBy("domain")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_mentions"))
+          .orderBy("domain")
+      }),
+
     Q("q199_vocab_growth",
       "vocabulary-growth (Heaps) curve (T108): distinct token types " +
         "seen within the first 2^(j+1)-1 documents of snapshot order, " +

@@ -67,6 +67,49 @@ class Curation4Spec extends SparkSpec {
       got.toString)
   }
 
+  test("q200 scrub semantics: tricky emails matched, near-misses " +
+      "left alone, scrub idempotent") {
+    val email = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    def scrub(s: String): String = s
+      .replaceAll(email, "<EMAIL>").replaceAll(phone, "<PHONE>")
+    // matched: dots/underscores in local part, subdomains, 2-letter TLD
+    assert(scrub("hi a.b_c@x.co.uk bye") == "hi <EMAIL> bye")
+    assert(scrub("dial +1-555-0042 now") == "dial <PHONE> now")
+    // near-misses survive: no TLD, bare @, wrong prefix, short number
+    assert(scrub("a@b c @ d") == "a@b c @ d")
+    assert(scrub("+1-555-12 and +2-555-1234") == "+1-555-12 and +2-555-1234")
+    // idempotence: placeholders contain no matchable material
+    val once = scrub("alice9@mail.example.org +1-555-0009")
+    assert(scrub(once) == once && once == "<EMAIL> <PHONE>")
+    // the engine's own pipeline agrees with plain-Java on a planted doc
+    val dir = writeDocs(Seq(
+      0L -> "plain words only",
+      1L -> "reach me at dev.team_1@sub.host-a.io or +1-555-7777 thanks"),
+      "graft_pii")
+    val got = run("q200_pii_scrub", dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 plants one email (id%3=1) and one phone (id%2=1) via the
+    // query's own formula ON TOP of the in-text pair
+    assert(got(1L) == ((2L, 2L)), got.toString)
+    assert(got(0L) == ((0L, 0L)), got.toString)
+  }
+
+  test("q201 domain rollup: www stripped, multi-URL docs counted per " +
+      "mention, doc counts distinct") {
+    val dir = writeDocs(Seq(
+      0L -> "a", 4L -> "b", 5L -> "c", 20L -> "d"), "graft_url")
+    // planted by the query itself: doc 0 → www.host0.example + mirror0,
+    // doc 4 → www.host4.example, doc 5 → host5.example + mirror2,
+    // doc 20 → www.host6.example + mirror2
+    val got = run("q201_url_domain_mix", dir)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.contains(("host0.example", 1L, 1L)), got.toString)
+    assert(got.contains(("mirror2.example", 2L, 2L)), got.toString)
+    assert(got.forall { case (d, _, _) => !d.startsWith("www.") }, got)
+  }
+
   test("q198 synthesis closed form holds for the first cycle ids") {
     // independent re-derivation for ids 0-4 at the unit level: doc id
     // has units (id+k)%5, k < id%40+10 — spot-check the emitted stats
