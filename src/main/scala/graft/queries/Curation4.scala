@@ -281,6 +281,129 @@ object Curation4 {
           .orderBy("domain")
       }),
 
+    Q("q202_cdc_chunk_dedup",
+      "content-defined chunking dedup (T111, the FastCDC/rsync idea " +
+        "on word streams): chunk boundaries fall where a 4-word " +
+        "Karp-Rabin rolling hash ≡ 0 (mod 8) — boundaries derive from " +
+        "CONTENT, so an insertion early in a document shifts every " +
+        "fixed-window chunk but CDC boundaries RE-SYNC after the edit " +
+        "and downstream chunks dedup again (the property q99's fixed " +
+        "10-word chunks lack; Curation4Spec plants the shifted-copy " +
+        "case and referees against an independent plain-Scala CDC). " +
+        "Per doc: chunk count, chunks whose digest first occurred in " +
+        "an EARLIER doc, dup ppm. Exact integer polynomial hash " +
+        "(B=31 powers, BIGINT — identical in both engines); shuffle " +
+        "= digest-keyed min-agg + join back, the q196 shape at chunk " +
+        "grain; text leaves the task only as chunk digests",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        g AS (SELECT doc_id, ws, list_transform(ws,
+            x -> ${sqlHash32("x")}) AS gs FROM w),
+        b AS (SELECT doc_id, ws, list_filter(range(4, len(ws)+1),
+            i -> (gs[CAST(i-3 AS INT)]*29791 + gs[CAST(i-2 AS INT)]*961
+              + gs[CAST(i-1 AS INT)]*31 + gs[CAST(i AS INT)]) % 8 = 0)
+            AS bs FROM g),
+        c AS (SELECT doc_id, ws,
+            list_prepend(CAST(1 AS BIGINT),
+              list_transform(bs, x -> x + 1)) AS ss,
+            list_append(bs, CAST(len(ws) AS BIGINT)) AS es FROM b),
+        ch AS (SELECT doc_id, unnest(list_transform(
+            range(1, len(ss)+1),
+            i -> CASE WHEN es[CAST(i AS INT)] >= ss[CAST(i AS INT)]
+              THEN md5(array_to_string(
+                ws[CAST(ss[CAST(i AS INT)] AS INT)
+                  :CAST(es[CAST(i AS INT)] AS INT)], ' '))
+              ELSE NULL END)) AS dg FROM c),
+        chn AS (SELECT doc_id, dg FROM ch WHERE dg IS NOT NULL),
+        mn AS (SELECT dg, MIN(doc_id) AS m FROM chn GROUP BY dg)
+        SELECT chn.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN mn.m < chn.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+          CAST((1000000 * SUM(CASE WHEN mn.m < chn.doc_id THEN 1
+            ELSE 0 END)) // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM chn JOIN mn USING (dg)
+        GROUP BY chn.doc_id ORDER BY chn.doc_id"""),
+      (s, d) => {
+        val chunks = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+          .withColumn("gs", expr("transform(ws, x -> CAST(conv(" +
+            "substring(md5(encode(x, 'UTF-8')), 1, 8), 16, 10) AS BIGINT))"))
+          // CASE keeps the lambda lazy: element_at(gs, i-3) must not
+          // evaluate for i < 4 (array indices are 1-based and AND is
+          // not short-circuit under codegen)
+          .withColumn("bs", expr("filter(sequence(1, size(ws)), " +
+            "i -> CASE WHEN i >= 4 THEN (element_at(gs, i-3)*29791 + " +
+            "element_at(gs, i-2)*961 + element_at(gs, i-1)*31 + " +
+            "element_at(gs, i)) % 8 = 0 ELSE false END)"))
+          .withColumn("ss", expr(
+            "concat(array(1), transform(bs, x -> x + 1))"))
+          .withColumn("es", expr("concat(bs, array(size(ws)))"))
+          .select(col("doc_id"), explode(expr(
+            "filter(transform(sequence(1, size(ss)), i -> " +
+              "CASE WHEN element_at(es, i) >= element_at(ss, i) " +
+              "THEN md5(encode(concat_ws(' ', slice(ws, " +
+              "element_at(ss, i), element_at(es, i) - " +
+              "element_at(ss, i) + 1)), 'UTF-8')) ELSE NULL END), " +
+              "x -> x IS NOT NULL)")).as("dg"))
+          .localCheckpoint() // feeds the min-agg AND the join back
+        val mn = chunks.groupBy("dg").agg(min(col("doc_id")).as("m"))
+        chunks.join(mn, "dg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("m") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_dup"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+            expr("(1000000 * n_dup) DIV n_chunks").as("dup_ppm"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q203_winnow_fingerprints",
+      "winnowing fingerprint overlap (T112, the MOSS scheme): " +
+        "positional trigram-shingle hashes → sliding windows of 4 → " +
+        "each window contributes its MINIMUM hash — the classic " +
+        "guarantee that any shared run of ≥ 6 consecutive words " +
+        "yields at least one shared fingerprint, at ~2/(w+1) the " +
+        "density of full shingle sets. Pairs sharing ≥ 3 distinct " +
+        "fingerprints emitted with their overlap count — the " +
+        "plagiarism/excerpt detector at a fraction of the containment " +
+        "tier's index mass. Fingerprint-keyed self-join; the q183 " +
+        "stop-cap tiering applies verbatim if a corpus turns " +
+        "fingerprints hot (same (id, hash) shape)",
+      Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+        sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
+            i -> ${sqlHash32("array_to_string(ws[i:i+2], ' ')")}) AS hs
+          FROM w WHERE len(ws) >= 3),
+        fp AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(hs)-2),
+            i -> list_min(hs[i:i+3]))) AS f
+          FROM sh WHERE len(hs) >= 4),
+        ex AS (SELECT doc_id, unnest(f) AS v FROM fp),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM ex a JOIN ex b ON a.v = b.v AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= 3
+        ORDER BY n_shared DESC, a_id, b_id"""),
+      (s, d) => {
+        val ex = table(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), expr("transform(sequence(1, size(ws)-2), " +
+            "i -> CAST(conv(substring(md5(encode(concat_ws(' ', " +
+            "slice(ws, i, 3)), 'UTF-8')), 1, 8), 16, 10) AS BIGINT))")
+            .as("hs"))
+          .filter(size(col("hs")) >= 4)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(hs)-3), " +
+              "i -> array_min(slice(hs, i, 4)))"))).as("v"))
+        ex.toDF("a_id", "v")
+          .join(ex.toDF("b_id", "v"), "v")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+      }),
+
     Q("q199_vocab_growth",
       "vocabulary-growth (Heaps) curve (T108): distinct token types " +
         "seen within the first 2^(j+1)-1 documents of snapshot order, " +

@@ -110,6 +110,104 @@ class Curation4Spec extends SparkSpec {
     assert(got.forall { case (d, _, _) => !d.startsWith("www.") }, got)
   }
 
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private def hash32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  /** Independent plain-Scala CDC: same boundary rule as q202. */
+  private def cdcDigests(text: String): Seq[String] = {
+    val ws = text.split("\\s+").toIndexedSeq
+    val gs = ws.map(hash32)
+    val bs = (4 to ws.length).filter(i =>
+      (gs(i - 4) * 29791L + gs(i - 3) * 961L + gs(i - 2) * 31L +
+        gs(i - 1)) % 8 == 0)
+    val ss = 1 +: bs.map(_ + 1)
+    val es = bs :+ ws.length
+    ss.zip(es).filter { case (s, e) => e >= s }
+      .map { case (s, e) => md5hex(ws.slice(s - 1, e).mkString(" ")) }
+  }
+
+  test("q202 CDC referee: engine output equals an independent " +
+      "plain-Scala CDC on a seeded corpus, and a one-word insertion " +
+      "re-syncs (most chunks still dedup)") {
+    val rnd = new scala.util.Random(31337)
+    val master = (0 until 300).map(i => s"c${i}")
+    val base = (0 until 40).map { i =>
+      val off = rnd.nextInt(250)
+      i.toLong -> master.slice(off, off + 12 + rnd.nextInt(30)).mkString(" ")
+    }
+    // docs 100+: one-word-prefixed copies of docs 0-9 — the shifted-
+    // copy case fixed-window chunking cannot dedup
+    val shifted = (0 until 10).map(i =>
+      (100L + i) -> s"ins$i ${base(i)._2}")
+    val docs = base ++ shifted
+    val dir = writeDocs(docs, "graft_cdc")
+    val got = run("q202_cdc_chunk_dedup", dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // referee: replay the corpus in doc order, first-doc per digest
+    val first = scala.collection.mutable.Map[String, Long]()
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val dgs = cdcDigests(text)
+      dgs.foreach(dg => if (!first.contains(dg)) first(dg) = id)
+      id -> ((dgs.size.toLong, dgs.count(dg => first(dg) < id).toLong))
+    }.toMap
+    assert(got == want,
+      s"diverged at ${want.keys.filter(k => got(k) != want(k)).take(3)}")
+    // the CDC property: a 1-word insertion perturbs only the chunks
+    // overlapping the edit (the rolling window re-syncs w-1 words in)
+    // — every shifted copy re-dedups all but ≤ 2 of its chunks
+    // (measured: usually all but ONE, the chunk containing the
+    // insertion itself)
+    val resync = shifted.map(_._1).map(id => got(id))
+    assert(resync.forall { case (n, dup) => dup > 0 && dup >= n - 2 },
+      s"resync too weak: $resync")
+    val (tn, td) = resync.foldLeft((0L, 0L)) {
+      case ((an, ad), (n, dup)) => (an + n, ad + dup) }
+    assert(td * 2 > tn, s"aggregate resync below half: $td/$tn")
+  }
+
+  test("q203 winnowing referee: engine pairs equal plain-Scala " +
+      "winnowing; a planted 20-word shared run is detected") {
+    def fingerprints(text: String): Set[Long] = {
+      val ws = text.split("\\s+").toSeq
+      val hs = ws.sliding(3).filter(_.size == 3)
+        .map(w => hash32(w.mkString(" "))).toIndexedSeq
+      if (hs.size < 4) Set.empty
+      else (0 to hs.size - 4).map(i => hs.slice(i, i + 4).min).toSet
+    }
+    val rnd = new scala.util.Random(777)
+    val master = (0 until 200).map(i => s"m$i")
+    val docs = (0 until 50).map { i =>
+      val off = rnd.nextInt(150)
+      i.toLong -> master.slice(off, off + 10 + rnd.nextInt(25)).mkString(" ")
+    } ++ Seq(
+      // planted: disjoint unique prefixes + one 20-word shared run
+      900L -> ((1 to 12).map(i => s"pa$i") ++ master.slice(170, 190))
+        .mkString(" "),
+      901L -> ((1 to 9).map(i => s"pb$i") ++ master.slice(170, 190))
+        .mkString(" "))
+    val dir = writeDocs(docs, "graft_winnow")
+    val got = run("q203_winnow_fingerprints", dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val fps = docs.map { case (id, t) => id -> fingerprints(t) }.toMap
+    val want = (for {
+      a <- fps.keys; b <- fps.keys; if a < b
+      n = (fps(a) intersect fps(b)).size if n >= 3
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want,
+      s"got ${got.size}, want ${want.size}, " +
+        s"missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    // the guarantee: a 20-word shared run (18 shingles, 15 windows)
+    // must surface the planted pair
+    assert(got.exists { case (a, b, _) => a == 900L && b == 901L },
+      "planted shared-run pair missed")
+    assert(want.nonEmpty)
+  }
+
   test("q198 synthesis closed form holds for the first cycle ids") {
     // independent re-derivation for ids 0-4 at the unit level: doc id
     // has units (id+k)%5, k < id%40+10 — spot-check the emitted stats
