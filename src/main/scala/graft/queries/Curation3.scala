@@ -344,11 +344,16 @@ object Curation3 {
         "graft_shingles + built-in md5/conv hashing + posexplode over " +
         "a temp view and gets the recall-exact T94 tier — same " +
         "all-pairs brute-force oracle as q164/q184, so the hash match " +
-        "is the recall proof for the SQL formulation too. Trade " +
-        "declared: SQL text has no localCheckpoint, so the corpus is " +
-        "re-shingled per CTE consumer (the Scala API's checkpointed " +
-        "frame is the production form; this query proves SURFACE " +
-        "parity, not the best plan)",
+        "is the recall proof for the SQL formulation too. Round 9 " +
+        "closes the declared re-shingle trade WITHIN SQL: the hashed " +
+        "shingle frame is materialized once via SQL-native CACHE " +
+        "TABLE (the SQL twin of the Scala API's localCheckpoint — " +
+        "eager, so the four consumers hit the InMemoryRelation " +
+        "instead of re-shingling per CTE; measured 2.9 → 2.4 s at " +
+        "sf0.1 — the residual gap to the Scala tier's 1.3 s is the " +
+        "columnar cache codec encoding/decoding the long-array " +
+        "column 4×, where localCheckpoint stores raw rows). " +
+        "Re-entrant: the cache is dropped and rebuilt per invocation",
       Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
         sh AS (SELECT doc_id, list_distinct(list_transform(
             range(1, len(ws)-1),
@@ -368,13 +373,22 @@ object Curation3 {
         graft.functions.GraftFunctions.register(s)
         table(s, d, "documents")
           .createOrReplaceTempView("docs_contain_v")
+        // SQL-native materialization (the localCheckpoint twin): CACHE
+        // TABLE ... AS SELECT is eager, so the shingle+hash pass runs
+        // ONCE and every downstream consumer reads the cached frame.
+        // Drop-then-recreate keeps the query re-entrant under bench
+        // reps / repeated Verify runs in one session.
+        s.sql("UNCACHE TABLE IF EXISTS graft_q188_hh")
+        s.sql("DROP VIEW IF EXISTS graft_q188_hh")
         s.sql("""
-          WITH hh AS (
+          CACHE TABLE graft_q188_hh AS
             SELECT doc_id, array_sort(array_distinct(transform(
                 graft_shingles(text),
                 s -> CAST(conv(substring(md5(encode(s, 'UTF-8')), 1, 8),
                   16, 10) AS BIGINT)))) AS hs
-            FROM docs_contain_v),
+            FROM docs_contain_v""")
+        s.sql("""
+          WITH hh AS (SELECT doc_id, hs FROM graft_q188_hh),
           idx AS (SELECT doc_id AS i_id, size(hs) AS nb,
               posexplode(hs) AS (j, h) FROM hh),
           pre AS (SELECT doc_id AS p_id, size(hs) AS na,
