@@ -193,7 +193,13 @@ class Curation4Spec extends SparkSpec {
     val dir = writeDocs(docs, "graft_winnow")
     val got = run("q203_winnow_fingerprints", dir)
       .as[(Long, Long, Long)].collect().toSet
-    val fps = docs.map { case (id, t) => id -> fingerprints(t) }.toMap
+    // referee mirrors the declared hot-fingerprint cap: df > max(4,
+    // docs/250) dropped before pairing
+    val fpsRaw = docs.map { case (id, t) => id -> fingerprints(t) }.toMap
+    val tau = math.max(4L, docs.size / 250L)
+    val df = fpsRaw.values.flatten.groupBy(identity).map {
+      case (v, o) => v -> o.size.toLong }
+    val fps = fpsRaw.view.mapValues(_.filter(df(_) <= tau)).toMap
     val want = (for {
       a <- fps.keys; b <- fps.keys; if a < b
       n = (fps(a) intersect fps(b)).size if n >= 3
