@@ -1185,6 +1185,68 @@ object ScaleProbe {
               .as("n_novel"))
           .count()
       }
+      // q202 CDC chunk dedup: digest-keyed, same linearity expectation
+      time(s"cdc chunk dedup @${mult}x") {
+        val chunks = docsNX
+          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+          .withColumn("gs", expr("transform(ws, x -> CAST(conv(" +
+            "substring(md5(encode(x, 'UTF-8')), 1, 8), 16, 10) AS BIGINT))"))
+          .withColumn("bs", expr("filter(sequence(1, size(ws)), " +
+            "i -> CASE WHEN i >= 4 THEN (element_at(gs, i-3)*29791 + " +
+            "element_at(gs, i-2)*961 + element_at(gs, i-1)*31 + " +
+            "element_at(gs, i)) % 8 = 0 ELSE false END)"))
+          .withColumn("ss", expr(
+            "concat(array(1), transform(bs, x -> x + 1))"))
+          .withColumn("es", expr("concat(bs, array(size(ws)))"))
+          .select(col("doc_id"), explode(expr(
+            "filter(transform(sequence(1, size(ss)), i -> " +
+              "CASE WHEN element_at(es, i) >= element_at(ss, i) " +
+              "THEN md5(encode(concat_ws(' ', slice(ws, " +
+              "element_at(ss, i), element_at(es, i) - " +
+              "element_at(ss, i) + 1)), 'UTF-8')) ELSE NULL END), " +
+              "x -> x IS NOT NULL)")).as("dg"))
+          .localCheckpoint()
+        val mn2 = chunks.groupBy("dg").agg(min(col("doc_id")).as("m"))
+        chunks.join(mn2, "dg").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("m") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_dup"))
+          .count()
+      }
+      // q203 winnowing with the hot-fingerprint cap: the pair mass is
+      // the quantity the cap bounds — report capped vs full
+      time(s"winnow pairs @${mult}x") {
+        val ex2 = docsNX
+          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), expr("transform(sequence(1, size(ws)-2), " +
+            "i -> CAST(conv(substring(md5(encode(concat_ws(' ', " +
+            "slice(ws, i, 3)), 'UTF-8')), 1, 8), 16, 10) AS BIGINT))")
+            .as("hs"))
+          .filter(size(col("hs")) >= 4)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(hs)-3), " +
+              "i -> array_min(slice(hs, i, 4)))"))).as("v"))
+          .localCheckpoint()
+        val tau2 = math.max(4L, docsNX.count() / 250L)
+        val dfc2 = ex2.groupBy("v").agg(count(lit(1)).as("c"))
+        val m = dfc2.agg(
+          sum(col("c") * col("c")).as("full"),
+          sum(when(col("c") <= tau2, col("c") * col("c"))
+            .otherwise(lit(0L))).as("capped")).head()
+        println(f"[scale]   winnow pair mass Σdf²: full=${m.getLong(0)}%,d " +
+          f"capped=${m.getLong(1)}%,d (τ=$tau2)")
+        val hot = dfc2.filter(col("c") > tau2).select("v")
+        val exc = ex2.join(hot, Seq("v"), "left_anti")
+          .select(col("doc_id"), col("v"))
+        exc.select(col("doc_id").as("a_id"), col("v"))
+          .join(exc.select(col("doc_id").as("b_id"), col("v")), "v")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .count()
+      }
       }
 
       if (doCC) {
