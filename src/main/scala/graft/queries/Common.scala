@@ -90,6 +90,12 @@ object Common {
   def sqlHash32(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
+  /** DuckDB whitespace tokenization of the `text` column — the oracle
+    * twin of Spark's `split(text, "\\s+")`. ONE definition: the
+    * portable-hash and tokenization contracts must not fork per file.
+    */
+  val sqlWords = """regexp_split_to_array(text, '\s+')"""
+
   def hash32(c: Column): Column =
     conv(substring(md5(encode(c, "UTF-8")), 1, 8), 16, 10).cast("long")
 

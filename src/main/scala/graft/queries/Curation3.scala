@@ -29,9 +29,10 @@ import graft.ops.Hashing
   */
 object Curation3 {
 
-  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
-  private def sqlHash32(e: String) =
-    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+  // delegate to the single shared definitions (round-9 cleanup: the
+  // portable hash/tokenization contract lives once, in Common)
+  private val sqlWords = Common.sqlWords
+  private def sqlHash32(e: String) = Common.sqlHash32(e)
 
   /** Stop-shingle cap: a shingle hash appearing in more than
     * max(StopDfFloor, nDocs/StopFracDen) documents is dropped from the
@@ -387,7 +388,7 @@ object Curation3 {
                 s -> CAST(conv(substring(md5(encode(s, 'UTF-8')), 1, 8),
                   16, 10) AS BIGINT)))) AS hs
             FROM docs_contain_v""")
-        s.sql("""
+        val out = s.sql("""
           WITH hh AS (SELECT doc_id, hs FROM graft_q188_hh),
           idx AS (SELECT doc_id AS i_id, size(hs) AS nb,
               posexplode(hs) AS (j, h) FROM hh),
@@ -411,6 +412,16 @@ object Curation3 {
             CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
           FROM sc WHERE n_inter * 2 >= least(na, nb)
           ORDER BY containment DESC, a_id, b_id""")
+          // drain the bounded result eagerly (localCheckpoint), then
+          // RELEASE the cache — without this the whole-corpus shingle
+          // frame stays pinned in storage memory for the session
+          // lifetime, taxing every later query in a bench/verify run
+          // (round-9 review finding). The SQL user's equivalent is
+          // `UNCACHE TABLE` after their query — still pure SQL.
+          .localCheckpoint()
+        s.sql("UNCACHE TABLE IF EXISTS graft_q188_hh")
+        s.sql("DROP VIEW IF EXISTS graft_q188_hh")
+        out
       }),
 
     Q("q189_recency_decay_score",

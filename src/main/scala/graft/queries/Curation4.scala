@@ -16,9 +16,62 @@ import graft.ops.Hashing
   */
 object Curation4 {
 
-  private val sqlWords = """regexp_split_to_array(text, '\s+')"""
-  private def sqlHash32(e: String) =
-    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+  import Common.{sqlWords, sqlHash32}
+
+  /** (doc_id, h) — each doc's DISTINCT trigram-shingle hashes, one row
+    * per hash (q196's input; the r16 probe measures the same frame).
+    */
+  def noveltyExplode(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Dedup.shingleFrame(docs, "doc_id", "text")
+      .select(col("doc_id"), explode(array_distinct(
+        transform(col("sh"), x => Hashing.hash32(x)))).as("h"))
+
+  /** (doc_id, dg) — CDC chunk digests under the 4-word Karp-Rabin
+    * mod-8 boundary rule (q202's chunker; the r16 probe measures the
+    * same frame — one definition, no probe drift).
+    */
+  def cdcChunkFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .withColumn("gs", expr("transform(ws, x -> CAST(conv(" +
+        "substring(md5(encode(x, 'UTF-8')), 1, 8), 16, 10) AS BIGINT))"))
+      // CASE keeps the lambda lazy: element_at(gs, i-3) must not
+      // evaluate for i < 4 (array indices are 1-based and AND is
+      // not short-circuit under codegen)
+      .withColumn("bs", expr("filter(sequence(1, size(ws)), " +
+        "i -> CASE WHEN i >= 4 THEN (element_at(gs, i-3)*29791 + " +
+        "element_at(gs, i-2)*961 + element_at(gs, i-1)*31 + " +
+        "element_at(gs, i)) % 8 = 0 ELSE false END)"))
+      .withColumn("ss", expr(
+        "concat(array(1), transform(bs, x -> x + 1))"))
+      .withColumn("es", expr("concat(bs, array(size(ws)))"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(1, size(ss)), i -> " +
+          "CASE WHEN element_at(es, i) >= element_at(ss, i) " +
+          "THEN md5(encode(concat_ws(' ', slice(ws, " +
+          "element_at(ss, i), element_at(es, i) - " +
+          "element_at(ss, i) + 1)), 'UTF-8')) ELSE NULL END), " +
+          "x -> x IS NOT NULL)")).as("dg"))
+
+  /** (doc_id, v) — UNCAPPED winnowing fingerprints: positional trigram
+    * hashes, sliding windows of 4, per-window minimum (q203's
+    * fingerprint pass; the r16 probe measures the same frame).
+    */
+  def winnowExplode(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr("transform(sequence(1, size(ws)-2), " +
+        "i -> CAST(conv(substring(md5(encode(concat_ws(' ', " +
+        "slice(ws, i, 3)), 'UTF-8')), 1, 8), 16, 10) AS BIGINT))")
+        .as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(hs)-3), " +
+          "i -> array_min(slice(hs, i, 4)))"))).as("v"))
 
   val qs: Seq[Q] = Seq(
     Q("q196_novelty_rate",
@@ -47,10 +100,7 @@ object Curation4 {
         FROM ex JOIN mn USING (h)
         GROUP BY ex.doc_id ORDER BY ex.doc_id"""),
       (s, d) => {
-        val ex = Dedup.shingleFrame(table(s, d, "documents"),
-            "doc_id", "text")
-          .select(col("doc_id"), explode(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("h"))
+        val ex = noveltyExplode(table(s, d, "documents"))
           .localCheckpoint() // feeds the min-agg AND the join back
         val mn = ex.groupBy("h").agg(min(col("doc_id")).as("m"))
         ex.join(mn, "h")
@@ -323,27 +373,7 @@ object Curation4 {
         FROM chn JOIN mn USING (dg)
         GROUP BY chn.doc_id ORDER BY chn.doc_id"""),
       (s, d) => {
-        val chunks = table(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-          .withColumn("gs", expr("transform(ws, x -> CAST(conv(" +
-            "substring(md5(encode(x, 'UTF-8')), 1, 8), 16, 10) AS BIGINT))"))
-          // CASE keeps the lambda lazy: element_at(gs, i-3) must not
-          // evaluate for i < 4 (array indices are 1-based and AND is
-          // not short-circuit under codegen)
-          .withColumn("bs", expr("filter(sequence(1, size(ws)), " +
-            "i -> CASE WHEN i >= 4 THEN (element_at(gs, i-3)*29791 + " +
-            "element_at(gs, i-2)*961 + element_at(gs, i-1)*31 + " +
-            "element_at(gs, i)) % 8 = 0 ELSE false END)"))
-          .withColumn("ss", expr(
-            "concat(array(1), transform(bs, x -> x + 1))"))
-          .withColumn("es", expr("concat(bs, array(size(ws)))"))
-          .select(col("doc_id"), explode(expr(
-            "filter(transform(sequence(1, size(ss)), i -> " +
-              "CASE WHEN element_at(es, i) >= element_at(ss, i) " +
-              "THEN md5(encode(concat_ws(' ', slice(ws, " +
-              "element_at(ss, i), element_at(es, i) - " +
-              "element_at(ss, i) + 1)), 'UTF-8')) ELSE NULL END), " +
-              "x -> x IS NOT NULL)")).as("dg"))
+        val chunks = cdcChunkFrame(table(s, d, "documents"))
           .localCheckpoint() // feeds the min-agg AND the join back
         val mn = chunks.groupBy("dg").agg(min(col("doc_id")).as("m"))
         chunks.join(mn, "dg")
@@ -399,17 +429,7 @@ object Curation4 {
         ORDER BY n_shared DESC, a_id, b_id"""),
       (s, d) => {
         val docs = table(s, d, "documents")
-        val ex = docs
-          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"), expr("transform(sequence(1, size(ws)-2), " +
-            "i -> CAST(conv(substring(md5(encode(concat_ws(' ', " +
-            "slice(ws, i, 3)), 'UTF-8')), 1, 8), 16, 10) AS BIGINT))")
-            .as("hs"))
-          .filter(size(col("hs")) >= 4)
-          .select(col("doc_id"), explode(array_distinct(expr(
-            "transform(sequence(1, size(hs)-3), " +
-              "i -> array_min(slice(hs, i, 4)))"))).as("v"))
+        val ex = winnowExplode(docs)
           .localCheckpoint() // df count + both self-join sides
         val tau = docs.agg(
           expr("greatest(CAST(4 AS BIGINT), count(1) DIV 250) AS t"))

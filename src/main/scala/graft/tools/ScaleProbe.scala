@@ -1173,10 +1173,12 @@ object ScaleProbe {
           f"$secs%.2f s = ${compMb / secs}%.0f / ${rawMb / secs}%.0f MB/s " +
           "single-core")
       }
+      // the probes below call the SHIPPED frame builders
+      // (Curation4.noveltyExplode/cdcChunkFrame/winnowExplode) — one
+      // definition each, so a chunking/fingerprint rule change cannot
+      // silently leave the probe measuring a stale operator
       time(s"novelty rate @${mult}x") {
-        val ex = graft.dedup.Dedup.shingleFrame(docsNX, "doc_id", "text")
-          .select(col("doc_id"), explode(array_distinct(
-            transform(col("sh"), x => graft.ops.Hashing.hash32(x)))).as("h"))
+        val ex = graft.queries.Curation4.noveltyExplode(docsNX)
           .localCheckpoint()
         val mn = ex.groupBy("h").agg(min(col("doc_id")).as("m"))
         ex.join(mn, "h").groupBy("doc_id")
@@ -1187,24 +1189,7 @@ object ScaleProbe {
       }
       // q202 CDC chunk dedup: digest-keyed, same linearity expectation
       time(s"cdc chunk dedup @${mult}x") {
-        val chunks = docsNX
-          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-          .withColumn("gs", expr("transform(ws, x -> CAST(conv(" +
-            "substring(md5(encode(x, 'UTF-8')), 1, 8), 16, 10) AS BIGINT))"))
-          .withColumn("bs", expr("filter(sequence(1, size(ws)), " +
-            "i -> CASE WHEN i >= 4 THEN (element_at(gs, i-3)*29791 + " +
-            "element_at(gs, i-2)*961 + element_at(gs, i-1)*31 + " +
-            "element_at(gs, i)) % 8 = 0 ELSE false END)"))
-          .withColumn("ss", expr(
-            "concat(array(1), transform(bs, x -> x + 1))"))
-          .withColumn("es", expr("concat(bs, array(size(ws)))"))
-          .select(col("doc_id"), explode(expr(
-            "filter(transform(sequence(1, size(ss)), i -> " +
-              "CASE WHEN element_at(es, i) >= element_at(ss, i) " +
-              "THEN md5(encode(concat_ws(' ', slice(ws, " +
-              "element_at(ss, i), element_at(es, i) - " +
-              "element_at(ss, i) + 1)), 'UTF-8')) ELSE NULL END), " +
-              "x -> x IS NOT NULL)")).as("dg"))
+        val chunks = graft.queries.Curation4.cdcChunkFrame(docsNX)
           .localCheckpoint()
         val mn2 = chunks.groupBy("dg").agg(min(col("doc_id")).as("m"))
         chunks.join(mn2, "dg").groupBy("doc_id")
@@ -1216,24 +1201,16 @@ object ScaleProbe {
       // q203 winnowing with the hot-fingerprint cap: the pair mass is
       // the quantity the cap bounds — report capped vs full
       time(s"winnow pairs @${mult}x") {
-        val ex2 = docsNX
-          .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"), expr("transform(sequence(1, size(ws)-2), " +
-            "i -> CAST(conv(substring(md5(encode(concat_ws(' ', " +
-            "slice(ws, i, 3)), 'UTF-8')), 1, 8), 16, 10) AS BIGINT))")
-            .as("hs"))
-          .filter(size(col("hs")) >= 4)
-          .select(col("doc_id"), explode(array_distinct(expr(
-            "transform(sequence(1, size(hs)-3), " +
-              "i -> array_min(slice(hs, i, 4)))"))).as("v"))
+        val ex2 = graft.queries.Curation4.winnowExplode(docsNX)
           .localCheckpoint()
         val tau2 = math.max(4L, docsNX.count() / 250L)
         val dfc2 = ex2.groupBy("v").agg(count(lit(1)).as("c"))
+        // coalesce: an all-short-docs corpus yields an EMPTY
+        // fingerprint frame and NULL sums — report zero, don't NPE
         val m = dfc2.agg(
-          sum(col("c") * col("c")).as("full"),
-          sum(when(col("c") <= tau2, col("c") * col("c"))
-            .otherwise(lit(0L))).as("capped")).head()
+          coalesce(sum(col("c") * col("c")), lit(0L)).as("full"),
+          coalesce(sum(when(col("c") <= tau2, col("c") * col("c"))
+            .otherwise(lit(0L))), lit(0L)).as("capped")).head()
         println(f"[scale]   winnow pair mass Σdf²: full=${m.getLong(0)}%,d " +
           f"capped=${m.getLong(1)}%,d (τ=$tau2)")
         val hot = dfc2.filter(col("c") > tau2).select("v")

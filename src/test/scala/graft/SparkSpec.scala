@@ -10,9 +10,13 @@ object SparkTestSession {
       // local[4, 2]: 4 threads, TWO task attempts — plain local[N]
       // pins maxFailures to 1, which makes task-retry semantics
       // untestable (the QboDataSourceSpec at-least-once-fetch /
-      // exactly-once-rows contract needs a real retry). Harmless for
-      // every other suite: a second attempt only exists after a task
-      // failure.
+      // exactly-once-rows contract needs a real retry). Accepted
+      // trade (reviewed round 9): a once-per-run transient task
+      // failure in another suite now retries and passes instead of
+      // failing loudly — but maxFailures > 1 is also every real
+      // cluster's configuration, so suites exercise the production
+      // retry regime; a bug that only fails once per run was flaky
+      // under local[4] too, just differently.
       .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

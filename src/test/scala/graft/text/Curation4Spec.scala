@@ -218,8 +218,7 @@ class Curation4Spec extends SparkSpec {
     // independent re-derivation for ids 0-4 at the unit level: doc id
     // has units (id+k)%5, k < id%40+10 — spot-check the emitted stats
     // against a plain-Scala recount
-    val dir = s"/root/testdata/sf0.001"
-    val got = run("q198_utf8_audit", dir)
+    val got = run("q198_utf8_audit", sfDir)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
     for (id <- 0L to 4L if got.contains(id)) {
