@@ -16,6 +16,24 @@ import graft.queries.Common
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q187 on a corpus with NO arriving docs returns an empty " +
+      "typed frame, not a path-not-found crash (ADVICE-r8)") {
+    // every doc_id ≡ 1 (mod 10) → the arriving filter matches nothing
+    // and foreachBatch never writes; the seeded sink must degrade the
+    // edge to an empty result of the right schema
+    val docs = (0 until 7).map(i =>
+      (i * 10L + 1, s"w$i a b c d e", "en", "s", 0L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scontain_empty").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Streaming2.qs
+      .find(_.name == "q187_stream_containment_gate").get
+      .run(spark, dir)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "n_contained", "first_match"))
+  }
+
   test("streaming tumbling counts == batch q23 aggregates") {
     // Stage the events as a file-source stream (micros-normalized parquet,
     // since readStream hits the same NANOS limitation as batch).
