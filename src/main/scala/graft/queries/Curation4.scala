@@ -448,6 +448,82 @@ object Curation4 {
           .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
       }),
 
+    Q("q204_boilerplate_lines",
+      "line-frequency boilerplate stripping (T113, the C4/Trafilatura " +
+        "class): docs are deterministically re-lined (6 words per " +
+        "line + a per-source footer line — the planted navigation/" +
+        "license shape), and a LINE whose digest appears in more than " +
+        "max(2, 25% of the source's docs) documents of the SAME " +
+        "source is boilerplate; per doc: line count, boilerplate " +
+        "count, and the md5 over the KEPT line digests in original " +
+        "order — the clean-text fingerprint a downstream dedup would " +
+        "consume. Only 16-byte line digests shuffle (frequency count " +
+        "keyed by (source, digest), recompose keyed by doc) — line " +
+        "TEXT never leaves its task, the binary-tier rule applied to " +
+        "text",
+      Some("""WITH w AS (SELECT doc_id, source,
+            regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        l AS (SELECT doc_id, source, list_append(
+            list_transform(range(0, CAST((len(ws)+5)//6 AS BIGINT)),
+              i -> array_to_string(
+                ws[CAST(6*i+1 AS INT):CAST(6*i+6 AS INT)], ' ')),
+            'footer of ' || source) AS ls FROM w),
+        eu AS (SELECT doc_id, source, unnest(list_transform(
+            range(1, len(ls)+1),
+            i -> {'pos': i, 'ld': md5(ls[CAST(i AS INT)])})) AS u
+          FROM l),
+        e AS (SELECT doc_id, source, u.pos AS pos, u.ld AS ld FROM eu),
+        nd AS (SELECT source, COUNT(DISTINCT doc_id) AS nds FROM w
+          GROUP BY source),
+        df AS (SELECT source, ld, COUNT(DISTINCT doc_id) AS c FROM e
+          GROUP BY source, ld),
+        b AS (SELECT df.source, df.ld FROM df JOIN nd USING (source)
+          WHERE df.c > greatest(2, nds // 4)),
+        m AS (SELECT e.doc_id, e.pos, e.ld,
+            (b.ld IS NOT NULL) AS boiler
+          FROM e LEFT JOIN b ON e.source = b.source AND e.ld = b.ld)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler,
+          md5(string_agg(CASE WHEN boiler THEN NULL ELSE ld END,
+            chr(10) ORDER BY pos)) AS clean_digest
+        FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val e = table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), "\\s+").as("ws"))
+          .select(col("doc_id"), col("source"), posexplode(expr(
+            "concat(transform(sequence(0, " +
+              "CAST((size(ws)+5) DIV 6 AS INT) - 1), " +
+              "i -> concat_ws(' ', slice(ws, 6*i+1, 6))), " +
+              "array('footer of ' || source))")).as(Seq("pos", "line")))
+          .select(col("doc_id"), col("source"), col("pos"),
+            md5(encode(col("line"), "UTF-8")).as("ld"))
+          .localCheckpoint() // feeds the df count AND the recompose
+        val nd = e.select("source", "doc_id").distinct()
+          .groupBy("source").agg(count(lit(1)).as("nds"))
+        val b = e.select("source", "ld", "doc_id").distinct()
+          .groupBy("source", "ld").agg(count(lit(1)).as("c"))
+          .join(nd, "source")
+          .filter(col("c") > greatest(lit(2L), expr("nds DIV 4")))
+          .select(col("source"), col("ld"), lit(true).as("boiler"))
+        e.join(b, Seq("source", "ld"), "left")
+          .select(col("doc_id"), col("pos"), col("ld"),
+            coalesce(col("boiler"), lit(false)).as("boiler"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+            expr("sort_array(collect_list(named_struct('pos', pos, " +
+              "'kl', CASE WHEN boiler THEN NULL ELSE ld END)))")
+              .as("sorted"))
+          .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+            expr("CASE WHEN size(filter(sorted, x -> x.kl IS NOT NULL)) " +
+              "= 0 THEN NULL ELSE md5(encode(concat_ws(chr(10), " +
+              "transform(filter(sorted, x -> x.kl IS NOT NULL), " +
+              "x -> x.kl)), 'UTF-8')) END").as("clean_digest"))
+          .orderBy("doc_id")
+      }),
+
     Q("q199_vocab_growth",
       "vocabulary-growth (Heaps) curve (T108): distinct token types " +
         "seen within the first 2^(j+1)-1 documents of snapshot order, " +

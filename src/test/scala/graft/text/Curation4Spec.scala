@@ -214,6 +214,50 @@ class Curation4Spec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("q204 boilerplate: a planted nav line in 10 of 12 same-source " +
+      "docs strips; rare lines and small-source lines survive") {
+    // source 'big': 12 docs, each = one unique 6-word line + a shared
+    // 6-word nav line (df 10 > max(2, 12/4)=3 → boilerplate) + the
+    // query's own planted footer (df 12 → boilerplate). Two docs lack
+    // the nav line. source 'tiny': 2 docs sharing everything — df 2
+    // is NOT > max(2, 0)=2, so nothing strips but the footer isn't
+    // boiler either (df 2 ≤ 2): small sources are immune.
+    val nav = "home about contact privacy terms sitemap"
+    def uniq(i: Int) = (1 to 6).map(k => s"u${i}_$k").mkString(" ")
+    val docs =
+      (0 until 10).map(i => (i.toLong, s"${uniq(i)} $nav", "en", "big", 0L)) ++
+      (10 until 12).map(i => (i.toLong, uniq(i), "en", "big", 0L)) ++
+      Seq((20L, "tiny shared line one two three", "en", "tiny", 0L),
+        (21L, "tiny shared line one two three", "en", "tiny", 0L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_boiler").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("q204_boilerplate_lines", dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def ld(s: String) = md5hex(s)
+    // nav-carrying docs: 3 lines (unique, nav, footer), nav+footer
+    // stripped → clean digest = md5 of the unique line's digest
+    for (i <- 0L until 10L) {
+      val (n, boiler, dg) = got(i)
+      assert((n, boiler) == ((3L, 2L)), s"doc $i: $n/$boiler")
+      assert(dg == md5hex(ld(uniq(i.toInt))), s"doc $i digest")
+    }
+    // nav-free docs: 2 lines, only the footer stripped
+    for (i <- 10L until 12L)
+      assert(got(i)._1 == 2L && got(i)._2 == 1L, s"doc $i")
+    // tiny source: nothing is boilerplate (df 2 ≤ max(2, 0)), all
+    // 2 lines kept incl. the footer
+    for (i <- Seq(20L, 21L)) {
+      val (n, boiler, dg) = got(i)
+      assert((n, boiler) == ((2L, 0L)), s"doc $i: $n/$boiler")
+      assert(dg == md5hex(
+        ld("tiny shared line one two three") + "\n" + ld("footer of tiny")),
+        s"doc $i digest")
+    }
+  }
+
   test("q198 synthesis closed form holds for the first cycle ids") {
     // independent re-derivation for ids 0-4 at the unit level: doc id
     // has units (id+k)%5, k < id%40+10 — spot-check the emitted stats
