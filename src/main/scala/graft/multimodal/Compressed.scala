@@ -17,11 +17,16 @@ package graft.multimodal
   * inflated bytes. Malformed or truncated input → None, never a throw
   * (at 100 TB corrupt archives are a certainty).
   *
-  * Scale shape: the walker is STREAMING — inflated bytes flow through
-  * the CRC/stats accumulators in an 8 KB buffer and are dropped, so
-  * memory is O(1) per member regardless of member size, and archive
-  * payload bytes never shuffle (the q39/q125 binary-tier rule: one
-  * task holds one archive, only extracted features leave the task).
+  * Scale shape: the walker is STREAMING on the inflate side — inflated
+  * bytes flow through the CRC/stats accumulators in an 8 KB buffer and
+  * are dropped, so the INFLATED payload never materializes regardless
+  * of member size. The `Array[Byte]` overload still holds the whole
+  * compressed archive in memory (right for parquet-binary-column
+  * rows); for true O(buffer) ingest of multi-GB archives use the
+  * `InputStream` overload, which reads the compressed stream through
+  * the same 8 KB windows (ADVICE-r9). Archive payload bytes never
+  * shuffle either way (the q39/q125 binary-tier rule: one task holds
+  * one archive, only extracted features leave the task).
   */
 object Compressed {
 
@@ -108,6 +113,114 @@ object Compressed {
       } finally inf.end()
     }
     if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** True-streaming twin of [[splitGzipMembers(p:Array[Byte])*]]: walks a
+    * concatenated-gzip STREAM in O(buffer) memory — compressed bytes are
+    * read through an 8 KB window, inflated bytes flow through the
+    * CRC/stats accumulators and are dropped, and the unconsumed tail of
+    * the last read (the next member's header) is pushed back. Same
+    * contract as the array overload: Some(members) only when the entire
+    * stream parses as back-to-back valid members, None on any
+    * malformation (CompressedSpec referees the two overloads
+    * byte-for-byte on full archives, truncations, and bit flips). The
+    * caller owns closing `in`.
+    */
+  def splitGzipMembers(in: java.io.InputStream): Option[Seq[GzipMember]] = {
+    val out = scala.collection.mutable.ArrayBuffer[GzipMember]()
+    val pin = new java.io.PushbackInputStream(in, 8192)
+    var idx = 0
+    def readFully(buf: Array[Byte], n: Int): Boolean = {
+      var off = 0
+      while (off < n) {
+        val r = pin.read(buf, off, n - off)
+        if (r < 0) return false
+        off += r
+      }
+      true
+    }
+    def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    while (true) {
+      val first = pin.read()
+      if (first < 0) return if (out.isEmpty) None else Some(out.toSeq)
+      var headerLen = 1L
+      val fixed = new Array[Byte](9)
+      if (!readFully(fixed, 9)) return None
+      headerLen += 9
+      if (first != 0x1f || (fixed(0) & 0xff) != 0x8b ||
+          (fixed(1) & 0xff) != 8) return None // magic + CM=deflate
+      val flg = fixed(2) & 0xff
+      if ((flg & 0xe0) != 0) return None // RFC 1952: reserved bits zero
+      if ((flg & 4) != 0) { // FEXTRA
+        val xl = new Array[Byte](2)
+        if (!readFully(xl, 2)) return None
+        val xlen = (xl(0) & 0xff) | ((xl(1) & 0xff) << 8)
+        val skip = new Array[Byte](xlen)
+        if (!readFully(skip, xlen)) return None
+        headerLen += 2 + xlen
+      }
+      var name: Option[String] = None
+      def readZString(keep: Boolean): Option[String] = {
+        val sb = new java.io.ByteArrayOutputStream()
+        var b = pin.read()
+        while (b > 0) { if (keep) sb.write(b); headerLen += 1; b = pin.read() }
+        if (b < 0) None
+        else { headerLen += 1; Some(new String(sb.toByteArray, "ISO-8859-1")) }
+      }
+      if ((flg & 8) != 0) readZString(keep = true) match {
+        case Some(s) => name = Some(s)
+        case None => return None // unterminated FNAME
+      }
+      if ((flg & 16) != 0) {
+        if (readZString(keep = false).isEmpty) return None
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        val hc = new Array[Byte](2)
+        if (!readFully(hc, 2)) return None
+        headerLen += 2
+      }
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        val crc = new java.util.zip.CRC32
+        var total = 0L
+        var byteSum = 0L
+        val inBuf = new Array[Byte](8192)
+        val outBuf = new Array[Byte](8192)
+        var lastIn = 0
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            val n = pin.read(inBuf)
+            if (n < 0) return None // truncated deflate stream
+            inf.setInput(inBuf, 0, n)
+            lastIn = n
+          }
+          val n =
+            try inf.inflate(outBuf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n > 0) {
+            crc.update(outBuf, 0, n)
+            var k = 0
+            while (k < n) { byteSum += outBuf(k) & 0xff; k += 1 }
+            total += n
+          } else if (!inf.finished() && !inf.needsInput()) {
+            return None // needsDictionary or a stuck stream — malformed
+          }
+        }
+        // unconsumed tail of the last read belongs to trailer + next member
+        val rem = inf.getRemaining
+        if (rem > 0) pin.unread(inBuf, lastIn - rem, rem)
+        val trailer = new Array[Byte](8)
+        if (!readFully(trailer, 8)) return None
+        val crcOk = le32(trailer, 0) == crc.getValue &&
+          le32(trailer, 4) == (total & 0xffffffffL)
+        out += GzipMember(idx, name, headerLen + inf.getBytesRead + 8,
+          total, byteSum, crcOk)
+        idx += 1
+      } finally inf.end()
+    }
+    None // unreachable
   }
 
   /** Write one gzip member (java.util.zip.Deflater + CRC32, raw-deflate

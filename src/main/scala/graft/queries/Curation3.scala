@@ -381,6 +381,11 @@ object Curation3 {
         // reps / repeated Verify runs in one session.
         s.sql("UNCACHE TABLE IF EXISTS graft_q188_hh")
         s.sql("DROP VIEW IF EXISTS graft_q188_hh")
+        // ADVICE-r9: the whole query + drain sits in try/finally so a
+        // failing SQL run or drain cannot leak the whole-corpus shingle
+        // cache for the session lifetime — the exact tax the eager
+        // UNCACHE exists to remove.
+        try {
         s.sql("""
           CACHE TABLE graft_q188_hh AS
             SELECT doc_id, array_sort(array_distinct(transform(
@@ -388,7 +393,7 @@ object Curation3 {
                 s -> CAST(conv(substring(md5(encode(s, 'UTF-8')), 1, 8),
                   16, 10) AS BIGINT)))) AS hs
             FROM docs_contain_v""")
-        val out = s.sql("""
+        s.sql("""
           WITH hh AS (SELECT doc_id, hs FROM graft_q188_hh),
           idx AS (SELECT doc_id AS i_id, size(hs) AS nb,
               posexplode(hs) AS (j, h) FROM hh),
@@ -417,11 +422,12 @@ object Curation3 {
           // frame stays pinned in storage memory for the session
           // lifetime, taxing every later query in a bench/verify run
           // (round-9 review finding). The SQL user's equivalent is
-          // `UNCACHE TABLE` after their query — still pure SQL.
+          // `UNCACHE TABLE` in a try/finally — still pure SQL.
           .localCheckpoint()
-        s.sql("UNCACHE TABLE IF EXISTS graft_q188_hh")
-        s.sql("DROP VIEW IF EXISTS graft_q188_hh")
-        out
+        } finally {
+          s.sql("UNCACHE TABLE IF EXISTS graft_q188_hh")
+          s.sql("DROP VIEW IF EXISTS graft_q188_hh")
+        }
       }),
 
     Q("q189_recency_decay_score",

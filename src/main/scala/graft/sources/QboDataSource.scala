@@ -46,9 +46,23 @@ class QboDataSource extends TableProvider with DataSourceRegister {
     QboDataSource.schemaFor(options.get("entity"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // Cluster-real backend (VERDICT-r9 item 6): when the options carry
+    // an HTTP endpoint + token config, the scan serializes a
+    // QboHttpFeedConfig into each strided partition — executors fetch
+    // pages themselves, no driver-JVM registry involved.
+    val http = Option(properties.get("httpBaseUrl")).map { base =>
+      def req(k: String): String = Option(properties.get(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"qbo http backend needs option '$k' alongside httpBaseUrl"))
+      QboHttpFeedConfig(base, req("realm"), properties.get("entity"),
+        req("tokenUrl"), req("clientId"), req("clientSecret"),
+        req("refreshToken"))
+    }
     new QboTable(schema, properties.get("entity"), properties.get("feed"),
-      Option(properties.get("fetchPartitions")).map(_.toInt).getOrElse(1))
+      Option(properties.get("fetchPartitions")).map(_.toInt).getOrElse(1),
+      http)
+  }
 }
 
 object QboDataSource {
@@ -75,7 +89,11 @@ object QboPageFeeds {
   // fetch — plus a per-feed fetch-attempt counter, so a spec can prove
   // the at-least-once-HTTP / exactly-once-rows contract under Spark's
   // task retry (the failed attempt's rows are discarded wholesale; the
-  // retry re-fetches its whole stride).
+  // retry re-fetches its whole stride). ADVICE-r9: the instrumentation
+  // is GATED — production fetches skip the counter/fault lookups
+  // entirely unless a spec has switched it on — and resettable, so the
+  // registries cannot grow unbounded across a long spec run.
+  @volatile private var instrumented = false
   private val faults = scala.collection.concurrent
     .TrieMap[(String, Int), java.util.concurrent.atomic.AtomicInteger]()
   private val calls = scala.collection.concurrent
@@ -87,11 +105,21 @@ object QboPageFeeds {
     feeds.getOrElse(name,
       throw new IllegalArgumentException(s"unknown feed: $name"))
 
+  /** Turn on fetch counting (test-only; implied by [[injectFault]]). */
+  def enableInstrumentation(): Unit = instrumented = true
+
+  /** Clear injected faults + counters and stop counting (spec teardown). */
+  def resetInstrumentation(): Unit = {
+    faults.clear(); calls.clear(); instrumented = false
+  }
+
   /** Make the next `times` fetches of page `idx` throw (transient-HTTP
     * simulation for the task-retry contract spec).
     */
-  def injectFault(name: String, idx: Int, times: Int): Unit =
+  def injectFault(name: String, idx: Int, times: Int): Unit = {
+    instrumented = true
     faults.put((name, idx), new java.util.concurrent.atomic.AtomicInteger(times))
+  }
   def faultsRemaining(name: String, idx: Int): Int =
     faults.get((name, idx)).map(c => math.max(0, c.get())).getOrElse(0)
   def fetchCount(name: String): Int =
@@ -106,27 +134,84 @@ object QboPageFeeds {
     */
   def feedPage(name: String, idx: Int): Option[String] = {
     val ps = pages(name)
-    calls.getOrElseUpdate(name,
-      new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
-    if (faults.get((name, idx)).exists(_.getAndDecrement() > 0))
-      throw new java.io.IOException(
-        s"injected transient fetch failure: feed=$name page=$idx")
+    if (instrumented) {
+      calls.getOrElseUpdate(name,
+        new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+      if (faults.get((name, idx)).exists(_.getAndDecrement() > 0))
+        throw new java.io.IOException(
+          s"injected transient fetch failure: feed=$name page=$idx")
+    }
     if (idx >= 1 && idx <= ps.length) Some(ps(idx - 1)) else None
   }
 }
 
+/** Serializable page-fetch handle carried INSIDE a strided partition
+  * (VERDICT-r9 item 6): the fetcher — not a JVM-global registry — is
+  * what ships to the executor, so strided partitions fetch
+  * independently on a real cluster. `validate()` runs once at reader
+  * creation for a loud misconfiguration error; `fetch(idx)` returns
+  * None past the feed's end (the stride-stop signal).
+  */
+trait QboPageFetcher extends Serializable {
+  def validate(): Unit = ()
+  def fetch(idx: Int): Option[String]
+}
+
+/** Local-mode fixture fetcher: resolves pages through the driver-JVM
+  * [[QboPageFeeds]] registry (works wherever executors share the
+  * driver JVM — every spec and bench). Fails fast with the
+  * registry-scope error where the registry is absent (ADVICE-r8).
+  */
+final case class QboRegistryFetcher(feed: String) extends QboPageFetcher {
+  override def validate(): Unit =
+    if (!QboPageFeeds.known(feed))
+      throw new IllegalStateException(
+        s"qbo feed '$feed' is not registered in this JVM. " +
+          "QboPageFeeds is a driver-JVM fixture registry (local-mode " +
+          "backend); for a cluster deployment pass an HTTP fetch config " +
+          "(httpBaseUrl/realm/token options) so the partition carries a " +
+          "serialized QboHttpFeedConfig instead.")
+  override def fetch(idx: Int): Option[String] = QboPageFeeds.feedPage(feed, idx)
+}
+
+/** Cluster-real fetch handle: endpoint + OAuth2 token-source CONFIG
+  * (all plain strings — a tiny serializable closure, not data). Each
+  * executor task lazily builds its own [[graft.qbo.QboHttpApi]] +
+  * [[graft.qbo.QboOAuth2TokenSource]] from the config and issues the
+  * paged entity query right there (`STARTPOSITION (idx-1)·100+1`,
+  * SURVEY §2.1 S3); an empty/absent entity array marks past-the-end.
+  * Tokens refresh independently per executor — the QBO token endpoint
+  * serves concurrent refreshes, and each task's 401-retry path is the
+  * same [[graft.qbo.QboHttpApi.sendAuthed]] shell the driver uses.
+  */
+final case class QboHttpFeedConfig(baseUrl: String, realm: String,
+    entity: String, tokenUrl: String, clientId: String,
+    clientSecret: String, refreshToken: String) extends QboPageFetcher {
+  @transient private lazy val api = new graft.qbo.QboHttpApi(baseUrl, realm,
+    new graft.qbo.QboOAuth2TokenSource(tokenUrl, clientId, clientSecret,
+      refreshToken))
+  @transient private lazy val mapper = new ObjectMapper()
+  override def fetch(idx: Int): Option[String] = {
+    val body = api.queryPage(entity,
+      (idx - 1) * graft.qbo.QboSource.PageSize + 1)
+    val arr = mapper.readTree(body).path("QueryResponse").path(entity)
+    if (arr.isArray && arr.size() > 0) Some(body) else None
+  }
+}
+
 class QboTable(schema: StructType, entity: String, feed: String,
-    fetchPartitions: Int) extends Table with SupportsRead {
+    fetchPartitions: Int, http: Option[QboHttpFeedConfig])
+    extends Table with SupportsRead {
   override def name(): String = s"qbo/$entity"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new QboScanBuilder(schema, entity, feed, fetchPartitions)
+    new QboScanBuilder(schema, entity, feed, fetchPartitions, http)
 }
 
 class QboScanBuilder(fullSchema: StructType, entity: String, feed: String,
-    fetchPartitions: Int)
+    fetchPartitions: Int, http: Option[QboHttpFeedConfig])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -173,12 +258,15 @@ class QboScanBuilder(fullSchema: StructType, entity: String, feed: String,
       s"qbo/$entity${w.paramString}"
     }
     /** Two page→partition strategies (VERDICT-r7 item 7):
-      *  - default (`fetchPartitions` ≤ 1): the feed's known page list,
-      *    one page per partition — right when pages are already local
-      *    strings (fixtures) or the page count is known;
-      *  - speculative fan-out (`fetchPartitions` = P > 1): P strided
-      *    partitions; partition k FETCHES pages k, k+P, k+2P, … at
-      *    read time inside its executor task and stops at the first
+      *  - default (`fetchPartitions` ≤ 1, registry backend): the feed's
+      *    known page list, one page per partition — right when pages
+      *    are already local strings (fixtures) or the page count is
+      *    known;
+      *  - speculative fan-out (`fetchPartitions` = P > 1, or ANY http
+      *    backend — its page count is unknowable driver-side): P
+      *    strided partitions, each carrying a serialized
+      *    [[QboPageFetcher]]; partition k FETCHES pages k, k+P, k+2P, …
+      *    at read time inside its executor task and stops at the first
       *    past-the-end page. No coordination, every page covered
       *    exactly once, ≤ P wasted probe requests total — this is how
       *    a live paginated API scales its ingest with executors
@@ -186,11 +274,13 @@ class QboScanBuilder(fullSchema: StructType, entity: String, feed: String,
       *    (`qb_billpayments.py:66-79`).
       */
     override def planInputPartitions(): Array[InputPartition] =
-      if (fetchPartitions > 1)
-        (1 to fetchPartitions).map(k =>
-          QboStridePartition(entity, feed, k, fetchPartitions): InputPartition)
-          .toArray
-      else
+      if (fetchPartitions > 1 || http.isDefined) {
+        val p = fetchPartitions.max(1)
+        val fetcher: QboPageFetcher =
+          http.getOrElse(QboRegistryFetcher(feed))
+        (1 to p).map(k =>
+          QboStridePartition(entity, k, p, fetcher): InputPartition).toArray
+      } else
         QboPageFeeds.pages(feed).toArray.map(p =>
           QboPagePartition(entity, p): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
@@ -203,21 +293,19 @@ case class QboPagePartition(entity: String, pageJson: String) extends InputParti
 /** Speculative fan-out partition: fetches pages `first, first+stride,
   * first+2·stride, …` until the feed reports past-the-end.
   *
-  * Deployment note (ADVICE-r8): unlike [[QboPagePartition]] (which
-  * serializes the page JSON into the partition), this partition carries
-  * only the FEED NAME and resolves pages through the [[QboPageFeeds]]
-  * registry at read time — a fixture stand-in for the HTTP fetch a live
-  * backend performs right there in the executor task. The registry is
-  * populated in the driver JVM, so the fixture backend works only where
-  * executors share that JVM (local mode, which is where every spec and
-  * bench runs); [[QboReaderFactory.createReader]] fails fast with a
-  * descriptive error if the feed is unknown in the current JVM instead
-  * of silently scanning nothing. A live backend would serialize its
-  * endpoint + auth handle here (a tiny closure, not data) and be
-  * cluster-safe by construction.
+  * Deployment note (VERDICT-r9 item 6): unlike [[QboPagePartition]]
+  * (which serializes the page JSON into the partition), this partition
+  * carries a serialized [[QboPageFetcher]] HANDLE — endpoint + token
+  * config for the HTTP backend ([[QboHttpFeedConfig]]), or the feed
+  * name for the local-mode fixture registry ([[QboRegistryFetcher]]) —
+  * and the fetch happens at read time inside the executor task. With
+  * the HTTP handle the scan is cluster-safe by construction (no
+  * driver-JVM state involved); the registry handle fails fast with a
+  * descriptive error where the registry is absent instead of silently
+  * scanning nothing (ADVICE-r8).
   */
-case class QboStridePartition(entity: String, feed: String,
-    first: Int, stride: Int) extends InputPartition
+case class QboStridePartition(entity: String, first: Int, stride: Int,
+    fetcher: QboPageFetcher) extends InputPartition
 
 /** The `start_date`/`end_date` request window distilled from pushed
   * TxnDate filters (plus exact evaluation of each accepted filter, used
@@ -290,20 +378,14 @@ class QboReaderFactory(entity: String, parseSchema: StructType,
     // fetch happens right here, inside the executor task)
     val pageIter: Iterator[String] = partition match {
       case QboPagePartition(_, json) => Iterator.single(json)
-      case QboStridePartition(_, feed, first, stride) =>
-        // fail FAST and descriptively when the feed is unknown in this
-        // JVM (ADVICE-r8): the registry is driver-populated, so on a
-        // real cluster an executor-side reader would find it empty —
-        // that must be a loud configuration error at reader creation,
-        // never a silent 0-row scan or a lazy mid-read throw
-        if (!QboPageFeeds.known(feed))
-          throw new IllegalStateException(
-            s"qbo feed '$feed' is not registered in this JVM. " +
-              "QboPageFeeds is a driver-JVM fixture registry (local-mode " +
-              "backend); a live backend must serialize its fetch config " +
-              "into the partition — see QboStridePartition's scaladoc.")
+      case QboStridePartition(_, first, stride, fetcher) =>
+        // fail FAST and descriptively on a misconfigured fetcher at
+        // reader creation (ADVICE-r8) — e.g. the registry handle in a
+        // JVM whose registry was never populated — never a silent
+        // 0-row scan or a lazy mid-read throw
+        fetcher.validate()
         Iterator.iterate(first)(_ + stride)
-          .map(idx => QboPageFeeds.feedPage(feed, idx))
+          .map(fetcher.fetch)
           .takeWhile(_.isDefined).map(_.get)
     }
     new PartitionReader[InternalRow] {

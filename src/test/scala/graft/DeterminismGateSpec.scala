@@ -78,18 +78,20 @@ class DeterminismGateSpec extends SparkSpec {
       case _ => false
     }
 
-  /** Names of attributes referenced by a Sum aggregate inside any
+  /** Names of attributes referenced by a Sum aggregate inside THIS
     * Window node's window expressions — the legitimate consumers of the
-    * `_w<N>`-aliased dsumOver cast.
+    * `_w<N>`-aliased dsumOver cast. Round-10 scoping (ADVICE-r9): the
+    * set is collected per Window node and only activates for that
+    * node's child subtree (see [[planOffenders]]'s top-down walk), so a
+    * hand-written `_wN` alias in an unrelated subtree is no longer
+    * whitelisted by a windowed Sum elsewhere in the plan.
     */
-  private def windowSumRefNames(plan: LogicalPlan): Set[String] =
-    plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-        w.windowExpressions.flatMap(_.collect {
-          case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
-            s.references.map(_.name).toSeq
-        }.flatten)
-    }.flatten.toSet
+  private def windowSumRefNames(
+      w: org.apache.spark.sql.catalyst.plans.logical.Window): Set[String] =
+    w.windowExpressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+        s.references.map(_.name).toSeq
+    }.flatten).toSet
 
   private def offenders(e: Expression, parent: Option[Expression],
       windowSumRefs: Set[String]): Seq[String] = {
@@ -118,8 +120,20 @@ class DeterminismGateSpec extends SparkSpec {
   }
 
   private def planOffenders(plan: LogicalPlan): Seq[String] = {
-    val wsum = windowSumRefNames(plan)
-    plan.flatMap(node => node.expressions.flatMap(offenders(_, None, wsum)))
+    // top-down walk threading the ACTIVE window-Sum reference set: a
+    // Window node's Sum refs whitelist `_wN` aliases only inside its own
+    // child subtree (where ExtractWindowExpressions actually parks the
+    // re-parented cast), never in sibling or ancestor subtrees
+    def walk(node: LogicalPlan, active: Set[String]): Seq[String] = {
+      val here = node.expressions.flatMap(offenders(_, None, active))
+      val childActive = node match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          active ++ windowSumRefNames(w)
+        case _ => active
+      }
+      here ++ node.children.flatMap(walk(_, childActive))
+    }
+    walk(plan, Set.empty)
   }
 
   test("no query contains a transcendental, a round-on-double, or an " +

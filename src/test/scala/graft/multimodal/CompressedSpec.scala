@@ -100,6 +100,38 @@ class CompressedSpec extends AnyFunSuite {
     assert(Compressed.splitGzipMembers(r).isEmpty)
   }
 
+  test("InputStream overload agrees with the array walker byte-for-byte " +
+      "on full archives, every truncation, and every bit flip " +
+      "(ADVICE-r9: the true-streaming ingest path)") {
+    def stream(b: Array[Byte]) =
+      Compressed.splitGzipMembers(new java.io.ByteArrayInputStream(b))
+    val archive = jdkGzip(payload(100, 1)) ++
+      Compressed.gzipMember(payload(4097, 8), Some("w0.txt")) ++
+      Compressed.gzipMember(payload(0, 9), None) ++
+      jdkGzip(payload(257, 2))
+    assert(stream(archive) == Compressed.splitGzipMembers(archive))
+    assert(stream(archive).get.length == 4)
+    for (cut <- 0 to archive.length) {
+      val pre = archive.take(cut)
+      val a =
+        try Compressed.splitGzipMembers(pre)
+        catch { case e: Throwable => fail(s"array cut=$cut threw: $e") }
+      val s =
+        try stream(pre)
+        catch { case e: Throwable => fail(s"stream cut=$cut threw: $e") }
+      assert(s == a, s"cut=$cut")
+    }
+    for (pos <- archive.indices) {
+      val c = archive.clone()
+      c(pos) = (c(pos) ^ 0x40).toByte
+      val a = Compressed.splitGzipMembers(c)
+      val s =
+        try stream(c)
+        catch { case e: Throwable => fail(s"flip@$pos threw: $e") }
+      assert(s == a, s"flip@$pos")
+    }
+  }
+
   test("non-gzip and empty inputs refuse as None") {
     assert(Compressed.splitGzipMembers(Array.empty[Byte]).isEmpty)
     assert(Compressed.splitGzipMembers("plain text".getBytes("UTF-8")).isEmpty)

@@ -174,6 +174,91 @@ class QboDataSourceSpec extends SparkSpec {
       c.getMessage.contains("not registered in this JVM")), e.toString)
   }
 
+  override protected def afterAll(): Unit = {
+    // drop injected faults/counters and stop counting (ADVICE-r9): the
+    // instrumentation must not tax or leak into later suites
+    QboPageFeeds.resetInstrumentation()
+    super.afterAll()
+  }
+
+  test("strided fan-out over the SERIALIZED HTTP fetch handle: readers " +
+      "resolve pages with NO driver-JVM registry involved (VERDICT-r9 " +
+      "item 6 — endpoint + token config serialized into the partition)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val tokenPosts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/oauth/token", (ex: HttpExchange) => {
+      tokenPosts.incrementAndGet()
+      respond(ex, 200, """{"access_token":"fresh-token"}""")
+    })
+    server.createContext("/v3/company/r77/query", (ex: HttpExchange) => {
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (auth != "Bearer fresh-token")
+        respond(ex, 401, """{"fault":"AuthenticationFault"}""")
+      else {
+        val sp = "STARTPOSITION (\\d+)".r
+          .findFirstMatchIn(body).get.group(1).toInt
+        // 4 rows over three pages; STARTPOSITION 301+ is past-the-end
+        // (an empty QueryResponse, the real API's termination shape)
+        val resp = sp match {
+          case 1 => """{"QueryResponse":{"Deposit":[
+            {"Id":"1","TotalAmt":1.0,"TxnDate":"2024-06-01"},
+            {"Id":"2","TotalAmt":2.0,"TxnDate":"2024-06-02"}]}}"""
+          case 101 => """{"QueryResponse":{"Deposit":[
+            {"Id":"3","TotalAmt":3.0,"TxnDate":"2024-06-03"}]}}"""
+          case 201 => """{"QueryResponse":{"Deposit":[
+            {"Id":"4","TotalAmt":4.0,"TxnDate":"2024-06-04"}]}}"""
+          case _ => """{"QueryResponse":{}}"""
+        }
+        respond(ex, 200, resp)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // NOTE: no option("feed"), nothing registered in QboPageFeeds —
+      // every page resolves through the serialized QboHttpFeedConfig
+      // inside the executor task (each task refreshes its own token,
+      // the cluster-real shape)
+      val df = spark.read.format("qbo")
+        .option("entity", "Deposit")
+        .option("httpBaseUrl", base).option("realm", "r77")
+        .option("tokenUrl", s"$base/oauth/token")
+        .option("clientId", "cid").option("clientSecret", "sec")
+        .option("refreshToken", "rt0")
+        .option("fetchPartitions", "2")
+        .load()
+      assert(df.rdd.getNumPartitions == 2)
+      val got = df.select("Id", "TotalAmt").orderBy("Id")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("1", 1.0), ("2", 2.0), ("3", 3.0), ("4", 4.0)))
+      // both strided tasks fetched independently: each built its own
+      // token source and exchanged the refresh token itself
+      assert(tokenPosts.get() >= 1)
+      // pushdown composes with the serialized fetcher exactly as with
+      // the registry one (the window applies inside each reader)
+      val filtered = spark.read.format("qbo")
+        .option("entity", "Deposit")
+        .option("httpBaseUrl", base).option("realm", "r77")
+        .option("tokenUrl", s"$base/oauth/token")
+        .option("clientId", "cid").option("clientSecret", "sec")
+        .option("refreshToken", "rt0")
+        .option("fetchPartitions", "2")
+        .load()
+        .filter(col("TxnDate") >= "2024-06-03")
+      assert(filtered.select("Id").collect().map(_.getString(0)).toSet
+        == Set("3", "4"))
+    } finally server.stop(0)
+  }
+
   test("custom feeds register dynamically") {
     QboPageFeeds.register("one_deposit", Seq(
       """{"QueryResponse": {"Deposit": [{"Id": "9", "TotalAmt": 5.0,
