@@ -30,6 +30,11 @@ import org.apache.spark.sql.SparkSession
   * full names and full precision is also written to BENCH_full.json in
   * the repo root (git-tracked per round), referenced from the stdout
   * line as "queries_file".
+  *
+  * Auto-repin (round-10, VERDICT-r9 item 7): queries whose median
+  * moved >1.4× (and >0.4 s) vs the prior artifact's "queries" map are
+  * re-run solo after the board and recorded under "repinned" —
+  * prior/sequence/solo medians side by side.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,6 +64,23 @@ object Bench {
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+
+    // prior round's per-query medians, read BEFORE this run overwrites
+    // the artifact — the reference for the auto-repin pass below
+    // (VERDICT-r9 item 7)
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", fullOut)
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(priorPath)), "UTF-8")
+        val qsec = txt.indexOf("\"queries\":{")
+        if (qsec < 0) Map.empty
+        else {
+          val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
+          "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
@@ -107,6 +129,38 @@ object Bench {
     val failed = results.collect { case (k, (med, _, _, _)) if med < 0 => "\"" + k + "\"" }
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
+    // auto-repin (VERDICT-r9 item 7): any query whose full-sequence
+    // median moved >1.4× vs the prior round's BENCH_full (and by
+    // >0.4 s — the judge's own materiality gate) is re-run SOLO at the
+    // end of the board — 5 fresh reps with nothing interleaved, the
+    // localCheckpoint-family contention protocol (q141/q170/q162) that
+    // was previously a manual BenchSome step. Both numbers land in the
+    // artifact's "repinned" section so the next judge diffs numbers,
+    // not adjectives. (Same-JVM solo; a fresh-JVM BenchSome stays the
+    // escalation if a repin still reads >1.4×.) Capped at 10 movers —
+    // more than that means the BOX moved, not the queries.
+    val movers = results.collect {
+      case (k, (med, _, _, _)) if med > 0 && prior.getOrElse(k, -1.0) > 0 &&
+          (med / prior(k) > 1.4 || prior(k) / med > 1.4) &&
+          math.abs(med - prior(k)) > 0.4 => k
+    }.take(10)
+    val repinned = movers.map { name =>
+      System.err.println(s"[bench] repin $name: sequence median moved " +
+        s"vs prior ${prior(name)}")
+      val fn = SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val times =
+        try { run(); Seq.fill(reps)(run()) }
+        catch { case _: Throwable => Seq.empty[Double] }
+      val med = results.toMap.apply(name)._1
+      name -> (prior(name), med,
+        if (times.isEmpty) -1.0 else median(times), times)
+    }
+
     // complete, full-precision, full-name artifact for the repo;
     // queries_max + queries_reps carry the per-query variance envelope
     val fullJson =
@@ -117,6 +171,9 @@ object Bench {
       s""""queries_max":${jmap(results.map { case (k, (_, _, mx, _)) => k -> mx.toString })},""" +
       s""""queries_reps":${jmap(results.map { case (k, (_, _, _, ts)) =>
         k -> ts.map(fmt3).mkString("[", ",", "]") })},""" +
+      s""""repinned":${jmap(repinned.map { case (k, (p, seqMed, solo, ts)) =>
+        k -> (s"""{"prior":$p,"sequence":$seqMed,"solo":$solo,""" +
+          s""""solo_reps":${ts.map(fmt3).mkString("[", ",", "]")}}""") })},""" +
       s""""failed":[${failed.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut), fullJson + "\n")
@@ -127,7 +184,7 @@ object Bench {
     // stdout stays well under capture-truncation size: short keys,
     // 3 decimals, medians only (mins + full names + full precision are
     // in the queries_file artifact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"key_scheme":"qNNN prefix of full query name","queries_file":"$fullOut","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"key_scheme":"qNNN prefix of full query name","queries_file":"$fullOut","queries":$qs,"failed":[${failed.mkString(",")}],"repinned":${repinned.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

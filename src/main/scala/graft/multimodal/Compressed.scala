@@ -46,8 +46,25 @@ object Compressed {
     * NOT a parse failure — the member is returned with crc_ok = false
     * (storage rot on one record must not discard the whole archive).
     */
-  def splitGzipMembers(p: Array[Byte]): Option[Seq[GzipMember]] = {
-    val out = scala.collection.mutable.ArrayBuffer[GzipMember]()
+  def splitGzipMembers(p: Array[Byte]): Option[Seq[GzipMember]] =
+    walkMembers(p, withPayload = false).map(_.map(_._1))
+
+  /** T104 composed with the record layer above it: the SAME walk as
+    * [[splitGzipMembers(p:Array[Byte])*]] (one definition — this IS
+    * that walker with the payload sink turned on), but each member's
+    * INFLATED payload is returned alongside its stats. Memory is
+    * O(largest single member), not O(archive) — the right contract for
+    * record-per-member containers (Common Crawl WARC/WET), where the
+    * layer above (the WARC parser) consumes one record's bytes at a
+    * time. Same failure contract: None on any container malformation.
+    */
+  def memberPayloads(p: Array[Byte])
+      : Option[Seq[(GzipMember, Array[Byte])]] =
+    walkMembers(p, withPayload = true)
+
+  private def walkMembers(p: Array[Byte], withPayload: Boolean)
+      : Option[Seq[(GzipMember, Array[Byte])]] = {
+    val out = scala.collection.mutable.ArrayBuffer[(GzipMember, Array[Byte])]()
     var i = 0
     var idx = 0
     def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
@@ -88,6 +105,8 @@ object Compressed {
         var total = 0L
         var byteSum = 0L
         val buf = new Array[Byte](8192)
+        val payload =
+          if (withPayload) new java.io.ByteArrayOutputStream() else null
         while (!inf.finished()) {
           val n =
             try inf.inflate(buf)
@@ -101,13 +120,17 @@ object Compressed {
             var k = 0
             while (k < n) { byteSum += buf(k) & 0xff; k += 1 }
             total += n
+            if (payload != null) payload.write(buf, 0, n)
           }
         }
         val t = j + inf.getBytesRead.toInt
         if (t + 8 > p.length) return None // trailer must be present
         val crcOk = le32(t) == crc.getValue &&
           le32(t + 4) == (total & 0xffffffffL)
-        out += GzipMember(idx, name, (t + 8 - i).toLong, total, byteSum, crcOk)
+        out += ((GzipMember(idx, name, (t + 8 - i).toLong, total, byteSum,
+          crcOk),
+          if (payload != null) payload.toByteArray
+          else Array.emptyByteArray))
         i = t + 8
         idx += 1
       } finally inf.end()

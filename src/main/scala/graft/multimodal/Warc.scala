@@ -1,0 +1,155 @@
+package graft.multimodal
+
+/** WARC (ISO 28500) record layer — the piece that turns the T104 gzip
+  * member walk into an actual crawl-ingest source (VERDICT-r9 item 3).
+  * Common Crawl WARC/WET/WAT archives are concatenated gzip members
+  * with EXACTLY one WARC record per member; `Compressed.memberPayloads`
+  * yields each record's bytes and this parser gives them structure.
+  *
+  * A record is
+  * {{{
+  *   WARC/1.0<CRLF>
+  *   Name: value<CRLF> ...          (named headers; LWS continuation
+  *   <CRLF>                          lines fold into the previous one)
+  *   <Content-Length bytes of body>
+  *   <CRLF><CRLF>                   (record boundary)
+  * }}}
+  *
+  * Parse discipline (the q195/T101/T102 container rules):
+  *  - REQUIRED headers per the standard — WARC-Type, WARC-Record-ID,
+  *    WARC-Date, Content-Length (non-negative decimal integer). Any
+  *    missing/unparseable → None, never a throw.
+  *  - Header names are case-insensitive; values trim surrounding
+  *    whitespace; a line starting with SP/HT continues the previous
+  *    header (RFC 822 folding, which ISO 28500 inherits).
+  *  - Strict CRLF line ends and the double-CRLF record terminator —
+  *    a bare-LF producer is malformed input, not a dialect.
+  *  - Body bytes stream through the stats accumulators (length, byte
+  *    sum, MD5) and are NOT retained — at 100 TB the payload never
+  *    leaves the task; only structure and witnesses do.
+  */
+object Warc {
+
+  /** Structure + content witnesses of one parsed record. `bodySum` and
+    * `bodyMd5` are recomputable in closed form by an oracle when the
+    * body is synthesized, so a single flipped body byte hash-fails.
+    */
+  final case class WarcRecord(
+      version: String,
+      warcType: String,
+      recordId: String,
+      date: String,
+      contentLength: Long,
+      targetUri: Option[String],
+      contentType: Option[String],
+      nHeaders: Int,
+      bodySum: Long,
+      bodyMd5: String)
+
+  /** Parse the single record that must span the WHOLE buffer — the
+    * record-per-gzip-member contract of Common Crawl archives. Trailing
+    * bytes after the record terminator are a malformation (they would
+    * belong to the next member's record).
+    */
+  def parseSingle(p: Array[Byte]): Option[WarcRecord] =
+    parseAt(p, 0).flatMap { case (r, end) =>
+      if (end == p.length) Some(r) else None
+    }
+
+  /** Parse back-to-back records until the buffer is exhausted (the
+    * uncompressed-WARC shape). None unless the ENTIRE buffer parses —
+    * same all-or-nothing contract as splitGzipMembers.
+    */
+  def parseRecords(p: Array[Byte]): Option[Seq[WarcRecord]] = {
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var i = 0
+    while (i < p.length) parseAt(p, i) match {
+      case Some((r, end)) => out += r; i = end
+      case None => return None
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** Parse one record starting at `off`; Some((record, end offset just
+    * past the terminating CRLFCRLF)) or None.
+    */
+  def parseAt(p: Array[Byte], off: Int): Option[(WarcRecord, Int)] = {
+    // CRLF-terminated line starting at i → (text, next offset)
+    def line(i: Int): Option[(String, Int)] = {
+      var j = i
+      while (j + 1 < p.length && !(p(j) == '\r' && p(j + 1) == '\n')) {
+        // a stray CR or LF inside a header line is malformed
+        if (p(j) == '\r' || p(j) == '\n') return None
+        j += 1
+      }
+      if (j + 1 >= p.length) None
+      else Some((new String(p, i, j - i, "ISO-8859-1"), j + 2))
+    }
+    var i = off
+    val version = line(i) match {
+      case Some((v, n)) if v.startsWith("WARC/") && v.length > 5 &&
+          !v.exists(_.isWhitespace) =>
+        i = n; v.substring(5)
+      case _ => return None
+    }
+    val headers = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done) line(i) match {
+      case Some(("", n)) => i = n; done = true
+      case Some((h, n)) if h.charAt(0) == ' ' || h.charAt(0) == '\t' =>
+        // LWS continuation folds into the previous header's value
+        if (headers.isEmpty) return None
+        val (k, v) = headers.last
+        headers(headers.length - 1) = (k, v + " " + h.trim)
+        i = n
+      case Some((h, n)) =>
+        val c = h.indexOf(':')
+        if (c <= 0) return None
+        headers += ((h.substring(0, c).trim.toLowerCase, // names fold case
+          h.substring(c + 1).trim))
+        i = n
+      case None => return None
+    }
+    def hdr(name: String): Option[String] =
+      headers.find(_._1 == name).map(_._2)
+    val warcType = hdr("warc-type").getOrElse(return None)
+    val recordId = hdr("warc-record-id").getOrElse(return None)
+    val date = hdr("warc-date").getOrElse(return None)
+    val len = hdr("content-length") match {
+      case Some(s) if s.nonEmpty && s.forall(_.isDigit) && s.length <= 18 =>
+        s.toLong
+      case _ => return None
+    }
+    if (i + len + 4 > p.length) return None // body + CRLFCRLF must fit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var bodySum = 0L
+    var k = i
+    val end = i + len.toInt
+    while (k < end) { bodySum += p(k) & 0xff; k += 1 }
+    md.update(p, i, len.toInt)
+    val bodyMd5 = md.digest().map("%02x".format(_)).mkString
+    i = end
+    if (!(p(i) == '\r' && p(i + 1) == '\n' &&
+        p(i + 2) == '\r' && p(i + 3) == '\n')) return None
+    Some((WarcRecord(version, warcType, recordId, date, len,
+      hdr("warc-target-uri"), hdr("content-type"), headers.size,
+      bodySum, bodyMd5), i + 4))
+  }
+
+  /** Serialize a record (synthesis side — q206 builds its archives with
+    * this + Compressed.gzipMember, so the parser is exercised on real
+    * WARC bytes, not on a private intermediate form).
+    */
+  def render(headers: Seq[(String, String)], body: Array[Byte])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => w(s"$k: $v\r\n") }
+    w(s"Content-Length: ${body.length}\r\n")
+    w("\r\n")
+    bos.write(body)
+    w("\r\n\r\n")
+    bos.toByteArray
+  }
+}

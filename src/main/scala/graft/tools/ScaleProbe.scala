@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -84,6 +84,7 @@ object ScaleProbe {
     val doR14 = fam == "all" || fam == "r14"
     val doR15 = fam == "all" || fam == "r15"
     val doR16 = fam == "all" || fam == "r16"
+    val doR17 = fam == "all" || fam == "r17"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1082,9 +1083,14 @@ object ScaleProbe {
       // CONSTANT across multipliers — only the index size varies);
       // the probe body is the exact q187 foreachBatch shape: hash the
       // batch, positional-bound candidate join against the standing
-      // index (recomputed from the checkpointed hash frame, as
-      // shipped), exact verify, per-doc verdict. Three reps per
-      // multiplier separate steady-state from warm-up.
+      // index — since round 10 MATERIALIZED BUCKETED BY h
+      // (Warehouse.writeBucketed, VERDICT-r9 item 2), so the index
+      // arrives pre-partitioned on the join key and only the BATCH
+      // side exchanges: per-batch shuffle must stay FLAT as the
+      // corpus multiplier grows (round 9's re-exploded index showed
+      // 61.3 MB index-side shuffle @10×, growing with the corpus).
+      // Exact verify, per-doc verdict. Three reps per multiplier
+      // separate steady-state from warm-up.
       val docsS = table(spark, sfDir, "documents")
       val trainX = docsS.filter(col("doc_id") % 10 =!= 0)
         .crossJoin(spark.range(mult).select(col("id").as("rep")))
@@ -1103,9 +1109,14 @@ object ScaleProbe {
         train = hashF(trainX).toDF("t_id", "t_hs").localCheckpoint()
         train.count()
       }
-      val trainPos = train.select(col("t_id"),
-        size(col("t_hs")).as("nb"),
-        posexplode(col("t_hs")).as(Seq("j", "h")))
+      time(s"ingest-gate bucketed index materialize @${mult}x") {
+        graft.load.Warehouse.writeBucketed(
+          train.select(col("t_id"), size(col("t_hs")).as("nb"),
+            posexplode(col("t_hs")).as(Seq("j", "h"))),
+          "graft_probe_q187_idx", "h", 32)
+        spark.table("graft_probe_q187_idx").count()
+      }
+      val trainPos = spark.table("graft_probe_q187_idx")
       for (rep <- 1 to 3) time(s"ingest-gate batch probe #$rep @${mult}x") {
         val eh = hashF(arriving).toDF("e_id", "e_hs").localCheckpoint()
         val cand = eh.select(col("e_id"), size(col("e_hs")).as("na"),
@@ -1122,6 +1133,7 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n"), min(col("t_id")).as("fm"))
           .count()
       }
+      spark.sql("DROP TABLE IF EXISTS graft_probe_q187_idx")
       }
 
       if (doR16) {
@@ -1222,6 +1234,59 @@ object ScaleProbe {
           .groupBy("a_id", "b_id")
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 3)
+          .count()
+      }
+      }
+
+      if (doR17) {
+      // --- round-10: the q205 self-tuning winnow cap (VERDICT-r9
+      // item 1) on the SAME rep-tagged stress corpus whose CAPPED
+      // winnow enumeration owned 128.8 s @10× in the r16 row. The
+      // stats pass (df histogram + cumulative window — shipped
+      // builder, no probe drift) must tighten the cap on the
+      // hub-shaped profile, and the ROUTED plan's enumeration mass is
+      // budget-bounded by construction — the probe verifies the wall
+      // and shuffle envelope stays scan-dominated (linear) where the
+      // fixed-τ tier could not hold one. (The r16 prose fallback —
+      // positional containment — was measured here first: 290.7 s /
+      // 447M candidate rows @10×, WORSE than the 128.8 s it was meant
+      // to guard, because hub shingle hashes inflate a positional
+      // join exactly as hub fingerprints inflate the winnow join.
+      // That measurement is why q205 tightens instead of switching.)
+      val docsR = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit(" "),
+              concat(lit(" w"), col("rep"), lit(" ")))).as("text"))
+      var routed = "?"
+      time(s"winnow router stats pass @${mult}x") {
+        val tauF = docsR.agg(
+          expr("greatest(CAST(4 AS BIGINT), count(1) DIV 250) AS t"))
+        val (tier, eff, nFp, capped, t) =
+          graft.queries.Curation4.winnowRouteStats(
+            graft.queries.Curation4.winnowExplode(docsR), tauF)
+        routed = tier
+        println(f"[scale]   router: tier=$tier eff_cap=$eff n_fp=$nFp%,d " +
+          f"capped_mass=$capped%,d τ=$t budget=${t * nFp}%,d")
+        nFp
+      }
+      time(s"winnow ROUTED plan ($routed) @${mult}x") {
+        graft.queries.Curation4.winnowAuto(docsR).count()
+      }
+      // VERDICT-r9 item 4: the q202 CDC decade row. r16 measured
+      // 1×/10× astride the broadcast→shuffle plan transition, so the
+      // at-scale claim ("digest-mass-linear past the transition") was
+      // asserted, not measured — this row pins it at 30× with wall +
+      // shuffle rows/bytes. Same shipped builder as r16 (no drift).
+      time(s"cdc chunk dedup @${mult}x (decade row)") {
+        val chunks = graft.queries.Curation4.cdcChunkFrame(docsR)
+          .localCheckpoint()
+        val mn = chunks.groupBy("dg").agg(min(col("doc_id")).as("m"))
+        chunks.join(mn, "dg").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("m") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_dup"))
           .count()
       }
       }

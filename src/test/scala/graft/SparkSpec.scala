@@ -18,9 +18,15 @@ object TaskFailureMonitor
   private val failures =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   // substrings of failure messages that specs deliberately provoke
+  // (matched against the FULL toErrorString incl. stack, so class-
+  // qualified markers stay narrow)
   val expectedMarkers: Seq[String] = Seq(
     "injected transient fetch failure", // QboDataSourceSpec retry contract
-    "not registered in this JVM") // QboDataSourceSpec fail-fast case
+    "not registered in this JVM", // QboDataSourceSpec fail-fast case
+    "graft_gram_matrix: expected", // GramMatrixSpec arity intercepts
+    "graft.functions.GramMatrixAgg", // GramMatrixSpec overflow intercept
+    "failed the declared-schema parse", // QboSourceSpec strict-parse cases
+    "Unexpected end-of-input") // QboSourceSpec truncated-JSON case
   override def onTaskEnd(
       e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     e.reason match {

@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "n_contained", "first_match"))
   }
 
+  test("q187 standing index: the bucketed-by-h materialization makes " +
+      "the per-batch candidate join BATCH-side-only — exactly one " +
+      "exchange, on the arriving side (VERDICT-r9 item 2)") {
+    import graft.ops.Hashing
+    def hashFrame(df: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.shingleFrame(df, "doc_id", "text")
+        .select(col("doc_id"), array_sort(array_distinct(
+          transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = hashFrame(raw.filter(col("doc_id") % 10 =!= 0))
+      .toDF("t_id", "t_hs")
+    graft.load.Warehouse.writeBucketed(
+      train.select(col("t_id"), size(col("t_hs")).as("nb"),
+        posexplode(col("t_hs")).as(Seq("j", "h"))), "t_q187_idx", "h", 8)
+    // the exact per-batch candidate-join shape from q187's foreachBatch
+    val eh = hashFrame(raw.filter(col("doc_id") % 10 === 0))
+      .toDF("e_id", "e_hs")
+    val cand = eh.select(col("e_id"), size(col("e_hs")).as("na"),
+        posexplode(col("e_hs")).as(Seq("i", "h")))
+      .join(spark.table("t_q187_idx"), "h")
+      .filter((lit(1) + least(col("na") - col("i") - 1,
+        col("nb") - col("j") - 1)) * 2 >= least(col("na"), col("nb")))
+    val p = cand.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"want exactly 1 exchange (batch side; index arrives bucketed):\n$p")
+    assert(cand.count() > 0)
+    spark.sql("DROP TABLE t_q187_idx")
+  }
+
   test("streaming tumbling counts == batch q23 aggregates") {
     // Stage the events as a file-source stream (micros-normalized parquet,
     // since readStream hits the same NANOS limitation as batch).

@@ -214,6 +214,96 @@ class Curation4Spec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("q205 self-tuning cap: a τ-lattice hub corpus tightens to the " +
+      "exact τ* the histogram rule derives (hub pairs dropped, the " +
+      "planted excerpt pair survives); a natural corpus keeps τ and " +
+      "emits q203's rows — rule and both outcomes refereed in plain " +
+      "Scala (VERDICT-r9 item 1)") {
+    def fingerprints(text: String): Set[Long] = {
+      val ws = text.split("\\s+").toSeq
+      val hs = ws.sliding(3).filter(_.size == 3)
+        .map(w => hash32(w.mkString(" "))).toIndexedSeq
+      if (hs.size < 4) Set.empty
+      else (0 to hs.size - 4).map(i => hs.slice(i, i + 4).min).toSet
+    }
+    // the shipped integer rule, verbatim: capped mass vs τ·|fp|, then
+    // τ* = max{c : cum(c) ≤ budget} (floor 1) when over
+    def routing(docs: Seq[(Long, String)]): (String, Long) = {
+      val tau = math.max(4L, docs.size / 250L)
+      val df = docs.flatMap { case (_, t) => fingerprints(t) }
+        .groupBy(identity).map { case (_, o) => o.size.toLong }.toSeq
+      val nFp = df.size.toLong
+      val budget = tau * nFp
+      val capped = df.filter(_ <= tau).map(c => c * c).sum
+      if (capped <= budget) ("winnow", tau)
+      else {
+        val cum = df.groupBy(identity).toSeq.sortBy(_._1)
+          .scanLeft((0L, 0L)) { case ((_, m), (c, o)) =>
+            (c, m + o.size * c * c) }.tail
+        val ts = cum.filter(_._2 <= budget).map(_._1)
+          .reduceOption(_ max _).getOrElse(1L)
+        ("tightened", ts)
+      }
+    }
+
+    // hub shape: 12 groups × 4 verbatim copies — every hub
+    // fingerprint's df is exactly τ=4, so q203's cap drops NOTHING and
+    // pair mass is 16·|fp| > budget 4·|fp| (the r16 stress lattice in
+    // miniature). Plus one planted excerpt pair (df=2 fingerprints).
+    // The rule must tighten to τ*=2: cum(1)+cum(2) ≤ budget but the
+    // 16·|hub| step at c=4 blows past it — so the boilerplate lattice
+    // drops and ONLY the planted pair survives, which is exactly what
+    // MOSS does with over-shared fingerprints
+    val hub = (0 until 12).flatMap { g =>
+      val words = (0 until 12).map(k => s"g${g}w$k").mkString(" ")
+      (0 until 4).map(c => (g * 4 + c).toLong -> words)
+    } ++ Seq(
+      900L -> ((1 to 8).map(i => s"pa$i") ++ (0 until 20).map(k => s"sh$k"))
+        .mkString(" "),
+      901L -> ((1 to 5).map(i => s"pb$i") ++ (0 until 20).map(k => s"sh$k"))
+        .mkString(" "))
+    assert(routing(hub) == ("tightened", 2L))
+    val dir2 = writeDocs(hub, "graft_winauto_hub")
+    val got2 = run("q205_winnow_auto", dir2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // outcome referee: at cap 2, only fingerprints with df ≤ 2 pair —
+    // the planted docs' shared-run fingerprints (df=2), of which ≥ 3
+    // are shared, so exactly the (900, 901) pair is emitted
+    val fpByDoc = hub.map { case (id, t) => id -> fingerprints(t) }.toMap
+    val dfAll = hub.flatMap { case (_, t) => fingerprints(t) }
+      .groupBy(identity).map { case (v, o) => v -> o.size }
+    val survive = (v: Long) => dfAll(v) <= 2
+    val want2 = (for {
+      a <- fpByDoc.keys; b <- fpByDoc.keys; if a < b
+      n = (fpByDoc(a) intersect fpByDoc(b)).count(survive)
+      if n >= 3
+    } yield ("tightened", a, b, n.toLong)).toSet
+    assert(want2.map(r => (r._2, r._3)) == Set((900L, 901L)))
+    assert(got2 == want2, s"got $got2, want $want2")
+
+    // natural shape: mostly doc-unique vocabulary (df≈1 fingerprints —
+    // the real-corpus profile, where new docs bring new content) plus
+    // one planted shared run; sits well inside the τ-linear budget, so
+    // the cap stays at τ and the rows are exactly q203's
+    val rnd = new scala.util.Random(4242)
+    val nat = (0 until 40).map { i =>
+      i.toLong -> (0 until 15 + rnd.nextInt(15)).map(k => s"u${i}_$k")
+        .mkString(" ")
+    } ++ Seq(
+      900L -> ((1 to 8).map(i => s"pa$i") ++ (0 until 20).map(k => s"sh$k"))
+        .mkString(" "),
+      901L -> ((1 to 5).map(i => s"pb$i") ++ (0 until 20).map(k => s"sh$k"))
+        .mkString(" "))
+    assert(routing(nat) == ("winnow", 4L))
+    val dir1 = writeDocs(nat, "graft_winauto_nat")
+    val got1 = run("q205_winnow_auto", dir1)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want1 = run("q203_winnow_fingerprints", dir1)
+      .as[(Long, Long, Long)].collect().toSet
+      .map { t: (Long, Long, Long) => ("winnow", t._1, t._2, t._3) }
+    assert(got1 == want1, s"got ${got1.size}, want ${want1.size}")
+  }
+
   test("q204 boilerplate: a planted nav line in 10 of 12 same-source " +
       "docs strips; rare lines and small-source lines survive") {
     // source 'big': 12 docs, each = one unique 6-word line + a shared
@@ -256,6 +346,32 @@ class Curation4Spec extends SparkSpec {
         ld("tiny shared line one two three") + "\n" + ld("footer of tiny")),
         s"doc $i digest")
     }
+  }
+
+  test("q204 production path: lineExplode on real newlines + the SAME " +
+      "shared strip builder — a planted nav line strips on a " +
+      "multi-line fixture, unique lines survive (VERDICT-r9 item 5)") {
+    val nav = "NAV MENU HOME"
+    val docs = (0 until 12).map { i =>
+      val lines =
+        if (i < 10) Seq(s"unique head $i", nav, s"body text $i")
+        else Seq(s"unique head $i", s"body text $i")
+      i.toLong -> lines.mkString("\n")
+    }
+    val dir = writeDocs(docs, "graft_bp_nl")
+    val got = Curation4.boilerplateStrip(Curation4.lineExplode(
+        spark.read.parquet(s"$dir/documents.parquet"), "\n"))
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // plain-Scala referee: df(nav)=10 > max(2, 12/4)=3 → stripped;
+    // every other line is doc-unique (df 1) → kept. clean digest =
+    // md5 over the kept lines' md5 digests joined by \n
+    val want = docs.map { case (id, t) =>
+      val ls = t.split("\n").toSeq
+      val kept = ls.filterNot(_ == nav)
+      (id, ls.size.toLong, (ls.size - kept.size).toLong,
+        md5hex(kept.map(md5hex).mkString("\n")))
+    }.sortBy(_._1)
+    assert(got == want, got.toString)
   }
 
   test("q198 synthesis closed form holds for the first cycle ids") {
