@@ -1,0 +1,129 @@
+package graft.multimodal
+
+/** HTTP/1.1 response-message layer (q208) — the third story of the
+  * crawl-ingest stack: Common Crawl WARC `response` records carry the
+  * RAW HTTP exchange, so turning an archive into documents means
+  * gzip member walk (T104) → WARC record parse (T115) → THIS: status
+  * line, named headers, media-type/charset extraction from
+  * Content-Type, and the payload hand-off to the text tier (the UTF-8
+  * auditor, T107).
+  *
+  * Parse discipline (the container-tier rules): strict CRLF line
+  * ends and CRLFCRLF header terminator; status line must be
+  * `HTTP/<ver> <3 digits> [reason]`; header names fold case; None on
+  * structural malformation, never a throw. One crawl-reality
+  * deviation from strictness: a Content-Length that DISAGREES with
+  * the actual remaining bytes is flagged (`len_matches = false`), not
+  * fatal — truncated fetches are endemic in crawl archives and the
+  * payload that was captured is still the payload (the WARC record
+  * length, not the inner Content-Length, is authoritative in CC).
+  * Payload bytes stream through length/sum/MD5 witnesses.
+  */
+object Http {
+
+  final case class HttpResponse(
+      version: String,
+      status: Int,
+      reason: String,
+      mediaType: Option[String],
+      charset: Option[String],
+      nHeaders: Int,
+      declaredLen: Option[Long],
+      lenMatches: Boolean,
+      bodyLen: Long,
+      bodySum: Long,
+      bodyMd5: String)
+
+  def parseResponse(p: Array[Byte]): Option[HttpResponse] = {
+    def line(i: Int): Option[(String, Int)] = {
+      var j = i
+      while (j + 1 < p.length && !(p(j) == '\r' && p(j + 1) == '\n')) {
+        if (p(j) == '\r' || p(j) == '\n') return None
+        j += 1
+      }
+      if (j + 1 >= p.length) None
+      else Some((new String(p, i, j - i, "ISO-8859-1"), j + 2))
+    }
+    var i = 0
+    val (ver, status, reason) = line(i) match {
+      case Some((s, n)) if s.startsWith("HTTP/") =>
+        val sp1 = s.indexOf(' ')
+        if (sp1 < 0 || s.length < sp1 + 4) return None
+        val code = s.substring(sp1 + 1, sp1 + 4)
+        if (!code.forall(_.isDigit)) return None
+        // after the 3-digit code: end of line, or a space + reason
+        val rest = s.substring(sp1 + 4)
+        if (rest.nonEmpty && rest.charAt(0) != ' ') return None
+        i = n
+        (s.substring(5, sp1), code.toInt, rest.trim)
+      case _ => return None
+    }
+    val headers = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done) line(i) match {
+      case Some(("", n)) => i = n; done = true
+      case Some((h, n)) =>
+        val c = h.indexOf(':')
+        if (c <= 0) return None
+        headers += ((h.substring(0, c).trim.toLowerCase,
+          h.substring(c + 1).trim))
+        i = n
+      case None => return None
+    }
+    def hdr(name: String): Option[String] =
+      headers.find(_._1 == name).map(_._2)
+    // media type and charset out of Content-Type:
+    //   text/html; charset="UTF-8"  →  (text/html, utf-8)
+    val ctype = hdr("content-type")
+    val mediaType = ctype.map(_.split(";")(0).trim.toLowerCase)
+      .filter(_.nonEmpty)
+    val charset = ctype.flatMap(_.split(";").drop(1)
+      .map(_.trim)
+      .collectFirst {
+        case pmt if pmt.toLowerCase.startsWith("charset=") =>
+          pmt.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
+            .toLowerCase
+      }
+      .filter(_.nonEmpty))
+    val declaredLen = hdr("content-length") match {
+      case Some(s) if s.nonEmpty && s.forall(_.isDigit) && s.length <= 18 =>
+        Some(s.toLong)
+      case Some(_) => return None // present but unparseable: malformed
+      case None => None
+    }
+    val bodyLen = (p.length - i).toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var bodySum = 0L
+    var k = i
+    while (k < p.length) { bodySum += p(k) & 0xff; k += 1 }
+    md.update(p, i, p.length - i)
+    Some(HttpResponse(ver, status, reason, mediaType, charset,
+      headers.size, declaredLen,
+      declaredLen.forall(_ == bodyLen), bodyLen, bodySum,
+      md.digest().map("%02x".format(_)).mkString))
+  }
+
+  /** [[parseResponse]] plus the payload bytes — the in-task hand-off
+    * to the text tier (UTF-8 audit, language ID, quality scoring).
+    * The payload still never shuffles.
+    */
+  def parseResponseWithBody(p: Array[Byte])
+      : Option[(HttpResponse, Array[Byte])] =
+    parseResponse(p).map { r =>
+      (r, java.util.Arrays.copyOfRange(p,
+        p.length - r.bodyLen.toInt, p.length))
+    }
+
+  /** Serialize a response (synthesis side for q208). */
+  def render(status: Int, reason: String,
+      headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w(s"HTTP/1.1 $status $reason\r\n")
+    headers.foreach { case (k, v) => w(s"$k: $v\r\n") }
+    w(s"Content-Length: ${body.length}\r\n")
+    w("\r\n")
+    bos.write(body)
+    bos.toByteArray
+  }
+}

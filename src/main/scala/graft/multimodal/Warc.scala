@@ -56,6 +56,18 @@ object Warc {
       if (end == p.length) Some(r) else None
     }
 
+  /** [[parseSingle]] plus the body bytes — for feeding the record's
+    * payload to the NEXT layer in the same task (the HTTP message
+    * inside a WARC response record, q208). The body still never
+    * shuffles; it is retained only across one in-task hand-off.
+    */
+  def parseSingleWithBody(p: Array[Byte])
+      : Option[(WarcRecord, Array[Byte])] =
+    parseSingle(p).map { r =>
+      val start = p.length - 4 - r.contentLength.toInt
+      (r, java.util.Arrays.copyOfRange(p, start, p.length - 4))
+    }
+
   /** Parse back-to-back records until the buffer is exhausted (the
     * uncompressed-WARC shape). None unless the ENTIRE buffer parses —
     * same all-or-nothing contract as splitGzipMembers.

@@ -148,8 +148,19 @@ object Streaming2 {
                 col("nb") - col("j") - 1)) * 2 >=
                 least(col("na"), col("nb")))
               .select("e_id", "t_id").distinct()
+            // exact verify WITHOUT exchanging the standing corpus: the
+            // candidate t_id set is batch-bounded (the positional
+            // bound prunes it), so it broadcasts into a semi-reduction
+            // of the checkpointed hash frame (local scan, no shuffle
+            // write) and the reduced frame broadcasts into the verify
+            // join — per-batch exchanges stay batch-side-only even
+            // here (the round-9 shape shuffled the full train frame's
+            // wide hash arrays per batch: 60-100 MB at 10-30× in the
+            // r15 probe)
+            val trainHit = train
+              .join(broadcast(cand.select("t_id").distinct()), "t_id")
             val hits = cand
-              .join(eh, "e_id").join(train, "t_id")
+              .join(eh, "e_id").join(broadcast(trainHit), "t_id")
               .filter(size(array_intersect(col("e_hs"), col("t_hs"))) * 2
                 >= least(size(col("e_hs")), size(col("t_hs"))))
               .groupBy("e_id")

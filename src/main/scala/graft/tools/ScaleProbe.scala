@@ -1126,7 +1126,11 @@ object ScaleProbe {
             col("nb") - col("j") - 1)) * 2 >=
             least(col("na"), col("nb")))
           .select("e_id", "t_id").distinct()
-        cand.join(eh, "e_id").join(train, "t_id")
+        // verify via the broadcast semi-reduction (the shipped q187
+        // shape): the standing hash frame is scanned, never exchanged
+        val trainHit = train
+          .join(broadcast(cand.select("t_id").distinct()), "t_id")
+        cand.join(eh, "e_id").join(broadcast(trainHit), "t_id")
           .filter(size(array_intersect(col("e_hs"), col("t_hs"))) * 2
             >= least(size(col("e_hs")), size(col("t_hs"))))
           .groupBy("e_id")

@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees for the HTTP response-message layer (q208). Fixtures are
+  * hand-written HTTP bytes in the Common Crawl response-record shape;
+  * corrupted-input discipline mirrors WarcSpec/CompressedSpec.
+  */
+class HttpSpec extends AnyFunSuite {
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+
+  test("hand-written fixture: status line, case-insensitive headers, " +
+      "quoted charset, exact payload witnesses") {
+    val body = "<html>héllo</html>".getBytes("UTF-8")
+    val bytes = ("HTTP/1.1 200 OK\r\n" +
+      "Server: nginx\r\n" +
+      "CONTENT-TYPE: Text/HTML; charset=\"UTF-8\"\r\n" +
+      s"content-length: ${body.length}\r\n" +
+      "\r\n").getBytes("ISO-8859-1") ++ body
+    val r = Http.parseResponse(bytes).get
+    assert(r.version == "1.1" && r.status == 200 && r.reason == "OK")
+    assert(r.mediaType.contains("text/html"))
+    assert(r.charset.contains("utf-8"))
+    assert(r.declaredLen.contains(body.length.toLong) && r.lenMatches)
+    assert(r.bodyLen == body.length.toLong)
+    assert(r.bodyMd5 == md5hex(body))
+    assert(r.nHeaders == 3)
+  }
+
+  test("variants: bare charset, missing Content-Type, empty reason, " +
+      "status-only line") {
+    val b1 = Http.render(301, "Moved Permanently",
+      Seq("Content-Type" -> "text/plain; charset=iso-8859-1",
+        "Location" -> "http://ex.test/"), Array.emptyByteArray)
+    val r1 = Http.parseResponse(b1).get
+    assert(r1.status == 301 && r1.charset.contains("iso-8859-1"))
+    val b2 = Http.render(204, "", Seq.empty, Array.emptyByteArray)
+    val r2 = Http.parseResponse(b2).get
+    assert(r2.status == 204 && r2.reason == "" && r2.mediaType.isEmpty &&
+      r2.charset.isEmpty && r2.bodyLen == 0L)
+    // no reason segment at all (just "HTTP/1.0 200")
+    val b3 = "HTTP/1.0 200\r\n\r\nxy".getBytes("ISO-8859-1")
+    val r3 = Http.parseResponse(b3).get
+    assert(r3.version == "1.0" && r3.status == 200 && r3.reason == "" &&
+      r3.bodyLen == 2L && r3.declaredLen.isEmpty && r3.lenMatches)
+  }
+
+  test("crawl reality: a Content-Length that disagrees with the " +
+      "captured bytes is FLAGGED, not fatal (the WARC record length " +
+      "is authoritative)") {
+    val full = Http.render(200, "OK", Seq.empty, "abcdefgh".getBytes)
+    // truncated fetch: drop the last 3 payload bytes
+    val r = Http.parseResponse(full.dropRight(3)).get
+    assert(r.declaredLen.contains(8L) && r.bodyLen == 5L && !r.lenMatches)
+    assert(r.bodyMd5 == md5hex("abcde".getBytes))
+    // over-long capture: trailing junk beyond the declared length
+    val r2 = Http.parseResponse(full ++ "zz".getBytes).get
+    assert(r2.bodyLen == 10L && !r2.lenMatches)
+  }
+
+  test("strictness: bare-LF endings, colon-less header, non-numeric " +
+      "Content-Length, non-digit status, missing terminator → None; " +
+      "truncation + flip sweeps never throw") {
+    val good = Http.render(200, "OK",
+      Seq("Content-Type" -> "text/plain"), "payload".getBytes)
+    def s(b: Array[Byte]) = new String(b, "ISO-8859-1")
+    assert(Http.parseResponse(
+      s(good).replace("\r\n", "\n").getBytes("ISO-8859-1")).isEmpty)
+    assert(Http.parseResponse(
+      s(good).replace("Content-Type:", "Content-Type ")
+        .getBytes("ISO-8859-1")).isEmpty)
+    assert(Http.parseResponse(
+      s(good).replace("Content-Length: 7", "Content-Length: seven")
+        .getBytes("ISO-8859-1")).isEmpty)
+    assert(Http.parseResponse(
+      s(good).replace("HTTP/1.1 200", "HTTP/1.1 2x0")
+        .getBytes("ISO-8859-1")).isEmpty)
+    val noTerm = s(good).replaceFirst("\r\n\r\n[\\s\\S]*$", "\r\n")
+    assert(Http.parseResponse(noTerm.getBytes("ISO-8859-1")).isEmpty)
+    val headerEnd = good.length - "payload".length
+    for (cut <- 0 to good.length) {
+      val got =
+        try Http.parseResponse(good.take(cut))
+        catch { case e: Throwable => fail(s"cut=$cut threw: $e") }
+      if (cut < headerEnd) assert(got.isEmpty, s"cut=$cut")
+      else assert(got.exists(_.bodyLen == (cut - headerEnd).toLong),
+        s"cut=$cut")
+    }
+    for (i <- good.indices) {
+      val m = good.clone(); m(i) = (m(i) ^ 0x40).toByte
+      try Http.parseResponse(m)
+      catch { case e: Throwable => fail(s"flip@$i threw: $e") }
+    }
+  }
+
+  test("composition referee: gzip → WARC response record → HTTP → " +
+      "UTF-8 audit, all layers on one buffer") {
+    val pay = "é" * 6 // 12 bytes, 6 codepoints
+    val http = Http.render(200, "OK",
+      Seq("Content-Type" -> "text/plain; charset=utf-8"),
+      pay.getBytes("UTF-8"))
+    val warc = Warc.render(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:77>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z"), http)
+    val gz = Compressed.gzipMember(warc, None)
+    val (rec, warcBody) = Compressed.memberPayloads(gz).get
+      .flatMap { case (_, p) => Warc.parseSingleWithBody(p) }.head
+    assert(rec.warcType == "response")
+    val (resp, body) = Http.parseResponseWithBody(warcBody).get
+    assert(resp.status == 200 && resp.charset.contains("utf-8"))
+    assert(resp.bodyLen == 12L)
+    val st = graft.text.Utf8.audit(body)
+    assert(st.n_cp_valid == 6L && st.n_bytes == 12L)
+  }
+}

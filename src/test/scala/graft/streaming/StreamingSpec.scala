@@ -43,8 +43,10 @@ class StreamingSpec extends SparkSpec {
         .select(col("doc_id"), array_sort(array_distinct(
           transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    // checkpointed like the shipped q187 train — the per-batch plans
+    // under test start from the materialized frame, not shingling
     val train = hashFrame(raw.filter(col("doc_id") % 10 =!= 0))
-      .toDF("t_id", "t_hs")
+      .toDF("t_id", "t_hs").localCheckpoint()
     graft.load.Warehouse.writeBucketed(
       train.select(col("t_id"), size(col("t_hs")).as("nb"),
         posexplode(col("t_hs")).as(Seq("j", "h"))), "t_q187_idx", "h", 8)
@@ -61,6 +63,22 @@ class StreamingSpec extends SparkSpec {
     assert(exchanges == 1,
       s"want exactly 1 exchange (batch side; index arrives bucketed):\n$p")
     assert(cand.count() > 0)
+    // and the exact-verify side: the candidate-id broadcast semi-
+    // reduction scans the standing hash frame without ANY hash
+    // exchange (round 9 shuffled the full train frame's wide arrays
+    // per batch — 60-100 MB at 10-30× in the r15 probe)
+    val candIds = cand.select(col("t_id")).distinct()
+    val trainHit = train.join(broadcast(candIds), "t_id")
+    def nEx(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    // every hash exchange in the semi-reduction plan belongs to the
+    // (batch-bounded) candidate-id subtree under the broadcast — the
+    // train side itself adds NONE
+    assert(nEx(trainHit) == nEx(candIds),
+      s"standing-corpus semi-reduction must not exchange train:\n" +
+        trainHit.queryExecution.executedPlan.toString)
+    assert(trainHit.count() > 0)
     spark.sql("DROP TABLE t_q187_idx")
   }
 
