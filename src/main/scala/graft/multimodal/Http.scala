@@ -11,7 +11,11 @@ package graft.multimodal
   * Parse discipline (the container-tier rules): strict CRLF line
   * ends and CRLFCRLF header terminator; status line must be
   * `HTTP/<ver> <3 digits> [reason]`; header names fold case; None on
-  * structural malformation, never a throw. One crawl-reality
+  * structural malformation, never a throw. DELIBERATE delta vs the
+  * WARC layer (both share ByteScan's line reader): WARC folds LWS
+  * continuation lines (ISO 28500 inherits RFC 822), this parser
+  * rejects them — RFC 7230 deprecated obs-fold and a leading-space
+  * line here has no colon, so it parses as malformed. One crawl-reality
   * deviation from strictness: a Content-Length that DISAGREES with
   * the actual remaining bytes is flagged (`len_matches = false`), not
   * fatal — truncated fetches are endemic in crawl archives and the
@@ -35,15 +39,7 @@ object Http {
       bodyMd5: String)
 
   def parseResponse(p: Array[Byte]): Option[HttpResponse] = {
-    def line(i: Int): Option[(String, Int)] = {
-      var j = i
-      while (j + 1 < p.length && !(p(j) == '\r' && p(j + 1) == '\n')) {
-        if (p(j) == '\r' || p(j) == '\n') return None
-        j += 1
-      }
-      if (j + 1 >= p.length) None
-      else Some((new String(p, i, j - i, "ISO-8859-1"), j + 2))
-    }
+    def line(i: Int) = ByteScan.crlfLine(p, i)
     var i = 0
     val (ver, status, reason) = line(i) match {
       case Some((s, n)) if s.startsWith("HTTP/") =>
@@ -75,7 +71,10 @@ object Http {
     // media type and charset out of Content-Type:
     //   text/html; charset="UTF-8"  →  (text/html, utf-8)
     val ctype = hdr("content-type")
-    val mediaType = ctype.map(_.split(";")(0).trim.toLowerCase)
+    // takeWhile, not split()(0): Java split drops trailing empties, so
+    // a degenerate "Content-Type: ;" yields a ZERO-length array and
+    // (0) would throw — violating the never-throw contract
+    val mediaType = ctype.map(_.takeWhile(_ != ';').trim.toLowerCase)
       .filter(_.nonEmpty)
     val charset = ctype.flatMap(_.split(";").drop(1)
       .map(_.trim)
@@ -92,15 +91,10 @@ object Http {
       case None => None
     }
     val bodyLen = (p.length - i).toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    var bodySum = 0L
-    var k = i
-    while (k < p.length) { bodySum += p(k) & 0xff; k += 1 }
-    md.update(p, i, p.length - i)
+    val (bodySum, bodyMd5) = ByteScan.witness(p, i, p.length - i)
     Some(HttpResponse(ver, status, reason, mediaType, charset,
       headers.size, declaredLen,
-      declaredLen.forall(_ == bodyLen), bodyLen, bodySum,
-      md.digest().map("%02x".format(_)).mkString))
+      declaredLen.forall(_ == bodyLen), bodyLen, bodySum, bodyMd5))
   }
 
   /** [[parseResponse]] plus the payload bytes — the in-task hand-off

@@ -100,18 +100,17 @@ object Tar {
         if (magic.startsWith("ustar")) zstr(i + 345, 155) else ""
       val name = if (prefix.isEmpty) rawName else prefix + "/" + rawName
       val typeflag = (p(i + 156) & 0xff).toChar
-      val blocks = ((size + 511) / 512).toInt
-      if (i + 512 + blocks * 512 > p.length) return None // truncated body
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var bodySum = 0L
-      k = i + 512
-      val end = k + size.toInt
-      while (k < end) { bodySum += p(k) & 0xff; k += 1 }
-      md.update(p, i + 512, size.toInt)
+      // Long arithmetic throughout: with blocks as Int, a corrupted
+      // size near p.length in a ~2 GiB archive overflows blocks*512
+      // negative, sails past the bound and indexes negatively later
+      val blocks = (size + 511) / 512
+      if (i.toLong + 512L + blocks * 512L > p.length.toLong)
+        return None // truncated body
+      val (bodySum, bodyMd5) = ByteScan.witness(p, i + 512, size.toInt)
       out += TarEntry(idx, name, size, typeflag, chksumOk, bodySum,
-        md.digest().map("%02x".format(_)).mkString)
+        bodyMd5)
       idx += 1
-      i += 512 + blocks * 512
+      i = (i.toLong + 512L + blocks * 512L).toInt // bounded by p.length
     }
     None // ran off the end without a terminator
   }

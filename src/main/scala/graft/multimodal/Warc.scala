@@ -86,17 +86,7 @@ object Warc {
     * past the terminating CRLFCRLF)) or None.
     */
   def parseAt(p: Array[Byte], off: Int): Option[(WarcRecord, Int)] = {
-    // CRLF-terminated line starting at i → (text, next offset)
-    def line(i: Int): Option[(String, Int)] = {
-      var j = i
-      while (j + 1 < p.length && !(p(j) == '\r' && p(j + 1) == '\n')) {
-        // a stray CR or LF inside a header line is malformed
-        if (p(j) == '\r' || p(j) == '\n') return None
-        j += 1
-      }
-      if (j + 1 >= p.length) None
-      else Some((new String(p, i, j - i, "ISO-8859-1"), j + 2))
-    }
+    def line(i: Int) = ByteScan.crlfLine(p, i)
     var i = off
     val version = line(i) match {
       case Some((v, n)) if v.startsWith("WARC/") && v.length > 5 &&
@@ -133,14 +123,8 @@ object Warc {
       case _ => return None
     }
     if (i + len + 4 > p.length) return None // body + CRLFCRLF must fit
-    val md = java.security.MessageDigest.getInstance("MD5")
-    var bodySum = 0L
-    var k = i
-    val end = i + len.toInt
-    while (k < end) { bodySum += p(k) & 0xff; k += 1 }
-    md.update(p, i, len.toInt)
-    val bodyMd5 = md.digest().map("%02x".format(_)).mkString
-    i = end
+    val (bodySum, bodyMd5) = ByteScan.witness(p, i, len.toInt)
+    i = i + len.toInt
     if (!(p(i) == '\r' && p(i + 1) == '\n' &&
         p(i + 2) == '\r' && p(i + 3) == '\n')) return None
     Some((WarcRecord(version, warcType, recordId, date, len,

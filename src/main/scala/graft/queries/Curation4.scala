@@ -98,10 +98,21 @@ object Curation4 {
     */
   def winnowRouteStats(ex: org.apache.spark.sql.DataFrame,
       tau: org.apache.spark.sql.DataFrame)
+      : (String, Long, Long, Long, Long) =
+    statsFromDf(ex.groupBy("v").agg(count(lit(1)).as("c")), tau)
+
+  /** The routing rule over an already-built fingerprint df frame
+    * (v, c) — [[winnowAuto]] materializes that frame ONCE and feeds
+    * both this and the hot-fingerprint filter (the df aggregation is
+    * the dominant cost at stress scale; review-r10 caught the shipped
+    * shape paying it twice).
+    */
+  private def statsFromDf(dfc: org.apache.spark.sql.DataFrame,
+      tau: org.apache.spark.sql.DataFrame)
       : (String, Long, Long, Long, Long) = {
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("c")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val st = ex.groupBy("v").agg(count(lit(1)).as("c"))
+    val st = dfc
       .groupBy("c").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(tau))
       // single-partition windows over the HISTOGRAM (≤ distinct df
@@ -135,12 +146,15 @@ object Curation4 {
       : org.apache.spark.sql.DataFrame = {
     val tau = docs.agg(
       expr("greatest(CAST(4 AS BIGINT), count(1) DIV 250) AS t"))
-    // one materialization feeds the stats pass, the df filter and both
-    // self-join sides
+    // one explode materialization feeds the df aggregation and both
+    // self-join sides; one df materialization (|distinct fp| rows)
+    // feeds the histogram stats AND the hot filter — the df
+    // aggregation over the exploded frame is the dominant cost at
+    // stress scale and is paid exactly once
     val ex = winnowExplode(docs).localCheckpoint()
-    val (tier, eff, _, _, _) = winnowRouteStats(ex, tau)
-    val hot = ex.groupBy("v").agg(count(lit(1)).as("c"))
-      .filter(col("c") > lit(eff)).select("v")
+    val dfc = ex.groupBy("v").agg(count(lit(1)).as("c")).localCheckpoint()
+    val (tier, eff, _, _, _) = statsFromDf(dfc, tau)
+    val hot = dfc.filter(col("c") > lit(eff)).select("v")
     val exc = ex.join(hot, Seq("v"), "left_anti")
       .select(col("doc_id"), col("v"))
     exc.select(col("doc_id").as("a_id"), col("v"))
@@ -163,6 +177,14 @@ object Curation4 {
     docs.select(col("doc_id"), col("source"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(delim)))
         .as(Seq("pos", "line")))
+      // Spark's split keeps trailing empties (limit -1, unlike Java):
+      // without this filter a text ending in the delimiter grows a
+      // phantom empty last line whose md5("") digest df-counts across
+      // every such doc — two texts identical modulo a trailing newline
+      // would fingerprint differently. Blank lines are separators, not
+      // lines; pos keeps original order (gaps are fine — the
+      // recompose sorts by pos)
+      .filter(col("line") =!= "")
 
   /** T113's line-frequency df/strip pipeline over an already-segmented
     * frame (doc_id, source, pos, line) — segmentation is the caller's

@@ -110,7 +110,10 @@ object Streaming2 {
         // bucketed index the per-batch shuffle is batch-side-only and
         // FLAT under corpus growth (re-measured in the r15 probe).
         // StreamingSpec gates the exchange count on this exact join.
-        val idxTable = "graft_q187_idx"
+        // unique per invocation: a fixed name would collide across
+        // concurrent sessions sharing a warehouse (q188-review class)
+        val idxTable = "graft_q187_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
         graft.load.Warehouse.writeBucketed(
           train.select(col("t_id"), size(col("t_hs")).as("nb"),
             posexplode(col("t_hs")).as(Seq("j", "h"))),
@@ -129,6 +132,7 @@ object Streaming2 {
         // crash. doc_id/first_match reuse the table's own id type so
         // the seed file merges cleanly with batch output.
         val idType = raw.schema("doc_id").dataType
+        try {
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("doc_id", idType),
@@ -174,9 +178,14 @@ object Streaming2 {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // the drained result no longer reads the index — drop it so a
-        // bench/verify session doesn't accumulate warehouse tables
-        s.sql(s"DROP TABLE IF EXISTS $idxTable")
+        } finally {
+          // the drained result no longer reads the index — drop it so
+          // a bench/verify session doesn't accumulate warehouse
+          // tables, and drop it on FAILURE too (the q188 cache-release
+          // discipline: a crashed drain must not pin the table for the
+          // session lifetime)
+          s.sql(s"DROP TABLE IF EXISTS $idxTable")
+        }
         s.read.parquet(s"$outDir/table").orderBy("doc_id")
       })
   )

@@ -191,6 +191,22 @@ final case class QboHttpFeedConfig(baseUrl: String, realm: String,
     new graft.qbo.QboOAuth2TokenSource(tokenUrl, clientId, clientSecret,
       refreshToken))
   @transient private lazy val mapper = new ObjectMapper()
+  // loud misconfiguration at READER CREATION (the trait contract —
+  // review-r10 caught that only the registry fetcher honored it): a
+  // malformed endpoint/credential config must fail the plan, not
+  // surface task-retries deep into the first strided fetch
+  override def validate(): Unit = {
+    val missing = Seq("httpBaseUrl" -> baseUrl, "realm" -> realm,
+      "entity" -> entity, "tokenUrl" -> tokenUrl, "clientId" -> clientId,
+      "clientSecret" -> clientSecret, "refreshToken" -> refreshToken)
+      .collect { case (k, v) if v == null || v.trim.isEmpty => k }
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"qbo http fetch config incomplete: missing ${missing.mkString(", ")}")
+    for ((k, u) <- Seq("httpBaseUrl" -> baseUrl, "tokenUrl" -> tokenUrl))
+      if (!u.startsWith("http://") && !u.startsWith("https://"))
+        throw new IllegalArgumentException(
+          s"qbo http fetch config: $k must be an http(s) URL, got '$u'")
+  }
   override def fetch(idx: Int): Option[String] = {
     val body = api.queryPage(entity,
       (idx - 1) * graft.qbo.QboSource.PageSize + 1)
@@ -276,6 +292,14 @@ class QboScanBuilder(fullSchema: StructType, entity: String, feed: String,
     override def planInputPartitions(): Array[InputPartition] =
       if (fetchPartitions > 1 || http.isDefined) {
         val p = fetchPartitions.max(1)
+        // structural config checks are location-independent — run them
+        // HERE so a malformed endpoint/credential set fails the PLAN,
+        // before any task launches (review-r10: executor-side
+        // createReader validation alone surfaces as task retries).
+        // The registry fetcher's validate stays executor-side only:
+        // its question — is the fixture registry populated in THIS
+        // JVM — is exactly per-JVM.
+        http.foreach(_.validate())
         val fetcher: QboPageFetcher =
           http.getOrElse(QboRegistryFetcher(feed))
         (1 to p).map(k =>

@@ -31,6 +31,11 @@ object TaskFailureMonitor
       e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     e.reason match {
       case org.apache.spark.Success => ()
+      // scheduler-initiated kills (sibling tasks of a deliberately
+      // aborted stage, speculation) are not retried-and-hidden
+      // failures — counting them would make the gate hostage to
+      // abort timing
+      case _: org.apache.spark.TaskKilled => ()
       case r: org.apache.spark.TaskFailedReason =>
         val desc = r.toErrorString
         if (!expectedMarkers.exists(desc.contains)) failures.add(

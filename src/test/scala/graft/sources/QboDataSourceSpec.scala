@@ -259,6 +259,37 @@ class QboDataSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("misconfigured HTTP fetch config fails LOUDLY at planning — " +
+      "the validate() contract the registry fetcher already honored " +
+      "(review-r10): no task ever launches, no retry noise") {
+    def chain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    // the retry-loudness gate doubles as the no-task-launched proof:
+    // a planning-time throw leaves no task failures to drain
+    val ex = intercept[Exception] {
+      spark.read.format("qbo")
+        .option("entity", "Deposit")
+        .option("httpBaseUrl", "not-a-url").option("realm", "r77")
+        .option("tokenUrl", "https://t.example/token")
+        .option("clientId", "cid").option("clientSecret", "sec")
+        .option("refreshToken", "rt0")
+        .load().count()
+    }
+    assert(chain(ex).contains("must be an http(s) URL"), chain(ex))
+    val ex2 = intercept[Exception] {
+      spark.read.format("qbo")
+        .option("entity", "Deposit")
+        .option("httpBaseUrl", "http://h.example").option("realm", " ")
+        .option("tokenUrl", "https://t.example/token")
+        .option("clientId", "cid").option("clientSecret", "sec")
+        .option("refreshToken", "rt0")
+        .load().count()
+    }
+    assert(chain(ex2).contains("incomplete: missing realm"), chain(ex2))
+    assert(graft.TaskFailureMonitor.drainUnexpected().isEmpty,
+      "misconfiguration must fail at planning, not in tasks")
+  }
+
   test("custom feeds register dynamically") {
     QboPageFeeds.register("one_deposit", Seq(
       """{"QueryResponse": {"Deposit": [{"Id": "9", "TotalAmt": 5.0,
