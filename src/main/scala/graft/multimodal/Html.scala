@@ -1,0 +1,249 @@
+package graft.multimodal
+
+/** HTML → text extraction (q209) — the fourth story of the
+  * crawl-ingest stack: gzip member walk (T104) → WARC record parse
+  * (T115) → HTTP payload (T117) → THIS. A crawl `text/html` payload
+  * becomes a document only after markup stripping, and the stripping
+  * rules are what separate a usable corpus from tag soup: script/
+  * style/template payloads must vanish (they are code, not prose),
+  * comments and declarations must vanish, entities must decode
+  * (`&amp;X` IS the text `&X`), block-level boundaries must become
+  * line boundaries (so the line-frequency boilerplate tier, T113/q204,
+  * sees real lines), and inline markup must NOT split words
+  * (`<b>re</b>read` is one word). This is the Trafilatura/jusText
+  * extraction class re-expressed as a single-pass JVM scanner —
+  * no DOM is built; memory is O(output), and the scan never throws
+  * on truncated or malformed input (the container-tier discipline:
+  * a crawl archive WILL contain every possible way to be wrong).
+  *
+  * Strictness deltas, documented: entity references require the
+  * terminating `;` (the HTML5 legacy-without-semicolon list is a
+  * compat shim for hand-typed pages; crawl extraction wants the
+  * unambiguous grammar) — a bare `&amp` stays literal. Numeric
+  * references beyond U+10FFFF or in the surrogate range decode to
+  * U+FFFD exactly as browsers do. A `<` not opening a tag, comment,
+  * or declaration is literal text (browser behavior). RAWTEXT
+  * elements (script/style/noscript/template/textarea) skip to their
+  * matching case-insensitive close tag; an unterminated one consumes
+  * to EOF — truncation degrades, never throws.
+  */
+object Html {
+
+  final case class Extracted(
+      title: Option[String], // <title> RCDATA, decoded + collapsed
+      text: String,          // one line per block run, collapsed
+      nLinks: Int,           // <a> elements carrying an href attribute
+      nTags: Int)            // open/self-closing tags (not closers,
+                             // comments, or declarations)
+
+  /** Elements whose character data is NOT text: consumed raw up to the
+    * matching close tag, no entity processing (script bodies contain
+    * `&&` and `<p>` string literals that must not resurface as prose).
+    */
+  private val rawText = Set("script", "style", "noscript", "template",
+    "textarea")
+
+  /** Elements whose open OR close tag ends the current text line.
+    * Inline elements (a, b, i, em, span, code, …) are the complement:
+    * they contribute no separator at all, so markup never splits a
+    * word and `foo<b>bar</b>` reads "foobar" exactly as rendered.
+    */
+  private val block = Set("html", "head", "body", "p", "div", "section",
+    "article", "header", "footer", "main", "aside", "nav", "h1", "h2",
+    "h3", "h4", "h5", "h6", "ul", "ol", "li", "dl", "dt", "dd", "table",
+    "thead", "tbody", "tfoot", "tr", "td", "th", "caption", "blockquote",
+    "pre", "hr", "br", "form", "fieldset", "figure", "figcaption",
+    "address", "center")
+
+  private val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+
+  /** Decode one entity reference starting at `i` (which points at the
+    * `&`). Returns (decoded text, next index); a reference that does
+    * not terminate in `;` within 32 chars, or names nothing, is
+    * literal text — return the `&` alone and let the scan continue.
+    */
+  private def entity(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi > i + 32) return ("&", i + 1)
+    val body = s.substring(i + 1, semi)
+    if (body.startsWith("#")) {
+      val (digits, radix) =
+        if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+          (body.substring(2), 16)
+        else (body.substring(1), 10)
+      // parseLong accepts a leading sign; a signed charref is not a
+      // charref — require every char be a digit of the radix
+      if (digits.isEmpty ||
+          !digits.forall(ch => Character.digit(ch, radix) >= 0))
+        return ("&", i + 1)
+      try {
+        val cp = java.lang.Long.parseLong(digits, radix)
+        // out-of-range / surrogate → U+FFFD, the browser rule
+        if (cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff))
+          ("�", semi + 1)
+        else (new String(Character.toChars(cp.toInt)), semi + 1)
+      } catch { case _: NumberFormatException => ("&", i + 1) }
+    } else named.get(body) match {
+      case Some(t) => (t, semi + 1)
+      case None    => ("&", i + 1)
+    }
+  }
+
+  /** Case-insensitive test that `s(i..)` starts the close tag of
+    * `name` — `</name` followed by whitespace, `/`, `>`, or EOF.
+    */
+  private def atCloseOf(s: String, i: Int, name: String): Boolean = {
+    if (i + 2 + name.length > s.length) return false
+    if (s.charAt(i) != '<' || s.charAt(i + 1) != '/') return false
+    var k = 0
+    while (k < name.length) {
+      if (Character.toLowerCase(s.charAt(i + 2 + k)) != name.charAt(k))
+        return false
+      k += 1
+    }
+    val j = i + 2 + name.length
+    j >= s.length || s.charAt(j) == '>' || s.charAt(j) == '/' ||
+      Character.isWhitespace(s.charAt(j))
+  }
+
+  def extractText(html: String): Extracted = {
+    val n = html.length
+    val out = new StringBuilder   // raw text with \n block markers
+    var title: Option[String] = None
+    var nLinks = 0
+    var nTags = 0
+    var i = 0
+
+    // skip a tag's attribute region (after the name) up to its `>`,
+    // honoring quoted values (`alt="a > b"` must not close the tag);
+    // returns (index past `>`, attribute names seen). Truncated tag →
+    // consume to EOF.
+    def attrs(start: Int): (Int, Set[String]) = {
+      var i = start
+      val names = Set.newBuilder[String]
+      while (i < n && html.charAt(i) != '>') {
+        val c = html.charAt(i)
+        if (c == '"' || c == '\'') {
+          i += 1
+          while (i < n && html.charAt(i) != c) i += 1
+          if (i < n) i += 1
+        } else if (Character.isLetter(c)) {
+          val s0 = i
+          while (i < n && (Character.isLetterOrDigit(html.charAt(i)) ||
+            html.charAt(i) == '-' || html.charAt(i) == '_')) i += 1
+          names += html.substring(s0, i).toLowerCase
+          // skip an unquoted `=value` so its chars don't re-enter the
+          // name scan (quoted values hit the branch above)
+          var j = i
+          while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+          if (j < n && html.charAt(j) == '=') {
+            j += 1
+            while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+            if (j < n && html.charAt(j) != '"' && html.charAt(j) != '\'') {
+              while (j < n && !Character.isWhitespace(html.charAt(j)) &&
+                html.charAt(j) != '>') j += 1
+              i = j
+            } else i = j
+          }
+        } else i += 1
+      }
+      (if (i < n) i + 1 else n, names.result())
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '&') {
+        // `\n` in `out` is the reserved block marker — an entity
+        // decoding to a line terminator (&#10;) is source whitespace,
+        // not a block boundary
+        val (t, ni) = entity(html, i)
+        out ++= t.replace('\n', ' ').replace('\r', ' ')
+        i = ni
+      } else if (c != '<') {
+        // source newlines are ordinary whitespace in HTML — only
+        // BLOCK tags make lines (a text run split across source lines
+        // is one rendered run)
+        out += (if (c == '\n' || c == '\r') ' ' else c); i += 1
+      } else if (html.startsWith("<!--", i)) {
+        val e = html.indexOf("-->", i + 4)
+        i = if (e < 0) n else e + 3
+      } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+        val e = html.indexOf('>', i + 2)
+        i = if (e < 0) n else e + 1
+      } else if (html.startsWith("</", i)) {
+        if (i + 2 < n && Character.isLetter(html.charAt(i + 2))) {
+          var j = i + 2
+          while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(i + 2, j).toLowerCase
+          val e = html.indexOf('>', j)
+          i = if (e < 0) n else e + 1
+          if (block(name)) out += '\n'
+        } else {
+          // `</>` / `</!…`: HTML5 treats these as an ignored empty end
+          // tag / bogus comment — consume to `>` and emit nothing
+          val e = html.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        }
+      } else if (i + 1 < n && Character.isLetter(html.charAt(i + 1))) {
+        var j = i + 1
+        while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+        val name = html.substring(i + 1, j).toLowerCase
+        val (past, attrNames) = attrs(j)
+        val selfClosed = past >= 2 && past <= n &&
+          html.charAt(past - 1) == '>' && html.charAt(past - 2) == '/'
+        nTags += 1
+        if (name == "a" && attrNames("href")) nLinks += 1
+        if (block(name)) out += '\n'
+        i = past
+        if (name == "title" && !selfClosed) {
+          val s0 = i
+          while (i < n && !atCloseOf(html, i, "title")) i += 1
+          if (title.isEmpty)
+            title = Some(collapse(decodeAll(html.substring(s0, i))))
+        } else if (rawText(name) && !selfClosed) {
+          while (i < n && !atCloseOf(html, i, name)) i += 1
+          // the close tag itself is consumed by the `</` branch above
+        }
+      } else {
+        // `<` opening nothing — literal text, the browser rule
+        out += c; i += 1
+      }
+    }
+
+    val lines = out.toString.split('\n').iterator
+      .map(collapse).filter(_.nonEmpty)
+    Extracted(title, lines.mkString("\n"), nLinks, nTags)
+  }
+
+  /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */
+  private def collapse(s: String): String =
+    s.replaceAll("[\\s\\u00A0]+", " ").trim
+
+  /** Entity-decode a plain string (used for RCDATA title content). */
+  private def decodeAll(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') { val (t, ni) = entity(s, i); out ++= t; i = ni }
+      else { out += s.charAt(i); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Escape text for embedding in synthesized HTML (q209's renderer):
+    * the round trip `extractText(…escape(w)…)` must return `w` exactly,
+    * exercising the entity decoder on every corpus word that needs it.
+    */
+  def escape(s: String): String = {
+    val out = new StringBuilder
+    s.foreach {
+      case '&' => out ++= "&amp;"
+      case '<' => out ++= "&lt;"
+      case '>' => out ++= "&gt;"
+      case '"' => out ++= "&quot;"
+      case ch  => out += ch
+    }
+    out.toString
+  }
+}

@@ -594,6 +594,193 @@ object MultimodalOps {
           .orderBy("media_id")
       }),
 
+    Q("q209_html_extract",
+      "HTML → text extraction (the fourth story of the crawl-ingest " +
+        "stack, T118): each doc's words are rendered into a real HTML " +
+        "page — head with title/style/script (script body contains " +
+        "markup-shaped decoy strings that must NOT resurface as " +
+        "prose), h1, comment, 6-word <p> blocks with every 5th word " +
+        "wrapped in an inline <a href> (inline tags must not split or " +
+        "separate words), every word entity-escaped, and a final " +
+        "entity-laden paragraph — then wrapped gzip → WARC response → " +
+        "HTTP 200 text/html and walked back through ALL FOUR layers " +
+        "(memberPayloads → parseSingleWithBody → parseResponseWithBody " +
+        "→ Html.extractText): the complete Common-Crawl-archive → " +
+        "documents pipeline in one task per doc, payload never " +
+        "shuffling. The extractor is a single-pass scanner (no DOM): " +
+        "rawtext skip, quote-aware attribute walk, entity decode, " +
+        "block tags → line boundaries so the T113 boilerplate tier " +
+        "sees real lines. Every output (title RCDATA, line/word/char " +
+        "counts, href-link count, open-tag count, full text MD5) has " +
+        "a closed-form DuckDB twin over the documents table",
+      Some("""WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              x -> x <> '') AS ws
+          FROM documents),
+        g AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM w),
+        ix AS (SELECT doc_id, ws,
+            unnest(range(0, CAST(ceil(nw/6.0) AS BIGINT))) AS i
+          FROM g),
+        ch AS (SELECT doc_id, i,
+            array_to_string(ws[CAST(6*i+1 AS BIGINT):
+              CAST(6*i+6 AS BIGINT)], ' ') AS ln
+          FROM ix),
+        body AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS b
+          FROM ch GROUP BY doc_id),
+        t AS (SELECT g.doc_id, g.nw,
+            'H' || CAST(g.doc_id AS VARCHAR) || chr(10) ||
+            COALESCE(body.b || chr(10), '') || '&X B <t>' AS txt
+          FROM g LEFT JOIN body ON g.doc_id = body.doc_id)
+        SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+          CAST(2 + ceil(nw/6.0) AS BIGINT) AS n_lines,
+          CAST(nw + 4 AS BIGINT) AS n_words,
+          CAST(length(txt) AS BIGINT) AS n_chars,
+          CAST(nw // 5 AS BIGINT) AS n_links,
+          CAST(8 + ceil(nw/6.0) + nw // 5 AS BIGINT) AS n_tags,
+          md5(txt) AS text_md5
+        FROM t ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Compressed, Html, Http, Warc}
+        table(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val ws = text.split("\\s+").filter(_.nonEmpty)
+            val h = new StringBuilder
+            h ++= s"<!DOCTYPE html><html><head><title>Doc $id</title>"
+            h ++= "<style>p{margin:0} a>b{color:red}</style>"
+            h ++= "<script>var s=\"<p>decoy prose</p>\";if(1&&2){}</script>"
+            h ++= s"</head><body><h1>H$id</h1><!-- doc $id -->"
+            var w = 0
+            ws.grouped(6).foreach { grp =>
+              h ++= "<p>"
+              grp.zipWithIndex.foreach { case (word, k) =>
+                if (k > 0) h ++= " "
+                val esc = Html.escape(word)
+                if (w % 5 == 4) h ++= s"""<a href="#w$w">$esc</a>"""
+                else h ++= esc
+                w += 1
+              }
+              h ++= "</p>"
+            }
+            h ++= "<p>&amp;X &#66; &lt;t&gt;</p></body></html>"
+            val http = Http.render(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8"),
+              h.toString.getBytes("UTF-8"))
+            val warc = Warc.render(Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:uuid:q209-$id>",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "WARC-Target-URI" -> s"http://ex.test/p$id"), http)
+            val ex = Compressed.memberPayloads(
+                Compressed.gzipMember(warc, None))
+              .getOrElse(Seq.empty).headOption
+              .flatMap { case (_, rec) => Warc.parseSingleWithBody(rec) }
+              .filter(_._1.warcType == "response")
+              .flatMap { case (_, body) => Http.parseResponseWithBody(body) }
+              .map { case (_, pay) =>
+                Html.extractText(new String(pay, "UTF-8")) }
+            ex match {
+              case Some(e) =>
+                val tb = e.text.getBytes("UTF-8")
+                (id, e.title.getOrElse("-"),
+                  e.text.split('\n').length.toLong,
+                  e.text.split("\\s+").count(_.nonEmpty).toLong,
+                  e.text.codePointCount(0, e.text.length).toLong,
+                  e.nLinks.toLong, e.nTags.toLong,
+                  java.security.MessageDigest.getInstance("MD5")
+                    .digest(tb).map("%02x".format(_)).mkString)
+              case None =>
+                // a layer refusing its own synthesis is a loud failure:
+                // sentinel row hash-mismatches the oracle
+                (id, "LAYER_FAILED", -1L, -1L, -1L, -1L, -1L, "-")
+            }
+          }
+          .toDF("doc_id", "title", "n_lines", "n_words", "n_chars",
+            "n_links", "n_tags", "text_md5")
+          .orderBy("doc_id")
+      }),
+
+    Q("q210_charset_decode",
+      "charset-aware payload decode (T119, the T117 → T119 bridge): " +
+        "four HTTP messages per doc — utf-8 with multi-byte runs, " +
+        "windows-1252 smart-quote bytes, the SAME cp1252 bytes " +
+        "declared iso-8859-1 (the WHATWG aliasing rule: browsers " +
+        "decode latin-1 labels as cp1252, so 0x80-0x9F becomes the " +
+        "quotes the author meant, not C1 controls), and an unknown " +
+        "label over malformed bytes (falls back to the T107 UTF-8 " +
+        "maximal-subpart repair, FLAGGED). The charset label is not " +
+        "given to the decoder — it is EXTRACTED by the HTTP parser " +
+        "from each message's Content-Type, so the composition is the " +
+        "production path. Decoded text is witnessed per variant by " +
+        "full MD5 (DuckDB constructs the expected post-decode " +
+        "strings, including the WHATWG C1 mapping via chr(129)); " +
+        "per-task work, nothing shuffles but the result",
+      Some("""WITH b AS (SELECT doc_id,
+            doc_id % 30 + 4 AS mm,
+            chr(CAST(97 + doc_id % 26 AS INT)) AS ch,
+            'd' || CAST(doc_id AS VARCHAR) AS pre
+          FROM documents),
+        t AS (SELECT doc_id, mm, pre,
+            repeat(ch, CAST(mm AS INT)) || 'é😀' AS s1,
+            pre || '€…‰‘’“”œ' || chr(129) || '©é' AS s2,
+            pre || repeat(chr(65533), 2) AS s4
+          FROM b)
+        SELECT doc_id,
+          'utf-8,windows-1252,windows-1252,utf-8' AS used,
+          CAST(1 AS BIGINT) AS n_fallback,
+          CAST(2 AS BIGINT) AS n_repl,
+          CAST(mm + 2 + 2*(length(pre) + 11) + length(pre) + 2
+            AS BIGINT) AS cp_total,
+          md5(s1) || ',' || md5(s2) || ',' || md5(s2) || ',' || md5(s4)
+            AS md5s
+        FROM t ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Charsets, Http}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val mm = (id % 30 + 4).toInt
+            val pre = s"d$id"
+            // (declared label, raw payload bytes) per variant
+            val variants: Seq[(String, Array[Byte])] = Seq(
+              ("UTF-8",
+                (("" + ('a' + (id % 26)).toChar) * mm + "é😀")
+                  .getBytes("UTF-8")),
+              ("windows-1252",
+                pre.getBytes("US-ASCII") ++
+                  Array(0x80, 0x85, 0x89, 0x91, 0x92, 0x93, 0x94, 0x9c,
+                    0x81, 0xa9, 0xe9).map(_.toByte)),
+              ("ISO-8859-1",
+                pre.getBytes("US-ASCII") ++
+                  Array(0x80, 0x85, 0x89, 0x91, 0x92, 0x93, 0x94, 0x9c,
+                    0x81, 0xa9, 0xe9).map(_.toByte)),
+              ("x-unknown",
+                pre.getBytes("US-ASCII") ++
+                  Array(0xff, 0xc3).map(_.toByte)))
+            val decs = variants.map { case (label, pay) =>
+              val msg = Http.render(200, "OK",
+                Seq("Content-Type" -> s"text/plain; charset=$label"), pay)
+              val (r, body) = Http.parseResponseWithBody(msg).get
+              Charsets.decode(body, r.charset)
+            }
+            (id,
+              decs.map(_.used).mkString(","),
+              decs.count(_.fellBack).toLong,
+              decs.map(_.nReplacements).sum,
+              decs.map(dd =>
+                dd.text.codePointCount(0, dd.text.length).toLong).sum,
+              decs.map { dd =>
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(dd.text.getBytes("UTF-8"))
+                  .map("%02x".format(_)).mkString
+              }.mkString(","))
+          }
+          .toDF("doc_id", "used", "n_fallback", "n_repl", "cp_total",
+            "md5s")
+          .orderBy("doc_id")
+      }),
+
     Q("q207_tar_entries",
       "ustar member walk under the gzip layer (VERDICT-r9 stretch " +
         "item 8): per-doc .tar.gz archives — a real POSIX ustar " +
