@@ -761,6 +761,56 @@ object Curation4 {
             sum(col("new_types")).over(org.apache.spark.sql.expressions
               .Window.orderBy(col("bucket"))).cast("long").as("vocab"))
           .orderBy("bucket")
+      }),
+
+    Q("q211_url_canonicalize",
+      "URL canonicalization (T120, graft.text.Urls — the frontier " +
+        "dedup key q201's extraction feeds): per doc, 1-4 messy " +
+        "variants of the same target (uppercase scheme/host + :80 + " +
+        "fragment; /./ and /../ segments; %-escapes of unreserved " +
+        "chars; trailing host dot + %7E) must all collapse to ONE " +
+        "canonical URL under RFC 3986 syntax normalization + the " +
+        "frontier conventions (default-port strip, query-param sort, " +
+        "fragment drop), while a mailto: per doc is rejected as " +
+        "non-hierarchical. The oracle knows every canonical closed-" +
+        "form; n_canon=1 proves the variants converged and the canon " +
+        "string proves WHERE. Pure per-row work, no shuffle — at " +
+        "corpus scale the canonical key is what the frontier " +
+        "groupBy/politeness tiers partition on",
+      Some("""SELECT doc_id,
+          CAST(doc_id % 4 + 1 AS BIGINT) AS n_urls,
+          CAST(1 AS BIGINT) AS n_canon,
+          'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/p' ||
+            CAST(doc_id % 97 AS VARCHAR) || '/a-b_c~d/q?b=2&x=1'
+            AS canon,
+          'ex' || CAST(doc_id % 97 AS VARCHAR) || '.test' AS host,
+          CAST(1 AS BIGINT) AS n_rejected
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Urls
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val variants = Seq(
+              s"HTTP://EX$g.TEST:80/p$g/a-b_c~d/q?x=1&b=2#frag",
+              s"http://ex$g.test/p$g/./zz/../a-b_c~d/q?x=1&b=2",
+              s"http://ex$g.test/p$g/%61%2Db_c~d/q?b=2&x=1",
+              s"http://ex$g.test.:80/p$g/a-b_c%7Ed/q?b=2&x=1")
+              .take((id % 4 + 1).toInt)
+            val canon = variants.map(Urls.canonicalize)
+            val rejected = Seq(s"mailto:u$id@ex$g.test")
+              .map(Urls.canonicalize).count(_.isEmpty)
+            val distinct = canon.flatten.distinct
+            (id, variants.length.toLong, distinct.length.toLong,
+              distinct.headOption.getOrElse("PARSE_FAILED"),
+              distinct.headOption.flatMap(Urls.parse).map(_.host)
+                .getOrElse("-"),
+              rejected.toLong)
+          }
+          .toDF("doc_id", "n_urls", "n_canon", "canon", "host",
+            "n_rejected")
+          .orderBy("doc_id")
       })
   )
 }

@@ -1,0 +1,172 @@
+package graft.text
+
+/** URL canonicalization (q211, T120) — the crawl-frontier dedup key.
+  * A frontier that doesn't canonicalize fetches the same page under
+  * `HTTP://EX.TEST:80/a/b#top`, `http://ex.test/a/./x/../b`, and
+  * `http://ex.test/%61/b` three times; at 100 TB the canonical-key
+  * groupBy IS the politeness and dedup backbone. Rules (RFC 3986
+  * syntax-based normalization §6.2.2 + the crawl-frontier conventions
+  * of the scrapy/w3lib class):
+  *
+  *  - scheme and host fold to lowercase; a trailing host dot drops
+  *  - default ports strip (http:80, https:443); others keep
+  *  - percent-encoding normalizes: unreserved octets (ALPHA / DIGIT /
+  *    `-._~`) DECODE, everything else keeps its escape with UPPERCASE
+  *    hex; a malformed escape (`%G1`, trailing `%`) passes through
+  *    untouched (crawl archives contain them; round-tripping beats
+  *    throwing)
+  *  - path applies RFC 3986 §5.2.4 remove_dot_segments; an empty
+  *    path becomes `/`
+  *  - query parameters sort (stable, by full `k=v` text) — the
+  *    frontier convention that makes `?b=2&x=1` and `?x=1&b=2` one
+  *    fetch; an empty query drops its `?`
+  *  - fragments drop (never sent on the wire)
+  *  - userinfo passes through verbatim (rare, semantically load-
+  *    bearing when present)
+  *
+  * Only hierarchical `scheme://` URLs canonicalize; anything else
+  * (mailto:, data:, a bare path, garbage) returns None — the caller
+  * decides whether that is a drop or a flag. Never throws.
+  */
+object Urls {
+
+  final case class Parts(
+      scheme: String,
+      userinfo: Option[String],
+      host: String,
+      port: Option[Int],
+      path: String,
+      query: Option[String],
+      fragment: Option[String])
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Normalize percent-escapes in one component: decode unreserved,
+    * uppercase the hex of everything else, pass malformed escapes
+    * through untouched.
+    */
+  private[text] def pctNormalize(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        val h1 = if (i + 1 < s.length) hexVal(s.charAt(i + 1)) else -1
+        val h2 = if (i + 2 < s.length) hexVal(s.charAt(i + 2)) else -1
+        if (h1 >= 0 && h2 >= 0) {
+          val v = (h1 << 4 | h2).toChar
+          if (isUnreserved(v)) out += v
+          else out ++= "%" + "%02X".format(h1 << 4 | h2)
+          i += 3
+        } else { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private[text] def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayDeque[String]()
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        if (out.nonEmpty) out.removeLast()
+      } else if (in == "/..") {
+        in = "/"
+        if (out.nonEmpty) out.removeLast()
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.startsWith("/")) 1 else 0
+        val slash = in.indexOf('/', from)
+        val seg = if (slash < 0) in else in.substring(0, slash)
+        out.append(seg)
+        in = if (slash < 0) "" else in.substring(slash)
+      }
+    }
+    out.mkString
+  }
+
+  def parse(url: String): Option[Parts] = {
+    // scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
+    var i = 0
+    val n = url.length
+    if (n == 0 || !Character.isLetter(url.charAt(0))) return None
+    i = 1
+    while (i < n && (Character.isLetterOrDigit(url.charAt(i)) ||
+      url.charAt(i) == '+' || url.charAt(i) == '-' ||
+      url.charAt(i) == '.')) i += 1
+    if (i >= n || url.charAt(i) != ':') return None
+    val scheme = url.substring(0, i)
+    if (!url.startsWith("//", i + 1)) return None // not hierarchical
+    val authStart = i + 3
+    var j = authStart
+    while (j < n && url.charAt(j) != '/' && url.charAt(j) != '?' &&
+      url.charAt(j) != '#') j += 1
+    val auth = url.substring(authStart, j)
+    val (userinfo, hostPort) = auth.lastIndexOf('@') match {
+      case -1 => (None, auth)
+      case at => (Some(auth.substring(0, at)), auth.substring(at + 1))
+    }
+    val (host, port) = hostPort.lastIndexOf(':') match {
+      case -1 => (hostPort, None)
+      case c if hostPort.indexOf(']') > c => (hostPort, None) // [v6]
+      case c =>
+        val ps = hostPort.substring(c + 1)
+        if (ps.isEmpty) (hostPort.substring(0, c), None)
+        else if (ps.forall(_.isDigit) && ps.length <= 5)
+          (hostPort.substring(0, c), Some(ps.toInt))
+        else return None
+    }
+    if (host.isEmpty) return None
+    var k = j
+    while (k < n && url.charAt(k) != '?' && url.charAt(k) != '#') k += 1
+    val path = url.substring(j, k)
+    var q: Option[String] = None
+    if (k < n && url.charAt(k) == '?') {
+      var m = k + 1
+      while (m < n && url.charAt(m) != '#') m += 1
+      q = Some(url.substring(k + 1, m))
+      k = m
+    }
+    val frag = if (k < n && url.charAt(k) == '#')
+      Some(url.substring(k + 1)) else None
+    Some(Parts(scheme, userinfo, host, port, path, q, frag))
+  }
+
+  def canonicalize(url: String): Option[String] = parse(url).map { p =>
+    val scheme = p.scheme.toLowerCase
+    val host0 = p.host.toLowerCase
+    val host = if (host0.endsWith(".") && host0.length > 1)
+      host0.dropRight(1) else host0
+    val defaultPort = scheme match {
+      case "http" => 80; case "https" => 443; case "ftp" => 21
+      case _ => -1
+    }
+    val port = p.port.filter(_ != defaultPort)
+    val path0 = removeDotSegments(pctNormalize(p.path))
+    val path = if (path0.isEmpty) "/" else path0
+    val query = p.query.map(_.split('&').filter(_.nonEmpty)
+      .map(pctNormalize).sorted.mkString("&")).filter(_.nonEmpty)
+    val sb = new StringBuilder
+    sb ++= scheme ++= "://"
+    p.userinfo.foreach(u => sb ++= u += '@')
+    sb ++= host
+    port.foreach(pt => sb += ':' ++= pt.toString)
+    sb ++= path
+    query.foreach(qq => sb += '?' ++= qq)
+    sb.toString
+  }
+}

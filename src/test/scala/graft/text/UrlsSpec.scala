@@ -1,0 +1,91 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees for URL canonicalization (q211). Dot-segment removal
+  * referees against java.net.URI.normalize on randomized absolute
+  * paths; canonicalization is pinned by fixture and by the
+  * idempotence property over a seeded messy-URL generator.
+  */
+class UrlsSpec extends AnyFunSuite {
+
+  test("pctNormalize: unreserved decode, hex uppercase, malformed " +
+      "escapes pass through") {
+    assert(Urls.pctNormalize("%41%62%30%2D%2e%5F%7e") == "Ab0-._~")
+    assert(Urls.pctNormalize("%3a%2f%3F") == "%3A%2F%3F")
+    assert(Urls.pctNormalize("a%G1b%") == "a%G1b%")
+    assert(Urls.pctNormalize("%4") == "%4")
+    assert(Urls.pctNormalize("") == "")
+  }
+
+  test("removeDotSegments: RFC 3986 §5.2.4 cases") {
+    assert(Urls.removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(Urls.removeDotSegments("/./a") == "/a")
+    assert(Urls.removeDotSegments("/../a") == "/a")
+    assert(Urls.removeDotSegments("/a/..") == "/")
+    assert(Urls.removeDotSegments("/a/.") == "/a/")
+    assert(Urls.removeDotSegments("/a//b") == "/a//b")
+    assert(Urls.removeDotSegments("") == "")
+  }
+
+  test("removeDotSegments referee: java.net.URI.normalize on 500 " +
+      "random absolute paths") {
+    val segs = Seq("a", "bb", "c1", ".", "..", "x-y")
+    for (seed <- 0 until 500) {
+      val rnd = new scala.util.Random(seed)
+      val path = "/" + Seq.fill(1 + rnd.nextInt(6))(
+        segs(rnd.nextInt(segs.length))).mkString("/")
+      val ours = Urls.removeDotSegments(path)
+      val theirs = java.net.URI.create("http://x" + path)
+        .normalize().getPath
+      // URI.normalize keeps leading "../" segments that §5.2.4 drops;
+      // strip them from its answer before comparing
+      val cleaned = theirs.replaceAll("^(/\\.\\.)+", "")
+      assert(ours == (if (cleaned.isEmpty) "/" else cleaned) ||
+        ours == cleaned, s"path=$path ours=$ours theirs=$theirs")
+    }
+  }
+
+  test("canonicalize fixtures") {
+    def c(u: String) = Urls.canonicalize(u)
+    assert(c("HTTP://EX.TEST:80/a/b?x=1&b=2#frag")
+      .contains("http://ex.test/a/b?b=2&x=1"))
+    assert(c("https://Ex.Test:443/").contains("https://ex.test/"))
+    assert(c("https://ex.test:8443/p").contains("https://ex.test:8443/p"))
+    assert(c("http://ex.test").contains("http://ex.test/"))
+    assert(c("http://ex.test.?").contains("http://ex.test/"))
+    assert(c("http://ex.test/%61%2Db_c%7Ed/%3a")
+      .contains("http://ex.test/a-b_c~d/%3A"))
+    assert(c("http://u:p@ex.test/x").contains("http://u:p@ex.test/x"))
+    assert(c("ftp://ex.test:21/f").contains("ftp://ex.test/f"))
+    assert(c("http://[::1]:8080/p").contains("http://[::1]:8080/p"))
+    assert(c("http://[::1]:80/p").contains("http://[::1]/p"))
+    assert(c("http://ex.test/a/./zz/../b").contains("http://ex.test/a/b"))
+  }
+
+  test("non-hierarchical and malformed → None, never a throw") {
+    for (u <- Seq("mailto:a@b.c", "data:text/plain,x", "justtext",
+        "http:/one-slash", "http://", "http:///nohost", "",
+        "1http://x/", "http://h:notaport/"))
+      assert(Urls.canonicalize(u).isEmpty, u)
+  }
+
+  test("idempotence: canonicalize(canonicalize(u)) == canonicalize(u) " +
+      "over 300 seeded messy URLs") {
+    for (seed <- 0 until 300) {
+      val rnd = new scala.util.Random(seed)
+      val scheme = Seq("http", "HTTP", "https", "HtTpS")(rnd.nextInt(4))
+      val host = Seq("Ex.Test", "a.b.c", "ex.test.")(rnd.nextInt(3))
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/", "/a/./b", "/a/../b", "/%61%3ab")(
+        rnd.nextInt(5))
+      val query = Seq("", "?x=1&b=2", "?b=2&x=1", "?%41=%2d")(
+        rnd.nextInt(4))
+      val frag = Seq("", "#f")(rnd.nextInt(2))
+      val u = s"$scheme://$host$port$path$query$frag"
+      val once = Urls.canonicalize(u)
+      assert(once.nonEmpty, u)
+      assert(Urls.canonicalize(once.get) == once, u)
+    }
+  }
+}
