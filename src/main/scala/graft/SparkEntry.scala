@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Curation4.qs ++
       graft.queries.Audit.qs ++
       graft.queries.Audit2.qs ++ graft.queries.Audit3.qs ++
-      graft.queries.Streaming2.qs ++ graft.queries.Formats.qs
+      graft.queries.Streaming2.qs ++ graft.queries.Formats.qs ++
+      graft.queries.Crawl.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
