@@ -84,6 +84,105 @@ object Crawl {
           .toDF("doc_id", "n_probes", "n_allowed_bot",
             "n_allowed_other", "crawl_delay", "sitemap")
           .orderBy("doc_id")
+      }),
+
+    Q("q213_sitemap_parse",
+      "sitemap XML parse (T122, graft.text.Sitemap — the discovery " +
+        "half of the frontier; robots Sitemap: lines feed it, its " +
+        "locs feed T120 canonicalization): per doc, a synthesized " +
+        "sitemaps.org document — every 5th doc a <sitemapindex>, the " +
+        "rest <urlset>s of 2-4 <url>s with namespace prefixes on even " +
+        "docs, CDATA + entity-escaped + numeric-charref locs, an " +
+        "invalid lastmod (2024-13-01) and an out-of-range priority " +
+        "(1.5) planted per urlset, XML declaration/comment/DOCTYPE/" +
+        "unknown-element noise throughout — is parsed by the real " +
+        "scanner; locs canonicalize through T120 (the messy CDATA loc " +
+        "must land on the same canonical as the oracle's closed " +
+        "form). W3C-datetime validation surfaces as epoch DAYS of the " +
+        "stated date (integer, engine-exact). Pure per-row work, " +
+        "zero shuffle; at scale sitemap fetches are bounded by hosts",
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN 'sitemapindex'
+            ELSE 'urlset' END AS kind,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 2
+            ELSE doc_id % 3 + 2 END AS BIGINT) AS n_entries,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 2
+            ELSE doc_id % 3 + 1 END AS BIGINT) AS n_valid_lastmod,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE doc_id % 3 + 1 END AS BIGINT) AS n_valid_priority,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE doc_id % 3 + 1 END AS BIGINT) AS n_valid_freq,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 19724
+            ELSE 19754 + doc_id % 27 END AS BIGINT) AS max_epoch_day,
+          CASE WHEN doc_id % 5 = 0
+            THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/sm1.xml.gz'
+            ELSE 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/s/0?a=1&b=2' END AS canon0,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 2
+            ELSE doc_id % 3 + 2 END AS BIGINT) AS n_canon
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.{Sitemap, Urls}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val xml =
+              if (id % 5 == 0)
+                s"""<?xml version="1.0" encoding="UTF-8"?>
+                   |<!-- index for doc $id -->
+                   |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+                   |  <sitemap><loc>http://ex$g.test/sm1.xml.gz</loc>
+                   |    <lastmod>2024-01-01</lastmod></sitemap>
+                   |  <sitemap><loc>http://ex$g.test/sm2.xml.gz</loc>
+                   |    <lastmod>2024-01-02</lastmod></sitemap>
+                   |</sitemapindex>""".stripMargin
+              else {
+                val p = if (id % 2 == 0) "sm:" else ""
+                val ns = if (id % 2 == 0)
+                  " xmlns:sm=\"http://www.sitemaps.org/schemas/sitemap/0.9\""
+                else ""
+                val nUrls = (id % 3 + 2).toInt
+                val urls = (0 until nUrls).map { j =>
+                  val (loc, lastmod, prio, freq) =
+                    if (j == 0)
+                      (s"<![CDATA[HTTP://EX$g.TEST:80/s/0?b=2&a=1]]>",
+                        f"2024-02-${1 + id % 27}%02d", "1.5", "daily")
+                    else if (j == 1)
+                      (s"http://ex$g.test/s/1?a=1&amp;b=2&#33;",
+                        "2024-13-01", "0.5", "sometimes")
+                    else
+                      (s"http://ex$g.test/s/$j",
+                        "2023-06-15T10:30:00+02:00", "0.8", "weekly")
+                  s"""  <${p}url><${p}loc>$loc</${p}loc>
+                     |    <${p}lastmod>$lastmod</${p}lastmod>
+                     |    <meta>ignored unknown element</meta>
+                     |    <${p}changefreq>$freq</${p}changefreq>
+                     |    <${p}priority>$prio</${p}priority></${p}url>""".stripMargin
+                }.mkString("\n")
+                s"""<?xml version="1.0" encoding="UTF-8"?>
+                   |<!DOCTYPE urlset>
+                   |<!-- urlset for doc $id -->
+                   |<${p}urlset$ns>
+                   |$urls
+                   |</${p}urlset>""".stripMargin
+              }
+            val parsed = Sitemap.parse(xml)
+            val canon = parsed.entries.map(e => Urls.canonicalize(e.loc))
+            (id, parsed.kind, parsed.entries.length.toLong,
+              parsed.entries.count(_.lastmodEpochDay.isDefined).toLong,
+              parsed.entries.count(_.priorityValid).toLong,
+              parsed.entries.count(_.changefreqValid).toLong,
+              parsed.entries.flatMap(_.lastmodEpochDay)
+                .maxOption.getOrElse(-1L),
+              canon.headOption.flatten.getOrElse("-"),
+              canon.count(_.isDefined).toLong)
+          }
+          .toDF("doc_id", "kind", "n_entries", "n_valid_lastmod",
+            "n_valid_priority", "n_valid_freq", "max_epoch_day",
+            "canon0", "n_canon")
+          .orderBy("doc_id")
       })
   )
 }

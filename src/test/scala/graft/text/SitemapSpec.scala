@@ -1,0 +1,141 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees for the sitemap layer (q213, T122): fixture cases for the
+  * scanner's XML subset, W3C-datetime validation pins, the 50k
+  * protocol cap, and a randomized referee against the JDK's real DOM
+  * parser on well-formed documents (our scanner must agree with a
+  * conformant XML parser wherever both accept the input; ours
+  * additionally survives the malformed tail a crawl serves).
+  */
+class SitemapSpec extends AnyFunSuite {
+
+  test("decodeXml: predefined entities, charrefs, malformed stay literal") {
+    assert(Sitemap.decodeXml("a&amp;b&lt;c&gt;d&quot;e&apos;f") ==
+      "a&b<c>d\"e'f")
+    assert(Sitemap.decodeXml("x&#33;&#x21;y") == "x!!y")
+    assert(Sitemap.decodeXml("bad&nope;kept&#zz;&#xD800;&") ==
+      "bad&nope;kept&#zz;&#xD800;&")
+    assert(Sitemap.decodeXml("no-amp") == "no-amp")
+  }
+
+  test("epochDay: W3C datetime forms, calendar validity, tz required " +
+      "with time") {
+    assert(Sitemap.epochDay("1970-01-01").contains(0L))
+    assert(Sitemap.epochDay("2024-02-01").contains(19754L))
+    assert(Sitemap.epochDay("2024").contains(19723L)) // YYYY -> Jan 1
+    assert(Sitemap.epochDay("2024-02").contains(19754L)) // YYYY-MM -> 1st
+    assert(Sitemap.epochDay("2023-06-15T10:30:00+02:00").contains(19523L))
+    assert(Sitemap.epochDay("2023-06-15T10:30Z").contains(19523L))
+    assert(Sitemap.epochDay("2023-06-15T10:30:00.5Z").contains(19523L))
+    assert(Sitemap.epochDay("2024-13-01").isEmpty) // no month 13
+    assert(Sitemap.epochDay("2023-02-30").isEmpty) // not a real day
+    assert(Sitemap.epochDay("2023-06-15T10:30:00").isEmpty) // tz missing
+    assert(Sitemap.epochDay("2023-06T10:30Z").isEmpty) // time needs full date
+    assert(Sitemap.epochDay("junk").isEmpty)
+    assert(Sitemap.epochDay("").isEmpty)
+  }
+
+  test("parse: urlset with CDATA, prefixes, unknown elements, " +
+      "self-closing noise") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE urlset>
+        |<!-- c -->
+        |<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sm:url><sm:loc><![CDATA[http://a.test/x?r=1&s=2]]></sm:loc>
+        |    <sm:lastmod>2024-01-05</sm:lastmod>
+        |    <extra attr="v > w"/>
+        |    <sm:changefreq>daily</sm:changefreq>
+        |    <sm:priority>0.5</sm:priority></sm:url>
+        |  <sm:url><sm:loc>http://a.test/y?q=1&amp;p=2</sm:loc></sm:url>
+        |  <sm:url><sm:priority>0.9</sm:priority></sm:url>
+        |</sm:urlset>""".stripMargin
+    val p = Sitemap.parse(xml)
+    assert(p.kind == "urlset")
+    assert(!p.truncated)
+    // third url has no loc -> dropped
+    assert(p.entries.length == 2)
+    assert(p.entries(0).loc == "http://a.test/x?r=1&s=2")
+    assert(p.entries(0).lastmodEpochDay.contains(19727L))
+    assert(p.entries(0).changefreqValid && p.entries(0).priorityValid)
+    assert(p.entries(1).loc == "http://a.test/y?q=1&p=2")
+    assert(p.entries(1).lastmod.isEmpty)
+  }
+
+  test("parse: sitemapindex, priority/changefreq validation bounds") {
+    val xml =
+      """<sitemapindex>
+        |  <sitemap><loc>http://a.test/s1.xml</loc></sitemap>
+        |  <sitemap><loc>http://a.test/s2.xml</loc>
+        |    <lastmod>2024-01-02</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val p = Sitemap.parse(xml)
+    assert(p.kind == "sitemapindex")
+    assert(p.entries.map(_.loc) ==
+      Seq("http://a.test/s1.xml", "http://a.test/s2.xml"))
+    assert(Sitemap.Entry("x", None, None, Some("0.0")).priorityValid)
+    assert(Sitemap.Entry("x", None, None, Some("1.0")).priorityValid)
+    assert(!Sitemap.Entry("x", None, None, Some("1.5")).priorityValid)
+    assert(!Sitemap.Entry("x", None, None, Some("-0.1")).priorityValid)
+    assert(!Sitemap.Entry("x", None, None, Some("high")).priorityValid)
+    assert(Sitemap.Entry("x", None, Some("never"), None).changefreqValid)
+    assert(!Sitemap.Entry("x", None, Some("sometimes"), None).changefreqValid)
+  }
+
+  test("50,000-entry protocol cap sets truncated and keeps the walk alive") {
+    val sb = new StringBuilder("<urlset>")
+    (0 until 50002).foreach(j =>
+      sb ++= s"<url><loc>http://a.test/$j</loc></url>")
+    sb ++= "</urlset>"
+    val p = Sitemap.parse(sb.toString)
+    assert(p.truncated)
+    assert(p.entries.length == Sitemap.MaxEntries)
+    assert(p.entries.last.loc == "http://a.test/49999")
+  }
+
+  test("never throws on malformed input") {
+    val cases = Seq("", "<", "<!", "<urlset", "<urlset><url><loc>x",
+      "</loc></url>", "<urlset><url><loc>a</url></urlset>",
+      "<a><![CDATA[", "<?xml", "<!-- unterminated",
+      "<urlset><url/><url><loc></loc></url></urlset>")
+    cases.foreach(c => Sitemap.parse(c))
+  }
+
+  test("DOM-parser referee: 200 randomized well-formed sitemaps") {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    for (seed <- 0 until 200) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(6)
+      val entries = (0 until n).map { j =>
+        val loc = s"http://h$seed.test/p$j?a=${rnd.nextInt(9)}&amp;b=$j"
+        val lastmod =
+          if (rnd.nextBoolean()) Some(f"202${rnd.nextInt(5)}%d-0${1 + rnd.nextInt(9)}%d-1${rnd.nextInt(9)}%d")
+          else None
+        (loc, lastmod)
+      }
+      val xml = "<?xml version=\"1.0\"?><urlset>" + entries.map {
+        case (l, lm) =>
+          s"<url><loc>$l</loc>" +
+            lm.map(v => s"<lastmod>$v</lastmod>").getOrElse("") + "</url>"
+      }.mkString + "</urlset>"
+
+      val ours = Sitemap.parse(xml)
+      val doc = dbf.newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(
+          xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val dom = doc.getElementsByTagName("url")
+      assert(ours.entries.length == dom.getLength, s"seed=$seed")
+      (0 until dom.getLength).foreach { k =>
+        val el = dom.item(k).asInstanceOf[org.w3c.dom.Element]
+        val loc = el.getElementsByTagName("loc").item(0).getTextContent
+        assert(ours.entries(k).loc == loc, s"seed=$seed k=$k")
+        val lm = el.getElementsByTagName("lastmod")
+        val domLm = if (lm.getLength > 0) Some(lm.item(0).getTextContent)
+        else None
+        assert(ours.entries(k).lastmod == domLm, s"seed=$seed k=$k")
+      }
+    }
+  }
+}
