@@ -183,6 +183,88 @@ object Crawl {
             "n_valid_priority", "n_valid_freq", "max_epoch_day",
             "canon0", "n_canon")
           .orderBy("doc_id")
+      }),
+
+    Q("q214_mime_sniff",
+      "MIME sniffing audit (T123, graft.multimodal.Sniff — WHATWG " +
+        "magic-byte detection vs the declared Content-Type): per doc, " +
+        "12 REAL payloads from the engine's own writers (PNG/BMP " +
+        "headers, an RFC 1952 gzip member, a ustar archive, HTML with " +
+        "leading whitespace, <?xml, plain text, a control-byte binary, " +
+        "a java.util.zip ZIP, a JFIF JPEG prefix, a RIFF/WAVE clip, a " +
+        "RIFF/WEBP header) are sniffed by signature — whitespace-" +
+        "skipped tag-terminated HTML patterns, masked RIFF families, " +
+        "offset-257 ustar, the standard's binary-data-byte scan as " +
+        "the fallback. Every 5th (doc,payload) declares a LYING " +
+        "application/pdf; gzip and WAVE declare aliases " +
+        "(application/gzip, audio/x-wav) that must count as agreement. " +
+        "The oracle knows the full sniffed-type vector and both " +
+        "disagreement counts closed-form. Zero shuffle; at 100 TB " +
+        "this is the router that keeps mislabeled payloads out of " +
+        "the wrong decode tier",
+      Some("""SELECT doc_id,
+          CAST(12 AS BIGINT) AS n_payloads,
+          'image/png;image/bmp;application/x-gzip;application/x-tar;text/html;text/xml;text/plain;application/octet-stream;application/zip;image/jpeg;audio/wave;image/webp'
+            AS types,
+          CAST(CASE WHEN doc_id % 5 IN (0, 4) THEN 3 ELSE 2 END
+            AS BIGINT) AS n_mismatch,
+          CAST(CASE WHEN doc_id % 5 IN (0, 3) THEN 1 ELSE 2 END
+            AS BIGINT) AS n_alias_ok
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{AudioVideo, Compressed, Multimodal, Sniff, Tar}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val zipBytes = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val zos = new java.util.zip.ZipOutputStream(bos)
+              val ze = new java.util.zip.ZipEntry(s"d$id.txt")
+              ze.setTime(0L)
+              zos.putNextEntry(ze)
+              zos.write(s"zip doc $id".getBytes("UTF-8"))
+              zos.closeEntry(); zos.close()
+              bos.toByteArray
+            }
+            val payloads: Seq[Array[Byte]] = Seq(
+              Multimodal.syntheticPng(2 + (id % 3).toInt, 2, 2),
+              Multimodal.syntheticBmp(3, 2, 24),
+              Compressed.gzipMember(s"doc $id".getBytes("UTF-8"), None),
+              Tar.tarEntry("a.txt", s"tar doc $id".getBytes("UTF-8")) ++
+                Tar.tarEnd,
+              s"\n\t <!doctype html><html><body>doc $id</body></html>"
+                .getBytes("UTF-8"),
+              s"""<?xml version="1.0"?><d id="$id"/>""".getBytes("UTF-8"),
+              s"plain words for doc $id".getBytes("UTF-8"),
+              Array[Byte](0, 1, 2) ++ s"$id".getBytes("UTF-8"),
+              zipBytes,
+              Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+                "JFIF ".getBytes("US-ASCII"),
+              AudioVideo.syntheticWav(4, 1, 8000, 8, (i, _) => (i * 7) % 200),
+              "RIFF".getBytes("US-ASCII") ++ Array[Byte](12, 0, 0, 0) ++
+                "WEBPVP8 ".getBytes("US-ASCII"))
+            val trueTypes = Seq("image/png", "image/bmp",
+              "application/x-gzip", "application/x-tar", "text/html",
+              "text/xml", "text/plain", "application/octet-stream",
+              "application/zip", "image/jpeg", "audio/wave", "image/webp")
+            val sniffed = payloads.map(Sniff.sniff)
+            val declared = trueTypes.zipWithIndex.map { case (t, j) =>
+              if ((id + j) % 5 == 0) "application/pdf"
+              else if (j == 2) "application/gzip"
+              else if (j == 10) "audio/x-wav"
+              else t
+            }
+            val nMismatch = declared.zip(sniffed)
+              .count { case (dcl, sn) => !Sniff.agrees(dcl, sn) }
+            val nAliasOk = declared.zip(sniffed).count { case (dcl, sn) =>
+              Sniff.agrees(dcl, sn) && dcl.toLowerCase != sn
+            }
+            (id, payloads.length.toLong, sniffed.mkString(";"),
+              nMismatch.toLong, nAliasOk.toLong)
+          }
+          .toDF("doc_id", "n_payloads", "types", "n_mismatch",
+            "n_alias_ok")
+          .orderBy("doc_id")
       })
   )
 }
