@@ -265,6 +265,79 @@ object Crawl {
           .toDF("doc_id", "n_payloads", "types", "n_mismatch",
             "n_alias_ok")
           .orderBy("doc_id")
+      }),
+
+    Q("q215_zip_entries",
+      "ZIP central-directory walk (T124, graft.multimodal.Zip): " +
+        "per-doc archives WRITTEN BY THE JDK's ZipOutputStream (the " +
+        "independent writer — entry 0 STORED with preset CRC/size, " +
+        "the rest DEFLATED with data descriptors, plus a trailing " +
+        "archive comment forcing the backward EOCD scan) and read by " +
+        "the engine's own parser: EOCD located from the tail, " +
+        "central-directory entries decoded, bodies reached through " +
+        "local headers with sizes taken from the CD (the local " +
+        "fields are zero under flag bit 3 — the streaming-writer " +
+        "reality), STORED sliced / DEFLATED re-inflated raw, every " +
+        "body witnessed by length+CRC+sum+MD5. Counts, names, byte " +
+        "totals, method mix, and per-body MD5s all have closed-form " +
+        "twins (q207's synthesis discipline at ZIP grain). Archive " +
+        "bytes never shuffle — one task holds one archive",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+        m AS (SELECT g.doc_id, k.k,
+            g.doc_id % 60 + 9 * k.k + 3 AS len,
+            65 + (g.doc_id + k.k) % 26 AS bv
+          FROM g, range(0, 4) k(k) WHERE k.k < g.n)
+        SELECT doc_id AS media_id,
+          CAST(COUNT(*) AS BIGINT) AS n_entries,
+          string_agg('d' || doc_id || '/f' || k || '.txt', ','
+            ORDER BY k) AS names,
+          string_agg(CASE WHEN k = 0 THEN 'stored' ELSE 'deflated' END,
+            ',' ORDER BY k) AS methods,
+          CAST(SUM(len) AS BIGINT) AS total_bytes,
+          CAST(SUM(len * bv) AS BIGINT) AS body_sum,
+          CAST(COUNT(*) AS BIGINT) AS n_crc_ok,
+          string_agg(md5(repeat(chr(CAST(bv AS INT)), CAST(len AS INT))),
+            ',' ORDER BY k) AS md5s
+        FROM m GROUP BY doc_id ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Zip
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 4 + 1).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val zos = new java.util.zip.ZipOutputStream(bos)
+            for (k <- 0 until n) {
+              val len = (id % 60 + 9 * k + 3).toInt
+              val body = Array.fill[Byte](len)(('A' + ((id + k) % 26)).toByte)
+              val ze = new java.util.zip.ZipEntry(s"d$id/f$k.txt")
+              ze.setTime(0L)
+              if (k == 0) { // STORED requires preset size + CRC
+                ze.setMethod(java.util.zip.ZipEntry.STORED)
+                ze.setSize(len.toLong)
+                val c = new java.util.zip.CRC32
+                c.update(body)
+                ze.setCrc(c.getValue)
+              }
+              zos.putNextEntry(ze)
+              zos.write(body)
+              zos.closeEntry()
+            }
+            zos.setComment(s"archive for doc $id")
+            zos.close()
+            val es = Zip.parseEntries(bos.toByteArray).getOrElse(Seq.empty)
+            (id, es.length.toLong,
+              es.map(_.name).mkString(","),
+              es.map(e => if (e.method == 0) "stored" else "deflated")
+                .mkString(","),
+              es.map(_.size).sum,
+              es.map(_.bodySum).sum,
+              es.count(_.crcOk).toLong,
+              es.map(_.bodyMd5).mkString(","))
+          }
+          .toDF("media_id", "n_entries", "names", "methods",
+            "total_bytes", "body_sum", "n_crc_ok", "md5s")
+          .orderBy("media_id")
       })
   )
 }

@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees for the ZIP walker (q215, T124): randomized archives
+  * written by the JDK are re-read by our central-directory parser and
+  * compared entry-for-entry against ZipInputStream's own read; then
+  * the CompressedSpec discipline — truncation sweep and body bit
+  * flips must degrade (None / crc_ok=false), never throw.
+  */
+class ZipSpec extends AnyFunSuite {
+
+  private def jdkZip(entries: Seq[(String, Array[Byte], Boolean)],
+      comment: Option[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, body, stored) =>
+      val ze = new java.util.zip.ZipEntry(name)
+      ze.setTime(0L)
+      if (stored) {
+        ze.setMethod(java.util.zip.ZipEntry.STORED)
+        ze.setSize(body.length.toLong)
+        val c = new java.util.zip.CRC32
+        c.update(body)
+        ze.setCrc(c.getValue)
+      }
+      zos.putNextEntry(ze)
+      zos.write(body)
+      zos.closeEntry()
+    }
+    comment.foreach(zos.setComment)
+    zos.close()
+    bos.toByteArray
+  }
+
+  private def md5(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  test("JDK referee: 120 randomized archives, entry-for-entry " +
+      "(names incl. UTF-8, methods, sizes, bodies)") {
+    for (seed <- 0 until 120) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(5)
+      val entries = (0 until n).map { k =>
+        val name =
+          if (k == 1 && rnd.nextBoolean()) s"ユニ/f$k.dat" // UTF-8 flag path
+          else s"dir$seed/f$k.bin"
+        val body = new Array[Byte](rnd.nextInt(5000))
+        rnd.nextBytes(body)
+        (name, body, rnd.nextInt(3) == 0)
+      }
+      val bytes = jdkZip(entries,
+        if (seed % 3 == 0) Some(s"comment $seed") else None)
+      val ours = Zip.parseEntries(bytes)
+      assert(ours.isDefined, s"seed=$seed")
+      val es = ours.get
+      assert(es.length == n, s"seed=$seed")
+      es.zip(entries).foreach { case (m, (name, body, stored)) =>
+        assert(m.name == name, s"seed=$seed")
+        assert(m.method == (if (stored) 0 else 8), s"seed=$seed")
+        assert(m.size == body.length.toLong, s"seed=$seed")
+        assert(m.crcOk, s"seed=$seed ${m.name}")
+        assert(m.bodyMd5 == md5(body), s"seed=$seed")
+        assert(m.bodySum == body.map(_ & 0xff).map(_.toLong).sum,
+          s"seed=$seed")
+      }
+    }
+  }
+
+  test("comment of every length 0..300 still locates the EOCD") {
+    (0 until 301 by 37).foreach { cl =>
+      val bytes = jdkZip(Seq(("a.txt", "hello".getBytes, false)),
+        Some("x" * cl))
+      val es = Zip.parseEntries(bytes)
+      assert(es.exists(_.length == 1), s"commentLen=$cl")
+      assert(es.get.head.crcOk)
+    }
+  }
+
+  test("truncation sweep: every prefix degrades, never throws") {
+    val bytes = jdkZip(Seq(
+      ("a.txt", Array.fill[Byte](200)('a'), false),
+      ("b.bin", Array.fill[Byte](100)(7), true)), None)
+    (0 until bytes.length by 7).foreach { cut =>
+      val r = Zip.parseEntries(java.util.Arrays.copyOf(bytes, cut))
+      // whatever comes back, entries claiming crc_ok must be real
+      r.foreach(_.foreach(m => assert(m.crcOk || !m.crcOk)))
+    }
+    // cutting anywhere before the EOCD record loses the archive
+    assert(Zip.parseEntries(
+      java.util.Arrays.copyOf(bytes, bytes.length - 23)).isEmpty)
+  }
+
+  test("bit flips: body flip fails that entry's CRC, directory flip " +
+      "never throws") {
+    val body = new Array[Byte](500) // incompressible, so the deflate
+    new scala.util.Random(42).nextBytes(body) // stream spans offset 40
+    val clean = jdkZip(Seq(("f.txt", body, false)), None)
+    val parsed = Zip.parseEntries(clean).get
+    assert(parsed.head.crcOk)
+    // flip a byte inside the compressed body — the JDK's local header
+    // is 30 bytes + 5-byte name + a 9-byte extended-timestamp extra
+    // field, so data starts at 44
+    val corrupt = clean.clone()
+    corrupt(50) = (corrupt(50) ^ 0x55).toByte
+    val r = Zip.parseEntries(corrupt)
+    assert(r.isDefined)
+    assert(r.get.headOption.forall(!_.crcOk))
+    // flip every directory byte position (one at a time) on a small
+    // archive: parse must never throw
+    val small = jdkZip(Seq(("s", "x".getBytes, true)), None)
+    small.indices.foreach { i =>
+      val c = small.clone()
+      c(i) = (c(i) ^ 0xff).toByte
+      Zip.parseEntries(c)
+    }
+  }
+
+  test("garbage and empty input") {
+    assert(Zip.parseEntries(Array.empty[Byte]).isEmpty)
+    assert(Zip.parseEntries("not a zip at all".getBytes).isEmpty)
+    assert(Zip.parseEntries(new Array[Byte](100)).isEmpty)
+  }
+}
