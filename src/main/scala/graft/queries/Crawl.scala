@@ -338,6 +338,73 @@ object Crawl {
           .toDF("media_id", "n_entries", "names", "methods",
             "total_bytes", "body_sum", "n_crc_ok", "md5s")
           .orderBy("media_id")
+      }),
+
+    Q("q216_frontier_schedule",
+      "crawl-frontier politeness scheduler (T125 — the composition " +
+        "capstone of the crawl wave): per doc, messy URLs (uppercase " +
+        "scheme/host, :80, fragments) plus one /private/ URL flow " +
+        "through the REAL pipeline — T120 canonicalization, the T121 " +
+        "robots gate (a per-host robots.txt whose Disallow DROPS the " +
+        "/private/ probe and whose Crawl-delay is host-derived), then " +
+        "a per-HOST rollup: URL count, politeness delay, makespan " +
+        "(n-1)·delay for a serial fetch queue, and the md5 of the " +
+        "delay-ordered fetch sequence (sorted canonical URLs) that " +
+        "pins the schedule order engine-exactly. The oracle rebuilds " +
+        "every host's queue closed-form — a single URL surviving the " +
+        "gate wrongly, or one canonical byte off, hash-fails. ONE " +
+        "shuffle keyed by host (the frontier's natural partitioning " +
+        "at 100 TB: politeness is per-host state, so host-keyed " +
+        "partial-aggregated rollups are the scale-out shape)",
+      Some("""WITH u AS (
+          SELECT doc_id % 97 AS g,
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/p' ||
+              CAST(doc_id AS VARCHAR) || '/' || CAST(j.j AS VARCHAR) ||
+              '?x=1' AS url
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1),
+        h AS (SELECT g, COUNT(*) AS n_urls,
+            md5(string_agg(url, ',' ORDER BY url)) AS order_md5
+          FROM u GROUP BY g)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CAST(n_urls AS BIGINT) AS n_urls,
+          CAST(1 + g % 5 AS BIGINT) AS delay_s,
+          CAST((n_urls - 1) * (1 + g % 5) AS BIGINT) AS makespan_s,
+          order_md5
+        FROM h ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.{Robots, Urls}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val g = id % 97
+            val robots = Robots.parse(
+              s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
+                "Disallow: /private/\r\n")
+            val raws = (0 until (id % 3 + 1).toInt).map(j =>
+              s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag") :+
+              s"http://ex$g.test/private/$id" // the gate must drop this
+            raws.flatMap { raw =>
+              Urls.canonicalize(raw).flatMap { cu =>
+                Urls.parse(cu).flatMap { parts =>
+                  val pathQ = parts.path +
+                    parts.query.map("?" + _).getOrElse("")
+                  if (Robots.isAllowed(robots, "graftbot", pathQ))
+                    Some((parts.host, cu,
+                      Robots.crawlDelay(robots, "graftbot").getOrElse(0L)))
+                  else None
+                }
+              }
+            }
+          }
+          .toDF("host", "url", "delay_s")
+          .groupBy("host", "delay_s")
+          .agg(count(lit(1)).as("n_urls"),
+            md5(concat_ws(",", sort_array(collect_list(col("url")))))
+              .as("order_md5"))
+          .select(col("host"), col("n_urls"), col("delay_s"),
+            ((col("n_urls") - 1) * col("delay_s")).as("makespan_s"),
+            col("order_md5"))
+          .orderBy("host")
       })
   )
 }
