@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Common.table
@@ -16,6 +17,48 @@ import graft.queries.Common.table
   * shuffles document text.
   */
 object Crawl {
+
+  /** Shared builder (probe discipline — the ScaleProbe r18 row calls
+    * THIS, not a re-derivation): the q216 frontier pipeline over any
+    * frame with a `doc_id` column — synthesize messy URLs + a
+    * /private/ probe per doc, canonicalize (T120), gate through the
+    * per-host robots rules (T121), roll up per host. Returns the
+    * UNSORTED rollup; q216 adds its output ordering.
+    */
+  def frontierSchedule(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.text.{Robots, Urls}
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val g = id % 97
+        val robots = Robots.parse(
+          s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
+            "Disallow: /private/\r\n")
+        val raws = (0 until (id % 3 + 1).toInt).map(j =>
+          s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag") :+
+          s"http://ex$g.test/private/$id" // the gate must drop this
+        raws.flatMap { raw =>
+          Urls.canonicalize(raw).flatMap { cu =>
+            Urls.parse(cu).flatMap { parts =>
+              val pathQ = parts.path +
+                parts.query.map("?" + _).getOrElse("")
+              if (Robots.isAllowed(robots, "graftbot", pathQ))
+                Some((parts.host, cu,
+                  Robots.crawlDelay(robots, "graftbot").getOrElse(0L)))
+              else None
+            }
+          }
+        }
+      }
+      .toDF("host", "url", "delay_s")
+      .groupBy("host", "delay_s")
+      .agg(count(lit(1)).as("n_urls"),
+        md5(concat_ws(",", sort_array(collect_list(col("url")))))
+          .as("order_md5"))
+      .select(col("host"), col("n_urls"), col("delay_s"),
+        ((col("n_urls") - 1) * col("delay_s")).as("makespan_s"),
+        col("order_md5"))
+  }
 
   def qs: Seq[Q] = Seq(
 
@@ -371,40 +414,7 @@ object Crawl {
           CAST((n_urls - 1) * (1 + g % 5) AS BIGINT) AS makespan_s,
           order_md5
         FROM h ORDER BY host"""),
-      (s, d) => {
-        import s.implicits._
-        import graft.text.{Robots, Urls}
-        table(s, d, "documents").select(col("doc_id")).as[Long]
-          .flatMap { id =>
-            val g = id % 97
-            val robots = Robots.parse(
-              s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
-                "Disallow: /private/\r\n")
-            val raws = (0 until (id % 3 + 1).toInt).map(j =>
-              s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag") :+
-              s"http://ex$g.test/private/$id" // the gate must drop this
-            raws.flatMap { raw =>
-              Urls.canonicalize(raw).flatMap { cu =>
-                Urls.parse(cu).flatMap { parts =>
-                  val pathQ = parts.path +
-                    parts.query.map("?" + _).getOrElse("")
-                  if (Robots.isAllowed(robots, "graftbot", pathQ))
-                    Some((parts.host, cu,
-                      Robots.crawlDelay(robots, "graftbot").getOrElse(0L)))
-                  else None
-                }
-              }
-            }
-          }
-          .toDF("host", "url", "delay_s")
-          .groupBy("host", "delay_s")
-          .agg(count(lit(1)).as("n_urls"),
-            md5(concat_ws(",", sort_array(collect_list(col("url")))))
-              .as("order_md5"))
-          .select(col("host"), col("n_urls"), col("delay_s"),
-            ((col("n_urls") - 1) * col("delay_s")).as("makespan_s"),
-            col("order_md5"))
-          .orderBy("host")
-      })
+      (s, d) =>
+        frontierSchedule(s, table(s, d, "documents")).orderBy("host"))
   )
 }

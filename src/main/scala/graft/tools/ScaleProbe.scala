@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -85,6 +85,7 @@ object ScaleProbe {
     val doR15 = fam == "all" || fam == "r15"
     val doR16 = fam == "all" || fam == "r16"
     val doR17 = fam == "all" || fam == "r17"
+    val doR18 = fam == "all" || fam == "r18"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1292,6 +1293,35 @@ object ScaleProbe {
             sum(when(col("m") < col("doc_id"), 1L).otherwise(0L))
               .as("n_dup"))
           .count()
+      }
+      }
+
+      if (doR18) {
+      // --- round-10: the q216 frontier-scheduler shape (shipped
+      // builder — no probe drift). The host space is FIXED (97 hosts)
+      // while the corpus replicates, which is the adversarial frontier
+      // profile: per-host queues grow with the crawl. The prediction
+      // the probe checks: shuffle RECORDS stay ~flat (bounded by
+      // keys × map partitions — collect_list partials are per-key
+      // per-partition), while shuffle BYTES grow linearly with the
+      // corpus because the fetch queue itself (the URL list) is the
+      // payload — output-mass-linear, the operator's declared floor.
+      val docsF = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"))
+      // consume order_md5 in the probe sink: a bare .count() lets
+      // Catalyst's column pruning DELETE the collect_list aggregate
+      // from the plan (measured: 3.7 KB shuffled for 300k URLs), so
+      // the timed row below forces the real fetch-queue payload
+      // through the exchange
+      time(s"frontier schedule @${mult}x") {
+        graft.queries.Crawl.frontierSchedule(spark, docsF)
+          .agg(count(lit(1)), max(col("order_md5")),
+            sum(col("makespan_s"))).collect()
+        1L
+      }
+      time(s"frontier schedule PRUNED (count-only) @${mult}x") {
+        graft.queries.Crawl.frontierSchedule(spark, docsF).count()
       }
       }
 
