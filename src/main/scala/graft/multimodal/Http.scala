@@ -36,7 +36,14 @@ object Http {
       lenMatches: Boolean,
       bodyLen: Long,
       bodySum: Long,
-      bodyMd5: String)
+      bodyMd5: String,
+      transferEncoding: Option[String] = None) {
+    /** RFC 9112 §6.1: chunked is in effect when it is the FINAL
+      * member of the Transfer-Encoding list.
+      */
+    def isChunked: Boolean = transferEncoding.exists(
+      _.split(",").lastOption.exists(_.trim.equalsIgnoreCase("chunked")))
+  }
 
   def parseResponse(p: Array[Byte]): Option[HttpResponse] = {
     def line(i: Int) = ByteScan.crlfLine(p, i)
@@ -94,7 +101,8 @@ object Http {
     val (bodySum, bodyMd5) = ByteScan.witness(p, i, p.length - i)
     Some(HttpResponse(ver, status, reason, mediaType, charset,
       headers.size, declaredLen,
-      declaredLen.forall(_ == bodyLen), bodyLen, bodySum, bodyMd5))
+      declaredLen.forall(_ == bodyLen), bodyLen, bodySum, bodyMd5,
+      hdr("transfer-encoding").map(_.toLowerCase)))
   }
 
   /** [[parseResponse]] plus the payload bytes — the in-task hand-off
@@ -107,6 +115,97 @@ object Http {
       (r, java.util.Arrays.copyOfRange(p,
         p.length - r.bodyLen.toInt, p.length))
     }
+
+  final case class ChunkedMeta(
+      nChunks: Int,
+      nExts: Int,
+      nTrailers: Int,
+      wellFormed: Boolean)
+
+  /** RFC 9112 §7.1 chunked Transfer-Encoding decode (q217, T126) —
+    * the framing layer archived HTTP/1.1 responses actually use:
+    * `chunk-size [;chunk-ext] CRLF chunk-data CRLF`, a `0`-size last
+    * chunk, then an optional trailer section ending in CRLF. Crawl
+    * posture: a truncated or malformed stream returns every byte
+    * decoded BEFORE the defect with `wellFormed = false` — truncated
+    * chunked bodies are endemic in archives and the prefix is still
+    * the payload. Chunk sizes are hex (≤ 15 digits guards overflow);
+    * extensions and trailers are counted, not interpreted (RFC 9110
+    * §6.5: a recipient MAY discard trailer fields). Never throws.
+    */
+  def decodeChunked(p: Array[Byte], off: Int)
+      : (Array[Byte], ChunkedMeta) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = off
+    var nChunks = 0
+    var nExts = 0
+    var nTrailers = 0
+    def partial = (out.toByteArray,
+      ChunkedMeta(nChunks, nExts, nTrailers, wellFormed = false))
+    while (true) {
+      ByteScan.crlfLine(p, i) match {
+        case None => return partial
+        case Some((ln, n)) =>
+          val semi = ln.indexOf(';')
+          val sizeStr = (if (semi >= 0) ln.substring(0, semi) else ln).trim
+          if (sizeStr.isEmpty || sizeStr.length > 15 ||
+              !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+            return partial
+          val size = java.lang.Long.parseLong(sizeStr, 16)
+          if (semi >= 0) nExts += 1
+          i = n
+          if (size == 0) {
+            // trailer section: header-shaped lines, then the blank line
+            var done = false
+            while (!done) ByteScan.crlfLine(p, i) match {
+              case Some(("", n2)) => i = n2; done = true
+              case Some((t, n2)) if t.indexOf(':') > 0 =>
+                nTrailers += 1; i = n2
+              case _ => return partial
+            }
+            return (out.toByteArray,
+              ChunkedMeta(nChunks, nExts, nTrailers, wellFormed = true))
+          }
+          if (size > Int.MaxValue.toLong || i + size + 2 > p.length)
+            return partial
+          out.write(p, i, size.toInt)
+          i += size.toInt
+          if (p(i) != '\r' || p(i + 1) != '\n') return partial
+          i += 2
+          nChunks += 1
+      }
+    }
+    partial // unreachable
+  }
+
+  /** [[parseResponseWithBody]] with transfer-encoding applied: a
+    * chunked body is de-framed (and Content-Length ignored, RFC 9112
+    * §6.3 — when Transfer-Encoding is present the inner length field
+    * carries no authority); anything else passes through raw.
+    */
+  def parseResponseDecoded(p: Array[Byte])
+      : Option[(HttpResponse, Array[Byte], Option[ChunkedMeta])] =
+    parseResponseWithBody(p).map { case (r, body) =>
+      if (r.isChunked) {
+        val (decoded, meta) = decodeChunked(body, 0)
+        (r, decoded, Some(meta))
+      } else (r, body, None)
+    }
+
+  /** Serialize a response with the wire body given verbatim and NO
+    * implicit Content-Length (synthesis side for chunked framing,
+    * q217 — a chunked response legally has no Content-Length).
+    */
+  def renderRaw(status: Int, reason: String,
+      headers: Seq[(String, String)], wire: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w(s"HTTP/1.1 $status $reason\r\n")
+    headers.foreach { case (k, v) => w(s"$k: $v\r\n") }
+    w("\r\n")
+    bos.write(wire)
+    bos.toByteArray
+  }
 
   /** Serialize a response (synthesis side for q208). */
   def render(status: Int, reason: String,

@@ -415,6 +415,91 @@ object Crawl {
           order_md5
         FROM h ORDER BY host"""),
       (s, d) =>
-        frontierSchedule(s, table(s, d, "documents")).orderBy("host"))
+        frontierSchedule(s, table(s, d, "documents")).orderBy("host")),
+
+    Q("q217_chunked_decode",
+      "HTTP chunked Transfer-Encoding decode (T126, Http.decodeChunked " +
+        "— RFC 9112 §7.1, the framing archived HTTP/1.1 responses " +
+        "actually use; the T117 layer previously saw only raw bodies): " +
+        "per doc, an ASCII body split into 2-5 hex-size chunks (chunk " +
+        "0 carries a chunk extension), a 0-chunk and TWO trailer " +
+        "fields; every 7th doc's wire is TRUNCATED before the last " +
+        "chunk's size line — the decoder must return every byte " +
+        "before the defect with well_formed=0 (truncated chunked " +
+        "bodies are endemic in crawl archives; the prefix is still " +
+        "the payload). The production entry parseResponseDecoded " +
+        "sniffs Transfer-Encoding (final-member rule, RFC 9112 §6.1) " +
+        "from the real header walk. Oracle knows chunk counts, " +
+        "trailer counts, decoded lengths and full decoded-body MD5s " +
+        "closed-form. Zero shuffle, per-row work",
+      Some("""WITH b AS (SELECT doc_id,
+            doc_id % 4 + 2 AS n,
+            60 + doc_id % 20 AS bl,
+            substr(repeat('w' || CAST(doc_id AS VARCHAR) || ' ', 40),
+              1, CAST(60 + doc_id % 20 AS INT)) AS body,
+            doc_id % 7 = 0 AS trunc
+          FROM documents)
+        SELECT doc_id,
+          CAST(CASE WHEN trunc THEN n - 1 ELSE n END AS BIGINT)
+            AS n_chunks,
+          CAST(CASE WHEN trunc THEN 0 ELSE 1 END AS BIGINT)
+            AS well_formed,
+          CAST(1 AS BIGINT) AS n_exts,
+          CAST(CASE WHEN trunc THEN 0 ELSE 2 END AS BIGINT)
+            AS n_trailers,
+          CAST(CASE WHEN trunc THEN bl - bl // n ELSE bl END AS BIGINT)
+            AS body_len,
+          md5(substr(body, 1, CAST(CASE WHEN trunc THEN bl - bl // n
+            ELSE bl END AS INT))) AS body_md5
+        FROM b ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Http
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 4 + 2).toInt
+            val bl = (60 + id % 20).toInt
+            val body = (("w" + id + " ") * 40).take(bl)
+              .getBytes("US-ASCII")
+            val trunc = id % 7 == 0
+            val base = bl / n
+            val rem = bl % n
+            val sizes = (0 until n).map(k => base + (if (k < rem) 1 else 0))
+            val wire = new java.io.ByteArrayOutputStream()
+            def w(str: String): Unit = wire.write(str.getBytes("US-ASCII"))
+            var off = 0
+            sizes.zipWithIndex.foreach { case (sz, k) =>
+              if (!(trunc && k == n - 1)) {
+                w(sz.toHexString +
+                  (if (k == 0) ";planted=1" else "") + "\r\n")
+                wire.write(body, off, sz)
+                w("\r\n")
+              }
+              off += sz
+            }
+            if (!trunc) {
+              w("0\r\n")
+              w(s"X-Sum: ${body.map(_ & 0xff).sum}\r\n")
+              w("X-Src: graft\r\n\r\n")
+            }
+            val msg = Http.renderRaw(200, "OK",
+              Seq("Content-Type" -> "text/plain",
+                "Transfer-Encoding" -> "chunked"),
+              wire.toByteArray)
+            val (resp, decoded, metaOpt) =
+              Http.parseResponseDecoded(msg).get
+            val meta = metaOpt.get // isChunked must have fired
+            require(resp.isChunked)
+            (id, meta.nChunks.toLong,
+              (if (meta.wellFormed) 1L else 0L),
+              meta.nExts.toLong, meta.nTrailers.toLong,
+              decoded.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(decoded).map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "n_chunks", "well_formed", "n_exts",
+            "n_trailers", "body_len", "body_md5")
+          .orderBy("doc_id")
+      })
   )
 }

@@ -116,4 +116,108 @@ class HttpSpec extends AnyFunSuite {
     val st = graft.text.Utf8.audit(body)
     assert(st.n_cp_valid == 6L && st.n_bytes == 12L)
   }
+
+  // ---- chunked Transfer-Encoding (q217, T126) ----
+
+  private def frame(chunks: Seq[Array[Byte]],
+      exts: Boolean = false,
+      trailers: Seq[String] = Nil,
+      terminate: Boolean = true): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    chunks.zipWithIndex.foreach { case (c, k) =>
+      w(c.length.toHexString + (if (exts && k == 0) ";a=b" else "") +
+        "\r\n")
+      bos.write(c)
+      w("\r\n")
+    }
+    if (terminate) {
+      w("0\r\n")
+      trailers.foreach(t => w(t + "\r\n"))
+      w("\r\n")
+    }
+    bos.toByteArray
+  }
+
+  test("chunked: random round trips, uppercase hex, exts, trailers") {
+    for (seed <- 0 until 100) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = Seq.fill(1 + rnd.nextInt(6)) {
+        val c = new Array[Byte](1 + rnd.nextInt(300)) // size 0 = last-chunk
+        rnd.nextBytes(c); c
+      }
+      val (out, meta) = Http.decodeChunked(
+        frame(chunks, exts = seed % 2 == 0,
+          trailers = if (seed % 3 == 0) Seq("X-A: 1", "X-B: 2") else Nil),
+        0)
+      assert(meta.wellFormed, s"seed=$seed")
+      assert(meta.nChunks == chunks.length, s"seed=$seed")
+      assert(out.toSeq == chunks.flatten.toSeq, s"seed=$seed")
+      assert(meta.nTrailers == (if (seed % 3 == 0) 2 else 0))
+    }
+    // uppercase hex sizes decode too
+    val (o2, m2) = Http.decodeChunked(
+      "A\r\n0123456789\r\n0\r\n\r\n".getBytes, 0)
+    assert(m2.wellFormed && new String(o2) == "0123456789")
+  }
+
+  test("chunked: zero-size mid-stream chunk terminates the body " +
+      "(it IS the last-chunk)") {
+    val wire = frame(Seq("abc".getBytes)) // abc + proper termination
+    val early = "3\r\nabc\r\n0\r\n\r\nEXTRA-IGNORED".getBytes
+    val (out, meta) = Http.decodeChunked(early, 0)
+    assert(meta.wellFormed && new String(out) == "abc")
+    val (out2, meta2) = Http.decodeChunked(wire, 0)
+    assert(meta2.wellFormed && new String(out2) == "abc")
+  }
+
+  test("chunked: truncation at every byte never throws; decoded is " +
+      "always a prefix of the body") {
+    val body = (0 until 400).map(i => ('a' + i % 26).toChar).mkString
+    val wire = frame(body.getBytes.grouped(37).toSeq,
+      exts = true, trailers = Seq("X-S: 1"))
+    (0 until wire.length).foreach { cut =>
+      val (out, meta) = Http.decodeChunked(
+        java.util.Arrays.copyOf(wire, cut), 0)
+      assert(!meta.wellFormed || cut == wire.length)
+      assert(body.startsWith(new String(out, "ISO-8859-1")),
+        s"cut=$cut")
+    }
+    val (full, fm) = Http.decodeChunked(wire, 0)
+    assert(fm.wellFormed && new String(full) == body && fm.nExts == 1 &&
+      fm.nTrailers == 1)
+  }
+
+  test("chunked: malformed size lines and missing data-CRLF degrade") {
+    Seq("zz\r\nabc\r\n", "\r\n", "3\r\nabXY", "3;e\r\nab",
+      "fffffffffffffffff\r\n").foreach { s =>
+      val (_, meta) = Http.decodeChunked(s.getBytes, 0)
+      assert(!meta.wellFormed, s)
+    }
+    // data not followed by CRLF
+    val (_, m) = Http.decodeChunked("3\r\nabcXX0\r\n\r\n".getBytes, 0)
+    assert(!m.wellFormed)
+  }
+
+  test("isChunked: RFC 9112 final-member rule; parseResponseDecoded " +
+      "de-frames end-to-end") {
+    def resp(te: String): Http.HttpResponse =
+      Http.parseResponse(Http.renderRaw(200, "OK",
+        Seq("Transfer-Encoding" -> te), Array.empty)).get
+    assert(resp("chunked").isChunked)
+    assert(resp("gzip, chunked").isChunked)
+    assert(!resp("chunked, gzip").isChunked)
+    assert(resp("GZIP, Chunked").isChunked)
+    val msg = Http.renderRaw(200, "OK",
+      Seq("Content-Type" -> "text/plain",
+        "Transfer-Encoding" -> "chunked"),
+      frame(Seq("hello ".getBytes, "world".getBytes)))
+    val (r, decoded, meta) = Http.parseResponseDecoded(msg).get
+    assert(r.isChunked && meta.exists(_.wellFormed))
+    assert(new String(decoded) == "hello world")
+    // a raw response passes through with no meta
+    val raw = Http.render(200, "OK", Nil, "plain".getBytes)
+    val (r2, d2, m2) = Http.parseResponseDecoded(raw).get
+    assert(!r2.isChunked && m2.isEmpty && new String(d2) == "plain")
+  }
 }
