@@ -33,8 +33,16 @@ object Html {
       title: Option[String], // <title> RCDATA, decoded + collapsed
       text: String,          // one line per block run, collapsed
       nLinks: Int,           // <a> elements carrying an href attribute
-      nTags: Int)            // open/self-closing tags (not closers,
+      nTags: Int,            // open/self-closing tags (not closers,
                              // comments, or declarations)
+      metas: Seq[(String, String)] = Nil, // <meta name= content=> pairs
+                             // (lowered name, entity-decoded content),
+                             // capped at 64 — the robots-directive feed
+                             // for the T127 indexability gate. Metas
+                             // inside comments/rawtext never appear
+                             // here (the scanner already skips them)
+      nNofollow: Int = 0)    // href links whose rel tokens include
+                             // nofollow (token split on space/comma)
 
   /** Elements whose character data is NOT text: consumed raw up to the
     * matching close tag, no entity processing (script bodies contain
@@ -113,18 +121,24 @@ object Html {
     var title: Option[String] = None
     var nLinks = 0
     var nTags = 0
+    var nNofollow = 0
+    val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
 
     // skip a tag's attribute region (after the name) up to its `>`,
     // honoring quoted values (`alt="a > b"` must not close the tag);
-    // returns (index past `>`, attribute names seen). Truncated tag →
+    // returns (index past `>`, attribute names seen, attribute values
+    // — first occurrence wins, raw/undecoded). Truncated tag →
     // consume to EOF.
-    def attrs(start: Int): (Int, Set[String]) = {
+    def attrs(start: Int): (Int, Set[String], Map[String, String]) = {
       var i = start
       val names = Set.newBuilder[String]
+      val vals = Map.newBuilder[String, String]
+      val seen = scala.collection.mutable.Set.empty[String]
       while (i < n && html.charAt(i) != '>') {
         val c = html.charAt(i)
         if (c == '"' || c == '\'') {
+          // a stray quoted run not owned by an attribute (malformed)
           i += 1
           while (i < n && html.charAt(i) != c) i += 1
           if (i < n) i += 1
@@ -132,23 +146,35 @@ object Html {
           val s0 = i
           while (i < n && (Character.isLetterOrDigit(html.charAt(i)) ||
             html.charAt(i) == '-' || html.charAt(i) == '_')) i += 1
-          names += html.substring(s0, i).toLowerCase
-          // skip an unquoted `=value` so its chars don't re-enter the
-          // name scan (quoted values hit the branch above)
+          val aName = html.substring(s0, i).toLowerCase
+          names += aName
+          // capture an `=value` (quoted or bare) so its chars don't
+          // re-enter the name scan
           var j = i
           while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
           if (j < n && html.charAt(j) == '=') {
             j += 1
             while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
-            if (j < n && html.charAt(j) != '"' && html.charAt(j) != '\'') {
+            if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+              val q = html.charAt(j)
+              val v0 = j + 1
+              j += 1
+              while (j < n && html.charAt(j) != q) j += 1
+              if (seen.add(aName))
+                vals += aName -> html.substring(v0, math.min(j, n))
+              if (j < n) j += 1
+              i = j
+            } else {
+              val v0 = j
               while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                 html.charAt(j) != '>') j += 1
+              if (seen.add(aName)) vals += aName -> html.substring(v0, j)
               i = j
-            } else i = j
+            }
           }
         } else i += 1
       }
-      (if (i < n) i + 1 else n, names.result())
+      (if (i < n) i + 1 else n, names.result(), vals.result())
     }
 
     while (i < n) {
@@ -189,11 +215,23 @@ object Html {
         var j = i + 1
         while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
         val name = html.substring(i + 1, j).toLowerCase
-        val (past, attrNames) = attrs(j)
+        val (past, attrNames, attrVals) = attrs(j)
         val selfClosed = past >= 2 && past <= n &&
           html.charAt(past - 1) == '>' && html.charAt(past - 2) == '/'
         nTags += 1
-        if (name == "a" && attrNames("href")) nLinks += 1
+        if (name == "a" && attrNames("href")) {
+          nLinks += 1
+          if (attrVals.get("rel").exists(_.split("[\\s,]+")
+              .exists(_.equalsIgnoreCase("nofollow"))))
+            nNofollow += 1
+        }
+        if (name == "meta" && metas.length < 64) {
+          (attrVals.get("name"), attrVals.get("content")) match {
+            case (Some(mn), Some(mc)) if mn.nonEmpty =>
+              metas += ((mn.trim.toLowerCase, decodeAll(mc)))
+            case _ =>
+          }
+        }
         if (block(name)) out += '\n'
         i = past
         if (name == "title" && !selfClosed) {
@@ -213,7 +251,8 @@ object Html {
 
     val lines = out.toString.split('\n').iterator
       .map(collapse).filter(_.nonEmpty)
-    Extracted(title, lines.mkString("\n"), nLinks, nTags)
+    Extracted(title, lines.mkString("\n"), nLinks, nTags,
+      metas.toSeq, nNofollow)
   }
 
   /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */

@@ -116,6 +116,27 @@ object Http {
         p.length - r.bodyLen.toInt, p.length))
     }
 
+  /** All values of one header (case-insensitive name) in order — the
+    * focused reader the indexability tier (T127) uses for
+    * X-Robots-Tag, which legally repeats. Same strict line walk as
+    * [[parseResponse]]; structural malformation → Nil.
+    */
+  def headerAll(p: Array[Byte], name: String): Seq[String] = {
+    val want = name.toLowerCase
+    var i = ByteScan.crlfLine(p, 0).map(_._2).getOrElse(return Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done) ByteScan.crlfLine(p, i) match {
+      case Some(("", _)) | None => done = true
+      case Some((h, n2)) =>
+        val c = h.indexOf(':')
+        if (c > 0 && h.substring(0, c).trim.toLowerCase == want)
+          out += h.substring(c + 1).trim
+        i = n2
+    }
+    out.toSeq
+  }
+
   final case class ChunkedMeta(
       nChunks: Int,
       nExts: Int,

@@ -500,6 +500,92 @@ object Crawl {
           .toDF("doc_id", "n_chunks", "well_formed", "n_exts",
             "n_trailers", "body_len", "body_md5")
           .orderBy("doc_id")
+      }),
+
+    Q("q218_indexability_gate",
+      "page-level robots directive gate (T127, multimodal.Indexability " +
+        "over the T118 scanner's new meta/rel capture + T117's " +
+        "repeated-header walk): per doc, an HTTP response whose HTML " +
+        "plants a robots meta (noindex,nofollow / all / absent by " +
+        "doc), a graftbot-scoped noarchive meta on even docs, DECOY " +
+        "metas inside a comment and a script rawtext block (must " +
+        "never apply — one leak flips every verdict), a viewport " +
+        "decoy (surfaced but ignored), rel=nofollow links incl. a " +
+        "multi-token rel, and X-Robots-Tag headers exercising the " +
+        "crawler-scope rule (otherbot-scoped noindex IGNORED, " +
+        "graftbot-scoped notranslate counted, unscoped nosnippet on " +
+        "every 5th doc). Verdict = most-restrictive union; all eight " +
+        "output columns closed-form. Zero shuffle — the gate a corpus " +
+        "build runs before admitting an extracted page",
+      Some("""SELECT doc_id,
+          CAST((CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+            AS n_meta,
+          CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS indexable,
+          CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS followable,
+          CAST(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS archivable,
+          CAST(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS snippetable,
+          CAST((CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+            AS n_sources,
+          CAST(doc_id % 4 + 2 AS BIGINT) AS n_links,
+          CAST((doc_id % 4) // 2 + 2 AS BIGINT) AS n_nofollow
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Html, Http, Indexability}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val robotsMeta =
+              if (id % 3 == 0)
+                "<meta name=\"robots\" content=\"noindex, nofollow\">"
+              else if (id % 3 == 1)
+                "<meta name=robots content=all>"
+              else ""
+            val botMeta =
+              if (id % 2 == 0)
+                "<meta name='GraftBot' content='noarchive'>"
+              else ""
+            val links = (0 until (id % 4 + 1).toInt).map { j =>
+              if (j % 2 == 0) s"<a href=/l$j rel=nofollow>l$j</a>"
+              else s"<a href=/l$j>l$j</a>"
+            }.mkString(" ")
+            val html =
+              s"""<html><head><title>d$id</title>
+                 |$robotsMeta
+                 |$botMeta
+                 |<meta name="viewport" content="width=1">
+                 |<!-- <meta name="robots" content="noindex"> -->
+                 |<script>var s = '<meta name="robots" content="none">';</script>
+                 |</head><body><p>doc $id</p>
+                 |$links <a href="/x" rel="external nofollow">x</a>
+                 |</body></html>""".stripMargin
+            val headers = Seq(
+              "Content-Type" -> "text/html; charset=utf-8",
+              "X-Robots-Tag" -> "otherbot: noindex",
+              "X-Robots-Tag" -> "graftbot: notranslate") ++
+              (if (id % 5 == 0) Seq("X-Robots-Tag" -> "nosnippet")
+              else Nil)
+            val msg = Http.render(200, "OK", headers,
+              html.getBytes("UTF-8"))
+            val (_, body) = Http.parseResponseWithBody(msg).get
+            val ex = Html.extractText(new String(body, "UTF-8"))
+            val xrt = Http.headerAll(msg, "X-Robots-Tag")
+            val v = Indexability.evaluate(ex.metas, xrt, "graftbot")
+            def b(x: Boolean) = if (x) 1L else 0L
+            (id, ex.metas.length.toLong, b(v.index), b(v.follow),
+              b(v.archive), b(v.snippet), v.nSources.toLong,
+              ex.nLinks.toLong, ex.nNofollow.toLong)
+          }
+          .toDF("doc_id", "n_meta", "indexable", "followable",
+            "archivable", "snippetable", "n_sources", "n_links",
+            "n_nofollow")
+          .orderBy("doc_id")
       })
   )
 }
