@@ -586,6 +586,78 @@ object Crawl {
             "archivable", "snippetable", "n_sources", "n_links",
             "n_nofollow")
           .orderBy("doc_id")
+      }),
+
+    Q("q219_data_uri_decode",
+      "base64 + data: URI decode (T128, multimodal.Base64s — the " +
+        "layer that extracts what T120 rightly refuses to fetch): per " +
+        "doc, seven data: URIs — the same formula payload encoded by " +
+        "the JDK (the independent encoder) as standard, URL-safe-" +
+        "unpadded, and MIME-wrapped (CRLF every 8 chars) base64 " +
+        "(all three must decode to the SAME md5), a planted NON-" +
+        "canonical final quantum (YR== — non-zero discarded bits: " +
+        "decoded but flagged, the java.util.Base64 posture), a " +
+        "percent-encoded text payload exercising the RFC 2397 default " +
+        "mediatype, and two hard malformations (alphabet violation; " +
+        "1-char final quantum) that must reject. All counts and MD5s " +
+        "closed-form. Zero shuffle, per-row work",
+      Some("""WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS len
+          FROM documents),
+        s AS (SELECT p.doc_id,
+            string_agg(chr(CAST(32 + (p.doc_id * 7 + k.k) % 95 AS INT)),
+              '' ORDER BY k.k) AS payload
+          FROM p, range(0, 14) k(k) WHERE k.k < p.len
+          GROUP BY p.doc_id)
+        SELECT s.doc_id,
+          CAST(5 AS BIGINT) AS n_ok,
+          CAST(2 AS BIGINT) AS n_rejected,
+          CAST(1 AS BIGINT) AS n_noncanonical,
+          CAST(3 AS BIGINT) AS n_agree,
+          'text/plain;charset=us-ascii' AS mt_text,
+          md5(s.payload) AS md5_payload,
+          md5('hello doc ' || CAST(s.doc_id AS VARCHAR)) AS md5_text,
+          CAST(5 + s.doc_id % 9 AS BIGINT) AS payload_len
+        FROM s ORDER BY s.doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Base64s
+        def md5hex(b: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5").digest(b)
+            .map("%02x".format(_)).mkString
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val len = (5 + id % 9).toInt
+            val bytes = Array.tabulate[Byte](len)(k =>
+              (32 + ((id * 7 + k) % 95)).toByte)
+            val std = java.util.Base64.getEncoder.encodeToString(bytes)
+            val urlSafe = java.util.Base64.getUrlEncoder.withoutPadding
+              .encodeToString(bytes)
+            val mime = std.grouped(8).mkString("\r\n")
+            val uris = Seq(
+              s"data:image/png;base64,$std",
+              s"data:application/octet-stream;base64,$urlSafe",
+              s"data:text/x-raw;base64,$mime",
+              "data:;base64,YR==", // non-canonical fill bits
+              s"data:,hello%20doc%20$id",
+              "data:;base64,ab!cd", // alphabet violation
+              "data:;base64,abcde") // 1-char final quantum
+            val parsed = uris.map(Base64s.parseDataUri)
+            val b64Md5s = parsed.take(3).flatten.map(p => md5hex(p.bytes))
+            (id,
+              parsed.count(_.isDefined).toLong,
+              parsed.count(_.isEmpty).toLong,
+              parsed.flatten.count(p => p.base64 && !p.canonical).toLong,
+              b64Md5s.count(_ == b64Md5s.head).toLong,
+              parsed(4).map(_.mediaType).getOrElse("-"),
+              b64Md5s.headOption.getOrElse("-"),
+              parsed(4).map(p => md5hex(p.bytes)).getOrElse("-"),
+              parsed.headOption.flatten.map(_.bytes.length.toLong)
+                .getOrElse(-1L))
+          }
+          .toDF("doc_id", "n_ok", "n_rejected", "n_noncanonical",
+            "n_agree", "mt_text", "md5_payload", "md5_text",
+            "payload_len")
+          .orderBy("doc_id")
       })
   )
 }
