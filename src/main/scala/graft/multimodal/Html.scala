@@ -41,8 +41,12 @@ object Html {
                              // for the T127 indexability gate. Metas
                              // inside comments/rawtext never appear
                              // here (the scanner already skips them)
-      nNofollow: Int = 0)    // href links whose rel tokens include
+      nNofollow: Int = 0,    // href links whose rel tokens include
                              // nofollow (token split on space/comma)
+      hrefs: Seq[String] = Nil) // href values of <a> links in document
+                             // order, entity-decoded, capped at 256 —
+                             // the T129 link-graph feed (nLinks keeps
+                             // the uncapped count)
 
   /** Elements whose character data is NOT text: consumed raw up to the
     * matching close tag, no entity processing (script bodies contain
@@ -123,6 +127,7 @@ object Html {
     var nTags = 0
     var nNofollow = 0
     val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
 
     // skip a tag's attribute region (after the name) up to its `>`,
@@ -224,6 +229,8 @@ object Html {
           if (attrVals.get("rel").exists(_.split("[\\s,]+")
               .exists(_.equalsIgnoreCase("nofollow"))))
             nNofollow += 1
+          if (hrefs.length < 256)
+            attrVals.get("href").foreach(h => hrefs += decodeAll(h).trim)
         }
         if (name == "meta" && metas.length < 64) {
           (attrVals.get("name"), attrVals.get("content")) match {
@@ -252,7 +259,7 @@ object Html {
     val lines = out.toString.split('\n').iterator
       .map(collapse).filter(_.nonEmpty)
     Extracted(title, lines.mkString("\n"), nLinks, nTags,
-      metas.toSeq, nNofollow)
+      metas.toSeq, nNofollow, hrefs.toSeq)
   }
 
   /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */

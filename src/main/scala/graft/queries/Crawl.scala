@@ -658,6 +658,65 @@ object Crawl {
             "n_agree", "mt_text", "md5_payload", "md5_text",
             "payload_len")
           .orderBy("doc_id")
+      }),
+
+    Q("q220_host_link_graph",
+      "host-level link graph construction (T129 — the web-graph shape " +
+        "the crawl stack ultimately feeds): per doc, HTML whose links " +
+        "exercise every RFC 3986 reference form — absolute, scheme-" +
+        "relative, absolute-path, relative-with-dot-segments, query-" +
+        "only, fragment-only, entity-encoded — plus a mailto: and a " +
+        "data: link the canonicalizer must DROP; the T118 scanner " +
+        "extracts hrefs, Urls.resolve (the §5.4-conformance-tested " +
+        "resolver) resolves them against the page base, T120 " +
+        "canonicalizes, and the (src_host, dst_host) edge rollup " +
+        "aggregates link and distinct-document counts. The oracle " +
+        "rebuilds the whole graph closed-form — one mis-resolved " +
+        "reference moves an edge and hash-fails. ONE shuffle keyed by " +
+        "edge: at 100 TB the host graph is edges-not-pages sized, " +
+        "partial-aggregated map-side",
+      Some("""WITH o AS (SELECT * FROM (VALUES (1, 1), (2, 1), (0, 5))
+          t(off, w)),
+        l AS (SELECT doc_id, doc_id % 97 AS g,
+            (doc_id % 97 + o.off) % 97 AS dg, o.w
+          FROM documents, o)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS src_host,
+          'ex' || CAST(dg AS VARCHAR) || '.test' AS dst_host,
+          CAST(SUM(w) AS BIGINT) AS n_links,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM l GROUP BY g, dg ORDER BY src_host, dst_host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Html
+        import graft.text.Urls
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val g = id % 97
+            val base = s"http://ex$g.test/dir/page$id.html"
+            val html =
+              s"""<html><body>
+                 |<a href="http://ex${(g + 1) % 97}.test/a">abs</a>
+                 |<a href="//ex${(g + 2) % 97}.test/b?k=1">proto-rel</a>
+                 |<a href="/c?z=1">rooted</a>
+                 |<a href="../up/./d">dotted</a>
+                 |<a href="?q=2">query-only</a>
+                 |<a href="/e?a=1&amp;b=2">entity</a>
+                 |<a href="#frag">fragment-only</a>
+                 |<a href="mailto:u@ex$g.test">mail</a>
+                 |<a href="data:,x">inline</a>
+                 |</body></html>""".stripMargin
+            val srcHost = s"ex$g.test"
+            Html.extractText(html).hrefs
+              .flatMap(h => Urls.resolve(base, h))
+              .flatMap(Urls.canonicalize)
+              .flatMap(Urls.parse)
+              .map(p => (id, srcHost, p.host))
+          }
+          .toDF("doc_id", "src_host", "dst_host")
+          .groupBy("src_host", "dst_host")
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("src_host", "dst_host")
       })
   )
 }

@@ -146,6 +146,69 @@ object Urls {
     Some(Parts(scheme, userinfo, host, port, path, q, frag))
   }
 
+  /** RFC 3986 §5.2 reference resolution (q220, T129) — the step
+    * between link EXTRACTION (T118 hands out href attribute values:
+    * absolute, scheme-relative, absolute-path, relative-with-dots,
+    * query-only, fragment-only) and canonicalization: every link a
+    * crawler follows resolves against its page's base URL first.
+    * Textual §5.2.2 transform: a ref with its own scheme stands
+    * alone; `//…` takes the base scheme; `/…` takes scheme+authority
+    * with dot segments removed; a relative path merges onto the base
+    * path's directory (§5.2.3); an empty path keeps the base path and
+    * — only when the ref has no query — the base query. The ref's
+    * fragment rides along (canonicalize drops it later). Base must be
+    * hierarchical; returns None otherwise, never throws.
+    */
+  def resolve(base: String, ref: String): Option[String] = {
+    def schemeLen(s: String): Int = {
+      if (s.isEmpty || !Character.isLetter(s.charAt(0))) return -1
+      var i = 1
+      while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) ||
+        s.charAt(i) == '+' || s.charAt(i) == '-' || s.charAt(i) == '.'))
+        i += 1
+      if (i < s.length && s.charAt(i) == ':') i else -1
+    }
+    if (schemeLen(ref) > 0) return Some(ref)
+    parse(base).map { b =>
+      val authority = {
+        val sb = new StringBuilder
+        b.userinfo.foreach(u => sb ++= u += '@')
+        sb ++= b.host
+        b.port.foreach(p => sb += ':' ++= p.toString)
+        sb.toString
+      }
+      val (r0, frag) = ref.indexOf('#') match {
+        case -1 => (ref, "")
+        case h => (ref.substring(0, h), ref.substring(h))
+      }
+      if (r0.startsWith("//")) b.scheme + ":" + r0 + frag
+      else {
+        val (rp, rq) = r0.indexOf('?') match {
+          case -1 => (r0, "")
+          case q => (r0.substring(0, q), r0.substring(q))
+        }
+        val (path, query) =
+          if (rp.isEmpty) {
+            // §5.2.2: empty ref path keeps the base path; the base
+            // query survives only when the ref carries none
+            (b.path,
+              if (rq.nonEmpty) rq else b.query.map("?" + _).getOrElse(""))
+          } else if (rp.startsWith("/"))
+            (removeDotSegments(rp), rq)
+          else {
+            // §5.2.3 merge: onto the base path's directory (an empty
+            // base path with an authority merges onto "/")
+            val dir = b.path.lastIndexOf('/') match {
+              case -1 => "/"
+              case sl => b.path.substring(0, sl + 1)
+            }
+            (removeDotSegments(dir + rp), rq)
+          }
+        b.scheme + "://" + authority + path + query + frag
+      }
+    }
+  }
+
   def canonicalize(url: String): Option[String] = parse(url).map { p =>
     val scheme = p.scheme.toLowerCase
     val host0 = p.host.toLowerCase

@@ -88,4 +88,70 @@ class UrlsSpec extends AnyFunSuite {
       assert(Urls.canonicalize(once.get) == once, u)
     }
   }
+
+  test("resolve: the full RFC 3986 §5.4 reference-resolution " +
+      "conformance table (normal + abnormal examples)") {
+    val base = "http://a/b/c/d;p?q"
+    val table = Seq(
+      // §5.4.1 normal
+      "g:h" -> "g:h",
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // §5.4.2 abnormal
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x")
+    table.foreach { case (ref, expected) =>
+      assert(Urls.resolve(base, ref).contains(expected), s"ref='$ref'")
+    }
+  }
+
+  test("resolve: ports, userinfo, empty base path; non-hierarchical " +
+      "base is None") {
+    assert(Urls.resolve("http://u:p@h.test:8080/a/b?x", "c").contains(
+      "http://u:p@h.test:8080/a/c"))
+    assert(Urls.resolve("http://h.test?q=1", "a").contains(
+      "http://h.test/a"))
+    assert(Urls.resolve("mailto:a@b", "x").isEmpty)
+    assert(Urls.resolve("not a url", "x").isEmpty)
+    // resolve-then-canonicalize is the frontier path
+    assert(Urls.resolve("HTTP://H.TEST:80/a/", "../b%61d/?z=1&a=2")
+      .flatMap(Urls.canonicalize)
+      .contains("http://h.test/bad/?a=2&z=1"))
+  }
 }
