@@ -717,6 +717,54 @@ object Crawl {
           .agg(count(lit(1)).as("n_links"),
             countDistinct(col("doc_id")).as("n_docs"))
           .orderBy("src_host", "dst_host")
+      }),
+
+    Q("q221_registrable_domain",
+      "public-suffix registrable domain (T130, graft.text.PublicSuffix " +
+        "— the key production frontiers ACTUALLY group politeness and " +
+        "quotas by: eTLD+1, not host): per doc, nine hosts exercising " +
+        "the COMPLETE publicsuffix.org rule grammar — multi-label " +
+        "suffixes (co.uk), wildcard rules (*.ck), the exception rule " +
+        "(!www.ck beats the wildcard), private registries (github.io), " +
+        "case folding + trailing dots, a host that IS a public suffix, " +
+        "an IP literal, and a single-label host (the last three must " +
+        "reject). Every registrable domain is closed-form in doc_id. " +
+        "Zero shuffle; at 100 TB this is the map the frontier's " +
+        "grouping key passes through before the T125 rollup",
+      Some("""SELECT doc_id,
+          'ex' || CAST(doc_id % 97 AS VARCHAR) || '.com' ||
+            ',site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk' ||
+            ',ex' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk' ||
+            ',shop.stuff' || CAST(doc_id % 10 AS VARCHAR) || '.ck' ||
+            ',www.ck' ||
+            ',user' || CAST(doc_id % 30 AS VARCHAR) || '.github.io'
+            AS domains,
+          CAST(6 AS BIGINT) AS n_ok,
+          CAST(3 AS BIGINT) AS n_rejected
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.PublicSuffix
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val hosts = Seq(
+              s"a.b${id % 50}.ex$g.com",
+              s"news.site${id % 20}.co.uk",
+              s"WWW.Ex$g.CO.UK.", // case + trailing dot
+              s"shop.stuff${id % 10}.ck", // wildcard *.ck
+              "www.ck", // exception !www.ck beats *.ck
+              s"user${id % 30}.github.io", // private registry
+              "co.uk", // IS a public suffix -> None
+              s"192.168.${id % 256}.1", // IP literal -> None
+              "localhost") // single label -> None
+            val rds = hosts.map(PublicSuffix.registrableDomain)
+            (id, rds.flatten.mkString(","),
+              rds.count(_.isDefined).toLong,
+              rds.count(_.isEmpty).toLong)
+          }
+          .toDF("doc_id", "domains", "n_ok", "n_rejected")
+          .orderBy("doc_id")
       })
   )
 }
