@@ -765,6 +765,57 @@ object Crawl {
           }
           .toDF("doc_id", "domains", "n_ok", "n_rejected")
           .orderBy("doc_id")
+      }),
+
+    Q("q222_homograph_audit",
+      "Unicode script-mix + homograph audit (T131, graft.text.Scripts " +
+        "— the UTS #39 gate over frontier hosts): per doc, a pure-" +
+        "Latin host plus, by doc residue, a Cyrillic-а lookalike " +
+        "(U+0430 — must flag confusable risk AND spoof the Latin " +
+        "host via the confusable skeleton), a Greek-ο mix (risk but " +
+        "NOT a spoof of this target), and a Han+Hiragana+Latin-TLD " +
+        "host (mixed but an ALLOWED combination — no risk). Script " +
+        "classification is the JDK's own UCD binding, COMMON/" +
+        "INHERITED excluded. Every count closed-form; one mis-" +
+        "classified code point flips a column. Zero shuffle — at " +
+        "100 TB this runs beside T120 in the same narrow map",
+      Some("""SELECT doc_id,
+          CAST(1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hosts,
+          CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_mixed,
+          CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_risk,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_spoof,
+          'LATIN' AS dom0
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Scripts
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val latin = s"example$g.com"
+            val hosts = Seq(latin) ++
+              (if (id % 2 == 0) Seq(s"exаmple$g.com") else Nil) ++
+              (if (id % 3 == 0) Seq(s"demο$g.net") else Nil) ++
+              (if (id % 5 == 0) Seq(s"例え$g.jp") else Nil)
+            val mixes = hosts.map(Scripts.scriptMix)
+            (id, hosts.length.toLong,
+              mixes.count(_.mixed).toLong,
+              mixes.count(_.confusableRisk).toLong,
+              hosts.tail.count(Scripts.spoofs(_, latin)).toLong,
+              mixes.head.dominant)
+          }
+          .toDF("doc_id", "n_hosts", "n_mixed", "n_risk", "n_spoof",
+            "dom0")
+          .orderBy("doc_id")
       })
   )
 }
