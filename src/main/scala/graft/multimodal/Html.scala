@@ -70,6 +70,11 @@ object Html {
   private val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
     "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
 
+  /** rel attribute token separator — compiled once; the per-link scan
+    * is the hot path and String.split would recompile it per <a> tag.
+    */
+  private val relSep = java.util.regex.Pattern.compile("[\\s,]+")
+
   /** Decode one entity reference starting at `i` (which points at the
     * `&`). Returns (decoded text, next index); a reference that does
     * not terminate in `;` within 32 chars, or names nothing, is
@@ -226,7 +231,7 @@ object Html {
         nTags += 1
         if (name == "a" && attrNames("href")) {
           nLinks += 1
-          if (attrVals.get("rel").exists(_.split("[\\s,]+")
+          if (attrVals.get("rel").exists(v => relSep.split(v)
               .exists(_.equalsIgnoreCase("nofollow"))))
             nNofollow += 1
           if (hrefs.length < 256)

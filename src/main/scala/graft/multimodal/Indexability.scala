@@ -34,8 +34,14 @@ object Indexability {
       snippet: Boolean,
       nSources: Int) // how many directive sources applied
 
+  // includes the VALUED directive names (max-snippet:20,
+  // unavailable_after: <date>) — their colon is directive syntax, not
+  // a crawler scope, and misreading it as a scope would silently drop
+  // co-listed noindex values
   private val Directives = Set("index", "noindex", "follow", "nofollow",
-    "all", "none", "noarchive", "nosnippet", "notranslate", "noimageindex")
+    "all", "none", "noarchive", "nosnippet", "notranslate",
+    "noimageindex", "max-snippet", "max-image-preview",
+    "max-video-preview", "unavailable_after", "indexifembedded")
 
   private[multimodal] def tokens(value: String): Seq[String] =
     value.split(",").iterator.map(_.trim.toLowerCase)

@@ -107,7 +107,7 @@ object Sniff {
     if (at(p, 4, "ftyp")) return "video/mp4"
     if (atBytes(p, 0, 0x1f, 0x8b, 0x08)) return "application/x-gzip"
     if (atBytes(p, 0, 0x50, 0x4b, 0x03, 0x04)) return "application/zip"
-    if (at(p, 0, "Rar ") && atBytes(p, 4, 0x1a, 0x07))
+    if (at(p, 0, "Rar!") && atBytes(p, 4, 0x1a, 0x07))
       return "application/x-rar-compressed"
     if (at(p, 257, "ustar")) return "application/x-tar"
 

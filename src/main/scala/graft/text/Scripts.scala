@@ -92,7 +92,14 @@ object Scripts {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      sb += Character.toLowerCase(Confusables.getOrElse(c, c))
+      // try the raw char (covers the uppercase entries whose lowercase
+      // form is NOT visually Latin-like, e.g. В→b), then the
+      // lowercased char (covers capitals absent from the map whose
+      // lowercase IS a confusable, e.g. У → у → y)
+      val mapped = Confusables.getOrElse(c,
+        Confusables.getOrElse(Character.toLowerCase(c),
+          Character.toLowerCase(c)))
+      sb += Character.toLowerCase(mapped)
       i += 1
     }
     sb.toString

@@ -145,7 +145,6 @@ object Sitemap {
     val n = xml.length
     var i = 0
     var kind = "unknown"
-    var depth = 0 // element nesting depth (post-root)
     var inEntry = false
     var field: String = null // the open loc/lastmod/… element, if any
     val text = new StringBuilder
@@ -156,22 +155,24 @@ object Sitemap {
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var truncated = false
 
+    // entry boundaries are tracked by NAME, not nesting depth: a
+    // depth counter desyncs permanently on the first unclosed child
+    // element (<br> inside a <url>) and silently drops every
+    // subsequent entry — name-based tracking keeps the walk in sync
+    // on exactly the malformed input this parser promises to survive
     def openElement(name: String): Unit = {
-      if (depth == 0 && kind == "unknown" &&
+      if (kind == "unknown" &&
           (name == "urlset" || name == "sitemapindex")) kind = name
-      else if (depth == 1 && !inEntry &&
-          (name == "url" || name == "sitemap")) {
+      else if (!inEntry && (name == "url" || name == "sitemap")) {
         inEntry = true
         loc = None; lastmod = None; changefreq = None; priority = None
       } else if (inEntry && field == null && FieldNames.contains(name)) {
         field = name
         text.clear()
       }
-      depth += 1
     }
 
     def closeElement(name: String): Unit = {
-      depth = math.max(0, depth - 1)
       if (field != null && name == field) {
         val v = decodeXml(text.toString).trim
         field match {
@@ -182,7 +183,7 @@ object Sitemap {
         }
         field = null
         text.clear()
-      } else if (inEntry && depth == 1) {
+      } else if (inEntry && (name == "url" || name == "sitemap")) {
         inEntry = false
         field = null
         loc.foreach { l =>

@@ -99,16 +99,33 @@ object Urls {
     out.mkString
   }
 
+  /** Index of the `:` ending a leading `scheme` production
+    * (ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )), -1 when `s` does
+    * not start with one. The single scheme scanner [[parse]] and
+    * [[resolve]] share — two copies of this grammar would drift.
+    */
+  private def schemeEnd(s: String): Int = {
+    if (s.isEmpty || !Character.isLetter(s.charAt(0))) return -1
+    var i = 1
+    while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) ||
+      s.charAt(i) == '+' || s.charAt(i) == '-' || s.charAt(i) == '.'))
+      i += 1
+    if (i < s.length && s.charAt(i) == ':') i else -1
+  }
+
+  /** Reassemble a [[Parts]]' authority component verbatim. */
+  private def authority(p: Parts): String = {
+    val sb = new StringBuilder
+    p.userinfo.foreach(u => sb ++= u += '@')
+    sb ++= p.host
+    p.port.foreach(pt => sb += ':' ++= pt.toString)
+    sb.toString
+  }
+
   def parse(url: String): Option[Parts] = {
-    // scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
-    var i = 0
     val n = url.length
-    if (n == 0 || !Character.isLetter(url.charAt(0))) return None
-    i = 1
-    while (i < n && (Character.isLetterOrDigit(url.charAt(i)) ||
-      url.charAt(i) == '+' || url.charAt(i) == '-' ||
-      url.charAt(i) == '.')) i += 1
-    if (i >= n || url.charAt(i) != ':') return None
+    var i = schemeEnd(url)
+    if (i < 0) return None
     val scheme = url.substring(0, i)
     if (!url.startsWith("//", i + 1)) return None // not hierarchical
     val authStart = i + 3
@@ -160,29 +177,23 @@ object Urls {
     * hierarchical; returns None otherwise, never throws.
     */
   def resolve(base: String, ref: String): Option[String] = {
-    def schemeLen(s: String): Int = {
-      if (s.isEmpty || !Character.isLetter(s.charAt(0))) return -1
-      var i = 1
-      while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) ||
-        s.charAt(i) == '+' || s.charAt(i) == '-' || s.charAt(i) == '.'))
-        i += 1
-      if (i < s.length && s.charAt(i) == ':') i else -1
-    }
-    if (schemeLen(ref) > 0) return Some(ref)
+    if (schemeEnd(ref) > 0) return Some(ref)
     parse(base).map { b =>
-      val authority = {
-        val sb = new StringBuilder
-        b.userinfo.foreach(u => sb ++= u += '@')
-        sb ++= b.host
-        b.port.foreach(p => sb += ':' ++= p.toString)
-        sb.toString
-      }
       val (r0, frag) = ref.indexOf('#') match {
         case -1 => (ref, "")
         case h => (ref.substring(0, h), ref.substring(h))
       }
-      if (r0.startsWith("//")) b.scheme + ":" + r0 + frag
-      else {
+      if (r0.startsWith("//")) {
+        // network-path reference: base scheme + ref authority, with
+        // §5.2.2's remove_dot_segments applied to the ref's own path
+        val abs = b.scheme + ":" + r0
+        parse(abs) match {
+          case Some(p) =>
+            p.scheme + "://" + authority(p) + removeDotSegments(p.path) +
+              p.query.map("?" + _).getOrElse("") + frag
+          case None => abs + frag // unparseable authority: pass through
+        }
+      } else {
         val (rp, rq) = r0.indexOf('?') match {
           case -1 => (r0, "")
           case q => (r0.substring(0, q), r0.substring(q))
@@ -204,7 +215,7 @@ object Urls {
             }
             (removeDotSegments(dir + rp), rq)
           }
-        b.scheme + "://" + authority + path + query + frag
+        b.scheme + "://" + authority(b) + path + query + frag
       }
     }
   }

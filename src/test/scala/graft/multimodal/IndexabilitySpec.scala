@@ -66,6 +66,11 @@ class IndexabilitySpec extends AnyFunSuite {
     // directive-name prefix keeps the whole value unscoped, and the
     // tokens after the colon are what they are
     assert(v("noindex: 2026").nSources == 1)
+    // valued directives carry a colon that is NOT a crawler scope —
+    // misreading it would silently drop the co-listed noindex
+    assert(!v("max-snippet:20, noindex").index)
+    assert(!v("unavailable_after: 2026-01-01, noindex").index)
+    assert(v("max-image-preview:large").nSources == 1)
     assert(v().nSources == 0)
     assert(Indexability.evaluate(
       Seq(("robots", "index")), Seq("graftbot: notranslate"),

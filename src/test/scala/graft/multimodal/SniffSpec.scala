@@ -73,6 +73,12 @@ class SniffSpec extends AnyFunSuite {
       "application/octet-stream")
     assert(Sniff.sniff(Array[Byte](0, 0, 0, 24) ++
       "ftypisom".getBytes) == "video/mp4")
+    // real RAR4 magic is 'Rar!' 1A 07 00 (not 'Rar ' — a typo in an
+    // old WHATWG draft, since corrected)
+    assert(Sniff.sniff("Rar!".getBytes ++ Array[Byte](0x1a, 0x07, 0x00)) ==
+      "application/x-rar-compressed")
+    assert(Sniff.sniff("Rar ".getBytes ++ Array[Byte](0x1a, 0x07)) !=
+      "application/x-rar-compressed")
   }
 
   test("binary-data-byte boundaries: 0x1B ESC is text, 0x0B is binary") {

@@ -42,5 +42,13 @@ class ScriptsSpec extends AnyFunSuite {
     assert(!Scripts.spoofs("exbmple.com", "example.com"))
     // ш has no Latin lookalike: stays itself, never spoofs
     assert(!Scripts.spoofs("exшmple.com", "example.com"))
+    // uppercase confusables whose mapping lives on the LOWERCASE char
+    // (Cyrillic У lowercases to у before the lookup)
+    assert(Scripts.skeleton("Уber.com") == "yber.com")
+    assert(Scripts.spoofs("Уber.com", "Yber.com"))
+    // and ones whose mapping lives on the RAW uppercase char (В→b;
+    // lowercase в is not visually Latin and must not be folded via
+    // the raw path... it maps through the uppercase entry only)
+    assert(Scripts.skeleton("Вank") == "bank")
   }
 }

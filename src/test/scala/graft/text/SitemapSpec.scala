@@ -95,6 +95,15 @@ class SitemapSpec extends AnyFunSuite {
     assert(p.entries.last.loc == "http://a.test/49999")
   }
 
+  test("an unclosed child element inside an entry does not desync " +
+      "the walk (entries are name-tracked, not depth-tracked)") {
+    val p = Sitemap.parse(
+      "<urlset><url><loc>http://a.test/1</loc><br></url>" +
+        "<url><loc>http://a.test/2</loc></url></urlset>")
+    assert(p.entries.map(_.loc) ==
+      Seq("http://a.test/1", "http://a.test/2"))
+  }
+
   test("never throws on malformed input") {
     val cases = Seq("", "<", "<!", "<urlset", "<urlset><url><loc>x",
       "</loc></url>", "<urlset><url><loc>a</url></urlset>",

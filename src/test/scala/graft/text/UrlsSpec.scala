@@ -153,5 +153,9 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.resolve("HTTP://H.TEST:80/a/", "../b%61d/?z=1&a=2")
       .flatMap(Urls.canonicalize)
       .contains("http://h.test/bad/?a=2&z=1"))
+    // network-path references get §5.2.2 dot-segment removal too
+    assert(Urls.resolve("http://a/", "//b/c/../d").contains("http://b/d"))
+    assert(Urls.resolve("http://a/", "//b/./c?q#f").contains(
+      "http://b/c?q#f"))
   }
 }
