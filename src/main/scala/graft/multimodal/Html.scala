@@ -43,10 +43,20 @@ object Html {
                              // here (the scanner already skips them)
       nNofollow: Int = 0,    // href links whose rel tokens include
                              // nofollow (token split on space/comma)
-      hrefs: Seq[String] = Nil) // href values of <a> links in document
+      hrefs: Seq[String] = Nil, // href values of <a> links in document
                              // order, entity-decoded, capped at 256 —
                              // the T129 link-graph feed (nLinks keeps
                              // the uncapped count)
+      blocks: Seq[Block] = Nil) // the text lines AS BLOCKS, each with
+                             // its anchor-text char count — the T132
+                             // content-extraction feed. text above ==
+                             // blocks.map(_.text).mkString("\n")
+
+  /** One rendered block (text line) with the count of its non-
+    * whitespace characters that sat inside an href-bearing `<a>` —
+    * the numerator of the jusText/boilerpipe link-density feature.
+    */
+  final case class Block(text: String, linkChars: Int)
 
   /** Elements whose character data is NOT text: consumed raw up to the
     * matching close tag, no entity processing (script bodies contain
@@ -133,6 +143,14 @@ object Html {
     var nNofollow = 0
     val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-line anchor-text accounting (T132 link density): chars
+    // emitted while inside an href-bearing <a> are link chars
+    val lineLinks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var curLink = 0
+    var anchorDepth = 0
+    def newline(): Unit = { lineLinks += curLink; curLink = 0 }
+    def countLink(t: String): Unit =
+      if (anchorDepth > 0) curLink += t.count(!_.isWhitespace)
     var i = 0
 
     // skip a tag's attribute region (after the name) up to its `>`,
@@ -195,12 +213,15 @@ object Html {
         // not a block boundary
         val (t, ni) = entity(html, i)
         out ++= t.replace('\n', ' ').replace('\r', ' ')
+        countLink(t)
         i = ni
       } else if (c != '<') {
         // source newlines are ordinary whitespace in HTML — only
         // BLOCK tags make lines (a text run split across source lines
         // is one rendered run)
-        out += (if (c == '\n' || c == '\r') ' ' else c); i += 1
+        out += (if (c == '\n' || c == '\r') ' ' else c)
+        if (anchorDepth > 0 && !Character.isWhitespace(c)) curLink += 1
+        i += 1
       } else if (html.startsWith("<!--", i)) {
         val e = html.indexOf("-->", i + 4)
         i = if (e < 0) n else e + 3
@@ -214,7 +235,8 @@ object Html {
           val name = html.substring(i + 2, j).toLowerCase
           val e = html.indexOf('>', j)
           i = if (e < 0) n else e + 1
-          if (block(name)) out += '\n'
+          if (name == "a") anchorDepth = math.max(0, anchorDepth - 1)
+          if (block(name)) { out += '\n'; newline() }
         } else {
           // `</>` / `</!…`: HTML5 treats these as an ignored empty end
           // tag / bogus comment — consume to `>` and emit nothing
@@ -231,6 +253,7 @@ object Html {
         nTags += 1
         if (name == "a" && attrNames("href")) {
           nLinks += 1
+          if (!selfClosed) anchorDepth += 1
           if (attrVals.get("rel").exists(v => relSep.split(v)
               .exists(_.equalsIgnoreCase("nofollow"))))
             nNofollow += 1
@@ -244,7 +267,7 @@ object Html {
             case _ =>
           }
         }
-        if (block(name)) out += '\n'
+        if (block(name)) { out += '\n'; newline() }
         i = past
         if (name == "title" && !selfClosed) {
           val s0 = i
@@ -257,14 +280,21 @@ object Html {
         }
       } else {
         // `<` opening nothing — literal text, the browser rule
-        out += c; i += 1
+        out += c
+        if (anchorDepth > 0) curLink += 1
+        i += 1
       }
     }
+    newline() // flush the final line's link count
 
-    val lines = out.toString.split('\n').iterator
-      .map(collapse).filter(_.nonEmpty)
-    Extracted(title, lines.mkString("\n"), nLinks, nTags,
-      metas.toSeq, nNofollow, hrefs.toSeq)
+    // -1 keeps trailing empty lines so rawLines aligns with lineLinks
+    val rawLines = out.toString.split("\n", -1)
+    val blocks = rawLines.iterator.zip(lineLinks.iterator)
+      .map { case (l, lk) => Block(collapse(l), lk) }
+      .filter(_.text.nonEmpty)
+      .toSeq
+    Extracted(title, blocks.map(_.text).mkString("\n"), nLinks, nTags,
+      metas.toSeq, nNofollow, hrefs.toSeq, blocks)
   }
 
   /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */

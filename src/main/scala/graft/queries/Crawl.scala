@@ -816,6 +816,73 @@ object Crawl {
           .toDF("doc_id", "n_hosts", "n_mixed", "n_risk", "n_spoof",
             "dom0")
           .orderBy("doc_id")
+      }),
+
+    Q("q223_content_extract",
+      "block-level main-content extraction (T132, multimodal." +
+        "ContentExtract over the T118 scanner's new per-block anchor " +
+        "accounting — the jusText/boilerpipe class, the structural " +
+        "complement of T113's corpus-frequency stripping): per doc, a " +
+        "page with two nav bars and a footer (link density 1 — BAD), " +
+        "a copyright line stranded BETWEEN navs (undecided, no good " +
+        "neighbor — dies), 2-4 prose paragraphs (long + stopword-" +
+        "dense — GOOD), and a short date line hugging the prose " +
+        "(undecided, adjacent good — PROMOTED, the jusText neighbor " +
+        "adoption). The oracle knows every label count and the md5 of " +
+        "the assembled content text — one block misclassified changes " +
+        "the md5. Zero shuffle, per-row work",
+      Some("""WITH p AS (SELECT doc_id, doc_id % 3 + 2 AS k
+          FROM documents),
+        c AS (SELECT p.doc_id, p.k,
+            string_agg(
+              'the quick brown fox jumps over the lazy dog near station w'
+                || CAST(p.doc_id AS VARCHAR) || 'p' ||
+                CAST(j.j AS VARCHAR) ||
+                ' and then it rests for a while',
+              chr(10) ORDER BY j.j) AS paras
+          FROM p, range(0, 5) j(j) WHERE j.j < p.k
+          GROUP BY p.doc_id, p.k)
+        SELECT doc_id,
+          CAST(k + 5 AS BIGINT) AS n_blocks,
+          CAST(k AS BIGINT) AS n_good,
+          CAST(1 AS BIGINT) AS n_promoted,
+          CAST(4 AS BIGINT) AS n_bad,
+          md5(paras || chr(10) || 'Updated on day ' ||
+            CAST(doc_id % 28 AS VARCHAR)) AS md5_content
+        FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{ContentExtract, Html}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val k = (id % 3 + 2).toInt
+            val paras = (0 until k).map(j =>
+              "the quick brown fox jumps over the lazy dog near " +
+                s"station w${id}p$j and then it rests for a while")
+            val html =
+              s"""<html><body>
+                 |<div><a href="/h">Home</a> <a href="/ab">About</a> <a href="/c">Contact us</a></div>
+                 |<p>Copyright ex$g portal pages</p>
+                 |<div><a href="/l">Login</a> <a href="/r">Register</a></div>
+                 |${paras.map(p => s"<p>$p</p>").mkString("\n")}
+                 |<p>Updated on day ${id % 28}</p>
+                 |<div><a href="/s">Sitemap</a> <a href="/pp">Privacy policy</a></div>
+                 |</body></html>""".stripMargin
+            val blocks = Html.extractText(html).blocks
+            val classified = ContentExtract.classify(blocks)
+            val content = ContentExtract.contentText(blocks)
+            (id, blocks.length.toLong,
+              classified.count(_.cls == "good").toLong,
+              classified.count(_.cls == "promoted").toLong,
+              classified.count(_.cls == "bad").toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(content.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "n_blocks", "n_good", "n_promoted", "n_bad",
+            "md5_content")
+          .orderBy("doc_id")
       })
   )
 }
