@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.Common.table
+import graft.queries.Common
+import graft.queries.Common.{sqlHash32, sqlWords, table}
 
 /** The crawl-frontier wave (round 10): the operators that turn the
   * archive-ingest stack (T104 gzip → T115 WARC → T117 HTTP → T119
@@ -883,6 +884,145 @@ object Crawl {
           .toDF("doc_id", "n_blocks", "n_good", "n_promoted", "n_bad",
             "md5_content")
           .orderBy("doc_id")
+      }),
+
+    Q("q224_recrawl_schedule",
+      "recrawl scheduling from sitemap freshness metadata (T133 — the " +
+        "feedback loop that closes the frontier: T122's lastmod/" +
+        "changefreq decide WHEN a URL earns another fetch): per doc, " +
+        "a real sitemap (XML parsed by the T122 scanner, lastmod " +
+        "validated to epoch days, changefreq vocabulary-checked) " +
+        "yields per-URL age = ref_day − lastmod_day and interval from " +
+        "changefreq (always/hourly→1, daily→1, weekly→7, monthly→30, " +
+        "yearly→365, never/invalid→∞); due ⟺ age ≥ interval, " +
+        "priority = age·1000 DIV interval — pure integer math, engine-" +
+        "exact, no clocks (ref day is a PARAMETER, pinned to epoch " +
+        "day 20000 here: determinism discipline, never now()). " +
+        "Oracle rebuilds every verdict closed-form. Zero shuffle; at " +
+        "100 TB this is a narrow map over the sitemap store feeding " +
+        "the T125 politeness rollup",
+      Some("""WITH u AS (SELECT doc_id, j.j,
+            (DATE '2024-02-01' - DATE '1970-01-01') + (doc_id + j.j) % 27
+              AS lastmod_day,
+            CASE WHEN j.j % 4 = 0 THEN 1 WHEN j.j % 4 = 1 THEN -1
+              WHEN j.j % 4 = 2 THEN 30 ELSE 7 END AS interval_days
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1),
+        v AS (SELECT doc_id, j,
+            20000 - lastmod_day AS age,
+            interval_days
+          FROM u)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_urls,
+          CAST(SUM(CASE WHEN interval_days > 0
+              AND age >= interval_days THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_due,
+          CAST(SUM(CASE WHEN interval_days < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_never,
+          CAST(MAX(CASE WHEN interval_days > 0
+              THEN age * 1000 // interval_days ELSE -1 END) AS BIGINT)
+            AS max_priority
+        FROM v GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Sitemap
+        val refDay = 20000L // parameter, never a clock
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 3 + 1).toInt
+            val freqs = Seq("daily", "never", "monthly", "weekly")
+            val urls = (0 until n).map { j =>
+              val day = 19754 + (id + j) % 27 // 2024-02-01 + k
+              val date = java.time.LocalDate.ofEpochDay(day)
+              s"""  <url><loc>http://ex${id % 97}.test/r$j</loc>
+                 |    <lastmod>$date</lastmod>
+                 |    <changefreq>${freqs(j % 4)}</changefreq></url>"""
+                .stripMargin
+            }.mkString("\n")
+            val parsed = Sitemap.parse(
+              s"<?xml version=\"1.0\"?>\n<urlset>\n$urls\n</urlset>")
+            val verdicts = parsed.entries.map { e =>
+              val interval = e.changefreq match {
+                case Some("always") | Some("hourly") | Some("daily") =>
+                  1L
+                case Some("weekly") => 7L
+                case Some("monthly") => 30L
+                case Some("yearly") => 365L
+                case _ => -1L // never / missing / invalid: no recrawl
+              }
+              val age = e.lastmodEpochDay.map(refDay - _).getOrElse(-1L)
+              val due = interval > 0 && age >= interval
+              val priority =
+                if (interval > 0) age * 1000L / interval else -1L
+              (due, interval < 0, priority)
+            }
+            (id, verdicts.length.toLong,
+              verdicts.count(_._1).toLong,
+              verdicts.count(_._2).toLong,
+              verdicts.map(_._3).maxOption.getOrElse(-1L))
+          }
+          .toDF("doc_id", "n_urls", "n_due", "n_never", "max_priority")
+          .orderBy("doc_id")
+      }),
+
+    Q("q225_source_overlap_matrix",
+      "source-pair shingle-overlap matrix (T134 — cross-source " +
+        "duplication / corpus-drift audit, the SOURCE-grain companion " +
+        "of the doc-grain dedup tiers): EXACT |H(s1)∩H(s2)|, " +
+        "|H(s1)∪H(s2)| (inclusion-exclusion on per-source distinct " +
+        "counts) and Jaccard in integer ppm over distinct trigram-" +
+        "shingle hash sets per source — the table that tells a " +
+        "mixture designer which sources are secretly the same crawl. " +
+        "Scale shape: text reduces to DISTINCT (source, hash) pairs " +
+        "map-side; the h-keyed self-join's per-hash candidate mass is " +
+        "bounded by SOURCES² (not docs²) by construction; the " +
+        "localCheckpoint'd distinct frame feeds the counts AND both " +
+        "join sides (one materialization, the q196 discipline). " +
+        "Output is sources², corpus-size-free. Zero-intersection " +
+        "pairs are absent on both engines (inner-join semantics)",
+      Some(s"""WITH w AS (SELECT source, $sqlWords AS ws FROM documents),
+        sh AS (SELECT source, unnest(list_distinct(list_transform(
+            range(1, len(ws)-1),
+            i -> array_to_string(ws[i:i+2], ' ')))) AS s
+          FROM w WHERE len(ws) >= 3),
+        ex AS (SELECT DISTINCT source, ${sqlHash32("s")} AS h FROM sh),
+        c AS (SELECT source, COUNT(*) AS n FROM ex GROUP BY source),
+        i AS (SELECT a.source AS s1, b.source AS s2,
+            CAST(COUNT(*) AS BIGINT) AS inter
+          FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT s1, s2, inter,
+          CAST(c1.n + c2.n - inter AS BIGINT) AS uni,
+          CAST(1000000 * inter // (c1.n + c2.n - inter) AS BIGINT)
+            AS jaccard_ppm
+        FROM i JOIN c c1 ON c1.source = i.s1
+          JOIN c c2 ON c2.source = i.s2
+        ORDER BY s1, s2"""),
+      (s, d) => {
+        val ex = table(s, d, "documents")
+          .select(col("source"), split(col("text"), "\\s+").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("source"), explode(expr(
+            "array_distinct(transform(sequence(1, size(ws)-2), " +
+              "i -> concat_ws(' ', slice(ws, i, 3))))")).as("sh"))
+          .select(col("source"), Common.hash32(col("sh")).as("h"))
+          .distinct()
+          .localCheckpoint() // counts + both self-join sides
+        val counts = ex.groupBy("source").agg(count(lit(1)).as("n"))
+        ex.as("a")
+          .join(ex.as("b"), col("a.h") === col("b.h") &&
+            col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("inter"))
+          .join(counts.select(col("source").as("s1"), col("n").as("n1")),
+            "s1")
+          .join(counts.select(col("source").as("s2"), col("n").as("n2")),
+            "s2")
+          .select(col("s1"), col("s2"), col("inter"),
+            (col("n1") + col("n2") - col("inter")).as("uni"),
+            expr("(1000000 * inter) DIV (n1 + n2 - inter)")
+              .as("jaccard_ppm"))
+          .orderBy("s1", "s2")
       })
   )
 }
