@@ -1023,6 +1023,119 @@ object Crawl {
             expr("(1000000 * inter) DIV (n1 + n2 - inter)")
               .as("jaccard_ppm"))
           .orderBy("s1", "s2")
+      }),
+
+    Q("q226_archive_to_content",
+      "the SIX-layer crawl capstone (T135 — every archive-ingest " +
+        "story composed in one task): per doc, content-bearing HTML " +
+        "(q223's navs + prose + date line) is chunk-framed into a " +
+        "real HTTP/1.1 response (Transfer-Encoding: chunked, 4 hex-" +
+        "sized chunks), WARC-wrapped (ISO 28500), gzip'd (RFC 1952 " +
+        "with FNAME), then walked ALL the way back — T104 member " +
+        "split → T115 WARC parse → T117+T126 header walk with " +
+        "chunked de-framing → T119 charset decode by the extracted " +
+        "label → T118 HTML extraction → T132 content classification " +
+        "— and only the MAIN CONTENT's md5/length leave the task. " +
+        "One wrong byte at any layer breaks the final md5. This is " +
+        "the complete Common-Crawl-archive → training-text pipeline " +
+        "as a single narrow map; nothing shuffles but the per-doc " +
+        "verdict row",
+      Some("""WITH p AS (SELECT doc_id, doc_id % 3 + 2 AS k
+          FROM documents),
+        c AS (SELECT p.doc_id, p.k,
+            string_agg(
+              'the quick brown fox jumps over the lazy dog near station w'
+                || CAST(p.doc_id AS VARCHAR) || 'p' ||
+                CAST(j.j AS VARCHAR) ||
+                ' and then it rests for a while',
+              chr(10) ORDER BY j.j) AS paras
+          FROM p, range(0, 5) j(j) WHERE j.j < p.k
+          GROUP BY p.doc_id, p.k),
+        t AS (SELECT doc_id, k,
+            paras || chr(10) || 'Updated on day ' ||
+              CAST(doc_id % 28 AS VARCHAR) AS content
+          FROM c)
+        SELECT doc_id,
+          CAST(4 AS BIGINT) AS n_chunks,
+          'response' AS warc_type,
+          'text/html' AS media_type,
+          'utf-8' AS enc,
+          CAST(k + 5 AS BIGINT) AS n_blocks,
+          CAST(k + 1 AS BIGINT) AS n_content,
+          CAST(length(content) AS BIGINT) AS content_len,
+          md5(content) AS md5_content
+        FROM t ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Charsets, Compressed, ContentExtract,
+          Html, Http, Warc}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val k = (id % 3 + 2).toInt
+            val paras = (0 until k).map(j =>
+              "the quick brown fox jumps over the lazy dog near " +
+                s"station w${id}p$j and then it rests for a while")
+            val html =
+              s"""<html><body>
+                 |<div><a href="/h">Home</a> <a href="/ab">About</a> <a href="/c">Contact us</a></div>
+                 |<p>Copyright ex$g portal pages</p>
+                 |<div><a href="/l">Login</a> <a href="/r">Register</a></div>
+                 |${paras.map(p => s"<p>$p</p>").mkString("\n")}
+                 |<p>Updated on day ${id % 28}</p>
+                 |<div><a href="/s">Sitemap</a> <a href="/pp">Privacy policy</a></div>
+                 |</body></html>""".stripMargin
+            val htmlBytes = html.getBytes("UTF-8")
+            // chunk-frame into 4 pieces
+            val n = 4
+            val base = htmlBytes.length / n
+            val rem = htmlBytes.length % n
+            val wire = new java.io.ByteArrayOutputStream()
+            def w(str: String): Unit =
+              wire.write(str.getBytes("US-ASCII"))
+            var off = 0
+            (0 until n).foreach { i =>
+              val sz = base + (if (i < rem) 1 else 0)
+              w(sz.toHexString + "\r\n")
+              wire.write(htmlBytes, off, sz)
+              w("\r\n")
+              off += sz
+            }
+            w("0\r\n\r\n")
+            val http = Http.renderRaw(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8",
+                "Transfer-Encoding" -> "chunked"),
+              wire.toByteArray)
+            val warc = Warc.render(Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:uuid:q226-$id>",
+              "WARC-Date" -> "2026-01-01T00:00:00Z"), http)
+            val gz = Compressed.gzipMember(warc, Some(s"d$id.warc"))
+            // walk all six layers back
+            val (rec, warcBody) = Compressed.memberPayloads(gz).get
+              .flatMap { case (_, p) => Warc.parseSingleWithBody(p) }
+              .head
+            val (resp, payload, meta) =
+              Http.parseResponseDecoded(warcBody).get
+            val dec = Charsets.decode(payload, resp.charset)
+            val blocks = Html.extractText(dec.text).blocks
+            val content = ContentExtract.contentText(blocks)
+            (id,
+              meta.map(_.nChunks.toLong).getOrElse(-1L),
+              rec.warcType,
+              resp.mediaType.getOrElse("-"),
+              dec.used,
+              blocks.length.toLong,
+              ContentExtract.classify(blocks)
+                .count(_.cls != "bad").toLong,
+              content.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(content.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "n_chunks", "warc_type", "media_type", "enc",
+            "n_blocks", "n_content", "content_len", "md5_content")
+          .orderBy("doc_id")
       })
   )
 }
