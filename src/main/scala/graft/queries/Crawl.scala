@@ -61,6 +61,39 @@ object Crawl {
         col("order_md5"))
   }
 
+  /** Shared builder (probe discipline): the q225 source-pair overlap
+    * matrix over any (source, text) frame — distinct trigram-shingle
+    * hashes per source, exact intersection/union/Jaccard-ppm per
+    * source pair. The localCheckpoint'd distinct frame feeds the
+    * counts AND both self-join sides.
+    */
+  def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("source"), split(col("text"), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), " +
+          "i -> concat_ws(' ', slice(ws, i, 3))))")).as("sh"))
+      .select(col("source"), Common.hash32(col("sh")).as("h"))
+      .distinct()
+      .localCheckpoint() // counts + both self-join sides
+    val counts = ex.groupBy("source").agg(count(lit(1)).as("n"))
+    ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") &&
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("source").as("s1"), col("n").as("n1")),
+        "s1")
+      .join(counts.select(col("source").as("s2"), col("n").as("n2")),
+        "s2")
+      .select(col("s1"), col("s2"), col("inter"),
+        (col("n1") + col("n2") - col("inter")).as("uni"),
+        expr("(1000000 * inter) DIV (n1 + n2 - inter)")
+          .as("jaccard_ppm"))
+  }
+
   def qs: Seq[Q] = Seq(
 
     Q("q212_robots_gate",
@@ -997,33 +1030,8 @@ object Crawl {
         FROM i JOIN c c1 ON c1.source = i.s1
           JOIN c c2 ON c2.source = i.s2
         ORDER BY s1, s2"""),
-      (s, d) => {
-        val ex = table(s, d, "documents")
-          .select(col("source"), split(col("text"), "\\s+").as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("source"), explode(expr(
-            "array_distinct(transform(sequence(1, size(ws)-2), " +
-              "i -> concat_ws(' ', slice(ws, i, 3))))")).as("sh"))
-          .select(col("source"), Common.hash32(col("sh")).as("h"))
-          .distinct()
-          .localCheckpoint() // counts + both self-join sides
-        val counts = ex.groupBy("source").agg(count(lit(1)).as("n"))
-        ex.as("a")
-          .join(ex.as("b"), col("a.h") === col("b.h") &&
-            col("a.source") < col("b.source"))
-          .select(col("a.source").as("s1"), col("b.source").as("s2"))
-          .groupBy("s1", "s2")
-          .agg(count(lit(1)).as("inter"))
-          .join(counts.select(col("source").as("s1"), col("n").as("n1")),
-            "s1")
-          .join(counts.select(col("source").as("s2"), col("n").as("n2")),
-            "s2")
-          .select(col("s1"), col("s2"), col("inter"),
-            (col("n1") + col("n2") - col("inter")).as("uni"),
-            expr("(1000000 * inter) DIV (n1 + n2 - inter)")
-              .as("jaccard_ppm"))
-          .orderBy("s1", "s2")
-      }),
+      (s, d) =>
+        sourceOverlap(s, table(s, d, "documents")).orderBy("s1", "s2")),
 
     Q("q226_archive_to_content",
       "the SIX-layer crawl capstone (T135 — every archive-ingest " +

@@ -1323,6 +1323,21 @@ object ScaleProbe {
       time(s"frontier schedule PRUNED (count-only) @${mult}x") {
         graft.queries.Crawl.frontierSchedule(spark, docsF).count()
       }
+      // --- q225 source-overlap matrix: sources FIXED (20), corpus
+      // replicated with rep-distinct vocabulary (the regex-replace
+      // re-word trick, q205's probe corpus) so distinct (source, h)
+      // pairs grow ~linearly while the matrix stays sources² rows.
+      // Prediction: shuffle tracks the distinct-pair mass linearly;
+      // per-hash join fan-out is bounded by sources² by construction.
+      val docsS = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select(col("source"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit(" "),
+              concat(lit(" v"), col("rep"), lit(" ")))).as("text"))
+      time(s"source overlap matrix @${mult}x") {
+        graft.queries.Crawl.sourceOverlap(spark, docsS).count()
+      }
       }
 
       if (doCC) {

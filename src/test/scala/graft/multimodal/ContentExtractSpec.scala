@@ -54,6 +54,40 @@ class ContentExtractSpec extends AnyFunSuite {
       Seq("good", "promoted", "bad", "bad"))
   }
 
+  test("six-layer composition referee (q226's walk): gzip → WARC → " +
+      "chunked HTTP → charset → HTML → content, one buffer") {
+    val content =
+      "the quick brown fox jumps over the lazy dog and then it rests"
+    val html = s"<html><body><div><a href=\"/h\">Home</a> " +
+      s"<a href=\"/a\">About pages</a></div><p>$content</p></body></html>"
+    val hb = html.getBytes("UTF-8")
+    val wire = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = wire.write(s.getBytes("US-ASCII"))
+    // two chunks, uneven split
+    val cut = hb.length / 3
+    w(cut.toHexString + "\r\n"); wire.write(hb, 0, cut); w("\r\n")
+    w((hb.length - cut).toHexString + "\r\n")
+    wire.write(hb, cut, hb.length - cut); w("\r\n0\r\n\r\n")
+    val http = Http.renderRaw(200, "OK",
+      Seq("Content-Type" -> "text/html; charset=utf-8",
+        "Transfer-Encoding" -> "chunked"), wire.toByteArray)
+    val warc = Warc.render(Seq("WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:six>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z"), http)
+    val gz = Compressed.gzipMember(warc, Some("six.warc"))
+
+    val (rec, body) = Compressed.memberPayloads(gz).get
+      .flatMap { case (_, p) => Warc.parseSingleWithBody(p) }.head
+    assert(rec.warcType == "response")
+    val (resp, payload, meta) = Http.parseResponseDecoded(body).get
+    assert(resp.isChunked && meta.exists(m => m.wellFormed && m.nChunks == 2))
+    val dec = Charsets.decode(payload, resp.charset)
+    assert(dec.used == "utf-8" && !dec.fellBack)
+    assert(dec.text == html)
+    val blocks = Html.extractText(dec.text).blocks
+    assert(ContentExtract.contentText(blocks) == content)
+  }
+
   test("contentText assembles good + promoted in order") {
     val good = Html.Block(
       "the quick brown fox jumps over the lazy dog and then it rests", 0)
