@@ -143,6 +143,35 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.isAllowed(r, "bot", "/b/x")) // group survived sitemap
   }
 
+  test("regex referee: 2000 randomized (pattern, path) pairs agree " +
+      "with the java.util.regex translation of the rule grammar") {
+    // a robots rule is exactly the regex ^quote(p) with * -> .* and a
+    // trailing $ kept — the star-backtracking matcher must agree with
+    // the JDK engine everywhere
+    def regexMatch(pattern: String, path: String): Boolean = {
+      if (pattern.isEmpty) return false
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      val rx = "^" + body.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote)
+        .mkString("(?s:.*)") + (if (anchored) "$" else "")
+      java.util.regex.Pattern.compile(rx).matcher(path).find()
+    }
+    val pieces = Seq("/", "a", "b", ".", "php", "*", "fish", "?x=1")
+    for (seed <- 0 until 2000) {
+      val rnd = new scala.util.Random(seed)
+      val pattern = "/" + Seq.fill(rnd.nextInt(5))(
+        pieces(rnd.nextInt(pieces.length))).mkString +
+        (if (rnd.nextBoolean()) "$" else "")
+      val path = "/" + Seq.fill(rnd.nextInt(6))(
+        pieces(rnd.nextInt(pieces.length - 2))(0)).mkString +
+        (if (rnd.nextBoolean()) "/fish.php" else "")
+      assert(Robots.ruleMatches(pattern, path) ==
+        regexMatch(pattern, path),
+        s"seed=$seed pattern='$pattern' path='$path'")
+    }
+  }
+
   test("never throws on garbage") {
     val garbage = Seq("", ":", ":::", "user-agent:", "\u0000\u0001",
       "disallow", "user-agent: *\ndisallow: /\u0000*$$*",

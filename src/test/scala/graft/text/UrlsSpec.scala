@@ -158,4 +158,49 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.resolve("http://a/", "//b/./c?q#f").contains(
       "http://b/c?q#f"))
   }
+
+  test("resolve referee: java.net.URI.resolve on 1000 randomized " +
+      "references (within Java's RFC-conformant envelope)") {
+    // exclusions, both KNOWN JDK deviations from RFC 3986: empty and
+    // query-only refs (Java drops the base path), and ..-underflow
+    // (Java keeps leading ../ that the RFC removes) — the §5.4 table
+    // test pins OUR behavior on those; here the generator stays
+    // inside the envelope where Java IS the RFC
+    val base = "http://h.test/b/c/d?bq"
+    val segs = Seq("x", "yy", ".", "..", "z1")
+    for (seed <- 0 until 1000) {
+      val rnd = new scala.util.Random(seed)
+      val kind = rnd.nextInt(4)
+      // authority-carrying refs (kinds 2/3) resolve against root, so
+      // any ".." can underflow — the Java deviation; generate them
+      // dot-free (the §5.4 table pins our underflow behavior)
+      val pool = if (kind >= 2) segs.filterNot(s => s == ".." || s == ".")
+      else segs
+      val path = Seq.fill(1 + rnd.nextInt(3))(
+        pool(rnd.nextInt(pool.length))).mkString("/")
+      val q = if (rnd.nextBoolean()) "?k=1" else ""
+      val f = if (rnd.nextBoolean()) "#fr" else ""
+      val ref = kind match {
+        case 0 => path + q + f // relative
+        case 1 => "/" + path + q + f // absolute-path
+        case 2 => "//other.test/" + path + q + f // network-path
+        case _ => "https://abs.test/" + path + q // own scheme
+      }
+      // keep inside the envelope: at most 2 leading ".." against the
+      // /b/c/ directory (depth 2)
+      val dotDepth = ref.split("/").takeWhile(_ == "..").length
+      if (dotDepth <= 2 && !(kind == 0 && path.startsWith("."))) {
+        val ours = Urls.resolve(base, ref)
+        val theirs =
+          try Some(java.net.URI.create(base).resolve(ref).toString)
+          catch { case _: Exception => None }
+        // Java leaves /./ and /../ in ABSOLUTE refs unnormalized
+        // until normalize(); apply it for comparison
+        val theirsNorm = theirs.map(t =>
+          java.net.URI.create(t).normalize().toString)
+        assert(ours == theirsNorm,
+          s"seed=$seed ref='$ref' ours=$ours java=$theirsNorm")
+      }
+    }
+  }
 }
