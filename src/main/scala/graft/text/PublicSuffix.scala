@@ -28,30 +28,25 @@ package graft.text
   * (`github.io`). IP literals and single-label hosts return None.
   * Never throws.
   */
-object PublicSuffix {
-
-  /** Compiled-in rule subset — grammar-complete, deployment swaps in
-    * the full publicsuffix.org list as data.
-    */
-  val Rules: Seq[String] = Seq(
-    // ICANN, plain
-    "com", "org", "net", "edu", "gov", "io", "co", "ai", "dev", "app",
-    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "au", "com.au", "org.au",
-    "jp", "co.jp", "ne.jp",
-    "br", "com.br",
-    "test",
-    // wildcard + exceptions (the .ck family is the canonical example)
-    "*.ck", "!www.ck",
-    // private registries
-    "github.io", "gitlab.io", "s3.amazonaws.com")
+/** The publicsuffix.org algorithm over an arbitrary rule list — the
+  * full ~9k-rule file loads here as data at deployment
+  * (`new PslMatcher(lines)`); [[PublicSuffix]] is the compiled-in
+  * default instance over the grammar-complete subset.
+  */
+class PslMatcher(rules: => Seq[String]) { // by-name + lazy parse: the
+  // default instance passes its own companion val to the super
+  // constructor before that val initializes
 
   private final case class Rule(labels: Array[String], exception: Boolean)
 
-  private val parsed: Seq[Rule] = Rules.map { r =>
-    val ex = r.startsWith("!")
-    Rule((if (ex) r.substring(1) else r).split('.').reverse, ex)
-  }
+  private lazy val parsed: Seq[Rule] = rules.iterator
+    .map(_.trim)
+    .filter(r => r.nonEmpty && !r.startsWith("//")) // PSL file comments
+    .map { r =>
+      val ex = r.startsWith("!")
+      Rule((if (ex) r.substring(1) else r).split('.').reverse, ex)
+    }
+    .toSeq
 
   private def isIpLiteral(host: String): Boolean =
     host.nonEmpty && (host.forall(c => c.isDigit || c == '.') ||
@@ -107,4 +102,26 @@ object PublicSuffix {
     if (labels.length <= n) None
     else Some(labels.takeRight(n + 1).mkString("."))
   }
+}
+
+/** Compiled-in rule subset — grammar-complete, deployment swaps in
+  * the full publicsuffix.org list as data via [[PslMatcher]].
+  */
+private[text] object DefaultPslRules {
+  val Rules: Seq[String] = Seq(
+    // ICANN, plain
+    "com", "org", "net", "edu", "gov", "io", "co", "ai", "dev", "app",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "org.au",
+    "jp", "co.jp", "ne.jp",
+    "br", "com.br",
+    "test",
+    // wildcard + exceptions (the .ck family is the canonical example)
+    "*.ck", "!www.ck",
+    // private registries
+    "github.io", "gitlab.io", "s3.amazonaws.com")
+}
+
+object PublicSuffix extends PslMatcher(DefaultPslRules.Rules) {
+  val Rules: Seq[String] = DefaultPslRules.Rules
 }

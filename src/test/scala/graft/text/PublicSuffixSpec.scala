@@ -44,6 +44,22 @@ class PublicSuffixSpec extends AnyFunSuite {
       "bucket.s3.amazonaws.com"))
   }
 
+  test("PslMatcher loads arbitrary rule lists as data (the full PSL " +
+      "file path): comments/blank lines skipped, fresh rules honored") {
+    val m = new PslMatcher(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "", "  nz  ", "co.nz", "*.kawasaki.jp", "!city.kawasaki.jp"))
+    assert(m.registrableDomain("shop.example.co.nz").contains(
+      "example.co.nz"))
+    assert(m.publicSuffix("x.kawasaki.jp").contains("x.kawasaki.jp"))
+    assert(m.registrableDomain("city.kawasaki.jp").contains(
+      "city.kawasaki.jp"))
+    // the default instance is just the compiled-in rule list
+    assert(new PslMatcher(PublicSuffix.Rules)
+      .registrableDomain("a.b.co.uk") ==
+      PublicSuffix.registrableDomain("a.b.co.uk"))
+  }
+
   test("case folding, trailing dots, rejects") {
     assert(rd("WWW.EXAMPLE.COM").contains("example.com"))
     assert(rd("example.com.").contains("example.com"))
