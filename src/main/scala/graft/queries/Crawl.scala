@@ -1144,6 +1144,66 @@ object Crawl {
           .toDF("doc_id", "n_chunks", "warc_type", "media_type", "enc",
             "n_blocks", "n_content", "content_len", "md5_content")
           .orderBy("doc_id")
+      }),
+
+    Q("q227_chat_loss_mask",
+      "chat-template rendering + loss-mask spans (T136, graft.text." +
+        "ChatTemplate — the SFT half of the pipeline): per doc, a " +
+        "system turn + 1-3 (user, assistant) exchanges render through " +
+        "the documented ChatML-class template; assistant content " +
+        "surfaces as half-open token spans (the loss mask), and every " +
+        "4th doc truncates to 25 tokens — spans wholly past the cut " +
+        "DROP, the straddling span CLIPS and is counted (the audit " +
+        "that says the context length is eating answers). All token " +
+        "arithmetic is exact integers from fixed turn shapes; the " +
+        "oracle rebuilds turn counts, token counts, kept/trainable " +
+        "masses, and the span list closed-form. Zero shuffle — the " +
+        "same narrow-map shape the packing tier (q98) consumes",
+      Some("""WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS k,
+            doc_id % 4 = 0 AS tr FROM documents),
+        sp AS (SELECT p.doc_id,
+            string_agg(CAST(19 + 20 * j.j AS VARCHAR) || ':' ||
+              CAST(27 + 20 * j.j AS VARCHAR), ',' ORDER BY j.j) AS spans
+          FROM p, range(0, 3) j(j) WHERE j.j < p.k AND NOT p.tr
+          GROUP BY p.doc_id)
+        SELECT p.doc_id,
+          CAST(2 * k + 1 AS BIGINT) AS n_turns,
+          CAST(8 + 20 * k AS BIGINT) AS n_tokens,
+          CAST(CASE WHEN tr THEN least(8 + 20 * k, 25)
+            ELSE 8 + 20 * k END AS BIGINT) AS n_kept,
+          CAST(CASE WHEN tr THEN 6 ELSE 8 * k END AS BIGINT)
+            AS n_trainable,
+          CAST(CASE WHEN tr THEN 1 ELSE k END AS BIGINT) AS n_spans,
+          CAST(CASE WHEN tr THEN 1 ELSE 0 END AS BIGINT) AS n_clipped,
+          CASE WHEN tr THEN '19:25' ELSE sp.spans END AS spans
+        FROM p LEFT JOIN sp ON sp.doc_id = p.doc_id
+        ORDER BY p.doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.ChatTemplate
+        import graft.text.ChatTemplate.Turn
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val k = (id % 3 + 1).toInt
+            val turns = Turn("system",
+              "you are a helpful assistant") +: // 5 tokens
+              (0 until k).flatMap(j => Seq(
+                Turn("user", // 6 tokens
+                  s"question $j about topic w${id}q$j please"),
+                Turn("assistant", // 8 tokens
+                  s"answer $j for w${id}a$j with detail and care")))
+            val r = ChatTemplate.render(turns)
+            val t =
+              if (id % 4 == 0) ChatTemplate.truncate(r, 25)
+              else ChatTemplate.truncate(r, Int.MaxValue)
+            (id, turns.length.toLong, r.nTokens.toLong,
+              t.nKept.toLong, t.nTrainable.toLong,
+              t.spans.length.toLong, t.nClipped.toLong,
+              t.spans.map { case (a, b) => s"$a:$b" }.mkString(","))
+          }
+          .toDF("doc_id", "n_turns", "n_tokens", "n_kept",
+            "n_trainable", "n_spans", "n_clipped", "spans")
+          .orderBy("doc_id")
       })
   )
 }
