@@ -94,6 +94,37 @@ object Crawl {
           .as("jaccard_ppm"))
   }
 
+  /** Shared builder: per-doc chat conversations rendered + truncated
+    * through the REAL T136 pipeline → (doc_id, n_kept, n_trainable).
+    * q227 emits the full verdict row; q228 packs these.
+    */
+  def chatVerdicts(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.text.ChatTemplate
+    import graft.text.ChatTemplate.Turn
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = (id % 3 + 1).toInt
+        val turns = Turn("system",
+          "you are a helpful assistant") +: // 5 tokens
+          (0 until k).flatMap(j => Seq(
+            Turn("user", // 6 tokens
+              s"question $j about topic w${id}q$j please"),
+            Turn("assistant", // 8 tokens
+              s"answer $j for w${id}a$j with detail and care")))
+        val r = ChatTemplate.render(turns)
+        val t =
+          if (id % 4 == 0) ChatTemplate.truncate(r, 25)
+          else ChatTemplate.truncate(r, Int.MaxValue)
+        (id, turns.length.toLong, r.nTokens.toLong,
+          t.nKept.toLong, t.nTrainable.toLong,
+          t.spans.length.toLong, t.nClipped.toLong,
+          t.spans.map { case (a, b) => s"$a:$b" }.mkString(","))
+      }
+      .toDF("doc_id", "n_turns", "n_tokens", "n_kept",
+        "n_trainable", "n_spans", "n_clipped", "spans")
+  }
+
   def qs: Seq[Q] = Seq(
 
     Q("q212_robots_gate",
@@ -316,7 +347,7 @@ object Crawl {
               Array[Byte](0, 1, 2) ++ s"$id".getBytes("UTF-8"),
               zipBytes,
               Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
-                "JFIF ".getBytes("US-ASCII"),
+                "JFIF\u0000".getBytes("US-ASCII"),
               AudioVideo.syntheticWav(4, 1, 8000, 8, (i, _) => (i * 7) % 200),
               "RIFF".getBytes("US-ASCII") ++ Array[Byte](12, 0, 0, 0) ++
                 "WEBPVP8 ".getBytes("US-ASCII"))
@@ -1178,32 +1209,77 @@ object Crawl {
           CASE WHEN tr THEN '19:25' ELSE sp.spans END AS spans
         FROM p LEFT JOIN sp ON sp.doc_id = p.doc_id
         ORDER BY p.doc_id"""),
+      (s, d) =>
+        chatVerdicts(s, table(s, d, "documents")).orderBy("doc_id")),
+
+    Q("q228_pack_boundaries",
+      "sequence packing with document-boundary masks (T137 — the " +
+        "layout trainers actually consume, composing T136's rendered " +
+        "conversations into 256-token packs through the T56 " +
+        "RunningTotal operator): each conversation's kept-token count " +
+        "enters a GLOBAL exclusive running sum over snapshot order " +
+        "(auto-routed onto the two-phase parallel-scan operator — " +
+        "never a single-task window), pack_id = cum_before DIV 256, " +
+        "offset-in-pack = cum_before − pack_id·256; docs never split; " +
+        "per pack: doc count, token/trainable masses, fill ppm, and " +
+        "the md5 of the ascending boundary-offset list — the " +
+        "cross-document attention-mask boundaries. Oracle rebuilds " +
+        "the identical packing from the closed-form token counts. " +
+        "Shuffle = one range exchange (the prefix-sum operator) + " +
+        "packs-sized rollup",
+      Some("""WITH c AS (SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0
+              THEN least(8 + 20 * (doc_id % 3 + 1), 25)
+              ELSE 8 + 20 * (doc_id % 3 + 1) END AS n_kept,
+            CASE WHEN doc_id % 4 = 0 THEN 6
+              ELSE 8 * (doc_id % 3 + 1) END AS n_train
+          FROM documents),
+        r AS (SELECT doc_id, n_kept, n_train,
+            COALESCE(SUM(n_kept) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cb
+          FROM c),
+        o AS (SELECT CAST(cb // 256 AS BIGINT) AS pack_id,
+            cb - (cb // 256) * 256 AS off, n_kept, n_train, cb
+          FROM r)
+        SELECT pack_id,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_kept) AS BIGINT) AS token_mass,
+          CAST(SUM(n_train) AS BIGINT) AS trainable_mass,
+          CAST(1000000 * SUM(n_kept) // 256 AS BIGINT) AS fill_ppm,
+          md5(string_agg(CAST(off AS VARCHAR), ',' ORDER BY cb))
+            AS boundaries_md5
+        FROM o GROUP BY pack_id ORDER BY pack_id"""),
       (s, d) => {
-        import s.implicits._
-        import graft.text.ChatTemplate
-        import graft.text.ChatTemplate.Turn
-        table(s, d, "documents").select(col("doc_id")).as[Long]
-          .map { id =>
-            val k = (id % 3 + 1).toInt
-            val turns = Turn("system",
-              "you are a helpful assistant") +: // 5 tokens
-              (0 until k).flatMap(j => Seq(
-                Turn("user", // 6 tokens
-                  s"question $j about topic w${id}q$j please"),
-                Turn("assistant", // 8 tokens
-                  s"answer $j for w${id}a$j with detail and care")))
-            val r = ChatTemplate.render(turns)
-            val t =
-              if (id % 4 == 0) ChatTemplate.truncate(r, 25)
-              else ChatTemplate.truncate(r, Int.MaxValue)
-            (id, turns.length.toLong, r.nTokens.toLong,
-              t.nKept.toLong, t.nTrainable.toLong,
-              t.spans.length.toLong, t.nClipped.toLong,
-              t.spans.map { case (a, b) => s"$a:$b" }.mkString(","))
-          }
-          .toDF("doc_id", "n_turns", "n_tokens", "n_kept",
-            "n_trainable", "n_spans", "n_clipped", "spans")
-          .orderBy("doc_id")
+        // INCLUSIVE running sum (rows unboundedPreceding..currentRow):
+        // the exact shape TopK/RunningTotal's strategy auto-routes
+        // onto the two-phase parallel scan — the exclusive prefix is
+        // inclusive − self (an exclusive frame would fall back to the
+        // single-task WindowExec)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        chatVerdicts(s, table(s, d, "documents"))
+          .select(col("doc_id"), col("n_kept"), col("n_trainable"))
+          .withColumn("cum", sum(col("n_kept")).over(w))
+          .withColumn("cb", col("cum") - col("n_kept"))
+          .withColumn("pack_id", expr("cb DIV 256"))
+          .withColumn("off", col("cb") - col("pack_id") * 256)
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_kept")).as("token_mass"),
+            sum(col("n_trainable")).as("trainable_mass"),
+            md5(concat_ws(",", expr(
+              "transform(array_sort(collect_list(off)), " +
+                "x -> CAST(x AS STRING))")))
+              .as("boundaries_md5"))
+          .select(col("pack_id"), col("n_docs"), col("token_mass"),
+            col("trainable_mass"),
+            expr("(1000000 * token_mass) DIV 256").as("fill_ppm"),
+            col("boundaries_md5"))
+          .orderBy("pack_id")
       })
   )
 }
