@@ -1280,6 +1280,88 @@ object Crawl {
             expr("(1000000 * token_mass) DIV 256").as("fill_ppm"),
             col("boundaries_md5"))
           .orderBy("pack_id")
+      }),
+
+    Q("q229_stream_frontier",
+      "STREAMING crawl frontier (T138 — the q216 pipeline as a " +
+        "standing stream topology): URLs arrive as a stream (two " +
+        "messy variants per target — uppercase/:80/#frag and " +
+        "trailing-dot/dot-segment — plus the /private/ probe), each " +
+        "micro-batch canonicalizes (T120) and robots-gates (T121), " +
+        "then the frontier's SEEN-set dedup runs as " +
+        "dropDuplicatesWithinWatermark on the canonical key — " +
+        "BOUNDED state (evicts past the watermark), the 100 TB " +
+        "frontier answer where a plain distinct grows with the crawl. " +
+        "Both variants of every target collapse to ONE fetch; the " +
+        "drained stream's per-host politeness rollup hash-matches " +
+        "q216's batch oracle exactly — the streaming and batch " +
+        "frontiers are provably the same frontier",
+      Some("""WITH u AS (
+          SELECT doc_id % 97 AS g,
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/p' ||
+              CAST(doc_id AS VARCHAR) || '/' || CAST(j.j AS VARCHAR) ||
+              '?x=1' AS url
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1),
+        h AS (SELECT g, COUNT(*) AS n_urls,
+            md5(string_agg(url, ',' ORDER BY url)) AS order_md5
+          FROM u GROUP BY g)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CAST(n_urls AS BIGINT) AS n_urls,
+          CAST(1 + g % 5 AS BIGINT) AS delay_s,
+          CAST((n_urls - 1) * (1 + g % 5) AS BIGINT) AS makespan_s,
+          order_md5
+        FROM h ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.{Robots, Urls}
+        val schema = table(s, d, "documents").schema
+        val scratch = Common.scratchDir("stream_frontier", d)
+        val urls = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val g = id % 97
+            val robots = Robots.parse(
+              s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
+                "Disallow: /private/\r\n")
+            val raws = (0 until (id % 3 + 1).toInt).flatMap(j => Seq(
+              s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag",
+              s"http://ex$g.test./p$id/./$j?x=1")) :+ // same canonical
+              s"http://ex$g.test/private/$id" // the gate must drop this
+            raws.flatMap { raw =>
+              Urls.canonicalize(raw).flatMap { cu =>
+                Urls.parse(cu).flatMap { parts =>
+                  val pathQ = parts.path +
+                    parts.query.map("?" + _).getOrElse("")
+                  if (Robots.isAllowed(robots, "graftbot", pathQ))
+                    Some((parts.host, cu,
+                      Robots.crawlDelay(robots, "graftbot")
+                        .getOrElse(0L)))
+                  else None
+                }
+              }
+            }
+          }
+          .toDF("host", "url", "delay_s")
+          .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("url")
+        val query = urls.writeStream
+          .format("parquet")
+          .option("path", s"$scratch/data")
+          .option("checkpointLocation", s"$scratch/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$scratch/data")
+          .groupBy("host", "delay_s")
+          .agg(count(lit(1)).as("n_urls"),
+            md5(concat_ws(",", sort_array(collect_list(col("url")))))
+              .as("order_md5"))
+          .select(col("host"), col("n_urls"), col("delay_s"),
+            ((col("n_urls") - 1) * col("delay_s")).as("makespan_s"),
+            col("order_md5"))
+          .orderBy("host")
       })
   )
 }
