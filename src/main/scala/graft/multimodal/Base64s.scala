@@ -11,8 +11,10 @@ package graft.multimodal
   *
   *  - strict RFC 4648 §4 alphabet (`A–Za–z0–9+/` with `=` padding)
   *    and the URL-safe §5 variant (`-_`) are both accepted — archives
-  *    contain both; the two alphabets never overlap so acceptance is
-  *    unambiguous per character
+  *    contain both; the two alphabets never overlap, and the first
+  *    variant-specific character LOCKS the variant: a string mixing
+  *    `+/` with `-_` (e.g. `a+b_`) is valid under neither RFC 4648
+  *    variant and is rejected (ADVICE r10)
   *  - MIME reality: whitespace (CR/LF/TAB/SP) is skipped (RFC 2045
   *    line wrapping); any OTHER character is a hard malformation
   *  - padding must reconstruct exactly: a final quantum of 2 or 3
@@ -41,14 +43,22 @@ object Base64s {
     var i = 0
     var padSeen = false
     var canonical = true
+    // 0 = undetermined, 1 = standard (+/), 2 = URL-safe (-_); the
+    // first variant-specific char locks it — cross-variant mixing is
+    // valid under neither RFC 4648 alphabet
+    var variant = 0
+    def lock(want: Int): Boolean =
+      if (variant == 0) { variant = want; true } else variant == want
     while (i < s.length) {
       val c = s.charAt(i)
       val v =
         if (c >= 'A' && c <= 'Z') c - 'A'
         else if (c >= 'a' && c <= 'z') c - 'a' + 26
         else if (c >= '0' && c <= '9') c - '0' + 52
-        else if (c == '+' || c == '-') 62
-        else if (c == '/' || c == '_') 63
+        else if (c == '+') { if (!lock(1)) return None; 62 }
+        else if (c == '-') { if (!lock(2)) return None; 62 }
+        else if (c == '/') { if (!lock(1)) return None; 63 }
+        else if (c == '_') { if (!lock(2)) return None; 63 }
         else if (c == '=') { padSeen = true; -2 }
         else if (c == '\r' || c == '\n' || c == '\t' || c == ' ') -3
         else return None // hard malformation

@@ -106,8 +106,10 @@ object Html {
         return ("&", i + 1)
       try {
         val cp = java.lang.Long.parseLong(digits, radix)
-        // out-of-range / surrogate → U+FFFD, the browser rule
-        if (cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff))
+        // out-of-range / surrogate / NUL → U+FFFD, the browser rule
+        // (HTML5 null-character-reference; a literal 0x00 would plant
+        // the artifact class ab8c4c0 scrubbed — ADVICE r10)
+        if (cp > 0x10ffff || cp == 0L || (cp >= 0xd800 && cp <= 0xdfff))
           ("�", semi + 1)
         else (new String(Character.toChars(cp.toInt)), semi + 1)
       } catch { case _: NumberFormatException => ("&", i + 1) }
@@ -156,13 +158,18 @@ object Html {
     // skip a tag's attribute region (after the name) up to its `>`,
     // honoring quoted values (`alt="a > b"` must not close the tag);
     // returns (index past `>`, attribute names seen, attribute values
-    // — first occurrence wins, raw/undecoded). Truncated tag →
-    // consume to EOF.
-    def attrs(start: Int): (Int, Set[String], Map[String, String]) = {
+    // — first occurrence wins, raw/undecoded, truncated tag consumes
+    // to EOF — and selfClosed).
+    // selfClosed is decided HERE because only this scan knows whether
+    // the '/' before '>' was consumed as part of an unquoted attribute
+    // value (`<a href=/x/>` is an OPEN tag with value "/x/" — the
+    // browser rule; ADVICE r10) or stands alone (`<br/>`).
+    def attrs(start: Int): (Int, Set[String], Map[String, String], Boolean) = {
       var i = start
       val names = Set.newBuilder[String]
       val vals = Map.newBuilder[String, String]
       val seen = scala.collection.mutable.Set.empty[String]
+      var bareValEnd = -1 // exclusive end of the last unquoted value
       while (i < n && html.charAt(i) != '>') {
         val c = html.charAt(i)
         if (c == '"' || c == '\'') {
@@ -197,12 +204,17 @@ object Html {
               while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                 html.charAt(j) != '>') j += 1
               if (seen.add(aName)) vals += aName -> html.substring(v0, j)
+              if (j > v0) bareValEnd = j
               i = j
             }
           }
         } else i += 1
       }
-      (if (i < n) i + 1 else n, names.result(), vals.result())
+      // i is at '>' (or EOF); the tag self-closes iff the char before
+      // '>' is a '/' that was NOT the tail of an unquoted value
+      val selfClosed = i < n && i - 1 >= start &&
+        html.charAt(i - 1) == '/' && bareValEnd != i
+      (if (i < n) i + 1 else n, names.result(), vals.result(), selfClosed)
     }
 
     while (i < n) {
@@ -247,9 +259,7 @@ object Html {
         var j = i + 1
         while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
         val name = html.substring(i + 1, j).toLowerCase
-        val (past, attrNames, attrVals) = attrs(j)
-        val selfClosed = past >= 2 && past <= n &&
-          html.charAt(past - 1) == '>' && html.charAt(past - 2) == '/'
+        val (past, attrNames, attrVals, selfClosed) = attrs(j)
         nTags += 1
         if (name == "a" && attrNames("href")) {
           nLinks += 1

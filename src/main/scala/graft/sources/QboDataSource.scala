@@ -187,6 +187,13 @@ final case class QboRegistryFetcher(feed: String) extends QboPageFetcher {
 final case class QboHttpFeedConfig(baseUrl: String, realm: String,
     entity: String, tokenUrl: String, clientId: String,
     clientSecret: String, refreshToken: String) extends QboPageFetcher {
+  // this config is serialized into every QboStridePartition, so the
+  // case-class toString would print credentials verbatim in task-
+  // failure logs / Spark UI partition descriptions (ADVICE r10) —
+  // show only the non-secret routing fields
+  override def toString: String =
+    s"QboHttpFeedConfig($baseUrl,$realm,$entity,$tokenUrl," +
+      "clientId=***,clientSecret=***,refreshToken=***)"
   @transient private lazy val api = new graft.qbo.QboHttpApi(baseUrl, realm,
     new graft.qbo.QboOAuth2TokenSource(tokenUrl, clientId, clientSecret,
       refreshToken))

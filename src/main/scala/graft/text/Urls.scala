@@ -143,7 +143,8 @@ object Urls {
       case c =>
         val ps = hostPort.substring(c + 1)
         if (ps.isEmpty) (hostPort.substring(0, c), None)
-        else if (ps.forall(_.isDigit) && ps.length <= 5)
+        else if (ps.forall(_.isDigit) && ps.length <= 5 &&
+          ps.toInt <= 65535) // 99999 parses as 5 digits but is no port
           (hostPort.substring(0, c), Some(ps.toInt))
         else return None
     }

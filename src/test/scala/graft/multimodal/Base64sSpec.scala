@@ -79,4 +79,15 @@ class Base64sSpec extends AnyFunSuite {
     val m = Base64s.parseDataUri("data:,a%GGb%").get
     assert(new String(m.bytes) == "a%GGb%")
   }
+
+  test("cross-variant mixing rejects: the first variant-specific " +
+      "char locks the alphabet (ADVICE r10)") {
+    // mixed standard (+ or /) with URL-safe (- or _): valid under
+    // neither RFC 4648 variant
+    for (s <- Seq("a+b_", "a-b/", "ab/c-d", "a_b+"))
+      assert(Base64s.decode(s).isEmpty, s)
+    // single-variant strings with the same chars still decode
+    for (s <- Seq("a+b/", "a-b_", "abcd"))
+      assert(Base64s.decode(s).isDefined, s)
+  }
 }

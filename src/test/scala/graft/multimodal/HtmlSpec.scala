@@ -98,6 +98,26 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText("<title/>x").title.isEmpty)
   }
 
+  test("unquoted attr value ending in '/' keeps the tag OPEN " +
+      "(browser rule, ADVICE r10); a standalone '/' self-closes") {
+    // <a href=/x/> is an open anchor with href "/x/": its text counts
+    // as link chars and the later </a> closes it (no clamp absorption)
+    val open = Html.extractText("<p><a href=/x/>link</a> tail</p>")
+    assert(open.nLinks == 1)
+    assert(open.hrefs == Seq("/x/"))
+    assert(open.blocks.head.linkChars == 4) // "link", not 0
+    // a genuinely self-closed anchor contributes no anchor depth
+    val closed = Html.extractText("<p><a href=\"/x/\"/>text</p>")
+    assert(closed.nLinks == 1)
+    assert(closed.blocks.head.linkChars == 0)
+  }
+
+  test("&#0; decodes to U+FFFD, never a raw NUL (HTML5 null charref)") {
+    val e = Html.extractText("<p>a&#0;b &#x0;c</p>")
+    assert(!e.text.contains('\u0000'))
+    assert(e.text == "a�b �c")
+  }
+
   test("escape/extract round trip on every printable ASCII char") {
     val nasty = (0x20 to 0x7e).map(_.toChar).mkString
     val e = Html.extractText(s"<p>${Html.escape(nasty)}</p>")

@@ -70,6 +70,16 @@ class UrlsSpec extends AnyFunSuite {
       assert(Urls.canonicalize(u).isEmpty, u)
   }
 
+  test("port range: 65535 is the ceiling, 65536+/99999 are malformed " +
+      "authorities (ADVICE r10)") {
+    assert(Urls.canonicalize("http://ex.test:65535/p")
+      .contains("http://ex.test:65535/p"))
+    assert(Urls.parse("http://ex.test:65535/p").flatMap(_.port)
+      .contains(65535))
+    for (u <- Seq("http://ex.test:65536/p", "http://ex.test:99999/p"))
+      assert(Urls.canonicalize(u).isEmpty, u)
+  }
+
   test("idempotence: canonicalize(canonicalize(u)) == canonicalize(u) " +
       "over 300 seeded messy URLs") {
     for (seed <- 0 until 300) {
