@@ -13,45 +13,93 @@ import graft.queries.Common.{sqlHash32, sqlWords, table}
   * and payload-type trust (magic-byte sniffing).
   *
   * Scale shape: all per-row work — robots.txt is parsed once per HOST
-  * (bounded by hosts, not pages) and the verdict join is the T120
+  * into a rules DIMENSION ([[hostRobots]]; bounded by hosts, not
+  * pages, spec-enforced by a parse counter) that pages broadcast-join
+  * for their verdict ([[robotsGate]]); the rollup is the T120
   * canonical-key groupBy the frontier already pays. Nothing here
   * shuffles document text.
   */
 object Crawl {
 
+  /** Per-host robots DIMENSION (round 11, VERDICT-r10 item 1): parse
+    * each host's robots.txt ONCE and pre-select the crawler's merged
+    * rule group — (host, rules, delay_s), the frame the frontier
+    * broadcasts at realistic host counts (keyed join past that).
+    * `parses` counts actual `Robots.parse` invocations so a spec can
+    * assert parse work ∝ HOSTS, never pages.
+    */
+  def hostRobots(s: SparkSession, docs: DataFrame,
+      parses: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    import s.implicits._
+    import graft.text.Robots
+    docs.select((col("doc_id") % 97).as("g")).distinct().as[Long]
+      .map { g =>
+        parses.foreach(_.add(1L))
+        val robots = Robots.parse(
+          s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
+            "Disallow: /private/\r\n")
+        val grp = Robots.group(robots, "graftbot")
+        (s"ex$g.test",
+          grp.map(_.rules.map(r => (r.allow, r.pattern)))
+            .getOrElse(Seq.empty),
+          grp.flatMap(_.crawlDelay).getOrElse(0L))
+      }
+      .toDF("host", "rules", "delay_s")
+  }
+
+  /** Pages × host-rules verdict join: canonical pages broadcast-join
+    * the [[hostRobots]] dimension on host and evaluate their own
+    * path against the joined rule array ([[graft.text.Robots.evalRules]]
+    * — the per-URL half of the parse/evaluate split). Emits the
+    * allowed (host, url, delay_s) frame both frontiers roll up.
+    */
+  def robotsGate(s: SparkSession, pages: DataFrame, rules: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    import graft.text.Robots
+    pages.join(broadcast(rules), "host")
+      .select(col("host"), col("url"), col("path_q"), col("rules"),
+        col("delay_s"))
+      .as[(String, String, String, Seq[(Boolean, String)], Long)]
+      .flatMap { case (host, url, pathQ, rs, delay) =>
+        if (Robots.evalRules(rs.map { case (a, p) => Robots.Rule(a, p) },
+            pathQ)) Some((host, url, delay))
+        else None
+      }
+      .toDF("host", "url", "delay_s")
+  }
+
   /** Shared builder (probe discipline — the ScaleProbe r18 row calls
     * THIS, not a re-derivation): the q216 frontier pipeline over any
     * frame with a `doc_id` column — synthesize messy URLs + a
     * /private/ probe per doc, canonicalize (T120), gate through the
-    * per-host robots rules (T121), roll up per host. Returns the
-    * UNSORTED rollup; q216 adds its output ordering.
+    * per-HOST robots dimension (T121; parse once per host, verdict by
+    * broadcast join — round 11 production shape), roll up per host.
+    * Returns the UNSORTED rollup; q216 adds its output ordering.
     */
-  def frontierSchedule(s: SparkSession, docs: DataFrame): DataFrame = {
+  def frontierSchedule(s: SparkSession, docs: DataFrame,
+      parses: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import s.implicits._
-    import graft.text.{Robots, Urls}
-    docs.select(col("doc_id")).as[Long]
+    import graft.text.Urls
+    val pages = docs.select(col("doc_id")).as[Long]
       .flatMap { id =>
         val g = id % 97
-        val robots = Robots.parse(
-          s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
-            "Disallow: /private/\r\n")
         val raws = (0 until (id % 3 + 1).toInt).map(j =>
           s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag") :+
           s"http://ex$g.test/private/$id" // the gate must drop this
         raws.flatMap { raw =>
           Urls.canonicalize(raw).flatMap { cu =>
-            Urls.parse(cu).flatMap { parts =>
-              val pathQ = parts.path +
-                parts.query.map("?" + _).getOrElse("")
-              if (Robots.isAllowed(robots, "graftbot", pathQ))
-                Some((parts.host, cu,
-                  Robots.crawlDelay(robots, "graftbot").getOrElse(0L)))
-              else None
+            Urls.parse(cu).map { parts =>
+              (parts.host, cu,
+                parts.path + parts.query.map("?" + _).getOrElse(""))
             }
           }
         }
       }
-      .toDF("host", "url", "delay_s")
+      .toDF("host", "url", "path_q")
+    robotsGate(s, pages, hostRobots(s, docs, parses))
       .groupBy("host", "delay_s")
       .agg(count(lit(1)).as("n_urls"),
         md5(concat_ws(",", sort_array(collect_list(col("url")))))
@@ -453,8 +501,10 @@ object Crawl {
         "capstone of the crawl wave): per doc, messy URLs (uppercase " +
         "scheme/host, :80, fragments) plus one /private/ URL flow " +
         "through the REAL pipeline — T120 canonicalization, the T121 " +
-        "robots gate (a per-host robots.txt whose Disallow DROPS the " +
-        "/private/ probe and whose Crawl-delay is host-derived), then " +
+        "robots gate (round 11: a per-HOST parsed-rules DIMENSION — " +
+        "robots.txt parsed once per host, spec-metered — broadcast-" +
+        "joined to pages, whose Disallow DROPS the /private/ probe " +
+        "and whose Crawl-delay is host-derived), then " +
         "a per-HOST rollup: URL count, politeness delay, makespan " +
         "(n-1)·delay for a serial fetch queue, and the md5 of the " +
         "delay-ordered fetch sequence (sorted canonical URLs) that " +
@@ -1313,36 +1363,34 @@ object Crawl {
         FROM h ORDER BY host"""),
       (s, d) => {
         import s.implicits._
-        import graft.text.{Robots, Urls}
+        import graft.text.Urls
         val schema = table(s, d, "documents").schema
         val scratch = Common.scratchDir("stream_frontier", d)
-        val urls = s.readStream.schema(schema)
+        // the per-HOST robots dimension is STATIC state the frontier
+        // maintains next to the stream (round 11: parse once per host;
+        // the stream-static broadcast join is the production verdict
+        // path — round 10 re-parsed robots inside the per-URL flatMap)
+        val rules = hostRobots(s, table(s, d, "documents"))
+        val pages = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .select(col("doc_id")).as[Long]
           .flatMap { id =>
             val g = id % 97
-            val robots = Robots.parse(
-              s"User-agent: *\r\nCrawl-delay: ${1 + g % 5}\r\n" +
-                "Disallow: /private/\r\n")
             val raws = (0 until (id % 3 + 1).toInt).flatMap(j => Seq(
               s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag",
               s"http://ex$g.test./p$id/./$j?x=1")) :+ // same canonical
               s"http://ex$g.test/private/$id" // the gate must drop this
             raws.flatMap { raw =>
               Urls.canonicalize(raw).flatMap { cu =>
-                Urls.parse(cu).flatMap { parts =>
-                  val pathQ = parts.path +
-                    parts.query.map("?" + _).getOrElse("")
-                  if (Robots.isAllowed(robots, "graftbot", pathQ))
-                    Some((parts.host, cu,
-                      Robots.crawlDelay(robots, "graftbot")
-                        .getOrElse(0L)))
-                  else None
+                Urls.parse(cu).map { parts =>
+                  (parts.host, cu,
+                    parts.path + parts.query.map("?" + _).getOrElse(""))
                 }
               }
             }
           }
-          .toDF("host", "url", "delay_s")
+          .toDF("host", "url", "path_q")
+        val urls = robotsGate(s, pages, rules)
           .withColumn("ts", timestamp_seconds(lit(1700000000L)))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("url")

@@ -504,7 +504,8 @@ object Curation3 {
             (8, 1) AS t(b, r)),
           sv AS (SELECT s10 FROM VALUES (5), (6), (7), (8), (9)
             AS u(s10)),
-          g AS (SELECT b, r, s10, CAST(s10 AS DOUBLE) / 10 AS s
+          g AS (SELECT /*+ BROADCAST(sv) */ b, r, s10,
+              CAST(s10 AS DOUBLE) / 10 AS s
             FROM cfg CROSS JOIN sv),
           pr AS (SELECT b, r, s10, s,
               aggregate(sequence(1, r), CAST(1.0 AS DOUBLE),

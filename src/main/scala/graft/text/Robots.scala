@@ -162,23 +162,35 @@ object Robots {
       .orElse(merged(_ == "*"))
   }
 
+  /** Evaluate a pre-selected rule list (the agent's merged group, as
+    * [[group]] returns it) against `path` — longest-match-wins, allow
+    * wins length ties, no matching rule ⇒ allowed, `/robots.txt`
+    * always allowed. This is the per-URL half of the split the
+    * production frontier uses: [[parse]]+[[group]] run once per HOST
+    * (a host-keyed rules dimension, broadcast to pages), and pages
+    * evaluate their verdict against the joined rule array (round 11 —
+    * the per-document parse the round-10 pipeline did is linear narrow
+    * work but re-parses the same host's robots once per page).
+    */
+  def evalRules(rules: Seq[Rule], path: String): Boolean = {
+    if (path == "/robots.txt") return true
+    val hits = rules.filter(r => ruleMatches(r.pattern, path))
+    if (hits.isEmpty) true
+    else {
+      val maxLen = hits.iterator.map(_.pattern.length).max
+      hits.exists(r => r.pattern.length == maxLen && r.allow)
+    }
+  }
+
   /** Is `path` (path-and-query, e.g. `/a/b?x=1`) fetchable by `agent`?
     * Longest-match-wins; allow wins length ties; no matching rule or
     * no matching group ⇒ allowed; `/robots.txt` always allowed.
     */
-  def isAllowed(robots: RobotsTxt, agent: String, path: String): Boolean = {
-    if (path == "/robots.txt") return true
+  def isAllowed(robots: RobotsTxt, agent: String, path: String): Boolean =
     group(robots, agent) match {
-      case None => true
-      case Some(g) =>
-        val hits = g.rules.filter(r => ruleMatches(r.pattern, path))
-        if (hits.isEmpty) true
-        else {
-          val maxLen = hits.iterator.map(_.pattern.length).max
-          hits.exists(r => r.pattern.length == maxLen && r.allow)
-        }
+      case None    => true
+      case Some(g) => evalRules(g.rules, path)
     }
-  }
 
   /** The crawl-delay the scheduler must honor for `agent`, if any. */
   def crawlDelay(robots: RobotsTxt, agent: String): Option[Long] =

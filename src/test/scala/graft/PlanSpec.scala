@@ -300,6 +300,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("every condition-less (cross) join in every declared query " +
+      "carries a broadcast hint on one side") {
+    // VERDICT-r10 item 7: a crossJoin without a broadcast hint plans
+    // as a CartesianProduct whenever the auto-broadcast estimate
+    // misses — at 1000 executors that is partitions² tasks. Every
+    // densification/scalar-grid cross join in the query surface is
+    // against a bounded frame, so the hint is always correct; this
+    // gate keeps it present. Streaming/side-effecting queries build
+    // (and for q229-class drain) their frames here exactly as the
+    // DeterminismGateSpec walk does.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+    def hintedBroadcast(side: LogicalPlan): Boolean =
+      side.exists {
+        case h: ResolvedHint => h.hints.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
+        case _ => false
+      }
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.analyzed
+        val offenders = plan.collectWithSubqueries {
+          case j: Join if j.condition.isEmpty &&
+              !hintedBroadcast(j.left) && !hintedBroadcast(j.right) =>
+            s"$name: ${j.joinType} join of ${j.left.nodeName} × " +
+              s"${j.right.nodeName} with no condition and no " +
+              "broadcast hint"
+        }
+        offenders
+    }
+    assert(bad.isEmpty,
+      s"\nunhinted cross joins (add broadcast() to the bounded " +
+        s"side):\n${bad.mkString("\n")}")
+  }
+
   test("salted join equals plain join (skew mitigation correctness)") {
     import graft.ops.Skew
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

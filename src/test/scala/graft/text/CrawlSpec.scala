@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Referees for the crawl-frontier builders (q216/q229, T125/T138).
+  *
+  * The load-bearing gate is the PARSE COUNTER: the round-11 frontier
+  * parses robots.txt once per HOST into a rules dimension that pages
+  * broadcast-join — a per-document parse (the round-10 shape, flagged
+  * in VERDICT r10) is linear narrow work at sf0.1 but re-parses the
+  * same host's rules once per page at 100 TB. The accumulator counts
+  * actual `Robots.parse` invocations inside [[Crawl.hostRobots]]; the
+  * assertion pins them to the host count with pages ≫ hosts.
+  */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("robots parse invocations ∝ HOSTS, not pages (the q216 " +
+      "frontier parses once per host into the rules dimension)") {
+    // 500 docs spanning 97 hosts (doc_id % 97), 1-3 pages per doc:
+    // pages ≈ 1000 ≫ hosts = 97
+    val docs = (0L until 500L).toDF("doc_id")
+    val parses = spark.sparkContext.longAccumulator("robotsParses")
+    val out = Crawl.frontierSchedule(spark, docs, Some(parses))
+    val hosts = out.count()
+    assert(hosts == 97L)
+    assert(parses.value == 97L,
+      s"expected one Robots.parse per host, got ${parses.value}")
+  }
+
+  test("the gate drops the /private/ probe and carries the host's " +
+      "crawl delay through the broadcast rules join") {
+    val docs = (0L until 97L).toDF("doc_id")
+    val rows = Crawl.frontierSchedule(spark, docs, None)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // host g gets (g % 3 + 1) pages from its one doc (doc_id = g);
+    // the /private/ probe never survives; delay = 1 + g % 5
+    for (g <- Seq(0L, 1L, 4L, 9L, 96L)) {
+      val (n, delay) = rows(s"ex$g.test")
+      assert(n == g % 3 + 1, s"host ex$g.test")
+      assert(delay == 1 + g % 5, s"host ex$g.test")
+    }
+  }
+
+  test("evalRules over a pre-selected group equals isAllowed over the " +
+      "full robots (the parse/evaluate split is lossless)") {
+    import graft.text.Robots
+    val txt = "User-agent: graftbot\nDisallow: /a/*\nAllow: /a/ok$\n" +
+      "Crawl-delay: 3\nUser-agent: *\nDisallow: /\n"
+    val robots = Robots.parse(txt)
+    val g = Robots.group(robots, "graftbot").get
+    for (p <- Seq("/a/x", "/a/ok", "/a/okno", "/b", "/robots.txt"))
+      assert(Robots.evalRules(g.rules, p) ==
+        Robots.isAllowed(robots, "graftbot", p), p)
+  }
+}
