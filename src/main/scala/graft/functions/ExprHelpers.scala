@@ -15,6 +15,27 @@ import graft.ops.Hashing
   */
 object ExprHelpers {
 
+  /** T120 canonicalization for [[CanonicalUrlExpr]]; null = rejected. */
+  def canonicalUrl(u: UTF8String): UTF8String =
+    graft.text.Urls.canonicalize(u.toString)
+      .map(UTF8String.fromString).orNull
+
+  /** T130 eTLD+1 for [[RegistrableDomainExpr]]; null = no registrable
+    * domain (IP literal, single label, host IS a suffix).
+    */
+  def registrableDomain(h: UTF8String): UTF8String =
+    graft.text.PublicSuffix.registrableDomain(h.toString)
+      .map(UTF8String.fromString).orNull
+
+  /** T121 verdict for [[RobotsAllowedExpr]] (per-row parse — the SQL
+    * ad-hoc tier; production pre-parses per host, Crawl.hostRobots).
+    */
+  def robotsAllowed(robots: UTF8String, agent: UTF8String,
+      path: UTF8String): Boolean =
+    graft.text.Robots.isAllowed(
+      graft.text.Robots.parse(robots.toString),
+      agent.toString, path.toString)
+
   private val mdPool = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }

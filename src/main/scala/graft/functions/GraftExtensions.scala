@@ -42,6 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(GraftFunctions.NearestSeedName),
       info(GraftFunctions.NearestSeedName, classOf[NearestSeedExpr]),
       (exprs: Seq[Expression]) => NearestSeedExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.CanonicalUrlName),
+      info(GraftFunctions.CanonicalUrlName, classOf[CanonicalUrlExpr]),
+      (exprs: Seq[Expression]) => CanonicalUrlExpr(exprs.head)))
+    e.injectFunction(
+      (FunctionIdentifier(GraftFunctions.RegistrableDomainName),
+        info(GraftFunctions.RegistrableDomainName,
+          classOf[RegistrableDomainExpr]),
+        (exprs: Seq[Expression]) => RegistrableDomainExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.RobotsAllowedName),
+      info(GraftFunctions.RobotsAllowedName, classOf[RobotsAllowedExpr]),
+      (exprs: Seq[Expression]) =>
+        RobotsAllowedExpr(exprs(0), exprs(1), exprs(2))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

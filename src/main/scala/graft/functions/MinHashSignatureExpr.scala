@@ -79,6 +79,9 @@ object GraftFunctions {
   val SimhashName = "graft_simhash"
   val NfcName = "graft_nfc"
   val NearestSeedName = "graft_nearest_seed"
+  val CanonicalUrlName = "graft_canonical_url"
+  val RegistrableDomainName = "graft_registrable_domain"
+  val RobotsAllowedName = "graft_robots_allowed"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -117,6 +120,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       NearestSeedName,
       exprs => NearestSeedExpr(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      CanonicalUrlName,
+      exprs => CanonicalUrlExpr(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      RegistrableDomainName,
+      exprs => RegistrableDomainExpr(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      RobotsAllowedName,
+      exprs => RobotsAllowedExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
   }
 

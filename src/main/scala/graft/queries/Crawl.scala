@@ -142,6 +142,44 @@ object Crawl {
           .as("jaccard_ppm"))
   }
 
+  /** Shared builder (q220/q230): the host link-graph extraction — per
+    * doc, HTML exercising every RFC 3986 reference form (plus mailto:/
+    * data: links the canonicalizer must DROP) through the REAL
+    * extract → resolve → canonicalize pipeline, emitting one
+    * (doc_id, src_host, dst_host) row per surviving link. Narrow map;
+    * the host graph any consumer aggregates from this is
+    * edges-not-pages sized at 100 TB.
+    */
+  def hostLinks(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Html
+    import graft.text.Urls
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val g = id % 97
+        val base = s"http://ex$g.test/dir/page$id.html"
+        val html =
+          s"""<html><body>
+             |<a href="http://ex${(g + 1) % 97}.test/a">abs</a>
+             |<a href="//ex${(g + 2) % 97}.test/b?k=1">proto-rel</a>
+             |<a href="/c?z=1">rooted</a>
+             |<a href="../up/./d">dotted</a>
+             |<a href="?q=2">query-only</a>
+             |<a href="/e?a=1&amp;b=2">entity</a>
+             |<a href="#frag">fragment-only</a>
+             |<a href="mailto:u@ex$g.test">mail</a>
+             |<a href="data:,x">inline</a>
+             |</body></html>""".stripMargin
+        val srcHost = s"ex$g.test"
+        Html.extractText(html).hrefs
+          .flatMap(h => Urls.resolve(base, h))
+          .flatMap(Urls.canonicalize)
+          .flatMap(Urls.parse)
+          .map(p => (id, srcHost, p.host))
+      }
+      .toDF("doc_id", "src_host", "dst_host")
+  }
+
   /** Shared builder: per-doc chat conversations rendered + truncated
     * through the REAL T136 pipeline → (doc_id, n_kept, n_trainable).
     * q227 emits the full verdict row; q228 packs these.
@@ -800,39 +838,12 @@ object Crawl {
           CAST(SUM(w) AS BIGINT) AS n_links,
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM l GROUP BY g, dg ORDER BY src_host, dst_host"""),
-      (s, d) => {
-        import s.implicits._
-        import graft.multimodal.Html
-        import graft.text.Urls
-        table(s, d, "documents").select(col("doc_id")).as[Long]
-          .flatMap { id =>
-            val g = id % 97
-            val base = s"http://ex$g.test/dir/page$id.html"
-            val html =
-              s"""<html><body>
-                 |<a href="http://ex${(g + 1) % 97}.test/a">abs</a>
-                 |<a href="//ex${(g + 2) % 97}.test/b?k=1">proto-rel</a>
-                 |<a href="/c?z=1">rooted</a>
-                 |<a href="../up/./d">dotted</a>
-                 |<a href="?q=2">query-only</a>
-                 |<a href="/e?a=1&amp;b=2">entity</a>
-                 |<a href="#frag">fragment-only</a>
-                 |<a href="mailto:u@ex$g.test">mail</a>
-                 |<a href="data:,x">inline</a>
-                 |</body></html>""".stripMargin
-            val srcHost = s"ex$g.test"
-            Html.extractText(html).hrefs
-              .flatMap(h => Urls.resolve(base, h))
-              .flatMap(Urls.canonicalize)
-              .flatMap(Urls.parse)
-              .map(p => (id, srcHost, p.host))
-          }
-          .toDF("doc_id", "src_host", "dst_host")
+      (s, d) =>
+        hostLinks(s, table(s, d, "documents"))
           .groupBy("src_host", "dst_host")
           .agg(count(lit(1)).as("n_links"),
             countDistinct(col("doc_id")).as("n_docs"))
-          .orderBy("src_host", "dst_host")
-      }),
+          .orderBy("src_host", "dst_host")),
 
     Q("q221_registrable_domain",
       "public-suffix registrable domain (T130, graft.text.PublicSuffix " +
@@ -1410,6 +1421,402 @@ object Crawl {
             ((col("n_urls") - 1) * col("delay_s")).as("makespan_s"),
             col("order_md5"))
           .orderBy("host")
+      }),
+
+    Q("q230_host_pagerank",
+      "crawl prioritization: weighted integer PageRank over the q220 " +
+        "host link graph (T139 — VERDICT-r10 item 2: the frontier " +
+        "could schedule (q216) and recrawl (q224) but not RANK hosts; " +
+        "OPIC/PageRank priority is how real frontiers spend fetch " +
+        "budget). The q220 extract→resolve→canonicalize pipeline " +
+        "builds (src_host, dst_host, weight) edges — weight = link " +
+        "count, the host graph is edges-not-pages sized — then 5 " +
+        "unrolled iterations of q143's pure-integer PageRank (ranks " +
+        "scaled 1e9, damping 85/100, per-edge contribution pr·w DIV " +
+        "out_weight) yield the per-host crawl priority, bit-identical " +
+        "cross-engine because every step is integer division and " +
+        "associative sums. The oracle unrolls the same 5 iterations " +
+        "in SQL from the closed-form edge weights. Scale shape: the " +
+        "extraction is the narrow corpus map the frontier already " +
+        "pays; everything after is host-graph-sized (hosts + hosts² " +
+        "frames, broadcast by AQE), so ranking costs nothing extra " +
+        "at 100 TB",
+      Some {
+        val prIters = (1 to 5).map { k =>
+          s"""pr$k AS (SELECT n0.h,
+            CAST(150000000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT)
+              AS pr
+          FROM n0 LEFT JOIN (SELECT e.dst AS h,
+              SUM((p.pr * e.w) // ow.ow) AS c
+            FROM e JOIN pr${k - 1} p ON e.src = p.h
+            JOIN ow ON e.src = ow.src GROUP BY e.dst) s USING (h))"""
+        }.mkString(",\n        ")
+        s"""WITH o AS (SELECT * FROM (VALUES (1, 1), (2, 1), (0, 5))
+            t(off, w)),
+          l AS (SELECT doc_id % 97 AS g,
+              (doc_id % 97 + o.off) % 97 AS dg, o.w
+            FROM documents, o),
+          e AS (SELECT g AS src, dg AS dst, CAST(SUM(w) AS BIGINT) AS w
+            FROM l GROUP BY g, dg),
+          ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+          n0 AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+          pr0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS pr FROM n0),
+          $prIters
+        SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host, pr
+        FROM pr5 ORDER BY host"""
+      },
+      (s, d) => {
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        // host-grain edge weights from the REAL link pipeline; the
+        // localCheckpoint pins the corpus extraction so the 5 rank
+        // rounds consume the 291-row edge frame, not 5 re-parses
+        val edges = hostLinks(s, docs)
+          .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint()
+        val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+        val nodes = docs
+          .select(concat(lit("ex"), col("doc_id") % 97, lit(".test"))
+            .as("h")).distinct()
+        var ranks = nodes.withColumn("pr", lit(1000000000L))
+        for (_ <- 1 to 5) {
+          val sums = edges.join(outW, "src")
+            .join(ranks.withColumnRenamed("h", "src"), "src")
+            .select(col("dst").as("h"),
+              expr("(pr * w) div ow").as("c"))
+            .groupBy(col("h")).agg(sum(col("c")).as("in_c"))
+          ranks = nodes.join(sums, Seq("h"), "left")
+            .select(col("h"),
+              (lit(150000000L) +
+                expr("(coalesce(in_c, 0L) * 85) div 100")).as("pr"))
+        }
+        ranks.select(col("h").as("host"), col("pr")).orderBy("host")
+      }),
+
+    Q("q231_revisit_gate",
+      "HTTP revisit validators — the RFC 9111 conditional-GET decision " +
+        "(T140, multimodal.Revisit; VERDICT-r10 item 4: q224 schedules " +
+        "recrawl from sitemap declarations only — this is the origin's " +
+        "own cache contract): per doc, a REAL rendered HTTP response " +
+        "(the T117 header walk extracts everything — the production " +
+        "path) carrying one of six caching profiles — max-age with " +
+        "ETag, no-store, no-cache with Last-Modified, Expires−Date " +
+        "with no validators, the §4.2.2 10% heuristic from " +
+        "Last-Modified, and s-maxage overriding max-age — crossed " +
+        "with a doc-derived entry age; the gate must emit " +
+        "skip / revalidate(If-None-Match | If-Modified-Since) / fetch " +
+        "with the computed freshness lifetime. HTTP-dates parsed by " +
+        "the 3-format RFC 9110 §5.6.7 parser (JDK-formatter-refereed " +
+        "in RevisitSpec); every verdict closed-form in doc_id. Pure " +
+        "per-row header logic, zero shuffle — at 100 TB this runs " +
+        "beside the politeness gate in the same narrow map over the " +
+        "crawl store, and every 'skip' is a fetch the cluster never " +
+        "pays",
+      Some("""WITH v AS (SELECT doc_id, doc_id % 6 AS g,
+            (doc_id % 7) * 400 AS age FROM documents)
+        SELECT doc_id,
+          CASE g
+            WHEN 0 THEN CASE WHEN age < 1000 THEN 'skip'
+              ELSE 'revalidate' END
+            WHEN 1 THEN 'fetch'
+            WHEN 2 THEN 'revalidate'
+            WHEN 3 THEN CASE WHEN age < 800 THEN 'skip' ELSE 'fetch' END
+            WHEN 4 THEN CASE WHEN age < 2000 THEN 'skip'
+              ELSE 'revalidate' END
+            ELSE CASE WHEN age < 1200 THEN 'skip'
+              ELSE 'revalidate' END
+          END AS action,
+          CASE g
+            WHEN 0 THEN CASE WHEN age < 1000 THEN 'none'
+              ELSE 'if-none-match' END
+            WHEN 1 THEN 'none'
+            WHEN 2 THEN 'if-modified-since'
+            WHEN 3 THEN 'none'
+            WHEN 4 THEN CASE WHEN age < 2000 THEN 'none'
+              ELSE 'if-none-match' END
+            ELSE CASE WHEN age < 1200 THEN 'none'
+              ELSE 'if-modified-since' END
+          END AS validator,
+          CAST(CASE g WHEN 0 THEN 1000 WHEN 1 THEN 0 WHEN 2 THEN 0
+            WHEN 3 THEN 800 WHEN 4 THEN 2000 ELSE 1200 END AS BIGINT)
+            AS lifetime_s,
+          CAST(CASE WHEN g = 4 THEN 1 ELSE 0 END AS BIGINT)
+            AS heuristic,
+          CAST(age AS BIGINT) AS age_s
+        FROM v ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Http, Revisit}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = (id % 6).toInt
+            val age = (id % 7) * 400
+            // D = 1700000000 (Tue, 14 Nov 2023 22:13:20 GMT);
+            // Expires = D + 800; Last-Modified = D − 20000 (10% → 2000)
+            val date = "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT"
+            val lastMod =
+              "Last-Modified" -> "Tue, 14 Nov 2023 16:40:00 GMT"
+            val etag = "ETag" -> s""""e$id""""
+            val headers = g match {
+              case 0 => Seq("Cache-Control" -> "max-age=1000", etag)
+              case 1 => Seq("Cache-Control" -> "no-store", etag)
+              case 2 => Seq("Cache-Control" -> "no-cache", date, lastMod)
+              case 3 => Seq(date,
+                "Expires" -> "Tue, 14 Nov 2023 22:26:40 GMT")
+              case 4 => Seq(date, lastMod, etag)
+              case _ => Seq(
+                "Cache-Control" -> "s-maxage=1200, max-age=50",
+                date, lastMod)
+            }
+            val p = Http.render(200, "OK",
+              ("Content-Type" -> "text/html") +: headers,
+              s"cached page $id".getBytes("UTF-8"))
+            val v = Revisit.decideFromResponse(p, age).get
+            (id, v.action, v.validator, v.lifetimeS,
+              if (v.heuristic) 1L else 0L, age)
+          }
+          .toDF("doc_id", "action", "validator", "lifetime_s",
+            "heuristic", "age_s")
+          .orderBy("doc_id")
+      }),
+
+    Q("q232_feed_discovery",
+      "RSS/Atom feed discovery (T141, graft.text.Feeds — VERDICT-r10 " +
+        "item 5: sitemaps (q213) are one discovery channel; feeds are " +
+        "the other half of real frontier discovery): per doc, a real " +
+        "feed document — RSS 2.0 for even docs (channel-transparent " +
+        "items, CDATA link, entity title, RFC 822 pubDates incl. a " +
+        "+0000 offset and a 2-digit-year form), Atom for odd docs " +
+        "(href-attribute links with rel selection: enclosure skipped, " +
+        "alternate wins; published/updated RFC 3339 dates) — each " +
+        "planted with a comment-decoy entry and a link-less entry " +
+        "that must DROP; every third entry's date is invalid (null " +
+        "day). Parsed by the single-forward-scan Feeds parser " +
+        "(DOM-refereed ×200 in FeedsSpec), links canonicalized " +
+        "through T120, per-doc rollup of links + stated-date epoch " +
+        "days. Zero shuffle — discovered links feed the same T125 " +
+        "politeness rollup as sitemap locs at 100 TB",
+      Some("""WITH e AS (SELECT doc_id, doc_id % 97 AS g, j.j AS j
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1)
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'feed' END AS kind,
+          CAST(doc_id % 3 + 1 AS BIGINT) AS n_entries,
+          string_agg('http://ex' || CAST(g AS VARCHAR) || '.test/f' ||
+              CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+            ',' ORDER BY j) AS links,
+          string_agg(CASE j % 3 WHEN 0 THEN '19723' WHEN 1 THEN '19889'
+            ELSE '-' END, ',' ORDER BY j) AS days
+        FROM e GROUP BY doc_id, g ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.{Feeds, Urls}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val k = (id % 3 + 1).toInt
+            val rss = id % 2 == 0
+            val body = (0 until k).map { j =>
+              val link = s"http://ex$g.test/f$id/$j"
+              if (rss) {
+                val date = j % 3 match {
+                  case 0 => "Mon, 01 Jan 2024 00:00:00 GMT"
+                  case 1 => "Sat, 15 Jun 24 12:30:00 +0000"
+                  case _ => "someday soon"
+                }
+                s"<item><title>t$id &amp; $j</title>" +
+                  s"<link><![CDATA[$link]]></link>" +
+                  s"<pubDate>$date</pubDate></item>"
+              } else {
+                val date = j % 3 match {
+                  case 0 => "<published>2024-01-01T00:00:00Z" +
+                    "</published>"
+                  case 1 => "<updated>2024-06-15T08:00:00Z</updated>"
+                  case _ => "<published>2024-13-01T00:00:00Z" +
+                    "</published>"
+                }
+                s"<entry><title>t$id &amp; $j</title>" +
+                  "<link rel=\"enclosure\" " +
+                  s"""href="http://ex$g.test/skip.mp3"/>""" +
+                  s"""<link rel="alternate" href="$link"/>$date""" +
+                  "</entry>"
+              }
+            }.mkString
+            val decoys = (if (rss)
+              "<!-- <item><link>http://decoy.test/</link></item> -->" +
+                "<item><title>linkless drops</title></item>"
+            else
+              "<!-- <entry><link href='http://decoy.test/'/></entry>" +
+                " --><entry><title>linkless drops</title></entry>")
+            val xml =
+              if (rss) "<?xml version=\"1.0\"?><rss version=\"2.0\">" +
+                s"<channel><title>c$id</title>" +
+                s"<link>http://ex$g.test/</link>$decoys$body" +
+                "</channel></rss>"
+              else "<?xml version=\"1.0\"?>" +
+                "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+                s"""<link rel="self" href="http://ex$g.test/feed"/>""" +
+                s"$decoys$body</feed>"
+            val p = Feeds.parse(xml)
+            val links = p.entries
+              .flatMap(e => Urls.canonicalize(e.link))
+            (id, p.kind, p.entries.length.toLong,
+              links.mkString(","),
+              p.entries.map(_.epochDay.map(_.toString).getOrElse("-"))
+                .mkString(","))
+          }
+          .toDF("doc_id", "kind", "n_entries", "links", "days")
+          .orderBy("doc_id")
+      }),
+
+    Q("q233_warc_roundtrip",
+      "WARC WRITE path round trip (T142, Warc.write — VERDICT-r10 " +
+        "item 6: the engine parsed WARC (q206) but could not emit it; " +
+        "the ingest story was one-directional): the q206 archives " +
+        "rebuilt through the PRODUCTION writer — Warc.write generates " +
+        "the WARC-Record-ID (deterministic name-based UUID: the " +
+        "determinism discipline's stand-in for v4) and the " +
+        "WARC-Block-Digest (sha1 base32, the Common Crawl convention) " +
+        "— gzip-wrapped, walked back through T104 + the strict T115 " +
+        "reader, and every record's digest header RE-DERIVED from the " +
+        "parsed body and VERIFIED (n_digest_ok must equal n_records). " +
+        "All other columns match q206's closed-form oracle verbatim: " +
+        "writer and parser are provably inverse on real archive " +
+        "bytes. Byte-exact reproducibility is spec'd in WarcSpec. " +
+        "Archive bytes never shuffle",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 3 + 1 AS n FROM documents),
+        m AS (SELECT g.doc_id, k.k,
+            CASE WHEN k.k = 0 THEN 'warcinfo'
+                 WHEN (g.doc_id + k.k) % 2 = 0 THEN 'response'
+                 ELSE 'request' END AS typ,
+            g.doc_id % 40 + 5 * k.k + 7 AS len,
+            97 + (g.doc_id + k.k) % 26 AS bv
+          FROM g, range(0, 3) k(k) WHERE k.k < g.n)
+        SELECT doc_id AS media_id,
+          CAST(COUNT(*) AS BIGINT) AS n_records,
+          CAST(SUM(CASE WHEN typ = 'response' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_response,
+          CAST(SUM(len) AS BIGINT) AS body_bytes,
+          CAST(SUM(len * bv) AS BIGINT) AS body_sum,
+          CAST(COUNT(*) AS BIGINT) AS n_digest_ok,
+          string_agg(CASE WHEN typ <> 'warcinfo'
+            THEN 'http://ex.test/d' || doc_id || '/r' || k END,
+            ',' ORDER BY k) AS uris,
+          string_agg(md5(repeat(chr(CAST(bv AS INT)), CAST(len AS INT))),
+            ',' ORDER BY k) AS md5s
+        FROM m GROUP BY doc_id ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Compressed, Warc}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 3 + 1).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            for (k <- 0 until n) {
+              val typ =
+                if (k == 0) "warcinfo"
+                else if ((id + k) % 2 == 0) "response"
+                else "request"
+              val len = (id % 40 + 5 * k + 7).toInt
+              val body =
+                Array.fill[Byte](len)(('a' + ((id + k) % 26)).toByte)
+              val rec = Warc.write(typ, "2026-01-01T00:00:00Z", body,
+                targetUri = if (typ == "warcinfo") None
+                  else Some(s"http://ex.test/d$id/r$k"),
+                contentType = Some(if (typ == "warcinfo")
+                  "application/warc-fields" else "application/http"))
+              bos.write(Compressed.gzipMember(rec, None))
+            }
+            val parsed = Compressed.memberPayloads(bos.toByteArray)
+              .getOrElse(Seq.empty)
+              .flatMap { case (_, payload) =>
+                Warc.parseSingleWithBody(payload).map { case (r, b) =>
+                  // the reader VERIFIES the digest the writer emitted
+                  val ok = Warc.header(payload, "WARC-Block-Digest")
+                    .contains(Warc.blockDigest(b))
+                  (r, ok)
+                }
+              }
+            val recs = parsed.map(_._1)
+            val uris = recs.flatMap(_.targetUri)
+            (id, recs.length.toLong,
+              recs.count(_.warcType == "response").toLong,
+              recs.map(_.contentLength).sum,
+              recs.map(_.bodySum).sum,
+              parsed.count(_._2).toLong,
+              if (uris.isEmpty) null else uris.mkString(","),
+              recs.map(_.bodyMd5).mkString(","))
+          }
+          .toDF("media_id", "n_records", "n_response", "body_bytes",
+            "body_sum", "n_digest_ok", "uris", "md5s")
+          .orderBy("media_id")
+      }),
+
+    Q("q234_sql_frontier",
+      "the crawl frontier driven ENTIRELY from SQL text (T143, the " +
+        "q138/q188 discipline — VERDICT-r10 item 8): the frontier " +
+        "scalars are session functions (graft_canonical_url = T120, " +
+        "graft_robots_allowed = T121, graft_registrable_domain = " +
+        "T130 — codegen'd expressions whose eval bodies are the SAME " +
+        "text modules the Scala API uses), so a spark.sql user " +
+        "composes messy-URL synthesis → canonicalization → robots " +
+        "gate → per-domain politeness rollup and hash-matches q216's " +
+        "oracle EXACTLY; the rollup key is the registrable domain " +
+        "(the production politeness scope), which on this host space " +
+        "equals the host. Declared trade (the q188 pattern): the SQL " +
+        "scalar parses robots per ROW; the production plan is the " +
+        "per-host rules dimension (Crawl.hostRobots + broadcast join)",
+      Some("""WITH u AS (
+          SELECT doc_id % 97 AS g,
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/p' ||
+              CAST(doc_id AS VARCHAR) || '/' || CAST(j.j AS VARCHAR) ||
+              '?x=1' AS url
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1),
+        h AS (SELECT g, COUNT(*) AS n_urls,
+            md5(string_agg(url, ',' ORDER BY url)) AS order_md5
+          FROM u GROUP BY g)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CAST(n_urls AS BIGINT) AS n_urls,
+          CAST(1 + g % 5 AS BIGINT) AS delay_s,
+          CAST((n_urls - 1) * (1 + g % 5) AS BIGINT) AS makespan_s,
+          order_md5
+        FROM h ORDER BY host"""),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("docs_frontier_v")
+        s.sql("""
+          WITH d AS (SELECT doc_id, doc_id % 97 AS g
+              FROM docs_frontier_v),
+            pages AS (
+              SELECT g, concat('HTTP://EX', cast(g AS STRING),
+                  '.TEST:80/p', cast(doc_id AS STRING), '/',
+                  cast(j AS STRING), '?x=1#frag') AS u
+              FROM (SELECT doc_id, g,
+                  explode(sequence(0, cast(doc_id % 3 AS INT))) AS j
+                FROM d)
+              UNION ALL
+              SELECT g, concat('http://ex', cast(g AS STRING),
+                '.test/private/', cast(doc_id AS STRING)) FROM d),
+            canon AS (SELECT g, graft_canonical_url(u) AS cu
+              FROM pages),
+            parts AS (SELECT g, cu,
+                regexp_extract(cu, '^http://([^/]+)', 1) AS host,
+                regexp_replace(cu, '^http://[^/]+', '') AS pathq
+              FROM canon WHERE cu IS NOT NULL),
+            gate AS (SELECT graft_registrable_domain(host) AS host,
+                cu, 1 + g % 5 AS delay_s
+              FROM parts
+              WHERE graft_robots_allowed(
+                concat('User-agent: *\nCrawl-delay: ',
+                  cast(1 + g % 5 AS STRING),
+                  '\nDisallow: /private/\n'),
+                'graftbot', pathq))
+          SELECT host, count(1) AS n_urls, delay_s,
+            (count(1) - 1) * delay_s AS makespan_s,
+            md5(concat_ws(',', sort_array(collect_list(cu))))
+              AS order_md5
+          FROM gate GROUP BY host, delay_s ORDER BY host""")
       })
   )
 }

@@ -1279,6 +1279,31 @@ object ScaleProbe {
       time(s"winnow ROUTED plan ($routed) @${mult}x") {
         graft.queries.Curation4.winnowAuto(docsR).count()
       }
+      // VERDICT-r10 item 3: the r17 stats-pass wall (6.1 → 122 →
+      // 402 s at 1×/10×/30×) looked superlinear, but the r17 corpus
+      // INFLATES text — " " → " w$rep " inserts one word per word, so
+      // token mass at mult m is ~(2m−1)× the 1× run (19× at 10×,
+      // 59× at 30×), and 122/6.1 = 20×, 402/6.1 = 66× ≈ token mass
+      // (+GC in the fixed heap). This row re-probes with CONSTANT
+      // token density: each word is PREFIXED with the rep tag (same
+      // regexp_replace, "$1" backreference) — token count per doc is
+      // identical across reps, vocabulary still rep-distinct, so
+      // corpus mass is exactly mult× and the stats-pass wall must
+      // read ~linear in mult.
+      val docsCD = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("w"), col("rep"), lit("$1")))).as("text"))
+      time(s"winnow stats pass CONSTANT-DENSITY @${mult}x") {
+        val tauF = docsCD.agg(
+          expr("greatest(CAST(4 AS BIGINT), count(1) DIV 250) AS t"))
+        val (_, _, nFp, _, _) =
+          graft.queries.Curation4.winnowRouteStats(
+            graft.queries.Curation4.winnowExplode(docsCD), tauF)
+        nFp
+      }
       // VERDICT-r9 item 4: the q202 CDC decade row. r16 measured
       // 1×/10× astride the broadcast→shuffle plan transition, so the
       // at-scale claim ("digest-mass-linear past the transition") was

@@ -32,4 +32,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "ascii only") // fast path: already NFC
     assert(r.getString(2) == r.getString(0)) // idempotent
   }
+
+  test("frontier scalars resolve via extensions and agree with the " +
+      "text modules; rejects surface as NULL; non-string args fail " +
+      "analysis (q234)") {
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      """SELECT graft_canonical_url('HTTP://Ex.TEST:80/a/../b?x=1#f') AS c,
+           graft_canonical_url('mailto:a@b.c') AS bad,
+           graft_registrable_domain('news.site.co.uk') AS rd,
+           graft_registrable_domain('co.uk') AS rdbad,
+           graft_robots_allowed(
+             'User-agent: *\nDisallow: /private/\n',
+             'graftbot', '/private/x') AS denied,
+           graft_robots_allowed(
+             'User-agent: *\nDisallow: /private/\n',
+             'graftbot', '/public/x') AS allowed""").head
+    assert(r.getString(0) == "http://ex.test/b?x=1")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "site.co.uk")
+    assert(r.isNullAt(3))
+    assert(!r.getBoolean(4) && r.getBoolean(5))
+    val e = intercept[Exception](
+      fresh.sql("SELECT graft_canonical_url(42)").head)
+    assert(e.getMessage.contains("string"), e.getMessage)
+  }
 }

@@ -145,4 +145,46 @@ class WarcSpec extends AnyFunSuite {
     // but the sequence parser accepts the same two records
     assert(Warc.parseRecords(ps.head._2).exists(_.length == 2))
   }
+
+  test("write path: byte-exact reproducibility, generated Record-ID " +
+      "is a urn:uuid, block digest verifies against the JDK (q233)") {
+    val body = "the archived response bytes".getBytes("UTF-8")
+    val w1 = Warc.write("response", "2026-01-01T00:00:00Z", body,
+      targetUri = Some("http://ex.test/p"),
+      contentType = Some("application/http"))
+    // deterministic: same logical record → byte-identical output
+    val w2 = Warc.write("response", "2026-01-01T00:00:00Z", body,
+      targetUri = Some("http://ex.test/p"),
+      contentType = Some("application/http"))
+    assert(java.util.Arrays.equals(w1, w2))
+    // parses under the strict reader with everything recovered
+    val (rec, parsedBody) = Warc.parseSingleWithBody(w1).get
+    assert(rec.warcType == "response")
+    assert(rec.targetUri.contains("http://ex.test/p"))
+    assert(parsedBody.toSeq == body.toSeq)
+    assert(rec.recordId.matches(
+      "<urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+        "[0-9a-f]{12}>"), rec.recordId)
+    // digest header verifies: sha1 base32 of the body, JDK-refereed
+    val dig = Warc.header(w1, "WARC-Block-Digest").get
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(body)
+    assert(dig == s"sha1:${Warc.base32(sha1)}")
+    // base32 itself against the RFC 4648 test vectors
+    assert(Warc.base32("".getBytes) == "")
+    assert(Warc.base32("f".getBytes) == "MY")
+    assert(Warc.base32("fo".getBytes) == "MZXQ")
+    assert(Warc.base32("foo".getBytes) == "MZXW6")
+    assert(Warc.base32("foob".getBytes) == "MZXW6YQ")
+    assert(Warc.base32("fooba".getBytes) == "MZXW6YTB")
+    assert(Warc.base32("foobar".getBytes) == "MZXW6YTBOI")
+    // and the well-known SHA1("") base32
+    assert(Warc.base32(java.security.MessageDigest
+      .getInstance("SHA-1").digest(Array.empty[Byte])) ==
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // distinct logical records get distinct ids
+    val w3 = Warc.write("response", "2026-01-01T00:00:00Z",
+      body :+ 'x'.toByte, Some("http://ex.test/p"))
+    assert(Warc.parseSingle(w3).get.recordId != rec.recordId)
+  }
 }
