@@ -23,37 +23,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // arity-gated builders (review-r11 — same gate as
+    // GraftFunctions.register: surplus args must fail analysis, not
+    // be silently discarded)
+    import GraftFunctions.checkArity
     e.injectFunction((FunctionIdentifier(GraftFunctions.MinhashName),
       info(GraftFunctions.MinhashName, classOf[MinHashSignatureExpr]),
-      (exprs: Seq[Expression]) =>
-        MinHashSignatureExpr(exprs.head, shingleK = 3, numHashes = 8)))
+      (exprs: Seq[Expression]) => MinHashSignatureExpr(
+        checkArity(GraftFunctions.MinhashName, 1, exprs).head,
+        shingleK = 3, numHashes = 8)))
     e.injectFunction((FunctionIdentifier(GraftFunctions.ShingleExplodeName),
       info(GraftFunctions.ShingleExplodeName, classOf[ShingleExplodeExpr]),
-      (exprs: Seq[Expression]) => ShingleExplodeExpr(exprs.head, shingleK = 3)))
+      (exprs: Seq[Expression]) => ShingleExplodeExpr(
+        checkArity(GraftFunctions.ShingleExplodeName, 1, exprs).head,
+        shingleK = 3)))
     e.injectFunction((FunctionIdentifier(GraftFunctions.LshBucketName),
       info(GraftFunctions.LshBucketName, classOf[LshBucketExpr]),
-      (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, nPlanes = 8)))
+      (exprs: Seq[Expression]) => LshBucketExpr(
+        checkArity(GraftFunctions.LshBucketName, 1, exprs).head,
+        nPlanes = 8)))
     e.injectFunction((FunctionIdentifier(GraftFunctions.JaccardName),
       info(GraftFunctions.JaccardName, classOf[JaccardExpr]),
-      (exprs: Seq[Expression]) => JaccardExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity(GraftFunctions.JaccardName, 2, exprs)
+        JaccardExpr(exprs.head, exprs(1))
+      }))
     e.injectFunction((FunctionIdentifier(GraftFunctions.NfcName),
       info(GraftFunctions.NfcName, classOf[NfcNormalizeExpr]),
-      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(
+        checkArity(GraftFunctions.NfcName, 1, exprs).head)))
     e.injectFunction((FunctionIdentifier(GraftFunctions.NearestSeedName),
       info(GraftFunctions.NearestSeedName, classOf[NearestSeedExpr]),
-      (exprs: Seq[Expression]) => NearestSeedExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity(GraftFunctions.NearestSeedName, 2, exprs)
+        NearestSeedExpr(exprs(0), exprs(1))
+      }))
     e.injectFunction((FunctionIdentifier(GraftFunctions.CanonicalUrlName),
       info(GraftFunctions.CanonicalUrlName, classOf[CanonicalUrlExpr]),
-      (exprs: Seq[Expression]) => CanonicalUrlExpr(exprs.head)))
+      (exprs: Seq[Expression]) => CanonicalUrlExpr(
+        checkArity(GraftFunctions.CanonicalUrlName, 1, exprs).head)))
     e.injectFunction(
       (FunctionIdentifier(GraftFunctions.RegistrableDomainName),
         info(GraftFunctions.RegistrableDomainName,
           classOf[RegistrableDomainExpr]),
-        (exprs: Seq[Expression]) => RegistrableDomainExpr(exprs.head)))
+        (exprs: Seq[Expression]) => RegistrableDomainExpr(
+          checkArity(GraftFunctions.RegistrableDomainName, 1,
+            exprs).head)))
     e.injectFunction((FunctionIdentifier(GraftFunctions.RobotsAllowedName),
       info(GraftFunctions.RobotsAllowedName, classOf[RobotsAllowedExpr]),
-      (exprs: Seq[Expression]) =>
-        RobotsAllowedExpr(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => {
+        checkArity(GraftFunctions.RobotsAllowedName, 3, exprs)
+        RobotsAllowedExpr(exprs(0), exprs(1), exprs(2))
+      }))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

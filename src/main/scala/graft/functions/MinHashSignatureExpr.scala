@@ -83,55 +83,75 @@ object GraftFunctions {
   val RegistrableDomainName = "graft_registrable_domain"
   val RobotsAllowedName = "graft_robots_allowed"
 
+  /** Arity gate for SQL builders (review-r11): without it, surplus
+    * arguments were silently DISCARDED (`exprs.head` ignores a second
+    * arg — a user's misplaced argument produced plausible wrong
+    * results) and missing ones threw a raw IndexOutOfBounds instead
+    * of an analysis-time message.
+    */
+  private[functions] def checkArity(name: String, n: Int,
+      exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def one(name: String)(mk: Expression => Expression)
+        : Seq[Expression] => Expression =
+      exprs => mk(checkArity(name, 1, exprs).head)
     reg.createOrReplaceTempFunction(
       MinhashName,
-      exprs => MinHashSignatureExpr(exprs.head, shingleK = 3, numHashes = 8),
+      one(MinhashName)(MinHashSignatureExpr(_, shingleK = 3, numHashes = 8)),
       "built-in")
     reg.createOrReplaceTempFunction(
       MinhashBandsName,
-      exprs => MinHashBandsExpr(exprs.head, numHashes = 8),
+      one(MinhashBandsName)(MinHashBandsExpr(_, numHashes = 8)),
       "built-in")
     reg.createOrReplaceTempFunction(
       ShinglesName,
-      exprs => ShingleSetExpr(exprs.head, shingleK = 3),
+      one(ShinglesName)(ShingleSetExpr(_, shingleK = 3)),
       "built-in")
     reg.createOrReplaceTempFunction(
       ShingleExplodeName,
-      exprs => ShingleExplodeExpr(exprs.head, shingleK = 3),
+      one(ShingleExplodeName)(ShingleExplodeExpr(_, shingleK = 3)),
       "built-in")
     reg.createOrReplaceTempFunction(
       LshBucketName,
-      exprs => LshBucketExpr(exprs.head, nPlanes = 8),
+      one(LshBucketName)(LshBucketExpr(_, nPlanes = 8)),
       "built-in")
     reg.createOrReplaceTempFunction(
       JaccardName,
-      exprs => JaccardExpr(exprs.head, exprs(1)),
+      exprs => { checkArity(JaccardName, 2, exprs)
+        JaccardExpr(exprs.head, exprs(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       SimhashName,
-      exprs => SimHashExpr(exprs.head),
+      one(SimhashName)(SimHashExpr(_)),
       "built-in")
     reg.createOrReplaceTempFunction(
       NfcName,
-      exprs => NfcNormalizeExpr(exprs.head),
+      one(NfcName)(NfcNormalizeExpr(_)),
       "built-in")
     reg.createOrReplaceTempFunction(
       NearestSeedName,
-      exprs => NearestSeedExpr(exprs(0), exprs(1)),
+      exprs => { checkArity(NearestSeedName, 2, exprs)
+        NearestSeedExpr(exprs(0), exprs(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       CanonicalUrlName,
-      exprs => CanonicalUrlExpr(exprs.head),
+      one(CanonicalUrlName)(CanonicalUrlExpr(_)),
       "built-in")
     reg.createOrReplaceTempFunction(
       RegistrableDomainName,
-      exprs => RegistrableDomainExpr(exprs.head),
+      one(RegistrableDomainName)(RegistrableDomainExpr(_)),
       "built-in")
     reg.createOrReplaceTempFunction(
       RobotsAllowedName,
-      exprs => RobotsAllowedExpr(exprs(0), exprs(1), exprs(2)),
+      exprs => { checkArity(RobotsAllowedName, 3, exprs)
+        RobotsAllowedExpr(exprs(0), exprs(1), exprs(2)) },
       "built-in")
   }
 

@@ -58,12 +58,7 @@ object Revisit {
       lifetimeS: Long,    // computed freshness lifetime (seconds)
       heuristic: Boolean) // lifetime came from the 10% heuristic
 
-  private val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
-    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
-  private val wkdays = Set("Mon", "Tue", "Wed", "Thu", "Fri", "Sat",
-    "Sun")
-  private val weekdaysLong = Set("Monday", "Tuesday", "Wednesday",
-    "Thursday", "Friday", "Saturday", "Sunday")
+  import graft.text.Dates
 
   private val ImfFixdate =
     "^([A-Za-z]{3}), (\\d{2}) ([A-Za-z]{3}) (\\d{4}) (\\d{2}):(\\d{2}):(\\d{2}) GMT$".r
@@ -74,7 +69,7 @@ object Revisit {
 
   private def epochSecond(y: Int, monName: String, d: Int,
       h: Int, mi: Int, sec: Int): Option[Long] = {
-    val mo = months.indexOf(monName) + 1
+    val mo = Dates.months.indexOf(monName) + 1
     if (mo == 0) return None
     try Some(java.time.LocalDateTime
       .of(y, mo, d, h, mi, sec)
@@ -86,13 +81,15 @@ object Revisit {
     * seconds UTC; None on anything malformed.
     */
   def parseHttpDate(s: String): Option[Long] = s.trim match {
-    case ImfFixdate(wd, d, mon, y, h, mi, sec) if wkdays(wd) =>
+    case ImfFixdate(wd, d, mon, y, h, mi, sec)
+        if Dates.weekdaysShort(wd) =>
       epochSecond(y.toInt, mon, d.toInt, h.toInt, mi.toInt, sec.toInt)
-    case Rfc850(wd, d, mon, yy, h, mi, sec) if weekdaysLong(wd) =>
-      val y2 = yy.toInt
-      val y = if (y2 <= 69) 2000 + y2 else 1900 + y2
-      epochSecond(y, mon, d.toInt, h.toInt, mi.toInt, sec.toInt)
-    case Asctime(wd, mon, d, h, mi, sec, y) if wkdays(wd) =>
+    case Rfc850(wd, d, mon, yy, h, mi, sec)
+        if Dates.weekdaysLong(wd) =>
+      epochSecond(Dates.pivotYear(yy.toInt), mon, d.toInt, h.toInt,
+        mi.toInt, sec.toInt)
+    case Asctime(wd, mon, d, h, mi, sec, y)
+        if Dates.weekdaysShort(wd) =>
       epochSecond(y.toInt, mon, d.trim.toInt, h.toInt, mi.toInt,
         sec.toInt)
     case _ => None

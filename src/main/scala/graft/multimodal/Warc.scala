@@ -189,19 +189,37 @@ object Warc {
     * Header order is fixed (Type, Record-ID, Date, [Target-URI],
     * [Content-Type], Block-Digest, extras) so output is reproducible.
     */
+  // per-thread digest instance (the ExprHelpers.mdPool convention) —
+  // blockDigest runs twice per record in q233's per-row hot path and
+  // a getInstance() per call pays JCA provider lookup + allocation
+  private val sha1Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
   /** The `sha1:<base32>` digest value [[write]] emits for `body` —
     * public so a reader can re-derive and VERIFY it (q233).
     */
-  def blockDigest(body: Array[Byte]): String =
-    "sha1:" + base32(
-      java.security.MessageDigest.getInstance("SHA-1").digest(body))
+  def blockDigest(body: Array[Byte]): String = {
+    val md = sha1Pool.get()
+    md.reset()
+    "sha1:" + base32(md.digest(body))
+  }
 
   def write(warcType: String, date: String, body: Array[Byte],
       targetUri: Option[String] = None,
       contentType: Option[String] = None,
       extra: Seq[(String, String)] = Nil): Array[Byte] = {
-    val idSeed = (s"$warcType\n$date\n" +
-      targetUri.getOrElse("")).getBytes("UTF-8") ++ body
+    // the name-UUID seed covers EVERY field that distinguishes two
+    // logical records, newline-delimited (header values cannot carry
+    // a newline) with the body LENGTH-prefixed — without it,
+    // (uri="…/a", body="bc") and (uri="…/ab", body="c") would build
+    // identical seed bytes and collide on the globally-unique
+    // Record-ID ISO 28500 requires (review-r11 finding)
+    val idSeed = (s"$warcType\n$date\n${targetUri.getOrElse("")}\n" +
+      s"${contentType.getOrElse("")}\n" +
+      s"${extra.map { case (k, v) => s"$k=$v" }.mkString(",")}\n" +
+      s"${body.length}\n").getBytes("UTF-8") ++ body
     val id = java.util.UUID.nameUUIDFromBytes(idSeed)
     val headers =
       Seq("WARC-Type" -> warcType,

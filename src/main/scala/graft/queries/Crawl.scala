@@ -58,9 +58,16 @@ object Crawl {
       : DataFrame = {
     import s.implicits._
     import graft.text.Robots
-    pages.join(broadcast(rules), "host")
-      .select(col("host"), col("url"), col("path_q"), col("rules"),
-        col("delay_s"))
+    // LEFT join: a host with no rules row (robots.txt never fetched,
+    // or the fetch failed) is ALLOWED with no delay — the RFC 9309
+    // §2.3.1 default; an inner join would silently fail-closed and
+    // drop the host from the frontier (review-r11 finding)
+    pages.join(broadcast(rules), Seq("host"), "left_outer")
+      .select(col("host"), col("url"), col("path_q"),
+        coalesce(col("rules"),
+          array().cast("array<struct<_1:boolean,_2:string>>"))
+          .as("rules"),
+        coalesce(col("delay_s"), lit(0L)).as("delay_s"))
       .as[(String, String, String, Seq[(Boolean, String)], Long)]
       .flatMap { case (host, url, pathQ, rs, delay) =>
         if (Robots.evalRules(rs.map { case (a, p) => Robots.Rule(a, p) },
@@ -1380,8 +1387,13 @@ object Crawl {
         // the per-HOST robots dimension is STATIC state the frontier
         // maintains next to the stream (round 11: parse once per host;
         // the stream-static broadcast join is the production verdict
-        // path — round 10 re-parsed robots inside the per-URL flatMap)
+        // path — round 10 re-parsed robots inside the per-URL flatMap).
+        // localCheckpoint: a stream-static join re-executes the static
+        // side's PLAN per micro-batch — without pinning, "parse once
+        // per host" would really be once per host per batch plus a
+        // repeated corpus scan (review-r11 finding)
         val rules = hostRobots(s, table(s, d, "documents"))
+          .localCheckpoint()
         val pages = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .select(col("doc_id")).as[Long]

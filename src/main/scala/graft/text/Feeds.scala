@@ -47,10 +47,6 @@ object Feeds {
 
   final case class Parsed(kind: String, entries: Seq[Entry])
 
-  private val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
-    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
-  private val wkdays = Set("Mon", "Tue", "Wed", "Thu", "Fri", "Sat",
-    "Sun")
   private val namedZones = Set("GMT", "UT", "UTC", "Z", "EST", "EDT",
     "CST", "CDT", "MST", "MDT", "PST", "PDT")
 
@@ -63,10 +59,10 @@ object Feeds {
     */
   def rfc822Day(s: String): Option[Long] = s.trim match {
     case Rfc822(wd, d, mon, y, h, mi, sec, zone) =>
-      val mo = months.indexOf(mon) + 1
+      val mo = Dates.months.indexOf(mon) + 1
       val zoneOk = zone.head == '+' || zone.head == '-' ||
         namedZones(zone) || zone.length == 1 // military zone letter
-      val wdOk = wd == null || wkdays(wd)
+      val wdOk = wd == null || Dates.weekdaysShort(wd)
       val hh = h.toInt
       val mm = mi.toInt
       val ss = Option(sec).map(_.toInt).getOrElse(0)
@@ -74,9 +70,7 @@ object Feeds {
         hh > 23 || mm > 59 || ss > 60) None
       else {
         val yr =
-          if (y.length == 4) y.toInt
-          else if (y.toInt <= 69) 2000 + y.toInt
-          else 1900 + y.toInt
+          if (y.length == 4) y.toInt else Dates.pivotYear(y.toInt)
         try Some(java.time.LocalDate.of(yr, mo, d.toInt).toEpochDay)
         catch { case _: java.time.DateTimeException => None }
       }
@@ -126,7 +120,12 @@ object Feeds {
 
     def closeElement(name: String): Unit = {
       if (field != null && name == field) {
-        val v = Sitemap.decodeXml(text.toString).trim
+        // text runs were entity-decoded at APPEND time (an entity
+        // cannot span a '<' boundary, so per-run decode ≡ whole-buffer
+        // decode) while CDATA segments appended raw — decoding here
+        // would wrongly decode &amp; INSIDE CDATA, which a conformant
+        // parser returns literally (review-r11 finding)
+        val v = text.toString.trim
         field match {
           case "link" if kind != "feed" =>
             if (link.isEmpty) link = Some(v).filter(_.nonEmpty)
@@ -158,7 +157,8 @@ object Feeds {
       val lt = xml.indexOf('<', i)
       if (lt < 0) { i = n }
       else {
-        if (field != null && lt > i) text ++= xml.substring(i, lt)
+        if (field != null && lt > i)
+          text ++= Sitemap.decodeXml(xml.substring(i, lt))
         if (xml.startsWith("<!--", lt)) {
           val e = xml.indexOf("-->", lt + 4)
           i = if (e < 0) n else e + 3

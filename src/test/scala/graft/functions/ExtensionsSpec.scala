@@ -57,4 +57,23 @@ class ExtensionsSpec extends SparkSpec {
       fresh.sql("SELECT graft_canonical_url(42)").head)
     assert(e.getMessage.contains("string"), e.getMessage)
   }
+
+  test("wrong arity fails analysis instead of silently discarding " +
+      "arguments (review-r11)") {
+    val fresh = spark.newSession()
+    for (sql <- Seq(
+        "SELECT graft_canonical_url('http://x/', 'surplus')",
+        "SELECT graft_registrable_domain()",
+        "SELECT graft_robots_allowed('', 'bot', '/p', 'extra')",
+        "SELECT graft_jaccard(array('a'))",
+        "SELECT graft_nfc('a', 'b')")) {
+      val e = intercept[Exception](fresh.sql(sql).head)
+      assert(e.getMessage.contains("argument"), s"$sql -> ${e.getMessage}")
+    }
+    // the runtime register() path carries the same gate
+    GraftFunctions.register(fresh)
+    val e2 = intercept[Exception](
+      fresh.sql("SELECT graft_shingles('a b c', 'extra')").head)
+    assert(e2.getMessage.contains("argument"), e2.getMessage)
+  }
 }

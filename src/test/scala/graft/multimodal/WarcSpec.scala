@@ -186,5 +186,18 @@ class WarcSpec extends AnyFunSuite {
     val w3 = Warc.write("response", "2026-01-01T00:00:00Z",
       body :+ 'x'.toByte, Some("http://ex.test/p"))
     assert(Warc.parseSingle(w3).get.recordId != rec.recordId)
+    // the uri/body boundary-shift collision class (review-r11): the
+    // seed length-prefixes the body, so (uri+"a", "bc") never equals
+    // (uri+"ab", "c"); and contentType participates in the seed
+    val a = Warc.parseSingle(Warc.write("response", "d",
+      "bc".getBytes, Some("http://x/a"))).get.recordId
+    val b = Warc.parseSingle(Warc.write("response", "d",
+      "c".getBytes, Some("http://x/ab"))).get.recordId
+    assert(a != b)
+    val ct1 = Warc.parseSingle(Warc.write("response", "d",
+      "z".getBytes, Some("u"), Some("text/html"))).get.recordId
+    val ct2 = Warc.parseSingle(Warc.write("response", "d",
+      "z".getBytes, Some("u"), Some("text/plain"))).get.recordId
+    assert(ct1 != ct2)
   }
 }

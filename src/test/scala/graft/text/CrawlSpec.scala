@@ -43,6 +43,22 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("robotsGate fails OPEN: a host with no rules row is allowed " +
+      "with no delay (RFC 9309 §2.3.1 default), never dropped") {
+    val pages = Seq(
+      ("known.test", "http://known.test/a", "/a"),
+      ("unknown.test", "http://unknown.test/b", "/b"))
+      .toDF("host", "url", "path_q")
+    val rules = Seq(
+      ("known.test", Seq((false, "/a")), 3L))
+      .toDF("host", "rules", "delay_s")
+    val out = Crawl.robotsGate(spark, pages, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // known.test's /a is disallowed by its rules; unknown.test has no
+    // robots row and must survive with delay 0
+    assert(out == Map("unknown.test" -> 0L))
+  }
+
   test("evalRules over a pre-selected group equals isAllowed over the " +
       "full robots (the parse/evaluate split is lossless)") {
     import graft.text.Robots

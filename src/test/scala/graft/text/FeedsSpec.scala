@@ -52,6 +52,18 @@ class FeedsSpec extends AnyFunSuite {
     assert(p.entries(1) == Feeds.Entry("http://a.test/q", None, None))
   }
 
+  test("entities inside CDATA stay LITERAL (XML semantics); entities " +
+      "in plain text decode — per-run decode at append time") {
+    val p = Feeds.parse(
+      "<rss><channel><item>" +
+        "<link><![CDATA[http://a.test/?a=1&amp;b=2]]></link>" +
+        "<title>pre &amp; <![CDATA[raw &amp;]]> post &lt;x</title>" +
+        "</item></channel></rss>")
+    // a DOM parser returns the CDATA characters verbatim
+    assert(p.entries.head.link == "http://a.test/?a=1&amp;b=2")
+    assert(p.entries.head.title.contains("pre & raw &amp; post <x"))
+  }
+
   test("channel-level link/title never bleed into entries (RSS)") {
     // the channel's own <link>/<title> sit OUTSIDE any <item> and
     // must not seed the first entry
