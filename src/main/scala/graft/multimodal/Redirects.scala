@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import graft.text.Urls
+
+/** HTTP redirect-chain resolution (q235, T144) — the hop between a
+  * frontier's scheduled fetch and the document it actually lands on.
+  * Real crawls see 3xx on a large fraction of scheduled URLs; a
+  * frontier that does not follow chains (with the safety rails
+  * below) either loses those documents or loops forever. Composes
+  * the existing layers: status + headers from the T117 walk,
+  * `Location` resolved against the CURRENT url by the §5.4-conformant
+  * [[graft.text.Urls.resolve]] (RFC 9110 §10.2.2 explicitly allows a
+  * relative Location), every hop canonicalized by T120 so the
+  * loop-detection SEEN set runs on frontier keys, not raw strings.
+  *
+  * Outcomes:
+  *  - `ok` — a 2xx was reached; `finalUrl` is its canonical URL
+  *    (what the frontier records as the fetch's true identity)
+  *  - `loop` — a canonical URL repeated within the chain
+  *  - `too_many` — more than `maxHops` redirects (the crawler cap;
+  *    browsers use ~20, crawlers 5)
+  *  - `dangling` — a 3xx without a usable Location (absent,
+  *    non-hierarchical, or malformed after resolution)
+  *  - `retry` — 429/503 with the backoff surfaced: `Retry-After` as
+  *    delta-seconds, or as an HTTP-date minus the response's `Date`
+  *    (RFC 9110 §10.2.3 — both forms are legal; date form without a
+  *    parsable Date header yields no backoff)
+  *  - `error` — any other non-2xx/3xx terminal status
+  *  - `unfetchable` — the start URL rejects canonicalization, or a
+  *    hop's payload is missing/unparsable
+  *
+  * Pure per-row logic over archived exchanges — zero shuffle; at
+  * 100 TB the chain walk rides the same narrow map as the T117
+  * parse, and `finalUrl` feeds the T120 dedup key so a document
+  * reached via 5 different entry URLs is ONE document.
+  */
+object Redirects {
+
+  final case class Outcome(
+      status: String,
+      hops: Int,
+      finalUrl: Option[String],
+      backoffS: Option[Long])
+
+  /** Seconds of backoff a 429/503 response demands, if any. */
+  def retryAfterS(p: Array[Byte]): Option[Long] = {
+    val v = Http.headerAll(p, "Retry-After").headOption.map(_.trim)
+    v.flatMap { s =>
+      if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 9)
+        Some(s.toLong)
+      else for {
+        at <- Revisit.parseHttpDate(s)
+        d <- Http.headerAll(p, "Date").headOption
+          .flatMap(Revisit.parseHttpDate)
+      } yield math.max(0L, at - d)
+    }
+  }
+
+  /** Follow the redirect chain from `start`, fetching each canonical
+    * URL's raw response bytes through `fetch` (the crawl store / HTTP
+    * client seam; None = nothing archived for that URL).
+    */
+  def follow(start: String, fetch: String => Option[Array[Byte]],
+      maxHops: Int = 5): Outcome = {
+    var cur = Urls.canonicalize(start).getOrElse(
+      return Outcome("unfetchable", 0, None, None))
+    val seen = scala.collection.mutable.Set(cur)
+    var hops = 0
+    while (true) {
+      val p = fetch(cur).getOrElse(
+        return Outcome("unfetchable", hops, None, None))
+      val r = Http.parseResponse(p).getOrElse(
+        return Outcome("unfetchable", hops, None, None))
+      r.status match {
+        case s if s >= 200 && s <= 299 =>
+          return Outcome("ok", hops, Some(cur), None)
+        case s if s >= 300 && s <= 399 =>
+          val next = Http.headerAll(p, "Location").headOption
+            .flatMap(loc => Urls.resolve(cur, loc))
+            .flatMap(Urls.canonicalize)
+          next match {
+            case None =>
+              return Outcome("dangling", hops, None, None)
+            case Some(n) =>
+              if (hops + 1 > maxHops)
+                return Outcome("too_many", hops, None, None)
+              if (!seen.add(n))
+                return Outcome("loop", hops + 1, None, None)
+              cur = n
+              hops += 1
+          }
+        case s if s == 429 || s == 503 =>
+          return Outcome("retry", hops, None, retryAfterS(p))
+        case _ =>
+          return Outcome("error", hops, None, None)
+      }
+    }
+    Outcome("unfetchable", hops, None, None) // unreachable
+  }
+}

@@ -187,6 +187,39 @@ object Crawl {
       .toDF("doc_id", "src_host", "dst_host")
   }
 
+  /** Shared builder (q230/q237): weighted integer PageRank over the
+    * [[hostLinks]] host graph — 5 unrolled iterations, ranks scaled
+    * 1e9, damping 85/100, per-edge contribution pr·w DIV out_weight;
+    * all integer division + associative sums, bit-identical
+    * cross-engine (q143's discipline). The localCheckpoint pins the
+    * corpus extraction so the 5 rank rounds consume the tiny edge
+    * frame, not 5 re-parses; everything after the extraction is
+    * host-graph-sized (broadcast by AQE). Returns (host, pr).
+    */
+  def hostRank(s: SparkSession, docs: DataFrame): DataFrame = {
+    val edges = hostLinks(s, docs)
+      .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    val nodes = docs
+      .select(concat(lit("ex"), col("doc_id") % 97, lit(".test"))
+        .as("h")).distinct()
+    var ranks = nodes.withColumn("pr", lit(1000000000L))
+    for (_ <- 1 to 5) {
+      val sums = edges.join(outW, "src")
+        .join(ranks.withColumnRenamed("h", "src"), "src")
+        .select(col("dst").as("h"),
+          expr("(pr * w) div ow").as("c"))
+        .groupBy(col("h")).agg(sum(col("c")).as("in_c"))
+      ranks = nodes.join(sums, Seq("h"), "left")
+        .select(col("h"),
+          (lit(150000000L) +
+            expr("(coalesce(in_c, 0L) * 85) div 100")).as("pr"))
+    }
+    ranks.select(col("h").as("host"), col("pr"))
+  }
+
   /** Shared builder: per-doc chat conversations rendered + truncated
     * through the REAL T136 pipeline → (doc_id, n_kept, n_trainable).
     * q227 emits the full verdict row; q228 packs these.
@@ -1477,34 +1510,8 @@ object Crawl {
         SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host, pr
         FROM pr5 ORDER BY host"""
       },
-      (s, d) => {
-        import s.implicits._
-        val docs = table(s, d, "documents")
-        // host-grain edge weights from the REAL link pipeline; the
-        // localCheckpoint pins the corpus extraction so the 5 rank
-        // rounds consume the 291-row edge frame, not 5 re-parses
-        val edges = hostLinks(s, docs)
-          .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
-          .agg(count(lit(1)).as("w"))
-          .localCheckpoint()
-        val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
-        val nodes = docs
-          .select(concat(lit("ex"), col("doc_id") % 97, lit(".test"))
-            .as("h")).distinct()
-        var ranks = nodes.withColumn("pr", lit(1000000000L))
-        for (_ <- 1 to 5) {
-          val sums = edges.join(outW, "src")
-            .join(ranks.withColumnRenamed("h", "src"), "src")
-            .select(col("dst").as("h"),
-              expr("(pr * w) div ow").as("c"))
-            .groupBy(col("h")).agg(sum(col("c")).as("in_c"))
-          ranks = nodes.join(sums, Seq("h"), "left")
-            .select(col("h"),
-              (lit(150000000L) +
-                expr("(coalesce(in_c, 0L) * 85) div 100")).as("pr"))
-        }
-        ranks.select(col("h").as("host"), col("pr")).orderBy("host")
-      }),
+      (s, d) =>
+        hostRank(s, table(s, d, "documents")).orderBy("host")),
 
     Q("q231_revisit_gate",
       "HTTP revisit validators — the RFC 9111 conditional-GET decision " +
@@ -1829,6 +1836,193 @@ object Crawl {
             md5(concat_ws(',', sort_array(collect_list(cu))))
               AS order_md5
           FROM gate GROUP BY host, delay_s ORDER BY host""")
+      }),
+
+    Q("q235_redirect_chains",
+      "HTTP redirect-chain resolution (T144, multimodal.Redirects — " +
+        "the hop between a frontier's scheduled fetch and the " +
+        "document it lands on; a real crawl sees 3xx on a large " +
+        "fraction of scheduled URLs): per doc, a simulated site of " +
+        "REAL rendered responses exercises one of six chain shapes — " +
+        "a 2-hop chain whose first Location is RELATIVE (RFC 9110 " +
+        "§10.2.2, resolved against the current URL by the T129 " +
+        "resolver) and whose second crosses hosts; a canonical-key " +
+        "loop (the messy variant of a seen URL must trip the SEEN " +
+        "set); a 10-deep chain cut by the 5-hop crawler cap; a " +
+        "Location-less dangling 301; a 503/429 carrying Retry-After " +
+        "in BOTH legal forms (delta-seconds on even docs, HTTP-date " +
+        "minus Date on odd); and a terminal 404. Every outcome " +
+        "(status, hop count, canonical final URL, backoff seconds) " +
+        "closed-form in doc_id. Zero shuffle — the chain walk rides " +
+        "the T117 narrow map, and final_url feeds the T120 dedup key " +
+        "so five entry URLs reaching one document count ONCE",
+      Some("""SELECT doc_id,
+          CASE doc_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'loop'
+            WHEN 2 THEN 'too_many' WHEN 3 THEN 'dangling'
+            WHEN 4 THEN 'retry' ELSE 'error' END AS status,
+          CAST(CASE doc_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 2
+            WHEN 2 THEN 5 ELSE 0 END AS BIGINT) AS hops,
+          CASE WHEN doc_id % 6 = 0 THEN 'http://ex' ||
+            CAST((doc_id % 97 + 1) % 97 AS VARCHAR) || '.test/final' ||
+            CAST(doc_id AS VARCHAR) END AS final_url,
+          CAST(CASE WHEN doc_id % 6 = 4 THEN 120 END AS BIGINT)
+            AS backoff_s
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Http, Redirects}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            def resp(st: Int, hs: (String, String)*) =
+              Http.render(st, "x", hs.toSeq, Array.empty[Byte])
+            val (start, site) = (id % 6) match {
+              case 0 => (s"HTTP://EX$g.TEST:80/dir/s$id#x", Map(
+                s"http://ex$g.test/dir/s$id" ->
+                  resp(301, "Location" -> "../r1"),
+                s"http://ex$g.test/r1" -> resp(302, "Location" ->
+                  s"http://ex${(g + 1) % 97}.test/final$id"),
+                s"http://ex${(g + 1) % 97}.test/final$id" ->
+                  resp(200)))
+              case 1 => (s"http://ex$g.test/a$id", Map(
+                s"http://ex$g.test/a$id" ->
+                  resp(301, "Location" -> s"/b$id"),
+                s"http://ex$g.test/b$id" -> resp(301,
+                  "Location" -> s"HTTP://EX$g.TEST:80/a$id#f")))
+              case 2 => ((s"http://ex$g.test/h0", (0 to 9).map(k =>
+                s"http://ex$g.test/h$k" ->
+                  resp(301, "Location" -> s"/h${k + 1}")).toMap))
+              case 3 => (s"http://ex$g.test/d$id", Map(
+                s"http://ex$g.test/d$id" -> resp(301)))
+              case 4 =>
+                val ra = if (id % 2 == 0) Seq("Retry-After" -> "120")
+                else Seq(
+                  "Retry-After" -> "Tue, 14 Nov 2023 22:15:20 GMT",
+                  "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT")
+                (s"http://ex$g.test/r$id", Map(
+                  s"http://ex$g.test/r$id" -> resp(503, ra: _*)))
+              case _ => (s"http://ex$g.test/e$id", Map(
+                s"http://ex$g.test/e$id" -> resp(404)))
+            }
+            val o = Redirects.follow(start, site.get)
+            (id, o.status, o.hops.toLong, o.finalUrl.orNull,
+              o.backoffS.map(java.lang.Long.valueOf).orNull)
+          }
+          .toDF("doc_id", "status", "hops", "final_url", "backoff_s")
+          .orderBy("doc_id")
+      }),
+
+    Q("q236_tracking_param_dedup",
+      "tracking-parameter canonicalization (T145, Urls.stripTracking " +
+        "— the dedup-grade canonical key): campaign URLs differ only " +
+        "in utm_*/click-id parameters, so a frontier keyed on the " +
+        "plain T120 canonical fetches every campaign variant " +
+        "separately and a dedup keyed on it stores each one. Per " +
+        "doc, each target URL arrives as THREE variants — " +
+        "utm_source'd, a messy-cased utm_campaign+gclid+fragment " +
+        "form, and a trailing-dot-host clean form — that must " +
+        "collapse to ONE stripped canonical (real params like id=7 " +
+        "survive; a param VALUE mentioning utm_ is untouched). " +
+        "Output: raw count, distinct stripped keys, the keys " +
+        "themselves — one surviving variant or one lost real param " +
+        "hash-fails. Zero shuffle, pure per-row work beside T120",
+      Some("""WITH e AS (SELECT doc_id, doc_id % 97 AS g, j.j AS j
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1)
+        SELECT doc_id,
+          CAST(3 * (doc_id % 3 + 1) AS BIGINT) AS n_raw,
+          CAST(doc_id % 3 + 1 AS BIGINT) AS n_keys,
+          string_agg('http://ex' || CAST(g AS VARCHAR) || '.test/t' ||
+              CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) ||
+              '?id=7', ',' ORDER BY j) AS keys
+        FROM e GROUP BY doc_id, g ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Urls
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val raws = (0 until (id % 3 + 1).toInt).flatMap(j => Seq(
+              s"http://ex$g.test/t$id/$j?id=7&utm_source=news",
+              s"HTTP://EX$g.TEST:80/t$id/$j?utm_campaign=x&id=7" +
+                "&gclid=Z#f",
+              s"http://ex$g.test./t$id/$j?id=7"))
+            val keys = raws.flatMap(Urls.stripTracking)
+              .distinct.sorted
+            (id, raws.length.toLong, keys.length.toLong,
+              keys.mkString(","))
+          }
+          .toDF("doc_id", "n_raw", "n_keys", "keys")
+          .orderBy("doc_id")
+      }),
+
+    Q("q237_crawl_budget",
+      "crawl budget allocation (T146 — the composition that makes " +
+        "q230's ranks OPERATIONAL): a global fetch budget of 100,000 " +
+        "is split across hosts proportionally to their PageRank by " +
+        "LARGEST-REMAINDER apportionment (T78's discipline): floor " +
+        "shares (B·pr DIV Σpr, exact integer cross-multiplication), " +
+        "then the leftover B − Σfloors goes +1 each to the largest " +
+        "remainders (rem desc, host asc tiebreak) — quotas sum to B " +
+        "EXACTLY, no float shares, bit-identical cross-engine. The " +
+        "oracle re-runs the full rank pipeline AND the apportionment, " +
+        "so one mis-ranked host or one misallocated unit hash-fails. " +
+        "Scale shape: ranks ride the q230 pipeline; the apportionment " +
+        "is a hosts-sized frame (the remainder rank is a window over " +
+        "HOSTS, never pages — millions of rows at 100 TB, one " +
+        "ordered pass)",
+      Some {
+        val prIters = (1 to 5).map { k =>
+          s"""pr$k AS (SELECT n0.h,
+            CAST(150000000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT)
+              AS pr
+          FROM n0 LEFT JOIN (SELECT e.dst AS h,
+              SUM((p.pr * e.w) // ow.ow) AS c
+            FROM e JOIN pr${k - 1} p ON e.src = p.h
+            JOIN ow ON e.src = ow.src GROUP BY e.dst) s USING (h))"""
+        }.mkString(",\n        ")
+        s"""WITH o AS (SELECT * FROM (VALUES (1, 1), (2, 1), (0, 5))
+            t(off, w)),
+          l AS (SELECT doc_id % 97 AS g,
+              (doc_id % 97 + o.off) % 97 AS dg, o.w
+            FROM documents, o),
+          e AS (SELECT g AS src, dg AS dst, CAST(SUM(w) AS BIGINT) AS w
+            FROM l GROUP BY g, dg),
+          ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+          n0 AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+          pr0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS pr FROM n0),
+          $prIters,
+          tot AS (SELECT SUM(pr) AS sp FROM pr5),
+          alloc AS (SELECT h, pr,
+              (100000 * pr) // sp AS fl,
+              (100000 * pr) % sp AS rem
+            FROM pr5, tot),
+          lo AS (SELECT 100000 - SUM(fl) AS lft FROM alloc),
+          r AS (SELECT h, pr, fl,
+              row_number() OVER (ORDER BY rem DESC, h) AS rk
+            FROM alloc)
+        SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host,
+          pr,
+          CAST(fl + CASE WHEN rk <= (SELECT lft FROM lo) THEN 1
+            ELSE 0 END AS BIGINT) AS quota
+        FROM r ORDER BY host"""
+      },
+      (s, d) => {
+        val ranks = hostRank(s, table(s, d, "documents"))
+          .localCheckpoint() // three consumers: total, floors, window
+        val tot = ranks.agg(sum(col("pr")).as("sp"))
+        val a = ranks.crossJoin(broadcast(tot))
+          .select(col("host"), col("pr"),
+            expr("(100000 * pr) div sp").as("fl"),
+            expr("(100000 * pr) % sp").as("rem"))
+        val lo = a.agg((lit(100000L) - sum(col("fl"))).as("lft"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("host"))
+        a.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(lo))
+          .select(col("host"), col("pr"),
+            (col("fl") + when(col("rk") <= col("lft"), 1L)
+              .otherwise(0L)).as("quota"))
+          .orderBy("host")
       })
   )
 }

@@ -244,4 +244,43 @@ object Urls {
     query.foreach(qq => sb += '?' ++= qq)
     sb.toString
   }
+
+  /** The tracking-parameter vocabulary [[stripTracking]] removes:
+    * the `utm_*` campaign family by PREFIX plus the per-platform
+    * click identifiers every large crawl sees (documented subset —
+    * deployment swaps in its own list the way PublicSuffix swaps in
+    * the full rule file). Matching is case-insensitive on the key.
+    */
+  val TrackingParams: Set[String] = Set("fbclid", "gclid", "dclid",
+    "msclkid", "mc_eid", "igshid", "yclid", "twclid", "wbraid",
+    "gbraid", "ref_src", "spm")
+
+  /** Canonicalize + drop tracking query parameters (q236, T145) —
+    * the dedup-grade canonical key: `?utm_source=x&id=3` and
+    * `?utm_source=y&id=3` are the SAME document to a crawler, and a
+    * frontier that keys on the plain canonical form fetches (and a
+    * dedup that keys on it stores) every campaign variant separately.
+    * A parameter is dropped when its key (the part before `=`, after
+    * escape normalization) is `utm_`-prefixed or in
+    * [[TrackingParams]]; everything else, including the rest of the
+    * canonicalization, is [[canonicalize]] verbatim. None exactly
+    * when canonicalize rejects.
+    */
+  def stripTracking(url: String): Option[String] =
+    canonicalize(url).map { cu =>
+      val q = cu.indexOf('?')
+      if (q < 0) cu
+      else {
+        val kept = cu.substring(q + 1).split('&').filter { param =>
+          val key = param.indexOf('=') match {
+            case -1 => param
+            case e => param.substring(0, e)
+          }
+          val k = key.toLowerCase
+          !(k.startsWith("utm_") || TrackingParams(k))
+        }
+        if (kept.isEmpty) cu.substring(0, q)
+        else cu.substring(0, q) + "?" + kept.mkString("&")
+      }
+    }
 }

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees for redirect-chain resolution (q235, T144): relative
+  * Location resolution, canonical-key loop detection, the hop cap,
+  * dangling/error terminals, and both RFC 9110 §10.2.3 Retry-After
+  * forms.
+  */
+class RedirectsSpec extends AnyFunSuite {
+
+  private def resp(status: Int, headers: (String, String)*)
+      : Array[Byte] =
+    Http.render(status, "x", headers.toSeq, Array.empty[Byte])
+
+  test("chain: relative Location resolves against the CURRENT url, " +
+      "cross-host absolute hops, final 200 canonicalized") {
+    val site = Map(
+      "http://a.test/dir/start" ->
+        resp(301, "Location" -> "../r1"), // relative (RFC 9110 allows)
+      "http://a.test/r1" ->
+        resp(302, "Location" -> "HTTP://B.TEST:80/r2#frag"),
+      "http://b.test/r2" -> resp(200))
+    val o = Redirects.follow("HTTP://A.TEST:80/dir/start", site.get)
+    assert(o == Redirects.Outcome("ok", 2,
+      Some("http://b.test/r2"), None))
+  }
+
+  test("loop detected on CANONICAL keys (messy variant of a seen " +
+      "url loops), too_many at the cap, dangling forms") {
+    val loop = Map(
+      "http://a.test/a" -> resp(301, "Location" -> "/b"),
+      "http://a.test/b" ->
+        resp(301, "Location" -> "HTTP://A.TEST:80/a#f")) // seen /a
+    assert(Redirects.follow("http://a.test/a", loop.get).status ==
+      "loop")
+    val deep = (0 to 9).map(k => s"http://a.test/h$k" ->
+      resp(301, "Location" -> s"/h${k + 1}")).toMap
+    val tm = Redirects.follow("http://a.test/h0", deep.get)
+    assert(tm.status == "too_many" && tm.hops == 5)
+    // dangling: no Location / non-hierarchical Location
+    assert(Redirects.follow("http://a.test/x",
+      Map("http://a.test/x" -> resp(301)).get).status == "dangling")
+    assert(Redirects.follow("http://a.test/y",
+      Map("http://a.test/y" -> resp(302,
+        "Location" -> "mailto:a@b.c")).get).status == "dangling")
+  }
+
+  test("retry: delta-seconds and HTTP-date Retry-After; error and " +
+      "unfetchable terminals") {
+    val r1 = Redirects.follow("http://a.test/r",
+      Map("http://a.test/r" -> resp(503,
+        "Retry-After" -> "120")).get)
+    assert(r1 == Redirects.Outcome("retry", 0, None, Some(120L)))
+    val r2 = Redirects.follow("http://a.test/r",
+      Map("http://a.test/r" -> resp(429,
+        "Retry-After" -> "Tue, 14 Nov 2023 22:15:20 GMT",
+        "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT")).get)
+    assert(r2.backoffS.contains(120L))
+    // date form without a parsable Date header -> no backoff value
+    val r3 = Redirects.follow("http://a.test/r",
+      Map("http://a.test/r" -> resp(503,
+        "Retry-After" -> "Tue, 14 Nov 2023 22:15:20 GMT")).get)
+    assert(r3.status == "retry" && r3.backoffS.isEmpty)
+    assert(Redirects.follow("http://a.test/e",
+      Map("http://a.test/e" -> resp(404)).get).status == "error")
+    assert(Redirects.follow("http://a.test/gone",
+      (_: String) => None).status == "unfetchable")
+    assert(Redirects.follow("mailto:a@b.c",
+      (_: String) => None).status == "unfetchable")
+    // a redirect INTO a missing page is unfetchable at hop 1
+    val part = Map("http://a.test/p" -> resp(301, "Location" -> "/q"))
+    val o = Redirects.follow("http://a.test/p", part.get)
+    assert(o.status == "unfetchable" && o.hops == 1)
+  }
+}

@@ -80,6 +80,26 @@ class UrlsSpec extends AnyFunSuite {
       assert(Urls.canonicalize(u).isEmpty, u)
   }
 
+  test("stripTracking: utm_ prefix family and click ids drop, real " +
+      "params survive, bare '?' drops when all params were tracking, " +
+      "rejects mirror canonicalize (T145)") {
+    def st(u: String) = Urls.stripTracking(u)
+    assert(st("HTTP://Ex.TEST:80/p?utm_source=x&id=3&fbclid=abc#f")
+      .contains("http://ex.test/p?id=3"))
+    // case-insensitive keys; valueless params; utm alone -> no query
+    assert(st("http://ex.test/p?UTM_CAMPAIGN=c&GCLID")
+      .contains("http://ex.test/p"))
+    // a non-tracking param whose VALUE mentions utm_ survives
+    assert(st("http://ex.test/p?q=utm_source&id=3")
+      .contains("http://ex.test/p?id=3&q=utm_source"))
+    // no query at all passes through canonicalize verbatim
+    assert(st("http://ex.test/p") .contains("http://ex.test/p"))
+    assert(st("mailto:a@b.c").isEmpty)
+    // idempotent and a strict refinement of canonicalize
+    val u = "http://ex.test/p?b=2&utm_x=1&a=1"
+    assert(st(u) == st(st(u).get))
+  }
+
   test("idempotence: canonicalize(canonicalize(u)) == canonicalize(u) " +
       "over 300 seeded messy URLs") {
     for (seed <- 0 until 300) {
