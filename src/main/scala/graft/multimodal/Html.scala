@@ -47,10 +47,13 @@ object Html {
                              // order, entity-decoded, capped at 256 —
                              // the T129 link-graph feed (nLinks keeps
                              // the uncapped count)
-      blocks: Seq[Block] = Nil) // the text lines AS BLOCKS, each with
+      blocks: Seq[Block] = Nil, // the text lines AS BLOCKS, each with
                              // its anchor-text char count — the T132
                              // content-extraction feed. text above ==
                              // blocks.map(_.text).mkString("\n")
+      feeds: Seq[String] = Nil) // <link rel=alternate type=rss/atom>
+                             // href values (decoded, capped at 16) —
+                             // the T147 feed-autodiscovery capture
 
   /** One rendered block (text line) with the count of its non-
     * whitespace characters that sat inside an href-bearing `<a>` —
@@ -145,6 +148,7 @@ object Html {
     var nNofollow = 0
     val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val feeds = scala.collection.mutable.ArrayBuffer.empty[String]
     // per-line anchor-text accounting (T132 link density): chars
     // emitted while inside an href-bearing <a> are link chars
     val lineLinks = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -277,6 +281,19 @@ object Html {
             case _ =>
           }
         }
+        // feed AUTODISCOVERY (T147): <link rel="alternate"
+        // type="application/rss+xml|atom+xml" href=…> is how pages
+        // advertise their feeds; rel is a space/comma token list,
+        // type matches case-insensitively, href entity-decodes like
+        // every captured URL. Links inside comments/rawtext never
+        // reach here (the scanner already skipped them)
+        if (name == "link" && feeds.length < 16 &&
+            attrVals.get("rel").exists(v => relSep.split(v)
+              .exists(_.equalsIgnoreCase("alternate"))) &&
+            attrVals.get("type").map(_.trim.toLowerCase).exists(t =>
+              t == "application/rss+xml" || t == "application/atom+xml"))
+          attrVals.get("href").map(h => decodeAll(h).trim)
+            .filter(_.nonEmpty).foreach(feeds += _)
         if (block(name)) { out += '\n'; newline() }
         i = past
         if (name == "title" && !selfClosed) {
@@ -304,7 +321,7 @@ object Html {
       .filter(_.text.nonEmpty)
       .toSeq
     Extracted(title, blocks.map(_.text).mkString("\n"), nLinks, nTags,
-      metas.toSeq, nNofollow, hrefs.toSeq, blocks)
+      metas.toSeq, nNofollow, hrefs.toSeq, blocks, feeds.toSeq)
   }
 
   /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */

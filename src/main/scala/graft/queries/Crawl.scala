@@ -2023,6 +2023,86 @@ object Crawl {
             (col("fl") + when(col("rk") <= col("lft"), 1L)
               .otherwise(0L)).as("quota"))
           .orderBy("host")
+      }),
+
+    Q("q238_feed_autodiscovery",
+      "feed AUTODISCOVERY → parse composition (T147 — how a frontier " +
+        "actually FINDS the T141 feeds: pages advertise them as " +
+        "<link rel=alternate type=application/rss+xml|atom+xml>): per " +
+        "doc, an HTML page advertising an RSS feed by RELATIVE href " +
+        "(plus, on odd docs, an Atom feed by protocol-relative href) " +
+        "among four decoys — rel=stylesheet, alternate-with-text/html " +
+        "type, a commented-out feed link, an href-less link — is " +
+        "scanned by the T118 extractor's new feeds capture, each " +
+        "advertised URL resolves against the page base (T129) and " +
+        "canonicalizes (T120), the feed body is fetched from the " +
+        "simulated store and parsed by T141, and the discovered " +
+        "entry links roll up per doc. One decoy leaking, one " +
+        "mis-resolved href, or one lost entry hash-fails. Zero " +
+        "shuffle — the full discover→fetch→parse loop is one narrow " +
+        "map, the production shape",
+      Some("""SELECT doc_id,
+          CAST(1 + doc_id % 2 AS BIGINT) AS n_feeds,
+          CAST(2 + doc_id % 2 AS BIGINT) AS n_entries,
+          CASE WHEN doc_id % 2 = 1 THEN
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/fa' ||
+              CAST(doc_id AS VARCHAR) || ',' ELSE '' END ||
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/fi' ||
+              CAST(doc_id AS VARCHAR) || '/0,' ||
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/fi' ||
+              CAST(doc_id AS VARCHAR) || '/1' AS links
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Html
+        import graft.text.{Feeds, Urls}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val base = s"http://ex$g.test/page$id"
+            val page =
+              "<head>" +
+                "<link rel=\"alternate\" " +
+                "type=\"application/rss+xml\" " +
+                s"""href="/feeds/f$id.xml">""" +
+                (if (id % 2 == 1)
+                  "<link rel=\"alternate\" " +
+                    "type=\"APPLICATION/ATOM+XML\" " +
+                    s"""href="//ex$g.test/feeds/a$id"/>"""
+                else "") +
+                "<link rel=\"stylesheet\" type=\"text/css\" " +
+                "href=\"/s.css\">" +
+                "<link rel=\"alternate\" type=\"text/html\" " +
+                "href=\"/mobile\">" +
+                "<!-- <link rel=\"alternate\" " +
+                "type=\"application/rss+xml\" href=\"/decoy\"> -->" +
+                "<link rel=\"alternate\" " +
+                "type=\"application/rss+xml\"></head>" +
+                s"<body><p>page $id</p></body>"
+            val store = Map(
+              s"http://ex$g.test/feeds/f$id.xml" ->
+                ("<rss><channel>" +
+                  s"<item><link>http://ex$g.test/fi$id/0</link>" +
+                  "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>" +
+                  "</item>" +
+                  s"<item><link>http://ex$g.test/fi$id/1</link>" +
+                  "</item></channel></rss>"),
+              s"http://ex$g.test/feeds/a$id" ->
+                ("<feed><entry>" +
+                  s"""<link href="http://ex$g.test/fa$id"/>""" +
+                  "<updated>2024-06-15T00:00:00Z</updated>" +
+                  "</entry></feed>"))
+            val feedUrls = Html.extractText(page).feeds
+              .flatMap(h => Urls.resolve(base, h))
+              .flatMap(Urls.canonicalize)
+            val entries = feedUrls.flatMap(u =>
+              store.get(u).map(Feeds.parse).toSeq
+                .flatMap(_.entries.map(_.link)))
+            (id, feedUrls.length.toLong, entries.length.toLong,
+              entries.sorted.mkString(","))
+          }
+          .toDF("doc_id", "n_feeds", "n_entries", "links")
+          .orderBy("doc_id")
       })
   )
 }

@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -86,6 +86,7 @@ object ScaleProbe {
     val doR16 = fam == "all" || fam == "r16"
     val doR17 = fam == "all" || fam == "r17"
     val doR18 = fam == "all" || fam == "r18"
+    val doR19 = fam == "all" || fam == "r19"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1362,6 +1363,22 @@ object ScaleProbe {
               concat(lit(" v"), col("rep"), lit(" ")))).as("text"))
       time(s"source overlap matrix @${mult}x") {
         graft.queries.Crawl.sourceOverlap(spark, docsS).count()
+      }
+      }
+
+      if (doR19) {
+      // --- round-11: the q230/q237 rank→budget pipeline (shipped
+      // builders). Host space FIXED (97 hosts, 291 edges) while the
+      // corpus replicates — the prediction: the link EXTRACTION is
+      // the corpus-linear narrow map the frontier already pays, and
+      // everything after (5 rank rounds + the apportionment window)
+      // is host-graph-sized, so shuffle rows stay ~FLAT while wall
+      // tracks the extraction scan.
+      val docsF19 = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"))
+      time(s"host rank (5 PR rounds) @${mult}x") {
+        graft.queries.Crawl.hostRank(spark, docsF19).count()
       }
       }
 

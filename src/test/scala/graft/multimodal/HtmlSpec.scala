@@ -118,6 +118,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.text == "a�b �c")
   }
 
+  test("feed autodiscovery: rel=alternate + rss/atom type captured " +
+      "(rel token list, case-insensitive type, entity-decoded href); " +
+      "stylesheet/wrong-type/comment/href-less decoys never leak") {
+    val e = Html.extractText(
+      "<head><link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=\"/feed.xml?a=1&amp;b=2\">" +
+        "<link rel=\"ALTERNATE stylesheet\" " +
+        "type=\"APPLICATION/ATOM+XML\" href=\"/atom\"/>" +
+        "<link rel=\"stylesheet\" type=\"text/css\" href=\"/s.css\">" +
+        "<link rel=\"alternate\" type=\"text/html\" href=\"/mobile\">" +
+        "<!-- <link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=\"/decoy\"> -->" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\">" +
+        "</head>")
+    assert(e.feeds == Seq("/feed.xml?a=1&b=2", "/atom"))
+  }
+
   test("escape/extract round trip on every printable ASCII char") {
     val nasty = (0x20 to 0x7e).map(_.toChar).mkString
     val e = Html.extractText(s"<p>${Html.escape(nasty)}</p>")
