@@ -2103,6 +2103,104 @@ object Crawl {
           }
           .toDF("doc_id", "n_feeds", "n_entries", "links")
           .orderBy("doc_id")
+      }),
+
+    Q("q239_stream_crawl_ledger",
+      "STREAMING per-URL crawl ledger (T148 — the standing state a " +
+        "frontier keeps between q231 revisit decisions and q224 " +
+        "recrawls): fetch-result events (url, ts, status, etag) " +
+        "arrive in FOUR genuine micro-batches; each batch partial-" +
+        "aggregates and MERGES into the standing ledger (fetch/error " +
+        "counts summed, first_ts min'd, the LATEST status/etag " +
+        "carried by a lexicographic struct-max on the unique ts — " +
+        "every merge op is associative, so the drained ledger is " +
+        "arrival-order-FREE and the batch groupBy oracle hash-matches " +
+        "it exactly, the q126/q187 drained-equals-batch discipline). " +
+        "The ledger then emits the frontier action per URL: " +
+        "quarantine when errors reach a third of fetches (integer " +
+        "cross-multiply), skip when the origin last said 304, else " +
+        "refetch. Scale shape per batch: ONE url-keyed exchange of " +
+        "batch-sized partials + the ledger merge keyed the same way " +
+        "— state grows with URLS, never with fetch history",
+      Some("""WITH e AS (SELECT doc_id % 120 AS k, doc_id AS ts,
+            CASE WHEN doc_id % 7 = 0 THEN 500
+                 WHEN doc_id % 5 = 0 THEN 304 ELSE 200 END AS status,
+            'e' || CAST(doc_id % 13 AS VARCHAR) AS etag
+          FROM documents),
+        g AS (SELECT k, COUNT(*) AS n_fetches,
+            SUM(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS n_errors,
+            MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          FROM e GROUP BY k)
+        SELECT 'http://ex' || CAST(g.k % 97 AS VARCHAR) || '.test/u' ||
+            CAST(g.k AS VARCHAR) AS url,
+          CAST(n_fetches AS BIGINT) AS n_fetches,
+          CAST(n_errors AS BIGINT) AS n_errors,
+          CAST(first_ts AS BIGINT) AS first_ts,
+          CAST(last_ts AS BIGINT) AS last_ts,
+          CAST(le.status AS BIGINT) AS last_status,
+          le.etag AS last_etag,
+          CASE WHEN 3 * n_errors >= n_fetches THEN 'quarantine'
+               WHEN le.status = 304 THEN 'skip'
+               ELSE 'refetch' END AS action
+        FROM g JOIN e le ON le.k = g.k AND le.ts = g.last_ts
+        ORDER BY url"""),
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.Trigger
+        val events = table(s, d, "documents").select(
+          concat(lit("http://ex"), (col("doc_id") % 120) % 97,
+            lit(".test/u"), col("doc_id") % 120).as("url"),
+          col("doc_id").as("ts"),
+          when(col("doc_id") % 7 === 0, 500)
+            .when(col("doc_id") % 5 === 0, 304)
+            .otherwise(200).as("status"),
+          concat(lit("e"), col("doc_id") % 13).as("etag"))
+        // one ledger row per URL: counts + min + the ts-keyed struct
+        // max (ts is unique per event, so "latest" is deterministic
+        // and the max is associative across any batch split)
+        def toLedger(df: DataFrame): DataFrame =
+          df.groupBy("url").agg(
+            count(lit(1)).as("n_fetches"),
+            sum(when(col("status") >= 500, 1L).otherwise(0L))
+              .as("n_errors"),
+            min(col("ts")).as("first_ts"),
+            max(struct(col("ts"), col("status"), col("etag")))
+              .as("last"))
+        def merge(a: DataFrame, b: DataFrame): DataFrame =
+          a.union(b).groupBy("url").agg(
+            sum("n_fetches").as("n_fetches"),
+            sum("n_errors").as("n_errors"),
+            min("first_ts").as("first_ts"),
+            max("last").as("last"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          var ledger = toLedger(events.limit(0)).localCheckpoint()
+          val inDir = Common.scratchDir("ledger_in", d)
+          events.repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(inDir)
+          val chkDir = Common.scratchDir("ledger_chk", d)
+          val q = s.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$chkDir/_chk")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              ledger = merge(ledger, toLedger(batch)).localCheckpoint()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          ledger.select(col("url"), col("n_fetches"), col("n_errors"),
+            col("first_ts"),
+            col("last.ts").as("last_ts"),
+            col("last.status").cast("long").as("last_status"),
+            col("last.etag").as("last_etag"),
+            when(lit(3) * col("n_errors") >= col("n_fetches"),
+              "quarantine")
+              .when(col("last.status") === 304, "skip")
+              .otherwise("refetch").as("action"))
+            .orderBy("url")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       })
   )
 }
