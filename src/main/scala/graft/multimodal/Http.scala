@@ -45,6 +45,45 @@ object Http {
       _.split(",").lastOption.exists(_.trim.equalsIgnoreCase("chunked")))
   }
 
+  /** Status code + the collected header list in ONE walk — the
+    * lightweight reader for consumers that need several headers but
+    * no body witnesses (the redirect follower reads status, Location,
+    * Retry-After and Date per hop; going through [[parseResponse]] +
+    * [[headerAll]]×3 walked the bytes four times AND md5'd the body —
+    * review-r11). Names lowercased; same strict line grammar;
+    * structural malformation → None.
+    */
+  def statusAndHeaders(p: Array[Byte])
+      : Option[(Int, Seq[(String, String)])] = {
+    def line(i: Int) = ByteScan.crlfLine(p, i)
+    var i = 0
+    val status = line(i) match {
+      case Some((s, n)) if s.startsWith("HTTP/") =>
+        val sp1 = s.indexOf(' ')
+        if (sp1 < 0 || s.length < sp1 + 4) return None
+        val code = s.substring(sp1 + 1, sp1 + 4)
+        if (!code.forall(_.isDigit)) return None
+        val rest = s.substring(sp1 + 4)
+        if (rest.nonEmpty && rest.charAt(0) != ' ') return None
+        i = n
+        code.toInt
+      case _ => return None
+    }
+    val headers = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done) line(i) match {
+      case Some(("", n)) => i = n; done = true
+      case Some((h, n)) =>
+        val c = h.indexOf(':')
+        if (c <= 0) return None
+        headers += ((h.substring(0, c).trim.toLowerCase,
+          h.substring(c + 1).trim))
+        i = n
+      case None => return None
+    }
+    Some((status, headers.toSeq))
+  }
+
   def parseResponse(p: Array[Byte]): Option[HttpResponse] = {
     def line(i: Int) = ByteScan.crlfLine(p, i)
     var i = 0

@@ -16,6 +16,8 @@ import graft.text.Urls
   * Outcomes:
   *  - `ok` — a 2xx was reached; `finalUrl` is its canonical URL
   *    (what the frontier records as the fetch's true identity)
+  *  - `not_modified` — a 304: the q231 revalidation SUCCESS path,
+  *    not a redirect — the cached document at the current URL stands
   *  - `loop` — a canonical URL repeated within the chain
   *  - `too_many` — more than `maxHops` redirects (the crawler cap;
   *    browsers use ~20, crawlers 5)
@@ -42,23 +44,25 @@ object Redirects {
       finalUrl: Option[String],
       backoffS: Option[Long])
 
-  /** Seconds of backoff a 429/503 response demands, if any. */
-  def retryAfterS(p: Array[Byte]): Option[Long] = {
-    val v = Http.headerAll(p, "Retry-After").headOption.map(_.trim)
-    v.flatMap { s =>
-      if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 9)
-        Some(s.toLong)
-      else for {
+  /** Seconds of backoff a Retry-After value demands, given the
+    * response's parsed Date (for the HTTP-date form). Delta-seconds
+    * grammar shared with [[Revisit]] (one copy — review-r11).
+    */
+  private def backoffOf(retryAfter: Option[String],
+      date: Option[Long]): Option[Long] =
+    retryAfter.map(_.trim).flatMap { s =>
+      Revisit.deltaSecondsOf(s).orElse(for {
         at <- Revisit.parseHttpDate(s)
-        d <- Http.headerAll(p, "Date").headOption
-          .flatMap(Revisit.parseHttpDate)
-      } yield math.max(0L, at - d)
+        d <- date
+      } yield math.max(0L, at - d))
     }
-  }
 
   /** Follow the redirect chain from `start`, fetching each canonical
     * URL's raw response bytes through `fetch` (the crawl store / HTTP
-    * client seam; None = nothing archived for that URL).
+    * client seam; None = nothing archived for that URL). Each hop
+    * reads status + headers in ONE byte walk ([[Http.statusAndHeaders]]
+    * — review-r11: the parseResponse route md5'd the body and
+    * re-walked headers per named lookup).
     */
   def follow(start: String, fetch: String => Option[Array[Byte]],
       maxHops: Int = 5): Outcome = {
@@ -69,13 +73,20 @@ object Redirects {
     while (true) {
       val p = fetch(cur).getOrElse(
         return Outcome("unfetchable", hops, None, None))
-      val r = Http.parseResponse(p).getOrElse(
+      val (status, headers) = Http.statusAndHeaders(p).getOrElse(
         return Outcome("unfetchable", hops, None, None))
-      r.status match {
+      def hdr(name: String): Option[String] =
+        headers.find(_._1 == name).map(_._2)
+      status match {
         case s if s >= 200 && s <= 299 =>
           return Outcome("ok", hops, Some(cur), None)
+        // 304 is NOT a redirect: it is the q231 revalidation success
+        // path — the cached document at the CURRENT url stands
+        // (review-r11: the 3xx catch-all misread it as a dead link)
+        case 304 =>
+          return Outcome("not_modified", hops, Some(cur), None)
         case s if s >= 300 && s <= 399 =>
-          val next = Http.headerAll(p, "Location").headOption
+          val next = hdr("location")
             .flatMap(loc => Urls.resolve(cur, loc))
             .flatMap(Urls.canonicalize)
           next match {
@@ -90,7 +101,9 @@ object Redirects {
               hops += 1
           }
         case s if s == 429 || s == 503 =>
-          return Outcome("retry", hops, None, retryAfterS(p))
+          return Outcome("retry", hops, None,
+            backoffOf(hdr("retry-after"),
+              hdr("date").flatMap(Revisit.parseHttpDate)))
         case _ =>
           return Outcome("error", hops, None, None)
       }

@@ -135,9 +135,18 @@ object Revisit {
     out.toMap
   }
 
+  /** Non-negative delta-seconds grammar (Cache-Control max-age /
+    * s-maxage values AND Retry-After's first form — one copy,
+    * review-r11: a drifted duplicate in Redirects had a different
+    * digit cap).
+    */
+  private[multimodal] def deltaSecondsOf(s: String): Option[Long] =
+    if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 10)
+      Some(s.toLong)
+    else None
+
   private def deltaSeconds(a: Option[String]): Option[Long] =
-    a.flatMap(s => if (s.nonEmpty && s.forall(_.isDigit) &&
-      s.length <= 10) Some(s.toLong) else None)
+    a.flatMap(deltaSecondsOf)
 
   /** The conditional-GET decision for one cached response.
     *

@@ -1963,7 +1963,11 @@ object Crawl {
         "shares (B·pr DIV Σpr, exact integer cross-multiplication), " +
         "then the leftover B − Σfloors goes +1 each to the largest " +
         "remainders (rem desc, host asc tiebreak) — quotas sum to B " +
-        "EXACTLY, no float shares, bit-identical cross-engine. The " +
+        "EXACTLY, no float shares, bit-identical cross-engine — the " +
+        "remainder tiebreak orders by the host STRING in both engines " +
+        "(review-r11: an integer-h oracle tiebreak silently diverges " +
+        "from the engine's string order the moment the tied block is " +
+        "cut). The " +
         "oracle re-runs the full rank pipeline AND the apportionment, " +
         "so one mis-ranked host or one misallocated unit hash-fails. " +
         "Scale shape: ranks ride the q230 pipeline; the apportionment " +
@@ -1998,7 +2002,8 @@ object Crawl {
             FROM pr5, tot),
           lo AS (SELECT 100000 - SUM(fl) AS lft FROM alloc),
           r AS (SELECT h, pr, fl,
-              row_number() OVER (ORDER BY rem DESC, h) AS rk
+              row_number() OVER (ORDER BY rem DESC,
+                'ex' || CAST(h AS VARCHAR) || '.test') AS rk
             FROM alloc)
         SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host,
           pr,

@@ -46,6 +46,21 @@ class RedirectsSpec extends AnyFunSuite {
         "Location" -> "mailto:a@b.c")).get).status == "dangling")
   }
 
+  test("304 is the revalidation SUCCESS path, not a redirect: the " +
+      "cached document at the current url stands (review-r11)") {
+    val o = Redirects.follow("HTTP://A.TEST:80/cached",
+      Map("http://a.test/cached" -> resp(304)).get)
+    assert(o == Redirects.Outcome("not_modified", 0,
+      Some("http://a.test/cached"), None))
+    // even mid-chain: a redirect INTO a 304 ends not_modified there
+    val chain = Map(
+      "http://a.test/m" -> resp(301, "Location" -> "/cached"),
+      "http://a.test/cached" -> resp(304))
+    val o2 = Redirects.follow("http://a.test/m", chain.get)
+    assert(o2 == Redirects.Outcome("not_modified", 1,
+      Some("http://a.test/cached"), None))
+  }
+
   test("retry: delta-seconds and HTTP-date Retry-After; error and " +
       "unfetchable terminals") {
     val r1 = Redirects.follow("http://a.test/r",
