@@ -42,7 +42,11 @@ object Redirects {
       status: String,
       hops: Int,
       finalUrl: Option[String],
-      backoffS: Option[Long])
+      backoffS: Option[Long],
+      lastStatus: Option[Int] = None) // the terminal HTTP status when
+                                      // one was read (ok/not_modified/
+                                      // retry/error) — what the robots
+                                      // fetch policy (T149) branches on
 
   /** Seconds of backoff a Retry-After value demands, given the
     * response's parsed Date (for the HTTP-date form). Delta-seconds
@@ -79,12 +83,13 @@ object Redirects {
         headers.find(_._1 == name).map(_._2)
       status match {
         case s if s >= 200 && s <= 299 =>
-          return Outcome("ok", hops, Some(cur), None)
+          return Outcome("ok", hops, Some(cur), None, Some(s))
         // 304 is NOT a redirect: it is the q231 revalidation success
         // path — the cached document at the CURRENT url stands
         // (review-r11: the 3xx catch-all misread it as a dead link)
         case 304 =>
-          return Outcome("not_modified", hops, Some(cur), None)
+          return Outcome("not_modified", hops, Some(cur), None,
+            Some(304))
         case s if s >= 300 && s <= 399 =>
           val next = hdr("location")
             .flatMap(loc => Urls.resolve(cur, loc))
@@ -103,11 +108,39 @@ object Redirects {
         case s if s == 429 || s == 503 =>
           return Outcome("retry", hops, None,
             backoffOf(hdr("retry-after"),
-              hdr("date").flatMap(Revisit.parseHttpDate)))
-        case _ =>
-          return Outcome("error", hops, None, None)
+              hdr("date").flatMap(Revisit.parseHttpDate)), Some(s))
+        case s =>
+          return Outcome("error", hops, None, None, Some(s))
       }
     }
     Outcome("unfetchable", hops, None, None) // unreachable
   }
+
+  /** RFC 9309 §2.3.1 robots-FETCH policy (q240, T149) — what governs
+    * a host before any rule can: chase redirects to the robots.txt
+    * (§2.3.1.2, the usual ≤5-hop cap), then
+    *
+    *  - 2xx → `rules`: parse the returned body and obey it
+    *  - 4xx "unavailable" (§2.3.1.3) → `allow_all` — an absent
+    *    robots.txt means no restrictions
+    *  - 5xx / 429 "unreachable" (§2.3.1.4) → `disallow_all` — the
+    *    crawler MUST assume complete disallow until it can read the
+    *    file (the persistent-unreachability relaxation is a scheduler
+    *    policy above this layer)
+    *  - undeliverable chains (loop / hop cap / dangling / missing) →
+    *    `allow_all`, the §2.3.1.2 MAY for unreachable-by-redirect
+    *
+    * Returns (policy, response payload bytes when policy == rules).
+    */
+  def fetchRobots(url: String, fetch: String => Option[Array[Byte]])
+      : (String, Option[Array[Byte]]) =
+    follow(url, fetch) match {
+      case Outcome("ok", _, Some(fin), _, _) =>
+        ("rules", fetch(fin).flatMap(Http.parseResponseWithBody)
+          .map(_._2))
+      case o if o.status == "retry" ||
+          (o.status == "error" && o.lastStatus.exists(_ >= 500)) =>
+        ("disallow_all", None)
+      case _ => ("allow_all", None)
+    }
 }

@@ -2206,6 +2206,69 @@ object Crawl {
               .otherwise("refetch").as("action"))
             .orderBy("url")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }),
+
+    Q("q240_robots_fetch_policy",
+      "robots-FETCH policy (T149, Redirects.fetchRobots — RFC 9309 " +
+        "§2.3.1, the gate that governs a host BEFORE any rule can: " +
+        "what a crawler does when robots.txt itself 404s, 503s, or " +
+        "redirects): per doc, one of five fetch scenarios — a direct " +
+        "200 with rules; a 404 (unavailable → allow all, §2.3.1.3); " +
+        "a 500 (unreachable → assume complete disallow, §2.3.1.4); a " +
+        "301 chased to the rules (§2.3.1.2, through the REAL T144 " +
+        "follower); a redirect loop (undeliverable → the §2.3.1.2 " +
+        "MAY: allow all) — then two probe paths evaluate under the " +
+        "resolved policy through the real parser. Every verdict " +
+        "closed-form; one mis-branched status class flips a column. " +
+        "Zero shuffle — this is per-host work the frontier amortizes " +
+        "across every page of the host",
+      Some("""SELECT doc_id,
+          CASE doc_id % 5 WHEN 0 THEN 'rules' WHEN 1 THEN 'allow_all'
+            WHEN 2 THEN 'disallow_all' WHEN 3 THEN 'rules'
+            ELSE 'allow_all' END AS policy,
+          CAST(CASE WHEN doc_id % 5 IN (1, 4) THEN 1 ELSE 0 END
+            AS BIGINT) AS private_ok,
+          CAST(CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END AS BIGINT)
+            AS pub_ok
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Http, Redirects}
+        import graft.text.Robots
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val ru = s"http://ex$g.test/robots.txt"
+            val body = ("User-agent: *\nDisallow: /private/\n" +
+              s"Crawl-delay: ${1 + g % 5}\n").getBytes("UTF-8")
+            def resp(st: Int, hs: (String, String)*) =
+              Http.render(st, "x", hs.toSeq, Array.empty[Byte])
+            val ok = Http.render(200, "OK",
+              Seq("Content-Type" -> "text/plain"), body)
+            val store = (id % 5) match {
+              case 0 => Map(ru -> ok)
+              case 1 => Map(ru -> resp(404))
+              case 2 => Map(ru -> resp(500))
+              case 3 => Map(ru -> resp(301, "Location" -> "/r2.txt"),
+                s"http://ex$g.test/r2.txt" -> ok)
+              case _ => Map(ru -> resp(301, "Location" -> "/b"),
+                s"http://ex$g.test/b" ->
+                  resp(301, "Location" -> "/robots.txt"))
+            }
+            val (policy, bytes) = Redirects.fetchRobots(ru, store.get)
+            val (privOk, pubOk) = policy match {
+              case "rules" =>
+                val robots = Robots.parse(
+                  new String(bytes.get, "UTF-8"))
+                (Robots.isAllowed(robots, "graftbot", s"/private/$id"),
+                  Robots.isAllowed(robots, "graftbot", s"/pub/$id"))
+              case "allow_all"    => (true, true)
+              case _              => (false, false) // disallow_all
+            }
+            (id, policy, if (privOk) 1L else 0L, if (pubOk) 1L else 0L)
+          }
+          .toDF("doc_id", "policy", "private_ok", "pub_ok")
+          .orderBy("doc_id")
       })
   )
 }

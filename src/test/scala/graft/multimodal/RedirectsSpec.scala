@@ -23,7 +23,7 @@ class RedirectsSpec extends AnyFunSuite {
       "http://b.test/r2" -> resp(200))
     val o = Redirects.follow("HTTP://A.TEST:80/dir/start", site.get)
     assert(o == Redirects.Outcome("ok", 2,
-      Some("http://b.test/r2"), None))
+      Some("http://b.test/r2"), None, Some(200)))
   }
 
   test("loop detected on CANONICAL keys (messy variant of a seen " +
@@ -51,14 +51,50 @@ class RedirectsSpec extends AnyFunSuite {
     val o = Redirects.follow("HTTP://A.TEST:80/cached",
       Map("http://a.test/cached" -> resp(304)).get)
     assert(o == Redirects.Outcome("not_modified", 0,
-      Some("http://a.test/cached"), None))
+      Some("http://a.test/cached"), None, Some(304)))
     // even mid-chain: a redirect INTO a 304 ends not_modified there
     val chain = Map(
       "http://a.test/m" -> resp(301, "Location" -> "/cached"),
       "http://a.test/cached" -> resp(304))
     val o2 = Redirects.follow("http://a.test/m", chain.get)
     assert(o2 == Redirects.Outcome("not_modified", 1,
-      Some("http://a.test/cached"), None))
+      Some("http://a.test/cached"), None, Some(304)))
+  }
+
+  test("robots fetch policy (RFC 9309 §2.3.1): 2xx rules, 4xx " +
+      "allow_all, 5xx/429 disallow_all, redirects chase, " +
+      "undeliverable chains allow") {
+    val body = "User-agent: *\nDisallow: /private/\n".getBytes("UTF-8")
+    val okStore = Map("http://a.test/robots.txt" ->
+      Http.render(200, "OK", Seq("Content-Type" -> "text/plain"), body))
+    val (p1, b1) =
+      Redirects.fetchRobots("HTTP://A.TEST:80/robots.txt", okStore.get)
+    assert(p1 == "rules" && b1.get.toSeq == body.toSeq)
+    def one(st: Int) = Redirects.fetchRobots("http://a.test/robots.txt",
+      Map("http://a.test/robots.txt" -> resp(st)).get)._1
+    assert(one(404) == "allow_all")
+    assert(one(410) == "allow_all")
+    assert(one(500) == "disallow_all")
+    assert(one(503) == "disallow_all")
+    assert(one(429) == "disallow_all")
+    // redirected robots.txt is chased to its rules
+    val moved = Map(
+      "http://a.test/robots.txt" -> resp(301, "Location" -> "/r2"),
+      "http://a.test/r2" ->
+        Http.render(200, "OK", Nil, body))
+    val (pm, bm) =
+      Redirects.fetchRobots("http://a.test/robots.txt", moved.get)
+    assert(pm == "rules" && bm.get.toSeq == body.toSeq)
+    // a redirect loop / missing file is "unreachable by redirect" →
+    // the §2.3.1.2 MAY: treat as unavailable, allow all
+    val loop = Map(
+      "http://a.test/robots.txt" -> resp(301, "Location" -> "/b"),
+      "http://a.test/b" ->
+        resp(301, "Location" -> "/robots.txt"))
+    assert(Redirects.fetchRobots("http://a.test/robots.txt",
+      loop.get)._1 == "allow_all")
+    assert(Redirects.fetchRobots("http://a.test/robots.txt",
+      (_: String) => None)._1 == "allow_all")
   }
 
   test("retry: delta-seconds and HTTP-date Retry-After; error and " +
@@ -66,7 +102,8 @@ class RedirectsSpec extends AnyFunSuite {
     val r1 = Redirects.follow("http://a.test/r",
       Map("http://a.test/r" -> resp(503,
         "Retry-After" -> "120")).get)
-    assert(r1 == Redirects.Outcome("retry", 0, None, Some(120L)))
+    assert(r1 == Redirects.Outcome("retry", 0, None, Some(120L),
+      Some(503)))
     val r2 = Redirects.follow("http://a.test/r",
       Map("http://a.test/r" -> resp(429,
         "Retry-After" -> "Tue, 14 Nov 2023 22:15:20 GMT",
