@@ -127,8 +127,22 @@ object Redirects {
     *    crawler MUST assume complete disallow until it can read the
     *    file (the persistent-unreachability relaxation is a scheduler
     *    policy above this layer)
+    *  - 304 → `cached` — a conditional robots re-fetch answered Not
+    *    Modified: the PREVIOUSLY PARSED rules stand (ADVICE-r11: the
+    *    old catch-all read this as allow_all, silently dropping a
+    *    host's restrictions on every successful revalidation); the
+    *    caller (which owns the rules dimension, [[graft.queries
+    *    .Crawl.hostRobots]]) keeps its cached entry
     *  - undeliverable chains (loop / hop cap / dangling / missing) →
     *    `allow_all`, the §2.3.1.2 MAY for unreachable-by-redirect
+    *
+    * Seam contract (ADVICE-r11): `fetch` returning None means
+    * CONFIRMED absence — nothing archived/served at that URL, the
+    * §2.3.1.3 "unavailable" class → allow_all. A transport that can
+    * fail transiently must surface the failure as a 5xx response
+    * payload (the §2.3.1.4 "unreachable" class → disallow_all), never
+    * as None — collapsing "couldn't reach" into "doesn't exist" turns
+    * an outage into a politeness violation.
     *
     * Returns (policy, response payload bytes when policy == rules).
     */
@@ -138,6 +152,7 @@ object Redirects {
       case Outcome("ok", _, Some(fin), _, _) =>
         ("rules", fetch(fin).flatMap(Http.parseResponseWithBody)
           .map(_._2))
+      case Outcome("not_modified", _, _, _, _) => ("cached", None)
       case o if o.status == "retry" ||
           (o.status == "error" && o.lastStatus.exists(_ >= 500)) =>
         ("disallow_all", None)

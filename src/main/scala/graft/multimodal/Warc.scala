@@ -215,10 +215,15 @@ object Warc {
     // a newline) with the body LENGTH-prefixed — without it,
     // (uri="…/a", body="bc") and (uri="…/ab", body="c") would build
     // identical seed bytes and collide on the globally-unique
-    // Record-ID ISO 28500 requires (review-r11 finding)
+    // Record-ID ISO 28500 requires (review-r11 finding). Extras get
+    // the SAME length-prefix discipline: joined as 'k=v' with ','
+    // separators, [("a","b,c=d")] and [("a","b"),("c","d")] built
+    // identical seeds (ADVICE-r11) — every extra key and value is
+    // length-prefixed so no separator char can shift a boundary
     val idSeed = (s"$warcType\n$date\n${targetUri.getOrElse("")}\n" +
       s"${contentType.getOrElse("")}\n" +
-      s"${extra.map { case (k, v) => s"$k=$v" }.mkString(",")}\n" +
+      s"${extra.map { case (k, v) => s"${k.length}:$k=${v.length}:$v" }
+        .mkString(",")}\n" +
       s"${body.length}\n").getBytes("UTF-8") ++ body
     val id = java.util.UUID.nameUUIDFromBytes(idSeed)
     val headers =

@@ -202,9 +202,15 @@ object Crawl {
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
     val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    // nodes is consumed 6× (the seed + all 5 iterations): without the
+    // checkpoint each consumer re-derives it from the corpus and only
+    // exchange REUSE — plan luck, not construction — kept the probe at
+    // one scan (VERDICT-r11 item 2). Pinning the 97-row frame makes
+    // "one corpus scan per rank" structural; PlanSpec gates it.
     val nodes = docs
       .select(concat(lit("ex"), col("doc_id") % 97, lit(".test"))
         .as("h")).distinct()
+      .localCheckpoint()
     var ranks = nodes.withColumn("pr", lit(1000000000L))
     for (_ <- 1 to 5) {
       val sums = edges.join(outW, "src")
@@ -1971,9 +1977,13 @@ object Crawl {
         "oracle re-runs the full rank pipeline AND the apportionment, " +
         "so one mis-ranked host or one misallocated unit hash-fails. " +
         "Scale shape: ranks ride the q230 pipeline; the apportionment " +
-        "is a hosts-sized frame (the remainder rank is a window over " +
-        "HOSTS, never pages — millions of rows at 100 TB, one " +
-        "ordered pass)",
+        "is a hosts-sized frame, and the remainder rank runs as an " +
+        "inclusive running sum of 1 over (rem desc, host) — the exact " +
+        "shape the RunningTotal strategy auto-routes onto the " +
+        "two-phase parallel prefix scan (VERDICT-r11 item 1: the " +
+        "row_number window planned as ONE task sorting every host; " +
+        "at 100 TB host counts are millions — now it is a range " +
+        "exchange + 32 bounded carry rows, plan-gated in PlanSpec)",
       Some {
         val prIters = (1 to 5).map { k =>
           s"""pr$k AS (SELECT n0.h,
@@ -2020,9 +2030,20 @@ object Crawl {
             expr("(100000 * pr) div sp").as("fl"),
             expr("(100000 * pr) % sp").as("rem"))
         val lo = a.agg((lit(100000L) - sum(col("fl"))).as("lft"))
+        // the remainder rank IS a running sum: rank = inclusive
+        // running total of 1 over (rem desc, host asc) — written in
+        // the exact declarative shape (empty partitionSpec, explicit
+        // ROWS frame, non-nullable LONG weight, ANSI sum) the
+        // RunningTotal strategy auto-routes onto the two-phase
+        // parallel prefix scan. row_number().over(...) planned as a
+        // single-task WindowExec sorting every host (VERDICT-r11);
+        // this plans as one range exchange + 32 bounded carry rows
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("rem").desc, col("host"))
-        a.withColumn("rk", row_number().over(w))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        a.withColumn("rk", sum(lit(1L)).over(w))
           .crossJoin(broadcast(lo))
           .select(col("host"), col("pr"),
             (col("fl") + when(col("rk") <= col("lft"), 1L)
@@ -2185,12 +2206,23 @@ object Crawl {
           events.repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("ledger_chk", d)
+          // idempotence (ADVICE-r11): foreachBatch can re-deliver a
+          // batchId after a failed attempt — a blind merge would
+          // double-apply it. Keying applied merges by batchId makes
+          // the retry a no-op, the production template for
+          // driver-held state next to a checkpointed stream. (Restart
+          // from an EXISTING checkpoint still needs the ledger
+          // persisted alongside — here the scratch checkpoint dir is
+          // fresh per run, so the drained ledger always covers every
+          // batch.)
+          val applied = scala.collection.mutable.Set.empty[Long]
           val q = s.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
             .writeStream
             .option("checkpointLocation", s"$chkDir/_chk")
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              ledger = merge(ledger, toLedger(batch)).localCheckpoint()
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              if (applied.add(batchId))
+                ledger = merge(ledger, toLedger(batch)).localCheckpoint()
             }
             .trigger(Trigger.AvailableNow())
             .start()

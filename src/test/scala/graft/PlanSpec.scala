@@ -334,6 +334,38 @@ class PlanSpec extends SparkSpec {
         s"side):\n${bad.mkString("\n")}")
   }
 
+  test("q237: the remainder rank routes onto RunningTotal — no " +
+      "single-task WindowExec anywhere in the executed plan") {
+    // VERDICT-r11 item 1: row_number() over (rem desc, host) planned
+    // as Exchange SinglePartition + Sort + Window — ONE task sorting
+    // every host (millions of rows at 100 TB). Rewritten as an
+    // inclusive running sum of 1, the RunningTotal strategy must
+    // claim it: a WindowExec reappearing here is the scale regression
+    // this gate exists to catch.
+    val df = SparkEntry.queries("q237_crawl_budget")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RunningTotal"), p)
+    assert(!p.contains("Window"),
+      s"q237 regressed to a window operator:\n$p")
+  }
+
+  test("q230: the 5 rank rounds never re-scan the corpus (both edge " +
+      "and node frames checkpointed)") {
+    // VERDICT-r11 item 2: `nodes` was re-derived from the corpus in
+    // all 6 consumers, relying on exchange reuse (plan luck) to keep
+    // one scan. With both hostRank inputs checkpointed the final plan
+    // must contain ZERO parquet scans — every iteration reads the two
+    // pinned host-graph-sized RDDs.
+    val df = SparkEntry.queries("q230_host_pagerank")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 0,
+      s"expected 0 corpus scans (checkpoints feed all rank rounds), " +
+        s"got $scans:\n$finalPlan")
+  }
+
   test("salted join equals plain join (skew mitigation correctness)") {
     import graft.ops.Skew
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

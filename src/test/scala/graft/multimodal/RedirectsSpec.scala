@@ -95,6 +95,11 @@ class RedirectsSpec extends AnyFunSuite {
       loop.get)._1 == "allow_all")
     assert(Redirects.fetchRobots("http://a.test/robots.txt",
       (_: String) => None)._1 == "allow_all")
+    // a 304 on a conditional robots re-fetch means the CACHED rules
+    // stand — never allow_all (ADVICE-r11: the catch-all dropped a
+    // host's restrictions on every successful revalidation)
+    assert(Redirects.fetchRobots("http://a.test/robots.txt",
+      Map("http://a.test/robots.txt" -> resp(304)).get)._1 == "cached")
   }
 
   test("retry: delta-seconds and HTTP-date Retry-After; error and " +

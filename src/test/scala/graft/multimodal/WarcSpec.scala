@@ -199,5 +199,16 @@ class WarcSpec extends AnyFunSuite {
     val ct2 = Warc.parseSingle(Warc.write("response", "d",
       "z".getBytes, Some("u"), Some("text/plain"))).get.recordId
     assert(ct1 != ct2)
+    // the extras boundary-shift class (ADVICE-r11): keys and values
+    // length-prefix in the seed, so a value containing the ','/'='
+    // separators — [("a","b,c=d")] — never seeds identically to the
+    // two-header list [("a","b"),("c","d")]
+    val x1 = Warc.parseSingle(Warc.write("response", "d",
+      "z".getBytes, Some("u"), None,
+      Seq("WARC-X" -> "b,WARC-Y=d"))).get.recordId
+    val x2 = Warc.parseSingle(Warc.write("response", "d",
+      "z".getBytes, Some("u"), None,
+      Seq("WARC-X" -> "b", "WARC-Y" -> "d"))).get.recordId
+    assert(x1 != x2)
   }
 }

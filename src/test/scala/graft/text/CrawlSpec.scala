@@ -24,8 +24,13 @@ class CrawlSpec extends SparkSpec {
     val out = Crawl.frontierSchedule(spark, docs, Some(parses))
     val hosts = out.count()
     assert(hosts == 97L)
-    assert(parses.value == 97L,
-      s"expected one Robots.parse per host, got ${parses.value}")
+    // lower bound exact, upper bound well under the page count: a
+    // task retry / speculative attempt double-counts accumulator
+    // updates made inside transformations, so == 97 can flake on a
+    // transient task failure (ADVICE-r11) — the gate's job is
+    // parse-work ∝ hosts (≪ ~1000 pages), not exactly-once updates
+    assert(parses.value >= 97L && parses.value < 500L,
+      s"expected ~one Robots.parse per host (97), got ${parses.value}")
   }
 
   test("the gate drops the /private/ probe and carries the host's " +
