@@ -252,6 +252,115 @@ object Http {
       } else (r, body, None)
     }
 
+  /** How a response's Content-Encoding was handled by
+    * [[parseResponseFullyDecoded]]: the coding list as declared (in
+    * RFC 9110 §8.4 application order), and whether every coding
+    * decoded. `decoded = false` leaves the payload at the LAST layer
+    * that decoded cleanly — the crawl posture: a mislabeled or
+    * truncated body is flagged, never thrown away.
+    */
+  final case class CodingMeta(codings: Seq[String], decoded: Boolean)
+
+  /** Decode ONE content coding (RFC 9110 §8.4.1). None on anything
+    * that is not a clean, complete decode:
+    *
+    *  - `gzip` / `x-gzip` — an RFC 1952 stream, decoded through the
+    *    T104 walker ([[Compressed.memberPayloads]]): multi-member
+    *    streams are legal and concatenate, trailers verify, truncation
+    *    rejects. One deviation from the archive walker's posture: a
+    *    member whose CRC32/ISIZE trailer disagrees with the inflated
+    *    bytes is a FAILED decode here (the walker returns crc_ok=false
+    *    per member because one rotten record must not discard an
+    *    archive; a single response body with a bad trailer is itself
+    *    the rotten record)
+    *  - `deflate` — an RFC 1950 zlib stream. Crawl reality, documented
+    *    deviation from strict §8.4.1.2: a large server population
+    *    (historically IIS) sends RAW deflate under this token, and
+    *    every browser sniffs both — a zlib parse failure AT THE FIRST
+    *    BYTES retries raw before giving up
+    *  - `identity` — pass-through (deprecated on the wire, still seen)
+    *  - anything else (`br`, `zstd`, garbage) → None — unsupported is
+    *    undecodable, the caller flags it
+    */
+  def decodeCoding(body: Array[Byte], coding: String)
+      : Option[Array[Byte]] = coding.trim.toLowerCase match {
+    case "gzip" | "x-gzip" =>
+      Compressed.memberPayloads(body).flatMap { members =>
+        if (members.exists(!_._1.crc_ok)) None
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          members.foreach { case (_, p) => out.write(p) }
+          Some(out.toByteArray)
+        }
+      }
+    case "deflate" =>
+      inflate(body, raw = false).orElse(inflate(body, raw = true))
+    case "identity" => Some(body)
+    case _ => None
+  }
+
+  /** Inflate a complete zlib (raw = false) or raw-deflate stream;
+    * None on malformation, truncation, or trailing garbage (a correct
+    * deflate body is exactly one self-terminating stream — leftover
+    * bytes mean the label lied).
+    */
+  private def inflate(p: Array[Byte], raw: Boolean)
+      : Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished()) return None // truncated or stuck
+      }
+      // a zlib stream ends in its Adler-32; raw ends at final block.
+      // Anything after is not this coding's data
+      if (inf.getRemaining > 0) None else Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Decode a full `Content-Encoding` list (RFC 9110 §8.4: codings
+    * are listed in the order APPLIED, so decoding runs right-to-left).
+    * Stops at the first coding that fails; the meta says how far it
+    * got. An absent/empty list is a clean no-op.
+    */
+  def decodeContentCodings(body: Array[Byte],
+      contentEncoding: Option[String]): (Array[Byte], CodingMeta) = {
+    val codings = contentEncoding.toSeq
+      .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    var cur = body
+    for (c <- codings.reverse) decodeCoding(cur, c) match {
+      case Some(d) => cur = d
+      case None => return (cur, CodingMeta(codings, decoded = false))
+    }
+    (cur, CodingMeta(codings, decoded = true))
+  }
+
+  /** The COMPLETE response decode (q241; VERDICT-r11 item 1 — the
+    * missing story of the ingest stack): [[parseResponseDecoded]]'s
+    * transfer decoding (chunked de-framing, RFC 9112 §6.1), THEN
+    * content decoding (RFC 9110 §8.4 — the two layers STACK: a real
+    * Common Crawl response is routinely `Transfer-Encoding: chunked`
+    * over `Content-Encoding: gzip`, and handing the gzip bytes to the
+    * charset/HTML tier decodes as garbage). Returns the response, the
+    * fully-decoded payload, the chunked meta when chunked framing was
+    * present, and the coding meta.
+    */
+  def parseResponseFullyDecoded(p: Array[Byte])
+      : Option[(HttpResponse, Array[Byte], Option[ChunkedMeta],
+        CodingMeta)] =
+    parseResponseDecoded(p).map { case (r, body, chunkMeta) =>
+      val (payload, codingMeta) =
+        decodeContentCodings(body, headerAll(p, "content-encoding")
+          .reduceOption(_ + "," + _))
+      (r, payload, chunkMeta, codingMeta)
+    }
+
   /** Serialize a response with the wire body given verbatim and NO
     * implicit Content-Length (synthesis side for chunked framing,
     * q217 — a chunked response legally has no Content-Length).

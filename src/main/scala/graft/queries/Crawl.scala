@@ -1172,20 +1172,24 @@ object Crawl {
         sourceOverlap(s, table(s, d, "documents")).orderBy("s1", "s2")),
 
     Q("q226_archive_to_content",
-      "the SIX-layer crawl capstone (T135 — every archive-ingest " +
-        "story composed in one task): per doc, content-bearing HTML " +
-        "(q223's navs + prose + date line) is chunk-framed into a " +
-        "real HTTP/1.1 response (Transfer-Encoding: chunked, 4 hex-" +
-        "sized chunks), WARC-wrapped (ISO 28500), gzip'd (RFC 1952 " +
-        "with FNAME), then walked ALL the way back — T104 member " +
-        "split → T115 WARC parse → T117+T126 header walk with " +
-        "chunked de-framing → T119 charset decode by the extracted " +
-        "label → T118 HTML extraction → T132 content classification " +
-        "— and only the MAIN CONTENT's md5/length leave the task. " +
-        "One wrong byte at any layer breaks the final md5. This is " +
-        "the complete Common-Crawl-archive → training-text pipeline " +
-        "as a single narrow map; nothing shuffles but the per-doc " +
-        "verdict row",
+      "the SEVEN-layer crawl capstone (T135 — every archive-ingest " +
+        "story composed in one task; round 12 plants the Content-" +
+        "Encoding story, VERDICT-r11 item 1): per doc, content-" +
+        "bearing HTML (q223's navs + prose + date line) is gzip-" +
+        "compressed as the response BODY (Content-Encoding: gzip, " +
+        "RFC 9110 §8.4), chunk-framed into a real HTTP/1.1 response " +
+        "(Transfer-Encoding: chunked, 4 hex-sized chunks — the two " +
+        "encodings STACK exactly as Common Crawl captures them), " +
+        "WARC-wrapped (ISO 28500), gzip'd again at the ARCHIVE layer " +
+        "(RFC 1952 with FNAME), then walked ALL the way back — T104 " +
+        "member split → T115 WARC parse → T117+T126 header walk " +
+        "with chunked de-framing → T150 content decoding → T119 " +
+        "charset decode by the extracted label → T118 HTML " +
+        "extraction → T132 content classification — and only the " +
+        "MAIN CONTENT's md5/length leave the task. One wrong byte " +
+        "at any layer breaks the final md5. This is the complete " +
+        "Common-Crawl-archive → training-text pipeline as a single " +
+        "narrow map; nothing shuffles but the per-doc verdict row",
       Some("""WITH p AS (SELECT doc_id, doc_id % 3 + 2 AS k
           FROM documents),
         c AS (SELECT p.doc_id, p.k,
@@ -1231,11 +1235,18 @@ object Crawl {
                  |<p>Updated on day ${id % 28}</p>
                  |<div><a href="/s">Sitemap</a> <a href="/pp">Privacy policy</a></div>
                  |</body></html>""".stripMargin
-            val htmlBytes = html.getBytes("UTF-8")
+            // the response BODY is gzip-compressed (Content-Encoding
+            // layer — round 12), then the COMPRESSED bytes chunk-frame
+            val gzBody = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(html.getBytes("UTF-8")); g.close()
+              bos.toByteArray
+            }
             // chunk-frame into 4 pieces
             val n = 4
-            val base = htmlBytes.length / n
-            val rem = htmlBytes.length % n
+            val base = gzBody.length / n
+            val rem = gzBody.length % n
             val wire = new java.io.ByteArrayOutputStream()
             def w(str: String): Unit =
               wire.write(str.getBytes("US-ASCII"))
@@ -1243,13 +1254,14 @@ object Crawl {
             (0 until n).foreach { i =>
               val sz = base + (if (i < rem) 1 else 0)
               w(sz.toHexString + "\r\n")
-              wire.write(htmlBytes, off, sz)
+              wire.write(gzBody, off, sz)
               w("\r\n")
               off += sz
             }
             w("0\r\n\r\n")
             val http = Http.renderRaw(200, "OK",
               Seq("Content-Type" -> "text/html; charset=utf-8",
+                "Content-Encoding" -> "gzip",
                 "Transfer-Encoding" -> "chunked"),
               wire.toByteArray)
             val warc = Warc.render(Seq(
@@ -1257,12 +1269,13 @@ object Crawl {
               "WARC-Record-ID" -> s"<urn:uuid:q226-$id>",
               "WARC-Date" -> "2026-01-01T00:00:00Z"), http)
             val gz = Compressed.gzipMember(warc, Some(s"d$id.warc"))
-            // walk all six layers back
+            // walk all seven layers back
             val (rec, warcBody) = Compressed.memberPayloads(gz).get
               .flatMap { case (_, p) => Warc.parseSingleWithBody(p) }
               .head
-            val (resp, payload, meta) =
-              Http.parseResponseDecoded(warcBody).get
+            val (resp, payload, meta, codingMeta) =
+              Http.parseResponseFullyDecoded(warcBody).get
+            require(codingMeta.decoded, "content coding must decode")
             val dec = Charsets.decode(payload, resp.charset)
             val blocks = Html.extractText(dec.text).blocks
             val content = ContentExtract.contentText(blocks)
@@ -2300,6 +2313,112 @@ object Crawl {
             (id, policy, if (privOk) 1L else 0L, if (pubOk) 1L else 0L)
           }
           .toDF("doc_id", "policy", "private_ok", "pub_ok")
+          .orderBy("doc_id")
+      }),
+
+    Q("q241_content_encoding",
+      "HTTP Content-Encoding body decode (T150, Http." +
+        "parseResponseFullyDecoded — VERDICT-r11 item 1, the missing " +
+        "story of the ingest stack: archived response BODIES are " +
+        "routinely gzip/deflate-compressed, and the T117/T126 walk " +
+        "handed them to the charset/HTML tier as garbage): per doc, " +
+        "one of five wire shapes — identity; Content-Encoding: gzip " +
+        "(JDK GZIPOutputStream as the independent writer); deflate " +
+        "as RFC 1950 zlib; Transfer-Encoding: chunked STACKED over " +
+        "CE gzip (RFC 9110 §8.4 + 9112 §6.1 — the Common Crawl " +
+        "shape, de-framed then decompressed); raw-deflate under the " +
+        "deflate token (the IIS-era server population, decoded via " +
+        "the documented browser-compat sniff) — plus a planted " +
+        "MISLABEL decoy (CE: gzip over plain bytes) that must flag " +
+        "decoded_ok=0 and surface the untouched payload, never " +
+        "throw. Every output column closed-form; one wrong byte at " +
+        "any layer breaks the md5. Zero shuffle — the decode rides " +
+        "the same narrow map as the T117 parse; payload bytes never " +
+        "leave the task",
+      Some("""WITH t AS (SELECT doc_id,
+            'doc ' || CAST(doc_id AS VARCHAR) || ' body ' ||
+              repeat('the quick brown fox jumps over the lazy dog ',
+                CAST(1 + doc_id % 3 AS INT)) AS payload
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 5 THEN 'gzip'
+            ELSE CASE doc_id % 5 WHEN 0 THEN ''
+              WHEN 1 THEN 'gzip' WHEN 2 THEN 'deflate'
+              WHEN 3 THEN 'gzip' ELSE 'deflate' END END AS codings,
+          CAST(CASE WHEN doc_id % 5 = 3 THEN 3 ELSE 0 END AS BIGINT)
+            AS n_chunks,
+          CAST(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE 1 END AS BIGINT)
+            AS decoded_ok,
+          CAST(length(payload) AS BIGINT) AS payload_len,
+          md5(payload) AS payload_md5
+        FROM t ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Http
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val payload = (s"doc $id body " +
+              "the quick brown fox jumps over the lazy dog " *
+                (1 + id % 3).toInt).getBytes("UTF-8")
+            def gz(p: Array[Byte]): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(p); g.close()
+              bos.toByteArray
+            }
+            def zl(p: Array[Byte], raw: Boolean): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val ds = new java.util.zip.DeflaterOutputStream(bos,
+                new java.util.zip.Deflater(
+                  java.util.zip.Deflater.DEFAULT_COMPRESSION, raw))
+              ds.write(p); ds.close()
+              bos.toByteArray
+            }
+            def chunk3(p: Array[Byte]): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              def w(str: String): Unit =
+                bos.write(str.getBytes("US-ASCII"))
+              val cuts = Seq(0, p.length / 3, 2 * (p.length / 3),
+                p.length)
+              cuts.sliding(2).foreach { case Seq(a, b) =>
+                w((b - a).toHexString + "\r\n")
+                bos.write(p, a, b - a)
+                w("\r\n")
+              }
+              w("0\r\n\r\n")
+              bos.toByteArray
+            }
+            val ct = "Content-Type" -> "text/plain; charset=utf-8"
+            val wire =
+              if (id % 10 == 5) // mislabel decoy: CE lies, body plain
+                Http.render(200, "OK",
+                  Seq(ct, "Content-Encoding" -> "gzip"), payload)
+              else (id % 5) match {
+                case 0 => Http.render(200, "OK", Seq(ct), payload)
+                case 1 => Http.render(200, "OK",
+                  Seq(ct, "Content-Encoding" -> "gzip"), gz(payload))
+                case 2 => Http.render(200, "OK",
+                  Seq(ct, "Content-Encoding" -> "deflate"),
+                  zl(payload, raw = false))
+                case 3 => Http.renderRaw(200, "OK",
+                  Seq(ct, "Content-Encoding" -> "gzip",
+                    "Transfer-Encoding" -> "chunked"),
+                  chunk3(gz(payload)))
+                case _ => Http.render(200, "OK",
+                  Seq(ct, "Content-Encoding" -> "deflate"),
+                  zl(payload, raw = true))
+              }
+            val (_, decoded, chunkMeta, codingMeta) =
+              Http.parseResponseFullyDecoded(wire).get
+            (id, codingMeta.codings.mkString(","),
+              chunkMeta.map(_.nChunks.toLong).getOrElse(0L),
+              if (codingMeta.decoded) 1L else 0L,
+              decoded.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(decoded).map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "codings", "n_chunks", "decoded_ok",
+            "payload_len", "payload_md5")
           .orderBy("doc_id")
       })
   )

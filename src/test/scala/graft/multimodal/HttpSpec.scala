@@ -220,4 +220,107 @@ class HttpSpec extends AnyFunSuite {
     val (r2, d2, m2) = Http.parseResponseDecoded(raw).get
     assert(!r2.isChunked && m2.isEmpty && new String(d2) == "plain")
   }
+
+  // ---- Content-Encoding (q241, T150) — JDK writers as referees ----
+
+  private def gz(p: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(p); g.close()
+    bos.toByteArray
+  }
+  private def zlib(p: Array[Byte], raw: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos,
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw))
+    d.write(p); d.close()
+    bos.toByteArray
+  }
+
+  test("content coding: gzip/deflate decode against JDK writers, " +
+      "raw-deflate compat, identity, unknown and truncated reject") {
+    val p = ("payload for the content-coding referee, long enough " +
+      "to actually compress " * 3).getBytes("UTF-8")
+    assert(Http.decodeCoding(gz(p), "gzip").get.toSeq == p.toSeq)
+    assert(Http.decodeCoding(gz(p), "x-gzip").get.toSeq == p.toSeq)
+    assert(Http.decodeCoding(gz(p), "GZIP").get.toSeq == p.toSeq)
+    // deflate = zlib (RFC 1950); the raw-deflate server population
+    // decodes through the documented browser-compat sniff
+    assert(Http.decodeCoding(zlib(p), "deflate").get.toSeq == p.toSeq)
+    assert(Http.decodeCoding(zlib(p, raw = true), "deflate")
+      .get.toSeq == p.toSeq)
+    assert(Http.decodeCoding(p, "identity").get.toSeq == p.toSeq)
+    assert(Http.decodeCoding(gz(p), "br").isEmpty)   // unsupported
+    assert(Http.decodeCoding(gz(p), "zstd").isEmpty)
+    assert(Http.decodeCoding(p, "gzip").isEmpty)     // mislabeled
+    // truncation at every prefix length never throws, never succeeds
+    for (cut <- 0 until gz(p).length)
+      assert(Http.decodeCoding(gz(p).take(cut), "gzip").isEmpty)
+    for (cut <- 1 until zlib(p).length)
+      assert(Http.decodeCoding(zlib(p).take(cut), "deflate").isEmpty,
+        s"cut=$cut")
+    // trailing garbage after the deflate stream = the label lied
+    assert(Http.decodeCoding(zlib(p) ++ Array[Byte](1, 2, 3),
+      "deflate").isEmpty)
+    // a gzip member with a corrupted CRC trailer is a failed decode
+    val bad = gz(p).clone()
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x01).toByte
+    assert(Http.decodeCoding(bad, "gzip").isEmpty)
+  }
+
+  test("content coding: the stacked list decodes right-to-left and " +
+      "stops flagged at the first failure") {
+    val p = "stacked codings payload".getBytes("UTF-8")
+    // Content-Encoding: deflate, gzip → deflate applied first, gzip
+    // second → decode gzip THEN deflate
+    val wire = gz(zlib(p))
+    val (d, meta) = Http.decodeContentCodings(wire,
+      Some("deflate, gzip"))
+    assert(meta.decoded && meta.codings == Seq("deflate", "gzip"))
+    assert(d.toSeq == p.toSeq)
+    // wrong order must fail (gzip bytes are not a zlib stream)
+    val (_, m2) = Http.decodeContentCodings(wire, Some("gzip, deflate"))
+    assert(!m2.decoded)
+    // unknown member in the list fails flagged, payload stays at the
+    // last clean layer
+    val (d3, m3) = Http.decodeContentCodings(gz(p), Some("br, gzip"))
+    assert(!m3.decoded && d3.toSeq == p.toSeq)
+    // absent header is a clean no-op
+    val (d4, m4) = Http.decodeContentCodings(p, None)
+    assert(m4.decoded && m4.codings.isEmpty && d4.toSeq == p.toSeq)
+  }
+
+  test("parseResponseFullyDecoded: Transfer-Encoding and " +
+      "Content-Encoding STACK (chunked over gzip), multiple CE " +
+      "headers join into one list") {
+    val p = ("the seven-layer payload: chunked framing over a gzip " +
+      "content coding, exactly the Common Crawl shape").getBytes("UTF-8")
+    val comp = gz(p)
+    // split the COMPRESSED bytes into 3 chunks
+    val chunks = Seq(comp.slice(0, 5), comp.slice(5, 11),
+      comp.slice(11, comp.length))
+    val msg = Http.renderRaw(200, "OK",
+      Seq("Content-Type" -> "text/plain; charset=utf-8",
+        "Content-Encoding" -> "gzip",
+        "Transfer-Encoding" -> "chunked"),
+      frame(chunks))
+    val (r, payload, chunkMeta, codingMeta) =
+      Http.parseResponseFullyDecoded(msg).get
+    assert(r.isChunked && chunkMeta.exists(_.wellFormed))
+    assert(codingMeta == Http.CodingMeta(Seq("gzip"), decoded = true))
+    assert(new String(payload, "UTF-8") == new String(p, "UTF-8"))
+    // two CE headers act as one comma-joined list (RFC 9110 §5.3)
+    val msg2 = Http.render(200, "OK",
+      Seq("Content-Encoding" -> "deflate",
+        "Content-Encoding" -> "gzip"), gz(zlib(p)))
+    val (_, pay2, _, cm2) = Http.parseResponseFullyDecoded(msg2).get
+    assert(cm2.decoded && cm2.codings == Seq("deflate", "gzip"))
+    assert(pay2.toSeq == p.toSeq)
+    // an identity response is untouched with empty codings
+    val (_, pay3, _, cm3) = Http.parseResponseFullyDecoded(
+      Http.render(200, "OK", Nil, p)).get
+    assert(cm3 == Http.CodingMeta(Nil, decoded = true) &&
+      pay3.toSeq == p.toSeq)
+  }
 }
