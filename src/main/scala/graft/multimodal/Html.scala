@@ -51,9 +51,17 @@ object Html {
                              // its anchor-text char count — the T132
                              // content-extraction feed. text above ==
                              // blocks.map(_.text).mkString("\n")
-      feeds: Seq[String] = Nil) // <link rel=alternate type=rss/atom>
+      feeds: Seq[String] = Nil, // <link rel=alternate type=rss/atom>
                              // href values (decoded, capped at 16) —
                              // the T147 feed-autodiscovery capture
+      base: Option[String] = None) // the FIRST <base href> value
+                             // (decoded; later base tags are ignored,
+                             // the HTML5 rule) — T151: the document
+                             // base every relative href/feed URL
+                             // resolves against; resolving against
+                             // the page URL when a <base> is present
+                             // mis-keys every relative link
+                             // (VERDICT-r11 item 3)
 
   /** One rendered block (text line) with the count of its non-
     * whitespace characters that sat inside an href-bearing `<a>` —
@@ -149,6 +157,7 @@ object Html {
     val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
     val feeds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var docBase: Option[String] = None
     // per-line anchor-text accounting (T132 link density): chars
     // emitted while inside an href-bearing <a> are link chars
     val lineLinks = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -274,6 +283,13 @@ object Html {
           if (hrefs.length < 256)
             attrVals.get("href").foreach(h => hrefs += decodeAll(h).trim)
         }
+        // document base (T151): the FIRST <base href> wins — HTML5
+        // ignores every later base element; one inside a comment or
+        // rawtext never reaches here (already skipped). An href-less
+        // or empty-href base contributes nothing.
+        if (name == "base" && docBase.isEmpty)
+          attrVals.get("href").map(h => decodeAll(h).trim)
+            .filter(_.nonEmpty).foreach(b => docBase = Some(b))
         if (name == "meta" && metas.length < 64) {
           (attrVals.get("name"), attrVals.get("content")) match {
             case (Some(mn), Some(mc)) if mn.nonEmpty =>
@@ -321,7 +337,7 @@ object Html {
       .filter(_.text.nonEmpty)
       .toSeq
     Extracted(title, blocks.map(_.text).mkString("\n"), nLinks, nTags,
-      metas.toSeq, nNofollow, hrefs.toSeq, blocks, feeds.toSeq)
+      metas.toSeq, nNofollow, hrefs.toSeq, blocks, feeds.toSeq, docBase)
   }
 
   /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */

@@ -2420,6 +2420,106 @@ object Crawl {
           .toDF("doc_id", "codings", "n_chunks", "decoded_ok",
             "payload_len", "payload_md5")
           .orderBy("doc_id")
+      }),
+
+    Q("q242_base_href",
+      "document-base link resolution (T151, Html.extractText's base " +
+        "capture — VERDICT-r11 item 3: the T129 resolver used the " +
+        "PAGE URL as base, so any page carrying <base href> " +
+        "mis-resolved every relative link and feed URL into wrong " +
+        "frontier keys): per doc, a page at /dir/sub/page.html " +
+        "carries one of three base shapes — none (page URL is the " +
+        "base), a RELATIVE <base href=/b2/> (itself resolved against " +
+        "the page URL, the HTML5 fallback-base rule), an ABSOLUTE " +
+        "cross-host base (CDN shape — relative links now key to a " +
+        "DIFFERENT host, exactly the leak this operator exists to " +
+        "catch) — plus decoys: a second base (first wins), a " +
+        "commented-out base, an href-less base. A relative link, an " +
+        "absolute-path link, a cross-host absolute link, and a " +
+        "rel=alternate FEED href all resolve against the effective " +
+        "base (T118 capture → T151 base → T129 resolve → T120 " +
+        "canonicalize); one mis-based resolution hash-fails. Zero " +
+        "shuffle — per-row work on the extraction map",
+      Some("""SELECT doc_id,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+            AS has_base,
+          CASE doc_id % 3
+            WHEN 0 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/dir/sub/page' || CAST(doc_id AS VARCHAR) || '.html'
+            WHEN 1 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/b2/'
+            ELSE 'http://cdn.ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/assets/x/' END AS effective_base,
+          CASE doc_id % 3
+            WHEN 0 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/dir/sub/r' || CAST(doc_id AS VARCHAR) || '.html'
+            WHEN 1 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/b2/r' || CAST(doc_id AS VARCHAR) || '.html'
+            ELSE 'http://cdn.ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/assets/x/r' || CAST(doc_id AS VARCHAR) || '.html'
+            END AS rel_link,
+          CASE WHEN doc_id % 3 = 2
+            THEN 'http://cdn.ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/abs' || CAST(doc_id AS VARCHAR)
+            ELSE 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/abs' || CAST(doc_id AS VARCHAR) END AS abs_link,
+          'http://other.test/o' || CAST(doc_id AS VARCHAR) AS ext_link,
+          CASE doc_id % 3
+            WHEN 0 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/dir/sub/feed.xml'
+            WHEN 1 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/b2/feed.xml'
+            ELSE 'http://cdn.ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/assets/x/feed.xml' END AS feed_url
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Html
+        import graft.text.Urls
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val pageUrl = s"http://ex$g.test/dir/sub/page$id.html"
+            val baseTag = (id % 3) match {
+              case 0 => ""
+              case 1 => "<base href=\"/b2/\">"
+              case _ => s"""<base href="http://cdn.ex$g.test/assets/x/">"""
+            }
+            val page =
+              "<head>" +
+                "<!-- <base href=\"/commented/\"> -->" +
+                "<base>" + // href-less: contributes nothing
+                baseTag +
+                // second base: ignored (first wins) — only planted
+                // when a real base exists, else IT would be first
+                (if (baseTag.nonEmpty) "<base href=\"/ignored/\">"
+                 else "") +
+                "<link rel=\"alternate\" " +
+                "type=\"application/rss+xml\" href=\"feed.xml\">" +
+                "</head><body>" +
+                s"""<a href="r$id.html">rel</a>""" +
+                s"""<a href="/abs$id">abs</a>""" +
+                s"""<a href="http://other.test/o$id">ext</a>""" +
+                "</body>"
+            val ex = Html.extractText(page)
+            // the base attribute itself resolves against the page URL
+            // (HTML5 fallback-base rule), then every href resolves
+            // against the EFFECTIVE base
+            val eb = ex.base
+              .flatMap(b => Urls.resolve(pageUrl, b))
+              .flatMap(Urls.canonicalize)
+              .getOrElse(Urls.canonicalize(pageUrl).get)
+            def res(h: String): String =
+              Urls.resolve(eb, h).flatMap(Urls.canonicalize)
+                .getOrElse("")
+            val Seq(rel, abs, ext) = ex.hrefs.map(res)
+            val feed = ex.feeds.map(res).head
+            (id, if (ex.base.isDefined) 1L else 0L, eb, rel, abs, ext,
+              feed)
+          }
+          .toDF("doc_id", "has_base", "effective_base", "rel_link",
+            "abs_link", "ext_link", "feed_url")
+          .orderBy("doc_id")
       })
   )
 }

@@ -208,4 +208,30 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.title.contains("T"))
     assert(e.text.split('\n').toSeq == Seq("Hello", "crawl & extract"))
   }
+
+  test("base capture (T151): first <base href> wins, later/commented/" +
+      "rawtext/href-less bases ignored, entity decode, absent → None") {
+    assert(Html.extractText("<p>no base</p>").base.isEmpty)
+    assert(Html.extractText("<base href=\"/a/\">").base.contains("/a/"))
+    // first wins — HTML5 ignores every later base element
+    assert(Html.extractText(
+      "<base href=\"/first/\"><base href=\"/second/\">")
+      .base.contains("/first/"))
+    // href-less base contributes nothing; the NEXT base still counts
+    assert(Html.extractText("<base target=\"_blank\"><base href=\"/b/\">")
+      .base.contains("/b/"))
+    // commented-out and rawtext bases never reach the capture
+    assert(Html.extractText(
+      "<!-- <base href=\"/c/\"> --><script><base href=\"/s/\"></script>")
+      .base.isEmpty)
+    // href entity-decodes like every captured URL; relative and
+    // absolute forms pass through verbatim (resolution is T129's job)
+    assert(Html.extractText("<base href=\"/x?a=1&amp;b=2\">")
+      .base.contains("/x?a=1&b=2"))
+    assert(Html.extractText("<base href=\"http://cdn.ex.test/as/\">")
+      .base.contains("http://cdn.ex.test/as/"))
+    // empty href is as good as none
+    assert(Html.extractText("<base href=\"\"><base href=\"/d/\">")
+      .base.contains("/d/"))
+  }
 }
