@@ -2520,6 +2520,105 @@ object Crawl {
           .toDF("doc_id", "has_base", "effective_base", "rel_link",
             "abs_link", "ext_link", "feed_url")
           .orderBy("doc_id")
+      }),
+
+    Q("q243_sitemap_recursion",
+      "sitemap-INDEX recursion (T152, Sitemap.crawlTree — VERDICT-r11 " +
+        "gap 3: the parser distinguished sitemapindex from urlset but " +
+        "nothing followed the index's children the way q238 " +
+        "autodiscovers feeds): per doc, one of five tree shapes — a " +
+        "plain urlset; an index fanning to two urlsets (one RELATIVE " +
+        "loc resolved against the CURRENT sitemap's URL, T129); a " +
+        "two-level index chain whose child index links BACK to the " +
+        "root (the cycle guard must count it, not loop); an index " +
+        "with a missing child (fetch miss surfaced, walk continues); " +
+        "a chain deeper than the depth cap (the child past the cap " +
+        "is counted, never fetched) — each walked discover → fetch → " +
+        "resolve → canonicalize → parse with every guard counter " +
+        "closed-form. One lost entry, one un-guarded cycle, or one " +
+        "silently dropped child hash-fails. Per-HOST work the " +
+        "frontier amortizes like robots; bounded by the caps " +
+        "whatever the host serves",
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN 'urlset' ELSE 'sitemapindex'
+            END AS root_kind,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2
+            THEN 3 WHEN 3 THEN 2 ELSE 3 END AS BIGINT) AS n_visited,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2
+            THEN 2 WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_entries,
+          CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_cycles,
+          CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_missing,
+          CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_depth_hits,
+          CASE doc_id % 5
+            WHEN 0 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/0,' ||
+              'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/1'
+            WHEN 1 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/0,' ||
+              'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/1,' ||
+              'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/2'
+            WHEN 2 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/0,' ||
+              'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/1'
+            WHEN 3 THEN 'http://ex' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id AS VARCHAR) || '/0'
+            ELSE '' END AS locs
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Sitemap
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val h = s"http://ex$g.test"
+            val root = s"$h/sitemap.xml"
+            def urlset(locs: Seq[String]) =
+              "<urlset>" + locs.map(l =>
+                s"<url><loc>$l</loc></url>").mkString + "</urlset>"
+            def index(locs: Seq[String]) =
+              "<sitemapindex>" + locs.map(l =>
+                s"<sitemap><loc>$l</loc></sitemap>").mkString +
+                "</sitemapindex>"
+            def p(j: Int) = s"$h/p$id/$j"
+            val store: Map[String, String] = (id % 5) match {
+              case 0 => Map(root -> urlset(Seq(p(0), p(1))))
+              case 1 => Map(
+                root -> index(Seq(s"/sm/a$id.xml", s"$h/sm/b$id.xml")),
+                s"$h/sm/a$id.xml" -> urlset(Seq(p(0), p(1))),
+                s"$h/sm/b$id.xml" -> urlset(Seq(p(2))))
+              case 2 => Map(
+                root -> index(Seq(s"/sm/i$id.xml")),
+                // the child index links BACK to the root (cycle) and
+                // on to the real urlset by RELATIVE loc
+                s"$h/sm/i$id.xml" ->
+                  index(Seq("/sitemap.xml", s"u$id.xml")),
+                s"$h/sm/u$id.xml" -> urlset(Seq(p(0), p(1))))
+              case 3 => Map(
+                root -> index(Seq(s"/sm/missing$id.xml",
+                  s"/sm/u$id.xml")),
+                s"$h/sm/u$id.xml" -> urlset(Seq(p(0))))
+              case _ => Map( // depth 3 chain, cap at 2: c3 never fetched
+                root -> index(Seq(s"/sm/c1_$id.xml")),
+                s"$h/sm/c1_$id.xml" -> index(Seq(s"c2_$id.xml")),
+                s"$h/sm/c2_$id.xml" -> index(Seq(s"c3_$id.xml")),
+                s"$h/sm/c3_$id.xml" -> urlset(Seq(p(0))))
+            }
+            val r = Sitemap.crawlTree(root, store.get, maxDepth = 2)
+            (id, r.rootKind, r.nVisited.toLong,
+              r.entries.length.toLong, r.nCycles.toLong,
+              r.nMissing.toLong, r.nDepthHits.toLong,
+              r.entries.map(_.loc).sorted.mkString(","))
+          }
+          .toDF("doc_id", "root_kind", "n_visited", "n_entries",
+            "n_cycles", "n_missing", "n_depth_hits", "locs")
+          .orderBy("doc_id")
       })
   )
 }

@@ -251,4 +251,81 @@ object Sitemap {
     }
     Parsed(kind, entries.toSeq, truncated)
   }
+
+  /** Result of a recursive sitemap-tree walk ([[crawlTree]]). Counters
+    * over dropped work are explicit (the no-silent-caps discipline):
+    * a frontier reading `truncated`/`nDepthHits` knows coverage was
+    * bounded, it never reads "covered everything".
+    */
+  final case class TreeResult(
+      rootKind: String,      // parse kind of the root ("missing" if
+                             // the root itself never fetched)
+      nVisited: Int,         // sitemap files fetched AND parsed
+      entries: Seq[Entry],   // page entries across every urlset
+      nCycles: Int,          // child locs already seen (cycle guard)
+      nMissing: Int,         // locs the fetch seam had nothing for
+      nDepthHits: Int,       // children past maxDepth, never fetched
+      nUnknown: Int,         // unresolvable locs + non-sitemap roots
+      truncated: Boolean)    // stopped at maxSitemaps with work left
+
+  /** Sitemap-INDEX recursion (q243, T152 — VERDICT-r11 item 3 of the
+    * north-star gaps: [[parse]] distinguishes `sitemapindex` from
+    * `urlset` but nothing followed the index's child locs): walk the
+    * tree from `root` — fetch → parse → child `<loc>`s RESOLVE
+    * against the CURRENT sitemap's URL (T129; relative locs are
+    * common) → canonicalize (T120) → recurse — collecting every
+    * urlset entry, with the three guards a real frontier needs:
+    *
+    *  - a SEEN set on canonical URLs (cycle guard — index files that
+    *    reference each other otherwise walk forever)
+    *  - a depth cap (the protocol says an index MUST NOT reference
+    *    another index; real crawls see 2-3 levels anyway, so the cap
+    *    is a guard, not a parser rule)
+    *  - a total-files cap (one hostile index can declare 50,000
+    *    children; `truncated` surfaces the cut)
+    *
+    * Scale shape: per-HOST work like robots (T121) — the frontier
+    * amortizes one tree walk across every page of the host; the walk
+    * is bounded by maxSitemaps × 50,000 entries regardless of what
+    * the host serves.
+    */
+  def crawlTree(root: String, fetch: String => Option[String],
+      maxDepth: Int = 3, maxSitemaps: Int = 1000): TreeResult = {
+    val rootC = Urls.canonicalize(root).getOrElse(root)
+    val seen = scala.collection.mutable.Set(rootC)
+    val stack = scala.collection.mutable.Stack((rootC, 0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var rootKind = "missing"
+    var nVisited = 0
+    var nCycles = 0
+    var nMissing = 0
+    var nDepthHits = 0
+    var nUnknown = 0
+    while (stack.nonEmpty && nVisited < maxSitemaps) {
+      val (url, depth) = stack.pop()
+      fetch(url) match {
+        case None => nMissing += 1
+        case Some(xml) =>
+          nVisited += 1
+          val parsed = parse(xml)
+          if (url == rootC && rootKind == "missing") rootKind = parsed.kind
+          parsed.kind match {
+            case "urlset" => out ++= parsed.entries
+            case "sitemapindex" =>
+              parsed.entries.foreach { e =>
+                Urls.resolve(url, e.loc).flatMap(Urls.canonicalize) match {
+                  case Some(child) =>
+                    if (!seen.add(child)) nCycles += 1
+                    else if (depth + 1 > maxDepth) nDepthHits += 1
+                    else stack.push((child, depth + 1))
+                  case None => nUnknown += 1
+                }
+              }
+            case _ => nUnknown += 1
+          }
+      }
+    }
+    TreeResult(rootKind, nVisited, out.toSeq, nCycles, nMissing,
+      nDepthHits, nUnknown, truncated = stack.nonEmpty)
+  }
 }

@@ -147,4 +147,59 @@ class SitemapSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("crawlTree (T152): recursion, relative locs, cycle guard, " +
+      "depth cap, missing children, file cap, missing root") {
+    def urlset(locs: String*) = "<urlset>" + locs.map(l =>
+      s"<url><loc>$l</loc></url>").mkString + "</urlset>"
+    def index(locs: String*) = "<sitemapindex>" + locs.map(l =>
+      s"<sitemap><loc>$l</loc></sitemap>").mkString + "</sitemapindex>"
+    val h = "http://a.test"
+    // two-level tree with a relative child loc and a cycle back up
+    val store = Map(
+      s"$h/sitemap.xml" -> index("/sm/i.xml", s"$h/sm/u1.xml"),
+      s"$h/sm/i.xml" -> index("/sitemap.xml", "u2.xml"), // cycle + rel
+      s"$h/sm/u1.xml" -> urlset(s"$h/p1", s"$h/p2"),
+      s"$h/sm/u2.xml" -> urlset(s"$h/p3"))
+    val r = Sitemap.crawlTree(s"$h/sitemap.xml", store.get)
+    assert(r.rootKind == "sitemapindex" && r.nVisited == 4)
+    assert(r.entries.map(_.loc).sorted ==
+      Seq(s"$h/p1", s"$h/p2", s"$h/p3"))
+    assert(r.nCycles == 1 && r.nMissing == 0 && !r.truncated)
+    // MUTUAL cycle between two children terminates too
+    val mutual = Map(
+      s"$h/sitemap.xml" -> index("/a.xml"),
+      s"$h/a.xml" -> index("/b.xml"),
+      s"$h/b.xml" -> index("/a.xml", "/u.xml"),
+      s"$h/u.xml" -> urlset(s"$h/p"))
+    val rm = Sitemap.crawlTree(s"$h/sitemap.xml", mutual.get)
+    assert(rm.nCycles == 1 && rm.entries.length == 1)
+    // depth cap: the chain past maxDepth is counted, never fetched
+    val chain = Map(
+      s"$h/sitemap.xml" -> index("/c1.xml"),
+      s"$h/c1.xml" -> index("/c2.xml"),
+      s"$h/c2.xml" -> index("/c3.xml"),
+      s"$h/c3.xml" -> urlset(s"$h/deep"))
+    val rd = Sitemap.crawlTree(s"$h/sitemap.xml", chain.get,
+      maxDepth = 2)
+    assert(rd.nDepthHits == 1 && rd.nVisited == 3 && rd.entries.isEmpty)
+    // file cap: truncated is explicit, never a silent stop
+    val wide = Map(s"$h/sitemap.xml" ->
+      index((1 to 9).map(k => s"/w$k.xml"): _*)) ++
+      (1 to 9).map(k => s"$h/w$k.xml" -> urlset(s"$h/wp$k")).toMap
+    val rc = Sitemap.crawlTree(s"$h/sitemap.xml", wide.get,
+      maxSitemaps = 4)
+    assert(rc.truncated && rc.nVisited == 4)
+    // missing root / missing child
+    val r404 = Sitemap.crawlTree(s"$h/sitemap.xml", (_: String) => None)
+    assert(r404.rootKind == "missing" && r404.nMissing == 1 &&
+      r404.nVisited == 0)
+    val rmiss = Sitemap.crawlTree(s"$h/sitemap.xml",
+      Map(s"$h/sitemap.xml" -> index("/gone.xml")).get)
+    assert(rmiss.nMissing == 1 && rmiss.entries.isEmpty)
+    // a root that parses as neither kind counts unknown
+    val rjunk = Sitemap.crawlTree(s"$h/sitemap.xml",
+      Map(s"$h/sitemap.xml" -> "<html>not a sitemap</html>").get)
+    assert(rjunk.rootKind == "unknown" && rjunk.nUnknown == 1)
+  }
 }
