@@ -2619,6 +2619,56 @@ object Crawl {
           .toDF("doc_id", "root_kind", "n_visited", "n_entries",
             "n_cycles", "n_missing", "n_depth_hits", "locs")
           .orderBy("doc_id")
+      }),
+
+    Q("q244_crawl_trap",
+      "crawl-trap gate (T153, Urls.trapReasons — VERDICT-r11 gap 4: " +
+        "without a trap gate one pathological host eats q237's " +
+        "budget): per doc, one of six URL families — clean; a " +
+        "consecutive segment run /a/a/a/ (the self-referencing " +
+        "relative-link explosion); a 14-deep generated path; a " +
+        "9-parameter query; calendar pagination (two yyyy/mm pairs " +
+        "in one path); an append-don't-replace filter key repeated " +
+        "4× — each gated by the per-URL zero-shuffle heuristics " +
+        "(Heritrix/StormCrawler class, documented thresholds) AFTER " +
+        "canonicalization. Every reason closed-form; a false " +
+        "positive on the clean family or a missed trap flips a " +
+        "column. At 100 TB this runs on the same narrow map as T120 " +
+        "— trapped URLs never reach the politeness rollup or the " +
+        "budget allocator",
+      Some("""SELECT doc_id,
+          CASE doc_id % 6 WHEN 0 THEN 'clean' WHEN 1 THEN 'run'
+            WHEN 2 THEN 'deep' WHEN 3 THEN 'params' WHEN 4
+            THEN 'calendar' ELSE 'dupkey' END AS family,
+          CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN 'segment_run'
+            WHEN 2 THEN 'deep_path' WHEN 3 THEN 'param_count'
+            WHEN 4 THEN 'calendar' ELSE 'dup_key' END AS reasons,
+          CAST(CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS BIGINT)
+            AS trapped
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Urls
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val h = s"http://ex$g.test"
+            val (family, url) = (id % 6) match {
+              case 0 => ("clean", s"$h/blog/2024/05/post$id?x=1")
+              case 1 => ("run", s"$h/a/a/a/p$id")
+              case 2 => ("deep",
+                h + (1 to 13).map(k => s"/s$k").mkString + s"/p$id")
+              case 3 => ("params",
+                s"$h/p$id?" + (1 to 9).map(k => s"k$k=$k").mkString("&"))
+              case 4 => ("calendar", s"$h/2024/01/2024/02/p$id")
+              case _ => ("dupkey", s"$h/p$id?f=1&f=2&f=3&f=4")
+            }
+            val reasons = Urls.trapReasons(url).get
+            (id, family, reasons.mkString(","),
+              if (reasons.nonEmpty) 1L else 0L)
+          }
+          .toDF("doc_id", "family", "reasons", "trapped")
+          .orderBy("doc_id")
       })
   )
 }

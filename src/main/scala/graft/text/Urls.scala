@@ -266,6 +266,69 @@ object Urls {
     * canonicalization, is [[canonicalize]] verbatim. None exactly
     * when canonicalize rejects.
     */
+  /** Crawl-trap heuristics (q244, T153 — VERDICT-r11 gap 4: without
+    * a trap gate one pathological host eats the budget allocator):
+    * the per-URL, zero-shuffle checks a frontier runs BEFORE the
+    * politeness rollup. Returns the (sorted) reasons a URL looks like
+    * a trap; empty = clean. Deterministic, documented rules — the
+    * Heritrix/StormCrawler heuristic class, thresholds swap at
+    * deployment the way the tracking-param vocabulary does:
+    *
+    *  - `segment_run` — the same path segment ≥ 3 times CONSECUTIVELY
+    *    (`/a/a/a/`): the self-referencing-relative-link explosion
+    *  - `segment_loop` — a period-2 segment cycle repeated ≥ 3 times
+    *    (`/a/b/a/b/a/b`): the mirror/alias loop the run rule misses
+    *  - `deep_path` — more than 12 path segments: real content sits
+    *    shallow; 13-deep paths are almost always generated
+    *  - `param_count` — more than 8 query parameters
+    *  - `dup_key` — one query key more than 3 times: the
+    *    append-don't-replace filter-state explosion
+    *  - `calendar` — ≥ 2 `yyyy/mm` segment pairs (year 1900–2100,
+    *    month 01–12) in one path: calendar pagination compounds into
+    *    unbounded future dates
+    *  - `url_len` — canonical form longer than 1024 chars
+    *
+    * None (no verdict at all) exactly when [[canonicalize]] rejects —
+    * an uncanonicalizable URL never reaches the frontier anyway.
+    */
+  def trapReasons(url: String): Option[Seq[String]] =
+    canonicalize(url).flatMap(cu => parse(cu).map((cu, _)))
+      .map { case (cu, p) =>
+      val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
+      val segs = p.path.split('/').filter(_.nonEmpty)
+      // calendar: count yyyy/mm adjacent pairs
+      def isYear(s: String) = s.length == 4 && s.forall(_.isDigit) &&
+        { val y = s.toInt; y >= 1900 && y <= 2100 }
+      def isMonth(s: String) = (s.length == 1 || s.length == 2) &&
+        s.forall(_.isDigit) && { val m = s.toInt; m >= 1 && m <= 12 }
+      val calPairs = (0 until segs.length - 1)
+        .count(i => isYear(segs(i)) && isMonth(segs(i + 1)))
+      if (calPairs >= 2) reasons += "calendar"
+      if (segs.length > 12) reasons += "deep_path"
+      val params = p.query.toSeq.flatMap(_.split('&')).filter(_.nonEmpty)
+      if (params.length > 8) reasons += "param_count"
+      val keys = params.map(par => par.indexOf('=') match {
+        case -1 => par
+        case e => par.substring(0, e)
+      })
+      if (keys.nonEmpty &&
+          keys.groupBy(identity).valuesIterator.map(_.size).max > 3)
+        reasons += "dup_key"
+      // period-2 cycle: a/b/a/b/a/b with a != b (checked before the
+      // run rule so each gets its own name; a run is NOT a loop)
+      val hasLoop = (0 to segs.length - 6).exists { i =>
+        segs(i) != segs(i + 1) &&
+          segs(i + 2) == segs(i) && segs(i + 3) == segs(i + 1) &&
+          segs(i + 4) == segs(i) && segs(i + 5) == segs(i + 1)
+      }
+      if (hasLoop) reasons += "segment_loop"
+      val hasRun = (0 to segs.length - 3).exists(i =>
+        segs(i) == segs(i + 1) && segs(i) == segs(i + 2))
+      if (hasRun) reasons += "segment_run"
+      if (cu.length > 1024) reasons += "url_len"
+      reasons.sorted.toSeq
+    }
+
   def stripTracking(url: String): Option[String] =
     canonicalize(url).map { cu =>
       val q = cu.indexOf('?')

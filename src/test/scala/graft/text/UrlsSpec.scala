@@ -233,4 +233,40 @@ class UrlsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("trapReasons (T153): each heuristic fires on its family, " +
+      "boundaries hold, clean URLs pass, reject ≡ canonicalize") {
+    def r(u: String) = Urls.trapReasons(u).get
+    assert(r("http://a.test/blog/2024/05/post?x=1").isEmpty) // 1 pair ok
+    assert(r("http://a.test/a/a/a/p") == Seq("segment_run"))
+    assert(r("http://a.test/a/a/p").isEmpty) // run of 2 is fine
+    // period-2 mirror loop, ≥3 reps; 2 reps is fine; a run is a run,
+    // not a loop
+    assert(r("http://a.test/x/y/x/y/x/y") == Seq("segment_loop"))
+    assert(r("http://a.test/x/y/x/y/p").isEmpty)
+    assert(!r("http://a.test/a/a/a/a/a/a").contains("segment_loop"))
+    // 13 segments > 12; exactly 12 is fine
+    assert(r("http://a.test" + (1 to 13).map("/s" + _).mkString) ==
+      Seq("deep_path"))
+    assert(r("http://a.test" + (1 to 12).map("/s" + _).mkString).isEmpty)
+    // 9 params > 8; 8 is fine; one key 4× > 3; 3× is fine
+    assert(r("http://a.test/p?" +
+      (1 to 9).map(k => s"k$k=$k").mkString("&")) == Seq("param_count"))
+    assert(r("http://a.test/p?" +
+      (1 to 8).map(k => s"k$k=$k").mkString("&")).isEmpty)
+    assert(r("http://a.test/p?f=1&f=2&f=3&f=4") == Seq("dup_key"))
+    assert(r("http://a.test/p?f=1&f=2&f=3").isEmpty)
+    // calendar: two yyyy/mm pairs; out-of-range years/months don't
+    assert(r("http://a.test/2024/01/2024/02/p") == Seq("calendar"))
+    assert(r("http://a.test/3024/01/3024/02/p").isEmpty)
+    assert(r("http://a.test/2024/13/2024/14/p").isEmpty)
+    assert(r("http://a.test/p/" + "x" * 1100) == Seq("url_len"))
+    // reasons compose and come back sorted
+    assert(r("http://a.test/a/a/a/" +
+      (1 to 13).map("s" + _).mkString("/")) ==
+      Seq("deep_path", "segment_run"))
+    // verdict exists exactly when canonicalize accepts
+    assert(Urls.trapReasons("not a url").isEmpty)
+    assert(Urls.trapReasons("mailto:x@y").isEmpty)
+  }
 }
