@@ -2669,6 +2669,143 @@ object Crawl {
           }
           .toDF("doc_id", "family", "reasons", "trapped")
           .orderBy("doc_id")
+      }),
+
+    Q("q245_conditional_refetch",
+      "conditional-fetch EXECUTION loop (T154 — VERDICT-r11 gap 5: " +
+        "q231 DECIDES revalidate-vs-skip and q239 STORES validators, " +
+        "but nothing executed the 304 path; this closes the loop): " +
+        "scheduled re-fetches arrive in four genuine micro-batches; " +
+        "each batch takes If-None-Match from the standing ledger, " +
+        "runs a REAL conditional GET against rendered origin " +
+        "responses (Http.render/parse — a 304 carries no body), and " +
+        "merges back: a 304 refreshes validators WITHOUT a body " +
+        "fetch (bytes_fetched proves it), a 200 updates etag + " +
+        "content digest. Half the URLs start with a stale validator " +
+        "(exactly one 200 then 304s — the absorbing state makes the " +
+        "drained ledger arrival-order-FREE), half start current " +
+        "(304s only). Drained ledger ≡ the batch oracle, the " +
+        "q239/q126 discipline; per batch ONE url-keyed exchange, " +
+        "state bounded by URLs",
+      Some("""WITH e AS (SELECT doc_id % 120 AS k, doc_id AS ts
+            FROM documents),
+          g AS (SELECT k, COUNT(*) AS n, MAX(ts) AS last_ts
+            FROM e GROUP BY k)
+        SELECT 'http://ex' || CAST(k % 97 AS VARCHAR) || '.test/u' ||
+            CAST(k AS VARCHAR) AS url,
+          CAST(n AS BIGINT) AS n_fetches,
+          CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_200,
+          CAST(n - CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_304,
+          '"o' || CAST(k % 7 AS VARCHAR) || '"' AS etag,
+          md5('body of u' || CAST(k AS VARCHAR) || ' rev ' ||
+            CAST(k % 7 AS VARCHAR)) AS digest,
+          CAST(last_ts AS BIGINT) AS last_ts,
+          CAST(CASE WHEN k % 2 = 0 THEN length('body of u' ||
+            CAST(k AS VARCHAR) || ' rev ' || CAST(k % 7 AS VARCHAR))
+            ELSE 0 END AS BIGINT) AS bytes_fetched
+        FROM g ORDER BY url"""),
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.multimodal.Http
+        def md5hex(b: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(b).map("%02x".format(_)).mkString
+        // the origin: current entity of url k is CONSTANT — etag
+        // "ok%7" (quoted, the RFC 9110 §8.8.3 wire form), body
+        // "body of u<k> rev <k%7>". A conditional GET whose
+        // If-None-Match matches gets a body-less 304; anything else
+        // a 200 with the entity + its ETag
+        def origin(k: Long, inm: String): Array[Byte] = {
+          val etag = "\"o" + (k % 7) + "\""
+          val body = s"body of u$k rev ${k % 7}".getBytes("UTF-8")
+          if (inm == etag)
+            Http.render(304, "Not Modified", Seq("ETag" -> etag),
+              Array.empty[Byte])
+          else Http.render(200, "OK", Seq("ETag" -> etag), body)
+        }
+        val events = table(s, d, "documents").select(
+          (col("doc_id") % 120).as("k"), col("doc_id").as("ts"))
+        // standing ledger: even k starts STALE (a validator from a
+        // previous entity generation), odd k starts current
+        val ledger0 = events.select(col("k")).distinct()
+          .select(col("k"),
+            concat(lit("http://ex"), col("k") % 97, lit(".test/u"),
+              col("k")).as("url"),
+            when(col("k") % 2 === 0,
+              concat(lit("\"e"), col("k") % 13, lit("\"")))
+              .otherwise(concat(lit("\"o"), col("k") % 7, lit("\"")))
+              .as("etag"),
+            when(col("k") % 2 === 0,
+              md5(concat(lit("old body of u"), col("k"))))
+              .otherwise(md5(concat(lit("body of u"), col("k"),
+                lit(" rev "), col("k") % 7))).as("digest"),
+            lit(0L).as("n_fetches"), lit(0L).as("n_200"),
+            lit(0L).as("n_304"), lit(0L).as("last_ts"),
+            lit(0L).as("bytes_fetched"))
+        // one batch step: take If-None-Match from the ledger, execute
+        // the conditional GET per scheduled event (ts order within the
+        // batch), merge the refreshed state back — untouched URLs pass
+        // through the anti-join
+        def step(ledger: DataFrame, batch: DataFrame): DataFrame = {
+          val agg = batch.groupBy("k")
+            .agg(sort_array(collect_list(col("ts"))).as("tss"))
+          val updates = ledger.join(agg, Seq("k"))
+            .as[(Long, String, String, String, Long, Long, Long, Long,
+              Long, Seq[Long])]
+            .map { case (k, url, etag0, digest0, nF, n200, n304,
+                lastTs, bytes, tss) =>
+              var etag = etag0
+              var digest = digest0
+              var c200 = 0L; var c304 = 0L; var by = 0L
+              tss.foreach { _ =>
+                val resp = origin(k, etag)
+                val (status, headers) = Http.statusAndHeaders(resp).get
+                if (status == 304) c304 += 1 // validators refresh, no body
+                else { // 200: body fetched, digest + etag update
+                  val (_, body) = Http.parseResponseWithBody(resp).get
+                  etag = headers.find(_._1 == "etag").map(_._2).get
+                  digest = md5hex(body)
+                  by += body.length
+                  c200 += 1
+                }
+              }
+              (k, url, etag, digest, nF + tss.length, n200 + c200,
+                n304 + c304, math.max(lastTs, tss.max), bytes + by)
+            }
+            .toDF("k", "url", "etag", "digest", "n_fetches", "n_200",
+              "n_304", "last_ts", "bytes_fetched")
+          ledger.join(updates.select("k"), Seq("k"), "left_anti")
+            .union(updates)
+        }
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          var ledger = ledger0.localCheckpoint()
+          val inDir = Common.scratchDir("refetch_in", d)
+          events.repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(inDir)
+          val chkDir = Common.scratchDir("refetch_chk", d)
+          val applied = scala.collection.mutable.Set.empty[Long]
+          val q = s.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$chkDir/_chk")
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              if (applied.add(batchId))
+                ledger = step(ledger, batch).localCheckpoint()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          ledger.select(col("url"), col("n_fetches"), col("n_200"),
+            col("n_304"), col("etag"), col("digest"), col("last_ts"),
+            col("bytes_fetched"))
+            .orderBy("url")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       })
   )
 }
