@@ -2806,6 +2806,195 @@ object Crawl {
             col("bytes_fetched"))
             .orderBy("url")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }),
+
+    Q("q246_frontier_capstone",
+      "the frontier DECISION capstone (T155 — the scheduling-side " +
+        "analog of q226's ingest capstone, VERDICT-r11 stretch item " +
+        "8): per HOST, the complete decision chain composed from the " +
+        "production operators — rank (T139 integer PageRank over the " +
+        "corpus link graph) → budget (T146 largest-remainder " +
+        "apportionment, remainder rank on the RunningTotal parallel " +
+        "scan) → robots-FETCH policy (T149 through the REAL redirect " +
+        "follower: rules / 404-allow / 500-disallow / redirect-chase " +
+        "/ loop-allow by host residue) → schedule (page mass gated " +
+        "by the REAL parsed rules: /private/ probes drop under " +
+        "rules, flood in under allow_all, everything blocks under " +
+        "disallow_all; fetch allotment = min(quota, allowed); " +
+        "makespan from the parsed crawl-delay) → revisit verdict " +
+        "(T140 RFC 9111 decision off real rendered cache headers). " +
+        "The oracle re-runs rank + apportionment AND every policy/" +
+        "schedule/revisit column closed-form — one wrong hop " +
+        "anywhere in the chain hash-fails. Scale shape: one corpus " +
+        "extraction (checkpointed, q230), then everything is " +
+        "host-graph-sized; the per-host executors ride one narrow " +
+        "map over the 97-row host dimension",
+      Some {
+        val prIters = (1 to 5).map { k =>
+          s"""pr$k AS (SELECT n0.h,
+            CAST(150000000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT)
+              AS pr
+          FROM n0 LEFT JOIN (SELECT e.dst AS h,
+              SUM((p.pr * e.w) // ow.ow) AS c
+            FROM e JOIN pr${k - 1} p ON e.src = p.h
+            JOIN ow ON e.src = ow.src GROUP BY e.dst) s USING (h))"""
+        }.mkString(",\n        ")
+        s"""WITH o AS (SELECT * FROM (VALUES (1, 1), (2, 1), (0, 5))
+            t(off, w)),
+          l AS (SELECT doc_id % 97 AS g,
+              (doc_id % 97 + o.off) % 97 AS dg, o.w
+            FROM documents, o),
+          e AS (SELECT g AS src, dg AS dst, CAST(SUM(w) AS BIGINT) AS w
+            FROM l GROUP BY g, dg),
+          ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+          n0 AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+          pr0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS pr FROM n0),
+          $prIters,
+          tot AS (SELECT SUM(pr) AS sp FROM pr5),
+          alloc AS (SELECT h, pr,
+              (100000 * pr) // sp AS fl,
+              (100000 * pr) % sp AS rem
+            FROM pr5, tot),
+          lo AS (SELECT 100000 - SUM(fl) AS lft FROM alloc),
+          r AS (SELECT h, pr, fl,
+              row_number() OVER (ORDER BY rem DESC,
+                'ex' || CAST(h AS VARCHAR) || '.test') AS rk
+            FROM alloc),
+          q AS (SELECT h, pr,
+              CAST(fl + CASE WHEN rk <= (SELECT lft FROM lo) THEN 1
+                ELSE 0 END AS BIGINT) AS quota
+            FROM r),
+          m AS (SELECT doc_id % 97 AS g,
+              CAST(SUM(doc_id % 3 + 1) AS BIGINT) AS np,
+              CAST(COUNT(*) AS BIGINT) AS nd
+            FROM documents GROUP BY 1),
+          c AS (SELECT q.h, q.pr, q.quota, m.np, m.nd,
+              CASE q.h % 5 WHEN 0 THEN 'rules' WHEN 1 THEN 'allow_all'
+                WHEN 2 THEN 'disallow_all' WHEN 3 THEN 'rules'
+                ELSE 'allow_all' END AS policy,
+              CASE WHEN q.h % 5 IN (0, 3) THEN 1 + q.h % 5
+                ELSE 0 END AS delay_s,
+              CASE WHEN q.h % 3 = 0 THEN
+                  CASE WHEN (q.h % 7) * 400 < 1000 THEN 'skip'
+                    ELSE 'revalidate' END
+                WHEN q.h % 3 = 1 THEN 'fetch'
+                ELSE 'revalidate' END AS revisit
+            FROM q JOIN m ON m.g = q.h),
+          s AS (SELECT *,
+              CASE policy WHEN 'rules' THEN np
+                WHEN 'allow_all' THEN np + nd ELSE 0 END AS n_allowed
+            FROM c),
+          f AS (SELECT *, LEAST(quota, n_allowed) AS fetch_allot
+            FROM s)
+        SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host,
+          pr, quota, policy,
+          CAST(delay_s AS BIGINT) AS delay_s,
+          CAST(n_allowed AS BIGINT) AS n_allowed,
+          CAST(fetch_allot AS BIGINT) AS fetch_allot,
+          CAST(GREATEST(fetch_allot - 1, 0) * delay_s AS BIGINT)
+            AS makespan_s,
+          revisit,
+          CASE WHEN policy = 'disallow_all' THEN 'blocked'
+            WHEN revisit = 'skip' THEN 'skip' ELSE 'crawl' END
+            AS action
+        FROM f ORDER BY host"""
+      },
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Http, Redirects, Revisit}
+        import graft.text.Robots
+        val docsT = table(s, d, "documents")
+        // rank → budget: the q230/q237 production chain verbatim
+        val ranks = hostRank(s, docsT).localCheckpoint()
+        val tot = ranks.agg(sum(col("pr")).as("sp"))
+        val a = ranks.crossJoin(broadcast(tot))
+          .select(col("host"), col("pr"),
+            expr("(100000 * pr) div sp").as("fl"),
+            expr("(100000 * pr) % sp").as("rem"))
+        val lo = a.agg((lit(100000L) - sum(col("fl"))).as("lft"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("host"))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val quota = a.withColumn("rk", sum(lit(1L)).over(w))
+          .crossJoin(broadcast(lo))
+          .select(col("host"), col("pr"),
+            (col("fl") + when(col("rk") <= col("lft"), 1L)
+              .otherwise(0L)).as("quota"))
+        // per-host page mass off the corpus (the q216 synth shape:
+        // doc id%97 → host, id%3+1 public pages + 1 private probe)
+        val mass = docsT
+          .groupBy((col("doc_id") % 97).as("g"))
+          .agg(sum(col("doc_id") % 3 + 1).as("np"),
+            count(lit(1)).as("nd"))
+        // the per-host DECISION dimension: robots-fetch policy through
+        // the real follower + parser, schedule gate from the real rule
+        // evaluation, revisit verdict off real rendered cache headers
+        val hostDim = mass.as[(Long, Long, Long)]
+          .map { case (g, np, nd) =>
+            val host = s"ex$g.test"
+            val ru = s"http://$host/robots.txt"
+            val body = ("User-agent: *\nDisallow: /private/\n" +
+              s"Crawl-delay: ${1 + g % 5}\n").getBytes("UTF-8")
+            def resp(st: Int, hs: (String, String)*) =
+              Http.render(st, "x", hs.toSeq, Array.empty[Byte])
+            val ok = Http.render(200, "OK",
+              Seq("Content-Type" -> "text/plain"), body)
+            val store = (g % 5) match {
+              case 0 => Map(ru -> ok)
+              case 1 => Map(ru -> resp(404))
+              case 2 => Map(ru -> resp(500))
+              case 3 => Map(ru -> resp(301, "Location" -> "/r2.txt"),
+                s"http://$host/r2.txt" -> ok)
+              case _ => Map(ru -> resp(301, "Location" -> "/b"),
+                s"http://$host/b" ->
+                  resp(301, "Location" -> "/robots.txt"))
+            }
+            val (policy, bytes) = Redirects.fetchRobots(ru, store.get)
+            val (privOk, pubOk, delay) = policy match {
+              case "rules" =>
+                val robots = Robots.parse(
+                  new String(bytes.get, "UTF-8"))
+                (Robots.isAllowed(robots, "graftbot", s"/private/x"),
+                  Robots.isAllowed(robots, "graftbot", s"/pub/x"),
+                  Robots.group(robots, "graftbot")
+                    .flatMap(_.crawlDelay).getOrElse(0L))
+              case "allow_all" => (true, true, 0L)
+              case _           => (false, false, 0L)
+            }
+            val allowed = (if (pubOk) np else 0L) +
+              (if (privOk) nd else 0L)
+            // revisit verdict: one cached-response profile per host
+            val age = (g % 7) * 400
+            val headers = (g % 3) match {
+              case 0 => Seq("Cache-Control" -> "max-age=1000",
+                "ETag" -> s""""h$g"""")
+              case 1 => Seq("Cache-Control" -> "no-store")
+              case _ => Seq("Cache-Control" -> "no-cache",
+                "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT",
+                "Last-Modified" -> "Tue, 14 Nov 2023 16:40:00 GMT")
+            }
+            val cached = Http.render(200, "OK",
+              ("Content-Type" -> "text/html") +: headers,
+              s"cached page of $host".getBytes("UTF-8"))
+            val revisit = Revisit.decideFromResponse(cached, age)
+              .get.action
+            (host, policy, delay, allowed, revisit)
+          }
+          .toDF("host", "policy", "delay_s", "n_allowed", "revisit")
+        quota.join(hostDim, Seq("host"))
+          .select(col("host"), col("pr"), col("quota"), col("policy"),
+            col("delay_s"),
+            col("n_allowed"),
+            least(col("quota"), col("n_allowed")).as("fetch_allot"),
+            (greatest(least(col("quota"), col("n_allowed")) - 1,
+              lit(0L)) * col("delay_s")).as("makespan_s"),
+            col("revisit"),
+            when(col("policy") === "disallow_all", "blocked")
+              .when(col("revisit") === "skip", "skip")
+              .otherwise("crawl").as("action"))
+          .orderBy("host")
       })
   )
 }
