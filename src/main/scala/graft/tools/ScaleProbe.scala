@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -87,6 +87,7 @@ object ScaleProbe {
     val doR17 = fam == "all" || fam == "r17"
     val doR18 = fam == "all" || fam == "r18"
     val doR19 = fam == "all" || fam == "r19"
+    val doR20 = fam == "all" || fam == "r20"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1379,6 +1380,75 @@ object ScaleProbe {
         .select((col("doc_id") * mult + col("rep")).as("doc_id"))
       time(s"host rank (5 PR rounds) @${mult}x") {
         graft.queries.Crawl.hostRank(spark, docsF19).count()
+      }
+      }
+
+      if (doR20) {
+      // --- round-12 (1): the q241 content-decode stack (chunked
+      // de-framing + gzip inflate + md5 witness) over a replicated
+      // corpus. Prediction: pure narrow map — wall linear in document
+      // MASS, shuffle ~zero beside the count rollup.
+      import spark.implicits._
+      val docsF20 = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          col("text"))
+      time(s"content decode (chunked+gzip) @${mult}x") {
+        docsF20.as[(Long, String)].map { case (id, text) =>
+          val payload = text.getBytes("UTF-8")
+          val gzb = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(payload); g.close()
+            bos.toByteArray
+          }
+          val wire = new java.io.ByteArrayOutputStream()
+          def w(str: String): Unit = wire.write(str.getBytes("US-ASCII"))
+          val cut = gzb.length / 2
+          Seq((0, cut), (cut, gzb.length)).foreach { case (a, b) =>
+            w((b - a).toHexString + "\r\n"); wire.write(gzb, a, b - a)
+            w("\r\n")
+          }
+          w("0\r\n\r\n")
+          val msg = graft.multimodal.Http.renderRaw(200, "OK",
+            Seq("Content-Type" -> "text/plain; charset=utf-8",
+              "Content-Encoding" -> "gzip",
+              "Transfer-Encoding" -> "chunked"), wire.toByteArray)
+          val (_, dec, _, cm) =
+            graft.multimodal.Http.parseResponseFullyDecoded(msg).get
+          (id, dec.length.toLong, cm.decoded)
+        }.filter(_._3).count()
+      }
+      // --- round-12 (2): the de-weaked q237 apportionment at HOST
+      // counts the production frontier actually sees (the corpus-
+      // derived host space is fixed at 97, so this probes a SYNTHETIC
+      // host dimension: 100k·mult hosts). Prediction: the remainder
+      // rank rides the RunningTotal two-phase scan — one range
+      // exchange of N host rows across 32 tasks + 32 bounded carry
+      // rows; wall stays sub-linear in N, and no single task sorts
+      // the frame (the pre-fix WindowExec shape).
+      val nHosts = 100000L * mult
+      time(s"apportionment ${nHosts / 1000}k hosts") {
+        val hosts = spark.range(nHosts)
+          .select(concat(lit("h"), col("id")).as("host"),
+            (col("id") % 1000L + 1000L).as("pr"))
+        val tot = hosts.agg(sum(col("pr")).as("sp"))
+        val alloc = hosts.crossJoin(broadcast(tot))
+          .select(col("host"), col("pr"),
+            expr("(100000000 * pr) div sp").as("fl"),
+            expr("(100000000 * pr) % sp").as("rem"))
+        val lo = alloc.agg((lit(100000000L) - sum(col("fl"))).as("lft"))
+        val w = Window.orderBy(col("rem").desc, col("host"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // collect the SUM itself (a bare count() over a global
+        // aggregate lets column pruning delete the whole rank chain —
+        // the probe would measure nothing)
+        alloc.withColumn("rk", sum(lit(1L)).over(w))
+          .crossJoin(broadcast(lo))
+          .select(col("host"),
+            (col("fl") + when(col("rk") <= col("lft"), 1L)
+              .otherwise(0L)).as("quota"))
+          .agg(sum(col("quota"))).collect().head.getLong(0)
       }
       }
 
