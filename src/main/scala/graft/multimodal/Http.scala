@@ -37,7 +37,11 @@ object Http {
       bodyLen: Long,
       bodySum: Long,
       bodyMd5: String,
-      transferEncoding: Option[String] = None) {
+      transferEncoding: Option[String] = None,
+      contentEncoding: Option[String] = None) { // repeated CE headers
+                             // pre-joined as one comma list (RFC 9110
+                             // §5.3) — read in the ONE header walk so
+                             // the full decode never re-scans bytes
     /** RFC 9112 §6.1: chunked is in effect when it is the FINAL
       * member of the Transfer-Encoding list.
       */
@@ -141,7 +145,9 @@ object Http {
     Some(HttpResponse(ver, status, reason, mediaType, charset,
       headers.size, declaredLen,
       declaredLen.forall(_ == bodyLen), bodyLen, bodySum, bodyMd5,
-      hdr("transfer-encoding").map(_.toLowerCase)))
+      hdr("transfer-encoding").map(_.toLowerCase),
+      headers.filter(_._1 == "content-encoding").map(_._2)
+        .reduceOption(_ + "," + _)))
   }
 
   /** [[parseResponse]] plus the payload bytes — the in-task hand-off
@@ -355,9 +361,12 @@ object Http {
       : Option[(HttpResponse, Array[Byte], Option[ChunkedMeta],
         CodingMeta)] =
     parseResponseDecoded(p).map { case (r, body, chunkMeta) =>
+      // the CE list rides the ONE header walk parseResponse already
+      // did (review-r12: a headerAll here re-scanned the header bytes
+      // per response — the same redundant-walk class review-r11
+      // removed from the redirect follower)
       val (payload, codingMeta) =
-        decodeContentCodings(body, headerAll(p, "content-encoding")
-          .reduceOption(_ + "," + _))
+        decodeContentCodings(body, r.contentEncoding)
       (r, payload, chunkMeta, codingMeta)
     }
 

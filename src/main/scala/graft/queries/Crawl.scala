@@ -87,14 +87,27 @@ object Crawl {
     */
   def frontierSchedule(s: SparkSession, docs: DataFrame,
       parses: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame = {
+      : DataFrame =
+    politenessRollup(
+      robotsGate(s, frontierPages(s, docs), hostRobots(s, docs, parses)))
+
+  /** Shared synth (q216/q229/q247 — review-r12: q247 had hand-synced
+    * copies of this and [[politenessRollup]], silently breakable):
+    * the frontier's messy candidate URLs per doc — (id%3+1) clean
+    * pages, optional per-doc `extras` (q247 injects its trap URLs
+    * here), and the /private/ probe the robots gate must drop — each
+    * canonicalized (T120) to (host, url, path_q).
+    */
+  def frontierPages(s: SparkSession, docs: DataFrame,
+      extras: Long => Seq[String] = _ => Nil): DataFrame = {
     import s.implicits._
     import graft.text.Urls
-    val pages = docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .flatMap { id =>
         val g = id % 97
-        val raws = (0 until (id % 3 + 1).toInt).map(j =>
-          s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag") :+
+        val raws = ((0 until (id % 3 + 1).toInt).map(j =>
+          s"HTTP://EX$g.TEST:80/p$id/$j?x=1#frag") ++
+          extras(id)) :+
           s"http://ex$g.test/private/$id" // the gate must drop this
         raws.flatMap { raw =>
           Urls.canonicalize(raw).flatMap { cu =>
@@ -106,15 +119,20 @@ object Crawl {
         }
       }
       .toDF("host", "url", "path_q")
-    robotsGate(s, pages, hostRobots(s, docs, parses))
-      .groupBy("host", "delay_s")
+  }
+
+  /** Shared rollup: the per-host politeness schedule off a gated
+    * (host, url, delay_s) frame — URL count, makespan for a serial
+    * fetch queue, md5 of the sorted queue. ONE host-keyed shuffle.
+    */
+  def politenessRollup(gated: DataFrame): DataFrame =
+    gated.groupBy("host", "delay_s")
       .agg(count(lit(1)).as("n_urls"),
         md5(concat_ws(",", sort_array(collect_list(col("url")))))
           .as("order_md5"))
       .select(col("host"), col("n_urls"), col("delay_s"),
         ((col("n_urls") - 1) * col("delay_s")).as("makespan_s"),
         col("order_md5"))
-  }
 
   /** Shared builder (probe discipline): the q225 source-pair overlap
     * matrix over any (source, text) frame — distinct trigram-shingle
@@ -224,6 +242,69 @@ object Crawl {
             expr("(coalesce(in_c, 0L) * 85) div 100")).as("pr"))
     }
     ranks.select(col("h").as("host"), col("pr"))
+  }
+
+  /** Shared builder (q237/q246/ScaleProbe r20 — review-r12: three
+    * hand-synced copies of this scale-sensitive block, only one
+    * plan-gated): largest-remainder apportionment of `units` across
+    * the (host, pr) frame — floor shares by exact integer
+    * cross-multiplication, the leftover +1 each to the largest
+    * remainders (rem desc, host asc tiebreak — the host STRING in
+    * both engines, review-r11). The remainder rank is an inclusive
+    * running sum of 1 in EXACTLY the declarative shape (empty
+    * partitionSpec, explicit ROWS frame, non-nullable LONG weight,
+    * ANSI sum) the RunningTotal strategy auto-routes onto the
+    * two-phase parallel prefix scan; PlanSpec gates the route on
+    * q237. Returns (host, pr, quota); quotas sum to `units` exactly.
+    */
+  def apportion(ranksIn: DataFrame, units: Long): DataFrame = {
+    val ranks = ranksIn.localCheckpoint() // 3 consumers: total, floors, rank
+    val tot = ranks.agg(sum(col("pr")).as("sp"))
+    val a = ranks.crossJoin(broadcast(tot))
+      .select(col("host"), col("pr"),
+        expr(s"($units * pr) div sp").as("fl"),
+        expr(s"($units * pr) % sp").as("rem"))
+    val lo = a.agg((lit(units) - sum(col("fl"))).as("lft"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("host"))
+      .rowsBetween(org.apache.spark.sql.expressions
+        .Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    a.withColumn("rk", sum(lit(1L)).over(w))
+      .crossJoin(broadcast(lo))
+      .select(col("host"), col("pr"),
+        (col("fl") + when(col("rk") <= col("lft"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
+  /** Shared builder (q240/q246 — review-r12: the five-scenario store
+    * synthesis was duplicated): fetch host `g`'s robots.txt through
+    * the REAL T144 follower against one of five rendered stores —
+    * direct 200 rules / 404 / 500 / 301-chase / redirect loop, by
+    * g % 5. Returns [[graft.multimodal.Redirects.fetchRobots]]'s
+    * (policy, body bytes when policy == rules).
+    */
+  def robotsFetchScenario(g: Long): (String, Option[Array[Byte]]) = {
+    import graft.multimodal.{Http, Redirects}
+    val host = s"ex$g.test"
+    val ru = s"http://$host/robots.txt"
+    val body = ("User-agent: *\nDisallow: /private/\n" +
+      s"Crawl-delay: ${1 + g % 5}\n").getBytes("UTF-8")
+    def resp(st: Int, hs: (String, String)*) =
+      Http.render(st, "x", hs.toSeq, Array.empty[Byte])
+    val ok = Http.render(200, "OK",
+      Seq("Content-Type" -> "text/plain"), body)
+    val store = (g % 5) match {
+      case 0 => Map(ru -> ok)
+      case 1 => Map(ru -> resp(404))
+      case 2 => Map(ru -> resp(500))
+      case 3 => Map(ru -> resp(301, "Location" -> "/r2.txt"),
+        s"http://$host/r2.txt" -> ok)
+      case _ => Map(ru -> resp(301, "Location" -> "/b"),
+        s"http://$host/b" ->
+          resp(301, "Location" -> "/robots.txt"))
+    }
+    Redirects.fetchRobots(ru, store.get)
   }
 
   /** Shared builder: per-doc chat conversations rendered + truncated
@@ -2034,35 +2115,13 @@ object Crawl {
             ELSE 0 END AS BIGINT) AS quota
         FROM r ORDER BY host"""
       },
-      (s, d) => {
-        val ranks = hostRank(s, table(s, d, "documents"))
-          .localCheckpoint() // three consumers: total, floors, window
-        val tot = ranks.agg(sum(col("pr")).as("sp"))
-        val a = ranks.crossJoin(broadcast(tot))
-          .select(col("host"), col("pr"),
-            expr("(100000 * pr) div sp").as("fl"),
-            expr("(100000 * pr) % sp").as("rem"))
-        val lo = a.agg((lit(100000L) - sum(col("fl"))).as("lft"))
-        // the remainder rank IS a running sum: rank = inclusive
-        // running total of 1 over (rem desc, host asc) — written in
-        // the exact declarative shape (empty partitionSpec, explicit
-        // ROWS frame, non-nullable LONG weight, ANSI sum) the
-        // RunningTotal strategy auto-routes onto the two-phase
-        // parallel prefix scan. row_number().over(...) planned as a
-        // single-task WindowExec sorting every host (VERDICT-r11);
-        // this plans as one range exchange + 32 bounded carry rows
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col("host"))
-          .rowsBetween(org.apache.spark.sql.expressions
-            .Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        a.withColumn("rk", sum(lit(1L)).over(w))
-          .crossJoin(broadcast(lo))
-          .select(col("host"), col("pr"),
-            (col("fl") + when(col("rk") <= col("lft"), 1L)
-              .otherwise(0L)).as("quota"))
-          .orderBy("host")
-      }),
+      (s, d) =>
+        // the shared apportion builder carries the de-weaked shape:
+        // the remainder rank IS a running sum auto-routed onto the
+        // RunningTotal two-phase scan (VERDICT-r11 item 1) — the
+        // PlanSpec gate on THIS query pins the route for every caller
+        apportion(hostRank(s, table(s, d, "documents")), 100000L)
+          .orderBy("host")),
 
     Q("q238_feed_autodiscovery",
       "feed AUTODISCOVERY → parse composition (T147 — how a frontier " +
@@ -2219,23 +2278,27 @@ object Crawl {
           events.repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("ledger_chk", d)
-          // idempotence (ADVICE-r11): foreachBatch can re-deliver a
-          // batchId after a failed attempt — a blind merge would
-          // double-apply it. Keying applied merges by batchId makes
-          // the retry a no-op, the production template for
-          // driver-held state next to a checkpointed stream. (Restart
-          // from an EXISTING checkpoint still needs the ledger
-          // persisted alongside — here the scratch checkpoint dir is
-          // fresh per run, so the drained ledger always covers every
-          // batch.)
+          // idempotence (ADVICE-r11): if a foreachBatch delivery is
+          // ever retried with the same batchId, a blind merge would
+          // double-apply it. The guard marks a batch applied only
+          // AFTER its merge succeeds (marking first would skip the
+          // retry of a FAILED merge — permanent loss, the inverse
+          // bug; review-r12). Documented single-RUN scope: the set is
+          // in-memory, so restart-from-checkpoint recovery would need
+          // it persisted with the ledger — here both checkpoint dir
+          // and ledger are fresh per run, so a drained run always
+          // covers every batch exactly once.
           val applied = scala.collection.mutable.Set.empty[Long]
           val q = s.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
             .writeStream
             .option("checkpointLocation", s"$chkDir/_chk")
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              if (applied.add(batchId))
+              if (!applied.contains(batchId)) {
                 ledger = merge(ledger, toLedger(batch)).localCheckpoint()
+                applied += batchId
+              }
+              ()
             }
             .trigger(Trigger.AvailableNow())
             .start()
@@ -2278,29 +2341,13 @@ object Crawl {
         FROM documents ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        import graft.multimodal.{Http, Redirects}
         import graft.text.Robots
         table(s, d, "documents").select(col("doc_id")).as[Long]
           .map { id =>
-            val g = id % 97
-            val ru = s"http://ex$g.test/robots.txt"
-            val body = ("User-agent: *\nDisallow: /private/\n" +
-              s"Crawl-delay: ${1 + g % 5}\n").getBytes("UTF-8")
-            def resp(st: Int, hs: (String, String)*) =
-              Http.render(st, "x", hs.toSeq, Array.empty[Byte])
-            val ok = Http.render(200, "OK",
-              Seq("Content-Type" -> "text/plain"), body)
-            val store = (id % 5) match {
-              case 0 => Map(ru -> ok)
-              case 1 => Map(ru -> resp(404))
-              case 2 => Map(ru -> resp(500))
-              case 3 => Map(ru -> resp(301, "Location" -> "/r2.txt"),
-                s"http://ex$g.test/r2.txt" -> ok)
-              case _ => Map(ru -> resp(301, "Location" -> "/b"),
-                s"http://ex$g.test/b" ->
-                  resp(301, "Location" -> "/robots.txt"))
-            }
-            val (policy, bytes) = Redirects.fetchRobots(ru, store.get)
+            // the shared builder keys its five store shapes on g % 5;
+            // only the scenario (not the synthesized host name or the
+            // body's delay) reaches this query's output columns
+            val (policy, bytes) = robotsFetchScenario(id % 5)
             val (privOk, pubOk) = policy match {
               case "rules" =>
                 val robots = Robots.parse(
@@ -2789,14 +2836,19 @@ object Crawl {
           events.repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("refetch_chk", d)
+          // same guard discipline as q239: mark applied only AFTER a
+          // successful step; in-memory set = single-run scope
           val applied = scala.collection.mutable.Set.empty[Long]
           val q = s.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
             .writeStream
             .option("checkpointLocation", s"$chkDir/_chk")
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              if (applied.add(batchId))
+              if (!applied.contains(batchId)) {
                 ledger = step(ledger, batch).localCheckpoint()
+                applied += batchId
+              }
+              ()
             }
             .trigger(Trigger.AvailableNow())
             .start()
@@ -2901,27 +2953,11 @@ object Crawl {
       },
       (s, d) => {
         import s.implicits._
-        import graft.multimodal.{Http, Redirects, Revisit}
+        import graft.multimodal.{Http, Revisit}
         import graft.text.Robots
         val docsT = table(s, d, "documents")
-        // rank → budget: the q230/q237 production chain verbatim
-        val ranks = hostRank(s, docsT).localCheckpoint()
-        val tot = ranks.agg(sum(col("pr")).as("sp"))
-        val a = ranks.crossJoin(broadcast(tot))
-          .select(col("host"), col("pr"),
-            expr("(100000 * pr) div sp").as("fl"),
-            expr("(100000 * pr) % sp").as("rem"))
-        val lo = a.agg((lit(100000L) - sum(col("fl"))).as("lft"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col("host"))
-          .rowsBetween(org.apache.spark.sql.expressions
-            .Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val quota = a.withColumn("rk", sum(lit(1L)).over(w))
-          .crossJoin(broadcast(lo))
-          .select(col("host"), col("pr"),
-            (col("fl") + when(col("rk") <= col("lft"), 1L)
-              .otherwise(0L)).as("quota"))
+        // rank → budget: the shared q230/q237 production builders
+        val quota = apportion(hostRank(s, docsT), 100000L)
         // per-host page mass off the corpus (the q216 synth shape:
         // doc id%97 → host, id%3+1 public pages + 1 private probe)
         val mass = docsT
@@ -2929,29 +2965,13 @@ object Crawl {
           .agg(sum(col("doc_id") % 3 + 1).as("np"),
             count(lit(1)).as("nd"))
         // the per-host DECISION dimension: robots-fetch policy through
-        // the real follower + parser, schedule gate from the real rule
-        // evaluation, revisit verdict off real rendered cache headers
+        // the real follower + parser (shared five-scenario builder),
+        // schedule gate from the real rule evaluation, revisit verdict
+        // off real rendered cache headers
         val hostDim = mass.as[(Long, Long, Long)]
           .map { case (g, np, nd) =>
             val host = s"ex$g.test"
-            val ru = s"http://$host/robots.txt"
-            val body = ("User-agent: *\nDisallow: /private/\n" +
-              s"Crawl-delay: ${1 + g % 5}\n").getBytes("UTF-8")
-            def resp(st: Int, hs: (String, String)*) =
-              Http.render(st, "x", hs.toSeq, Array.empty[Byte])
-            val ok = Http.render(200, "OK",
-              Seq("Content-Type" -> "text/plain"), body)
-            val store = (g % 5) match {
-              case 0 => Map(ru -> ok)
-              case 1 => Map(ru -> resp(404))
-              case 2 => Map(ru -> resp(500))
-              case 3 => Map(ru -> resp(301, "Location" -> "/r2.txt"),
-                s"http://$host/r2.txt" -> ok)
-              case _ => Map(ru -> resp(301, "Location" -> "/b"),
-                s"http://$host/b" ->
-                  resp(301, "Location" -> "/robots.txt"))
-            }
-            val (policy, bytes) = Redirects.fetchRobots(ru, store.get)
+            val (policy, bytes) = robotsFetchScenario(g)
             val (privOk, pubOk, delay) = policy match {
               case "rules" =>
                 val robots = Robots.parse(
@@ -2994,6 +3014,68 @@ object Crawl {
             when(col("policy") === "disallow_all", "blocked")
               .when(col("revisit") === "skip", "skip")
               .otherwise("crawl").as("action"))
+          .orderBy("host")
+      }),
+
+    Q("q247_trap_gated_frontier",
+      "trap-gated frontier schedule (T156 — T153 threaded into the " +
+        "T125 politeness pipeline, the 'exclude trapped URLs from " +
+        "budgeting' composition): per doc, the q216 messy clean URLs " +
+        "PLUS one planted trap per doc (rotating family: /a/a/a/ " +
+        "segment run, duplicate-key query explosion, calendar " +
+        "pagination) PLUS the /private/ probe all flow canonicalize " +
+        "(T120) → trap gate (T153: trapped URLs drop BEFORE the " +
+        "rollup and are counted per host) → robots gate (T121 " +
+        "per-host rules dimension drops the private probe) → per-" +
+        "host rollup. The schedule columns must equal q216's " +
+        "EXACTLY (one trap leaking into a queue changes its md5) " +
+        "while n_trapped pins the gate's workload. Same ONE " +
+        "host-keyed shuffle as q216 — the gate is a zero-shuffle " +
+        "per-row filter on the same narrow map",
+      Some("""WITH u AS (
+          SELECT doc_id % 97 AS g,
+            'http://ex' || CAST(doc_id % 97 AS VARCHAR) || '.test/p' ||
+              CAST(doc_id AS VARCHAR) || '/' || CAST(j.j AS VARCHAR) ||
+              '?x=1' AS url
+          FROM documents, range(0, 3) j(j) WHERE j.j < doc_id % 3 + 1),
+        h AS (SELECT g, COUNT(*) AS n_urls,
+            md5(string_agg(url, ',' ORDER BY url)) AS order_md5
+          FROM u GROUP BY g),
+        t AS (SELECT doc_id % 97 AS g, COUNT(*) AS n_trapped
+          FROM documents GROUP BY 1)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CAST(n_urls AS BIGINT) AS n_urls,
+          CAST(n_trapped AS BIGINT) AS n_trapped,
+          CAST(1 + g % 5 AS BIGINT) AS delay_s,
+          CAST((n_urls - 1) * (1 + g % 5) AS BIGINT) AS makespan_s,
+          order_md5
+        FROM h JOIN t USING (g) ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Urls
+        val docs = table(s, d, "documents")
+        // the SHARED q216 synth with one planted trap per doc
+        // injected through the extras seam (review-r12: no hand-
+        // synced copy — the schedule-equality claim is structural)
+        val cand = frontierPages(s, docs, id => Seq((id % 3) match {
+          case 0 => s"http://ex${id % 97}.test/a/a/a/t$id"
+          case 1 => s"http://ex${id % 97}.test/t$id?f=1&f=2&f=3&f=4"
+          case _ => s"http://ex${id % 97}.test/2024/01/2024/02/t$id"
+        }))
+          .as[(String, String, String)]
+          .map { case (h, u, pq) =>
+            (h, u, pq, Urls.trapReasons(u).exists(_.nonEmpty))
+          }
+          .toDF("host", "url", "path_q", "trapped")
+        val trapCounts = cand.filter(col("trapped"))
+          .groupBy("host").agg(count(lit(1)).as("n_trapped"))
+        politenessRollup(robotsGate(s,
+          cand.filter(!col("trapped")).drop("trapped"),
+          hostRobots(s, docs)))
+          .join(trapCounts, Seq("host"), "left_outer")
+          .select(col("host"), col("n_urls"),
+            coalesce(col("n_trapped"), lit(0L)).as("n_trapped"),
+            col("delay_s"), col("makespan_s"), col("order_md5"))
           .orderBy("host")
       })
   )

@@ -266,7 +266,9 @@ object Sitemap {
       nMissing: Int,         // locs the fetch seam had nothing for
       nDepthHits: Int,       // children past maxDepth, never fetched
       nUnknown: Int,         // unresolvable locs + non-sitemap roots
-      truncated: Boolean)    // stopped at maxSitemaps with work left
+      truncated: Boolean)    // stopped at maxSitemaps with work left,
+                             // OR some file hit the per-file
+                             // 50,000-entry cap (Parsed.truncated)
 
   /** Sitemap-INDEX recursion (q243, T152 — VERDICT-r11 item 3 of the
     * north-star gaps: [[parse]] distinguishes `sitemapindex` from
@@ -301,6 +303,7 @@ object Sitemap {
     var nMissing = 0
     var nDepthHits = 0
     var nUnknown = 0
+    var entryCapHit = false
     while (stack.nonEmpty && nVisited < maxSitemaps) {
       val (url, depth) = stack.pop()
       fetch(url) match {
@@ -309,14 +312,25 @@ object Sitemap {
           nVisited += 1
           val parsed = parse(xml)
           if (url == rootC && rootKind == "missing") rootKind = parsed.kind
+          // a file cut at the 50,000-entry cap must surface in the
+          // TREE result too — discarding the per-file flag here would
+          // be exactly the silent "covered everything" misread the
+          // TreeResult contract forbids (review-r12)
+          if (parsed.truncated) entryCapHit = true
           parsed.kind match {
             case "urlset" => out ++= parsed.entries
             case "sitemapindex" =>
               parsed.entries.foreach { e =>
                 Urls.resolve(url, e.loc).flatMap(Urls.canonicalize) match {
                   case Some(child) =>
-                    if (!seen.add(child)) nCycles += 1
-                    else if (depth + 1 > maxDepth) nDepthHits += 1
+                    // depth check BEFORE the seen set: a depth-capped
+                    // child must stay reachable if a later (shallower)
+                    // path references it — marking it seen here would
+                    // miscount the legal revisit as a cycle and lose
+                    // the subtree (review-r12: sitemap trees are DAGs,
+                    // not trees)
+                    if (depth + 1 > maxDepth) nDepthHits += 1
+                    else if (!seen.add(child)) nCycles += 1
                     else stack.push((child, depth + 1))
                   case None => nUnknown += 1
                 }
@@ -326,6 +340,6 @@ object Sitemap {
       }
     }
     TreeResult(rootKind, nVisited, out.toSeq, nCycles, nMissing,
-      nDepthHits, nUnknown, truncated = stack.nonEmpty)
+      nDepthHits, nUnknown, truncated = stack.nonEmpty || entryCapHit)
   }
 }

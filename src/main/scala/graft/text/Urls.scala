@@ -266,6 +266,24 @@ object Urls {
     * canonicalization, is [[canonicalize]] verbatim. None exactly
     * when canonicalize rejects.
     */
+  def stripTracking(url: String): Option[String] =
+    canonicalize(url).map { cu =>
+      val q = cu.indexOf('?')
+      if (q < 0) cu
+      else {
+        val kept = cu.substring(q + 1).split('&').filter { param =>
+          val key = param.indexOf('=') match {
+            case -1 => param
+            case e => param.substring(0, e)
+          }
+          val k = key.toLowerCase
+          !(k.startsWith("utm_") || TrackingParams(k))
+        }
+        if (kept.isEmpty) cu.substring(0, q)
+        else cu.substring(0, q) + "?" + kept.mkString("&")
+      }
+    }
+
   /** Crawl-trap heuristics (q244, T153 — VERDICT-r11 gap 4: without
     * a trap gate one pathological host eats the budget allocator):
     * the per-URL, zero-shuffle checks a frontier runs BEFORE the
@@ -327,23 +345,5 @@ object Urls {
       if (hasRun) reasons += "segment_run"
       if (cu.length > 1024) reasons += "url_len"
       reasons.sorted.toSeq
-    }
-
-  def stripTracking(url: String): Option[String] =
-    canonicalize(url).map { cu =>
-      val q = cu.indexOf('?')
-      if (q < 0) cu
-      else {
-        val kept = cu.substring(q + 1).split('&').filter { param =>
-          val key = param.indexOf('=') match {
-            case -1 => param
-            case e => param.substring(0, e)
-          }
-          val k = key.toLowerCase
-          !(k.startsWith("utm_") || TrackingParams(k))
-        }
-        if (kept.isEmpty) cu.substring(0, q)
-        else cu.substring(0, q) + "?" + kept.mkString("&")
-      }
     }
 }

@@ -1432,22 +1432,12 @@ object ScaleProbe {
         val hosts = spark.range(nHosts)
           .select(concat(lit("h"), col("id")).as("host"),
             (col("id") % 1000L + 1000L).as("pr"))
-        val tot = hosts.agg(sum(col("pr")).as("sp"))
-        val alloc = hosts.crossJoin(broadcast(tot))
-          .select(col("host"), col("pr"),
-            expr("(100000000 * pr) div sp").as("fl"),
-            expr("(100000000 * pr) % sp").as("rem"))
-        val lo = alloc.agg((lit(100000000L) - sum(col("fl"))).as("lft"))
-        val w = Window.orderBy(col("rem").desc, col("host"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // collect the SUM itself (a bare count() over a global
-        // aggregate lets column pruning delete the whole rank chain —
-        // the probe would measure nothing)
-        alloc.withColumn("rk", sum(lit(1L)).over(w))
-          .crossJoin(broadcast(lo))
-          .select(col("host"),
-            (col("fl") + when(col("rk") <= col("lft"), 1L)
-              .otherwise(0L)).as("quota"))
+        // the SHIPPED builder (probe discipline — review-r12: this
+        // was a third hand-synced copy of the apportionment chain).
+        // Collect the SUM itself: a bare count() over a global
+        // aggregate lets column pruning delete the whole rank chain
+        // and the probe would measure nothing
+        graft.queries.Crawl.apportion(hosts, 100000000L)
           .agg(sum(col("quota"))).collect().head.getLong(0)
       }
       }

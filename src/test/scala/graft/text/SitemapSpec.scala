@@ -201,5 +201,27 @@ class SitemapSpec extends AnyFunSuite {
     val rjunk = Sitemap.crawlTree(s"$h/sitemap.xml",
       Map(s"$h/sitemap.xml" -> "<html>not a sitemap</html>").get)
     assert(rjunk.rootKind == "unknown" && rjunk.nUnknown == 1)
+    // DAG shape (review-r12): a child depth-capped on one path must
+    // stay reachable via a later SHALLOWER path — root lists B then A
+    // (LIFO pops A first... order-independent: both orders must land
+    // the subtree); B -> C -> X is past the cap, A -> X is legal
+    val dag = Map(
+      s"$h/sitemap.xml" -> index("/b.xml", "/a2.xml"),
+      s"$h/b.xml" -> index("/c.xml"),
+      s"$h/c.xml" -> index("/x.xml"), // X at depth 3 via B: capped
+      s"$h/a2.xml" -> index("/x.xml"), // X at depth 2 via A: legal
+      s"$h/x.xml" -> urlset(s"$h/px"))
+    val rdag = Sitemap.crawlTree(s"$h/sitemap.xml", dag.get,
+      maxDepth = 2)
+    assert(rdag.entries.map(_.loc) == Seq(s"$h/px"),
+      s"depth-capped child lost: $rdag")
+    assert(rdag.nDepthHits == 1 && rdag.nCycles == 0)
+    // a file cut at the per-file 50k entry cap surfaces as tree-level
+    // truncation (review-r12: no silent caps)
+    val big = "<urlset>" + (1 to 50001).map(k =>
+      s"<url><loc>$h/big$k</loc></url>").mkString + "</urlset>"
+    val rbig = Sitemap.crawlTree(s"$h/sitemap.xml",
+      Map(s"$h/sitemap.xml" -> big).get)
+    assert(rbig.truncated && rbig.entries.length == 50000)
   }
 }
