@@ -70,6 +70,199 @@ object Charsets {
   def resolve(label: String): Option[String] =
     labels.get(label.trim.toLowerCase)
 
+  /** A [[decode]] with the WHATWG encoding-sniffing provenance: which
+    * layer decided the encoding — `bom` ≻ `transport` ≻ `meta`
+    * (the §13.2.3.2 prescan) ≻ `default` (UTF-8 fallback, flagged).
+    */
+  final case class Sniffed(source: String, decoded: Decoded)
+
+  /** Byte-order mark at the head of `bytes`: (encoding, BOM length).
+    * WHATWG: the BOM beats EVERY other declaration, including the
+    * transport layer.
+    */
+  def bomOf(bytes: Array[Byte]): Option[(String, Int)] =
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      Some(("utf-8", 3))
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xfe) Some(("utf-16le", 2))
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+        (bytes(1) & 0xff) == 0xff) Some(("utf-16be", 2))
+    else None
+
+  /** The HTML5 §13.2.3.2 PRESCAN (T157): scan the first `limit` bytes
+    * (as an ASCII-superset view) for `<meta charset=…>` or
+    * `<meta http-equiv=content-type content="…; charset=…">`, skipping
+    * comments and other tags. Two spec quirks implemented exactly:
+    * a meta declaring a UTF-16 flavor yields UTF-8 (the document
+    * cannot be UTF-16 if its own ASCII meta was readable), and
+    * `x-user-defined` in a meta yields windows-1252. Returns the
+    * resolved canonical encoding; None when no (valid) declaration is
+    * found in the window. Never throws on truncated/malformed input.
+    */
+  def prescan(bytes: Array[Byte], limit: Int = 1024): Option[String] = {
+    val s = new String(bytes, 0, math.min(limit, bytes.length),
+      "ISO-8859-1")
+    val n = s.length
+    var i = 0
+    // the WHATWG "extract a character encoding from a meta element"
+    // algorithm over a content="text/html; charset=…" value
+    def fromContent(v: String): Option[String] = {
+      val lower = v.toLowerCase
+      val at = lower.indexOf("charset")
+      if (at < 0) return None
+      var j = at + 7
+      while (j < v.length && Character.isWhitespace(v.charAt(j))) j += 1
+      if (j >= v.length || v.charAt(j) != '=') return None
+      j += 1
+      while (j < v.length && Character.isWhitespace(v.charAt(j))) j += 1
+      if (j >= v.length) return None
+      val label = v.charAt(j) match {
+        case q @ ('"' | '\'') =>
+          val e = v.indexOf(q, j + 1)
+          if (e < 0) return None else v.substring(j + 1, e)
+        case _ =>
+          var e = j
+          while (e < v.length && !Character.isWhitespace(v.charAt(e)) &&
+            v.charAt(e) != ';') e += 1
+          v.substring(j, e)
+      }
+      Some(label)
+    }
+    // meta-context resolution: the two spec quirks, then the label map
+    def metaResolve(label: String): Option[String] = {
+      val l = label.trim.toLowerCase
+      if (l == "utf-16" || l == "utf-16le" || l == "utf-16be")
+        Some("utf-8")
+      else if (l == "x-user-defined") Some("windows-1252")
+      else resolve(l)
+    }
+    while (i < n) {
+      if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        i = if (e < 0) return None else e + 3
+      } else if (s.regionMatches(true, i, "<meta", 0, 5) && i + 5 < n &&
+          (Character.isWhitespace(s.charAt(i + 5)) ||
+            s.charAt(i + 5) == '/')) {
+        // quote-aware attribute walk to the tag's '>'
+        var j = i + 5
+        var charsetAttr: Option[String] = None
+        var httpEquiv: Option[String] = None
+        var contentAttr: Option[String] = None
+        var done = false
+        while (j < n && !done) {
+          val c = s.charAt(j)
+          if (c == '>') done = true
+          else if (Character.isLetter(c)) {
+            val a0 = j
+            while (j < n && (Character.isLetterOrDigit(s.charAt(j)) ||
+              s.charAt(j) == '-')) j += 1
+            val aName = s.substring(a0, j).toLowerCase
+            var k = j
+            while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+            var aVal: Option[String] = None
+            if (k < n && s.charAt(k) == '=') {
+              k += 1
+              while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+              if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                val q = s.charAt(k)
+                val e = s.indexOf(q, k + 1)
+                if (e < 0) return None // truncated inside the window
+                aVal = Some(s.substring(k + 1, e)); k = e + 1
+              } else {
+                val v0 = k
+                while (k < n && !Character.isWhitespace(s.charAt(k)) &&
+                  s.charAt(k) != '>') k += 1
+                aVal = Some(s.substring(v0, k))
+              }
+              j = k
+            }
+            aName match {
+              case "charset" => if (charsetAttr.isEmpty) charsetAttr = aVal
+              case "http-equiv" => if (httpEquiv.isEmpty) httpEquiv = aVal
+              case "content" => if (contentAttr.isEmpty) contentAttr = aVal
+              case _ =>
+            }
+          } else j += 1
+        }
+        val found = charsetAttr.flatMap(metaResolve).orElse {
+          if (httpEquiv.exists(_.equalsIgnoreCase("content-type")))
+            contentAttr.flatMap(fromContent).flatMap(metaResolve)
+          else None
+        }
+        if (found.isDefined) return found
+        i = if (done) j + 1 else n
+      } else if (c2Tag(s, i)) {
+        // any other tag: skip to '>' honoring quotes, so a '>' inside
+        // an attribute value cannot end the tag early
+        var j = i + 1
+        var quote: Char = 0
+        while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+          val c = s.charAt(j)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          j += 1
+        }
+        i = if (j < n) j + 1 else n
+      } else i += 1
+    }
+    None
+  }
+
+  private def c2Tag(s: String, i: Int): Boolean =
+    s.charAt(i) == '<' && i + 1 < s.length &&
+      (Character.isLetter(s.charAt(i + 1)) || s.charAt(i + 1) == '/' ||
+        s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')
+
+  /** The WHATWG encoding-SNIFFING composition (q248, T157): BOM ≻
+    * transport label ≻ meta prescan ≻ UTF-8 fallback (flagged via
+    * `decoded.fellBack`). A BOM is stripped before decoding (the
+    * standard's rule — a retained U+FEFF would poison dedup keys and
+    * token counts downstream).
+    */
+  def sniffDecode(bytes: Array[Byte], transportLabel: Option[String])
+      : Sniffed =
+    bomOf(bytes) match {
+      case Some((enc, bomLen)) =>
+        val body = java.util.Arrays.copyOfRange(bytes, bomLen,
+          bytes.length)
+        Sniffed("bom", decodeCanonical(body, enc))
+      case None =>
+        transportLabel.flatMap(resolve) match {
+          case Some(enc) => Sniffed("transport", decodeCanonical(bytes, enc))
+          case None => prescan(bytes) match {
+            case Some(enc) => Sniffed("meta", decodeCanonical(bytes, enc))
+            case None => Sniffed("default", decode(bytes, None))
+          }
+        }
+    }
+
+  /** Decode by CANONICAL encoding name (label resolution already
+    * done). utf-16le/be decode natively: code-unit pairs, a lone
+    * trailing byte is one U+FFFD; surrogate pairs pass through as
+    * their units (the JVM String is UTF-16 already), an unpaired
+    * surrogate unit is kept as-is (String tolerates it; downstream
+    * UTF-8 encodes it as U+FFFD — the lossy path is the writer's).
+    */
+  private[multimodal] def decodeCanonical(bytes: Array[Byte],
+      enc: String): Decoded = enc match {
+    case "utf-8" | "windows-1252" => decode(bytes, Some(enc))
+    case "utf-16le" | "utf-16be" =>
+      val le = enc == "utf-16le"
+      val sb = new java.lang.StringBuilder(bytes.length / 2 + 1)
+      var repl = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val lo = bytes(if (le) i else i + 1) & 0xff
+        val hi = bytes(if (le) i + 1 else i) & 0xff
+        sb.append(((hi << 8) | lo).toChar)
+        i += 2
+      }
+      if (i < bytes.length) { sb.append('�'); repl += 1 }
+      Decoded(sb.toString, enc, fellBack = false, repl)
+    case other => decode(bytes, Some(other))
+  }
+
   /** Decode `bytes` per the declared `label`. Unknown or absent labels
     * use UTF-8 with maximal-subpart U+FFFD repair and set `fellBack`.
     * windows-1252 is total (every byte maps), so its decode never

@@ -3077,6 +3077,90 @@ object Crawl {
             coalesce(col("n_trapped"), lit(0L)).as("n_trapped"),
             col("delay_s"), col("makespan_s"), col("order_md5"))
           .orderBy("host")
+      }),
+
+    Q("q248_charset_sniff",
+      "WHATWG encoding SNIFFING (T157, Charsets.sniffDecode — the " +
+        "full precedence chain T119 lacked: BOM ≻ transport label ≻ " +
+        "the HTML5 §13.2.3.2 meta PRESCAN ≻ flagged UTF-8 fallback; " +
+        "real pages declare their charset ONLY in <meta> all the " +
+        "time, and a pipeline without the prescan mojibakes them): " +
+        "per doc, one of six wire shapes — a BOM beating a LYING " +
+        "transport label and meta; transport beating a lying meta; " +
+        "meta charset= used when transport is absent; the only meta " +
+        "inside a comment (decoy → flagged fallback); a meta " +
+        "declaring UTF-16 (the spec quirk: an ASCII-readable meta " +
+        "means the document is NOT UTF-16 → utf-8); the http-equiv " +
+        "content-type form with label aliasing (iso-8859-1 → " +
+        "windows-1252, the WHATWG rule) — each carrying payload " +
+        "bytes that decode DIFFERENTLY per encoding (0x93/0x94/0x80: " +
+        "cp1252 smart quotes + € vs three U+FFFD), so one wrong " +
+        "precedence hop flips the md5 AND the replacement count. " +
+        "Zero shuffle; the sniff rides the T119 decode's narrow map",
+      Some("""WITH v AS (SELECT doc_id, doc_id % 6 AS g,
+            '“pay' || CAST(doc_id AS VARCHAR) || '” €'
+              AS cp,
+            '�pay' || CAST(doc_id AS VARCHAR) ||
+              '� �' AS u8
+          FROM documents)
+        SELECT doc_id,
+          CASE g WHEN 0 THEN 'bom' WHEN 1 THEN 'transport'
+            WHEN 3 THEN 'default' ELSE 'meta' END AS source,
+          CASE WHEN g IN (0, 3, 4) THEN 'utf-8'
+            ELSE 'windows-1252' END AS used,
+          CAST(CASE WHEN g = 3 THEN 1 ELSE 0 END AS BIGINT)
+            AS fell_back,
+          CAST(CASE WHEN g IN (0, 3, 4) THEN 3 ELSE 0 END AS BIGINT)
+            AS n_repl,
+          md5(CASE g
+            WHEN 0 THEN '<meta charset="windows-1252"><p>' || u8
+            WHEN 1 THEN '<meta charset="utf-8"><p>' || cp
+            WHEN 2 THEN '<meta charset="windows-1252"><p>' || cp
+            WHEN 3 THEN
+              '<!-- <meta charset="windows-1252"> --><p>' || u8
+            WHEN 4 THEN '<meta charset="UTF-16LE"><p>' || u8
+            ELSE '<meta http-equiv="content-type" ' ||
+              'content="text/html; charset=iso-8859-1"><p>' || cp
+          END) AS text_md5
+        FROM v ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Charsets
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = (id % 6).toInt
+            val head = g match {
+              case 0 | 2 => "<meta charset=\"windows-1252\"><p>"
+              case 1 => "<meta charset=\"utf-8\"><p>"
+              case 3 => "<!-- <meta charset=\"windows-1252\"> --><p>"
+              case 4 => "<meta charset=\"UTF-16LE\"><p>"
+              case _ => "<meta http-equiv=\"content-type\" " +
+                "content=\"text/html; charset=iso-8859-1\"><p>"
+            }
+            // 0x93 0x94 0x80: cp1252 “ ” € — three U+FFFD under utf-8
+            val payload = Array[Byte](0x93.toByte) ++
+              s"pay$id".getBytes("US-ASCII") ++
+              Array[Byte](0x94.toByte, ' ', 0x80.toByte)
+            val body = head.getBytes("ISO-8859-1") ++ payload
+            val bytes =
+              if (g == 0) Array[Byte](0xef.toByte, 0xbb.toByte,
+                0xbf.toByte) ++ body
+              else body
+            val transport = g match {
+              case 0 | 1 => Some("windows-1252") // v0's label LIES
+              case _ => None
+            }
+            val sn = Charsets.sniffDecode(bytes, transport)
+            (id, sn.source, sn.decoded.used,
+              if (sn.decoded.fellBack) 1L else 0L,
+              sn.decoded.nReplacements,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(sn.decoded.text.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "source", "used", "fell_back", "n_repl",
+            "text_md5")
+          .orderBy("doc_id")
       })
   )
 }

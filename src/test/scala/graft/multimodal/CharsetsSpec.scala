@@ -70,4 +70,80 @@ class CharsetsSpec extends AnyFunSuite {
     val d = Charsets.decode(body, r.charset)
     assert(d.text == "€œ" && d.used == "windows-1252" && !d.fellBack)
   }
+
+  test("prescan (T157): meta charset, http-equiv form, comment decoy, " +
+      "quoted '>' inside attrs, utf-16/x-user-defined quirks, window cap") {
+    def p(html: String) = Charsets.prescan(html.getBytes("ISO-8859-1"))
+    assert(p("""<head><meta charset="windows-1252"></head>""")
+      .contains("windows-1252"))
+    assert(p("<META CHARSET=UTF-8>").contains("utf-8")) // case + bare
+    assert(p("""<meta http-equiv="Content-Type" """ +
+      """content="text/html; charset=iso-8859-1">""")
+      .contains("windows-1252")) // label aliasing applies
+    // http-equiv that is not content-type contributes nothing
+    assert(p("""<meta http-equiv="refresh" content="1; charset=utf-8">""")
+      .isEmpty)
+    // comment decoy skipped; real meta after it still found
+    assert(p("""<!-- <meta charset="utf-8"> --><meta charset="cp1252">""")
+      .contains("windows-1252"))
+    // a '>' inside a quoted attribute must not end the preceding tag
+    assert(p("""<img alt="a > b"><meta charset="utf-8">""")
+      .contains("utf-8"))
+    // spec quirks: utf-16 flavors → utf-8; x-user-defined → cp1252
+    assert(p("""<meta charset="UTF-16BE">""").contains("utf-8"))
+    assert(p("""<meta charset="x-user-defined">""")
+      .contains("windows-1252"))
+    // unknown label: no declaration
+    assert(p("""<meta charset="klingon">""").isEmpty)
+    // the 1024-byte window: a meta past it is invisible
+    assert(p("<p>" + "x" * 1100 + "</p><meta charset=\"utf-8\">")
+      .isEmpty)
+    // first valid declaration wins
+    assert(p("""<meta charset="utf-8"><meta charset="cp1252">""")
+      .contains("utf-8"))
+  }
+
+  test("sniffDecode (T157): BOM > transport > meta > flagged default; " +
+      "BOM stripped; utf-16 BOM decode refereed against the JDK") {
+    val metaCp = """<meta charset="windows-1252">"""
+    // payload bytes that decode differently per encoding
+    val tail = Array[Byte](0x93.toByte, 'p', 0x94.toByte)
+    val plain = (metaCp + "x").getBytes("ISO-8859-1") ++ tail
+    // BOM beats a lying transport label AND the meta
+    val bommed = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      plain
+    val sb = Charsets.sniffDecode(bommed, Some("windows-1252"))
+    assert(sb.source == "bom" && sb.decoded.used == "utf-8")
+    assert(!sb.decoded.text.startsWith("﻿")) // BOM stripped
+    assert(sb.decoded.nReplacements == 2L) // 0x93 and 0x94 → U+FFFD
+    // transport beats meta
+    val st = Charsets.sniffDecode(plain, Some("utf-8"))
+    assert(st.source == "transport" && st.decoded.used == "utf-8")
+    // meta used when transport is absent/unknown
+    val sm = Charsets.sniffDecode(plain, None)
+    assert(sm.source == "meta" && sm.decoded.used == "windows-1252")
+    assert(sm.decoded.text.endsWith("“p”"))
+    val su = Charsets.sniffDecode(plain, Some("klingon"))
+    assert(su.source == "meta") // unknown transport label falls through
+    // nothing declared: flagged utf-8 fallback
+    val sd = Charsets.sniffDecode("plain text".getBytes ++ tail, None)
+    assert(sd.source == "default" && sd.decoded.fellBack)
+    // utf-16le/be BOM paths, JDK-refereed (JDK strips the BOM for
+    // "UTF-16" with a BOM; compare against explicit LE/BE decode of
+    // the post-BOM bytes)
+    for ((name, jdk) <- Seq("utf-16le" -> "UTF-16LE",
+        "utf-16be" -> "UTF-16BE")) {
+      val text = "chars é中 ok"
+      val bom = if (name == "utf-16le") Array[Byte](0xff.toByte,
+        0xfe.toByte) else Array[Byte](0xfe.toByte, 0xff.toByte)
+      val payload = bom ++ text.getBytes(jdk)
+      val s16 = Charsets.sniffDecode(payload, None)
+      assert(s16.source == "bom" && s16.decoded.used == name)
+      assert(s16.decoded.text == text, name)
+    }
+    // lone trailing byte in a utf-16 stream: one U+FFFD, no throw
+    val odd = Array[Byte](0xff.toByte, 0xfe.toByte, 'a', 0, 'x')
+    val so = Charsets.sniffDecode(odd, None)
+    assert(so.decoded.text == "a�" && so.decoded.nReplacements == 1L)
+  }
 }
