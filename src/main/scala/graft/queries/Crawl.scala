@@ -3161,6 +3161,183 @@ object Crawl {
           .toDF("doc_id", "source", "used", "fell_back", "n_repl",
             "text_md5")
           .orderBy("doc_id")
+      }),
+
+    Q("q249_robots_cache_refresh",
+      "robots-rules CACHE refresh (T158 — the freshness loop the " +
+        "per-host rules dimension needs: T121 parses once per host, " +
+        "but rules AGE; this composes T140's RFC 9111 decision with " +
+        "T149's fetch policy and the 'cached' branch round 12 added " +
+        "to fetchRobots): per HOST, the cached robots entry carries " +
+        "its validators (ETag, entry age) and the original response's " +
+        "Cache-Control max-age=1000; FRESH entries skip the fetch " +
+        "entirely (age < lifetime — the fetch the cluster never " +
+        "pays); stale entries run a REAL conditional GET — a 304 " +
+        "maps through fetchRobots to 'cached' (the round-12 fix: the " +
+        "old catch-all read it as allow_all and silently dropped the " +
+        "host's restrictions) and the cached rules stand; a changed " +
+        "origin answers 200 with TIGHTENED rules (new crawl-delay, a " +
+        "new /pub2/ disallow) that re-parse through the real parser " +
+        "and flip the probe verdicts. Every action, delay, and " +
+        "verdict closed-form per host residue. Per-host work, zero " +
+        "shuffle beside the 97-row host map",
+      Some("""WITH h AS (SELECT DISTINCT doc_id % 97 AS g
+            FROM documents),
+          v AS (SELECT g, (g % 7) * 400 AS age,
+            g % 4 = 0 AS changed FROM h)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CASE WHEN age < 1000 THEN 'fresh'
+            WHEN changed THEN 'refreshed' ELSE 'revalidated' END
+            AS action,
+          CAST(CASE WHEN age >= 1000 AND changed THEN 2 + g % 5
+            ELSE 1 + g % 5 END AS BIGINT) AS delay_s,
+          CAST(0 AS BIGINT) AS priv_ok,
+          CAST(CASE WHEN age >= 1000 AND changed THEN 0 ELSE 1 END
+            AS BIGINT) AS pub2_ok,
+          CASE WHEN age >= 1000 AND changed
+            THEN '"n' || CAST(g AS VARCHAR) || '"'
+            ELSE '"r' || CAST(g % 13 AS VARCHAR) || '"' END AS etag
+        FROM v ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Http, Redirects, Revisit}
+        import graft.text.Robots
+        table(s, d, "documents")
+          .select((col("doc_id") % 97).as("g")).distinct().as[Long]
+          .map { g =>
+            val host = s"ex$g.test"
+            val ru = s"http://$host/robots.txt"
+            val cachedEtag = "\"r" + (g % 13) + "\""
+            val cachedBody = "User-agent: *\nDisallow: /private/\n" +
+              s"Crawl-delay: ${1 + g % 5}\n"
+            val age = (g % 7) * 400
+            // the decision runs off the CACHED response's own headers
+            // (the T140 production path — the frontier stores them
+            // with the rules)
+            val cachedResp = Http.render(200, "OK",
+              Seq("Content-Type" -> "text/plain",
+                "Cache-Control" -> "max-age=1000",
+                "ETag" -> cachedEtag),
+              cachedBody.getBytes("UTF-8"))
+            val decision = Revisit.decideFromResponse(cachedResp, age).get
+            val changed = g % 4 == 0
+            val newEtag = "\"n" + g + "\""
+            val newBody = "User-agent: *\nDisallow: /private/\n" +
+              s"Disallow: /pub2/\nCrawl-delay: ${2 + g % 5}\n"
+            // the origin: 304 when If-None-Match matches its current
+            // entity, else 200 with the (possibly tightened) rules
+            def origin(inm: String): Map[String, Array[Byte]] = {
+              val cur = if (changed) newEtag else cachedEtag
+              val resp =
+                if (inm == cur)
+                  Http.render(304, "Not Modified",
+                    Seq("ETag" -> cur), Array.empty[Byte])
+                else Http.render(200, "OK",
+                  Seq("Content-Type" -> "text/plain", "ETag" -> cur),
+                  (if (changed) newBody else cachedBody)
+                    .getBytes("UTF-8"))
+              Map(ru -> resp)
+            }
+            val (action, rulesText, etag) =
+              if (decision.action == "skip")
+                ("fresh", cachedBody, cachedEtag)
+              else {
+                // conditional GET with the ledger's validator through
+                // the REAL fetch policy (T149 + the round-12 branch)
+                val store = origin(cachedEtag)
+                Redirects.fetchRobots(ru, store.get) match {
+                  case ("cached", _) =>
+                    ("revalidated", cachedBody, cachedEtag)
+                  case ("rules", Some(bytes)) =>
+                    ("refreshed", new String(bytes, "UTF-8"), newEtag)
+                  case other =>
+                    (s"unexpected_${other._1}", cachedBody, cachedEtag)
+                }
+              }
+            val robots = Robots.parse(rulesText)
+            val delay = Robots.group(robots, "graftbot")
+              .flatMap(_.crawlDelay).getOrElse(0L)
+            (host, action, delay,
+              if (Robots.isAllowed(robots, "graftbot",
+                s"/private/$g")) 1L else 0L,
+              if (Robots.isAllowed(robots, "graftbot",
+                s"/pub2/$g")) 1L else 0L,
+              etag)
+          }
+          .toDF("host", "action", "delay_s", "priv_ok", "pub2_ok",
+            "etag")
+          .orderBy("host")
+      }),
+
+    Q("q250_wet_conversion",
+      "WET conversion-record derivation (T159 — the Common Crawl " +
+        "shape that makes the T142 write path OPERATIONAL: CC ships " +
+        "extracted text as WARC 'conversion' records whose " +
+        "WARC-Refers-To names the source response record): per doc, " +
+        "a response record is written (T142), its HTML payload " +
+        "extracts through T118, and the text is written BACK as a " +
+        "conversion record — type conversion, text/plain, " +
+        "Refers-To = the source's generated Record-ID — then the " +
+        "derived record re-parses (T115) and THREE inverses verify: " +
+        "the Refers-To header equals the source id, the block " +
+        "digest re-derives from the parsed body, and the text " +
+        "round-trips byte-exactly (oracle md5 over the closed-form " +
+        "extraction). One byte off anywhere in write → extract → " +
+        "write → parse breaks a column. Zero shuffle; both records " +
+        "live and die inside one task",
+      Some("""WITH p AS (SELECT doc_id, doc_id % 3 + 2 AS k
+          FROM documents),
+        c AS (SELECT p.doc_id, p.k,
+            string_agg(
+              'paragraph w' || CAST(p.doc_id AS VARCHAR) || 'p' ||
+                CAST(j.j AS VARCHAR) ||
+                ' of the conversion corpus text',
+              chr(10) ORDER BY j.j) AS text
+          FROM p, range(0, 5) j(j) WHERE j.j < p.k
+          GROUP BY p.doc_id, p.k)
+        SELECT doc_id,
+          'conversion' AS conv_type,
+          CAST(1 AS BIGINT) AS refers_ok,
+          CAST(1 AS BIGINT) AS digest_ok,
+          CAST(length(text) AS BIGINT) AS text_len,
+          md5(text) AS text_md5
+        FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Html, Warc}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val k = (id % 3 + 2).toInt
+            val uri = s"http://ex${id % 97}.test/p$id"
+            val paras = (0 until k).map(j =>
+              s"paragraph w${id}p$j of the conversion corpus text")
+            val html = "<html><body>" +
+              paras.map(p => s"<p>$p</p>").mkString + "</body></html>"
+            val response = Warc.write("response",
+              "2026-01-01T00:00:00Z", html.getBytes("UTF-8"),
+              targetUri = Some(uri), contentType = Some("text/html"))
+            val srcId = Warc.parseSingle(response).get.recordId
+            val text = Html.extractText(html).text
+            val conv = Warc.write("conversion",
+              "2026-01-01T00:00:00Z", text.getBytes("UTF-8"),
+              targetUri = Some(uri), contentType = Some("text/plain"),
+              extra = Seq("WARC-Refers-To" -> srcId))
+            val (rec, body) = Warc.parseSingleWithBody(conv).get
+            val refersOk =
+              Warc.header(conv, "WARC-Refers-To").contains(srcId)
+            val digestOk = Warc.header(conv, "WARC-Block-Digest")
+              .contains(Warc.blockDigest(body))
+            val roundText = new String(body, "UTF-8")
+            (id, rec.warcType,
+              if (refersOk) 1L else 0L,
+              if (digestOk) 1L else 0L,
+              roundText.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(body).map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "conv_type", "refers_ok", "digest_ok",
+            "text_len", "text_md5")
+          .orderBy("doc_id")
       })
   )
 }

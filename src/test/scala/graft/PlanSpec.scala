@@ -342,11 +342,13 @@ class PlanSpec extends SparkSpec {
     // inclusive running sum of 1, the RunningTotal strategy must
     // claim it: a WindowExec reappearing here is the scale regression
     // this gate exists to catch.
-    val df = SparkEntry.queries("q237_crawl_budget")(spark, sfDir)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("RunningTotal"), p)
-    assert(!p.contains("Window"),
-      s"q237 regressed to a window operator:\n$p")
+    for (name <- Seq("q237_crawl_budget", "q246_frontier_capstone")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("RunningTotal"), s"$name:\n$p")
+      assert(!p.contains("Window"),
+        s"$name regressed to a window operator:\n$p")
+    }
   }
 
   test("q230: the 5 rank rounds never re-scan the corpus (both edge " +
