@@ -3338,6 +3338,65 @@ object Crawl {
           .toDF("doc_id", "conv_type", "refers_ok", "digest_ok",
             "text_len", "text_md5")
           .orderBy("doc_id")
+      }),
+
+    Q("q251_backoff_schedule",
+      "Retry-After-aware scheduling (T160 — T144's surfaced backoff " +
+        "made OPERATIONAL in the politeness plan: q235 extracts " +
+        "Retry-After but nothing fed it into a queue): per host, the " +
+        "last fetch outcome — 200 ok / 429 with delta-seconds " +
+        "Retry-After / 503 with the HTTP-DATE form (value minus the " +
+        "response's Date, RFC 9110 §10.2.3 — both legal forms " +
+        "exercised through the REAL follower and date parser) / 503 " +
+        "with no header — pushes the host's queue start out by the " +
+        "demanded backoff: makespan = backoff + (n−1)·delay. One " +
+        "mis-parsed date form or a backoff leaking onto the wrong " +
+        "host flips a makespan. Host-sized work beside the one " +
+        "mass rollup the frontier already pays",
+      Some("""WITH m AS (SELECT doc_id % 97 AS g,
+            CAST(SUM(doc_id % 3 + 1) AS BIGINT) AS np
+          FROM documents GROUP BY 1)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CASE WHEN g % 4 = 0 THEN 'ok' ELSE 'retry' END AS outcome,
+          CAST(CASE g % 4 WHEN 1 THEN 60 WHEN 2 THEN 120 ELSE 0 END
+            AS BIGINT) AS backoff_s,
+          np AS n_urls,
+          CAST(1 + g % 5 AS BIGINT) AS delay_s,
+          CAST(CASE g % 4 WHEN 1 THEN 60 WHEN 2 THEN 120 ELSE 0 END +
+            (np - 1) * (1 + g % 5) AS BIGINT) AS makespan_s
+        FROM m ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Http, Redirects}
+        table(s, d, "documents")
+          .groupBy((col("doc_id") % 97).as("g"))
+          .agg(sum(col("doc_id") % 3 + 1).as("np"))
+          .as[(Long, Long)]
+          .map { case (g, np) =>
+            val host = s"ex$g.test"
+            val u = s"http://$host/u"
+            val resp = (g % 4) match {
+              case 0 => Http.render(200, "OK", Nil,
+                "page".getBytes("UTF-8"))
+              case 1 => Http.render(429, "Too Many Requests",
+                Seq("Retry-After" -> "60"), Array.empty[Byte])
+              case 2 => Http.render(503, "Service Unavailable",
+                Seq("Retry-After" -> "Tue, 14 Nov 2023 22:15:20 GMT",
+                  "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT"),
+                Array.empty[Byte])
+              case _ => Http.render(503, "Service Unavailable", Nil,
+                Array.empty[Byte])
+            }
+            val o = Redirects.follow(u, Map(u -> resp).get)
+            val backoff = o.backoffS.getOrElse(0L)
+            val delay = 1 + g % 5
+            (host,
+              if (o.status == "ok") "ok" else o.status,
+              backoff, np, delay, backoff + (np - 1) * delay)
+          }
+          .toDF("host", "outcome", "backoff_s", "n_urls", "delay_s",
+            "makespan_s")
+          .orderBy("host")
       })
   )
 }
