@@ -62,7 +62,13 @@ object Charsets {
     "iso-8859-1" -> "windows-1252", "iso8859-1" -> "windows-1252",
     "iso_8859-1" -> "windows-1252", "latin1" -> "windows-1252",
     "l1" -> "windows-1252", "cp819" -> "windows-1252",
-    "iso-ir-100" -> "windows-1252")
+    "iso-ir-100" -> "windows-1252",
+    // the WHATWG font-hack encoding: ASCII passes, 0x80–0xFF map to
+    // the U+F780–U+F7FF private-use row (lossless byte round-trip —
+    // the point of the encoding). As a TRANSPORT label it decodes
+    // this way; inside a <meta> the prescan quirk rewrites it to
+    // windows-1252 before this map is consulted
+    "x-user-defined" -> "x-user-defined")
 
   /** Resolve a raw charset label (as the HTTP layer extracted it) to
     * the canonical encoding name, or None for unknown labels.
@@ -271,6 +277,15 @@ object Charsets {
   def decode(bytes: Array[Byte], label: Option[String]): Decoded = {
     val resolved = label.flatMap(resolve)
     resolved match {
+      case Some("x-user-defined") =>
+        val sb = new java.lang.StringBuilder(bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          sb.append(if (b < 0x80) b.toChar else (0xf780 + b - 0x80).toChar)
+          i += 1
+        }
+        Decoded(sb.toString, "x-user-defined", fellBack = false, 0L)
       case Some("windows-1252") =>
         val sb = new java.lang.StringBuilder(bytes.length)
         var i = 0

@@ -145,5 +145,13 @@ class CharsetsSpec extends AnyFunSuite {
     val odd = Array[Byte](0xff.toByte, 0xfe.toByte, 'a', 0, 'x')
     val so = Charsets.sniffDecode(odd, None)
     assert(so.decoded.text == "a�" && so.decoded.nReplacements == 1L)
+    // x-user-defined as a TRANSPORT label: ASCII passes, high bytes
+    // land on the U+F780 private-use row (lossless round trip — the
+    // encoding's whole point); in a META the quirk rewrites it to
+    // cp1252 instead (covered in the prescan test)
+    val xud = Charsets.decode(Array[Byte]('a', 0x80.toByte,
+      0xff.toByte), Some("x-user-defined"))
+    assert(xud.text == "a\uf780\uf7ff" && !xud.fellBack &&
+      xud.nReplacements == 0L)
   }
 }
