@@ -68,7 +68,13 @@ object Charsets {
     // the point of the encoding). As a TRANSPORT label it decodes
     // this way; inside a <meta> the prescan quirk rewrites it to
     // windows-1252 before this map is consulted
-    "x-user-defined" -> "x-user-defined")
+    "x-user-defined" -> "x-user-defined",
+    // WHATWG: "utf-16" labels utf-16le; a BOM-less UTF-16 page with a
+    // correct transport charset must decode through the label, not
+    // fall to the flagged default (review-r12 — the prescan can never
+    // rescue it: '<meta' is invisible through interleaved NULs)
+    "utf-16" -> "utf-16le", "utf-16le" -> "utf-16le",
+    "unicodefeff" -> "utf-16le", "utf-16be" -> "utf-16be")
 
   /** Resolve a raw charset label (as the HTTP layer extracted it) to
     * the canonical encoding name, or None for unknown labels.
@@ -115,25 +121,33 @@ object Charsets {
     // algorithm over a content="text/html; charset=…" value
     def fromContent(v: String): Option[String] = {
       val lower = v.toLowerCase
-      val at = lower.indexOf("charset")
-      if (at < 0) return None
-      var j = at + 7
-      while (j < v.length && Character.isWhitespace(v.charAt(j))) j += 1
-      if (j >= v.length || v.charAt(j) != '=') return None
-      j += 1
-      while (j < v.length && Character.isWhitespace(v.charAt(j))) j += 1
-      if (j >= v.length) return None
-      val label = v.charAt(j) match {
-        case q @ ('"' | '\'') =>
-          val e = v.indexOf(q, j + 1)
-          if (e < 0) return None else v.substring(j + 1, e)
-        case _ =>
-          var e = j
-          while (e < v.length && !Character.isWhitespace(v.charAt(e)) &&
-            v.charAt(e) != ';') e += 1
-          v.substring(j, e)
+      // the spec RETRIES at the next "charset" occurrence when one is
+      // not followed by '=' (review-r12: "x-charset-hint; charset=…"
+      // must still yield the real parameter)
+      var at = lower.indexOf("charset")
+      while (at >= 0) {
+        var j = at + 7
+        while (j < v.length && Character.isWhitespace(v.charAt(j))) j += 1
+        if (j < v.length && v.charAt(j) == '=') {
+          j += 1
+          while (j < v.length && Character.isWhitespace(v.charAt(j)))
+            j += 1
+          if (j >= v.length) return None
+          return v.charAt(j) match {
+            case q @ ('"' | '\'') =>
+              val e = v.indexOf(q, j + 1)
+              if (e < 0) None else Some(v.substring(j + 1, e))
+            case _ =>
+              var e = j
+              while (e < v.length &&
+                !Character.isWhitespace(v.charAt(e)) &&
+                v.charAt(e) != ';') e += 1
+              Some(v.substring(j, e))
+          }
+        }
+        at = lower.indexOf("charset", at + 7)
       }
-      Some(label)
+      None
     }
     // meta-context resolution: the two spec quirks, then the label map
     def metaResolve(label: String): Option[String] = {
@@ -145,7 +159,10 @@ object Charsets {
     }
     while (i < n) {
       if (s.startsWith("<!--", i)) {
-        val e = s.indexOf("-->", i + 4)
+        // HTML5: the comment ends at the first '>' preceded by two
+        // '-' bytes, which MAY overlap the '<!--' opener — '<!-->'
+        // and '<!--->' are complete comments (review-r12)
+        val e = s.indexOf("-->", i + 2)
         i = if (e < 0) return None else e + 3
       } else if (s.regionMatches(true, i, "<meta", 0, 5) && i + 5 < n &&
           (Character.isWhitespace(s.charAt(i + 5)) ||
@@ -191,22 +208,33 @@ object Charsets {
             }
           } else j += 1
         }
-        val found = charsetAttr.flatMap(metaResolve).orElse {
-          if (httpEquiv.exists(_.equalsIgnoreCase("content-type")))
+        // a charset ATTRIBUTE wins outright: when present but
+        // unresolvable the meta contributes NOTHING — falling through
+        // to the pragma form would contradict the spec's
+        // need-pragma=false (review-r12)
+        val found =
+          if (charsetAttr.isDefined) charsetAttr.flatMap(metaResolve)
+          else if (httpEquiv.exists(_.equalsIgnoreCase("content-type")))
             contentAttr.flatMap(fromContent).flatMap(metaResolve)
           else None
-        }
         if (found.isDefined) return found
         i = if (done) j + 1 else n
       } else if (c2Tag(s, i)) {
         // any other tag: skip to '>' honoring quotes, so a '>' inside
-        // an attribute value cannot end the tag early
+        // a QUOTED attribute value cannot end the tag early. A quote
+        // only OPENS when it directly follows '=' — an apostrophe
+        // inside an unquoted value (title=don't) is value text, not a
+        // quote, and must not swallow the window (review-r12)
         var j = i + 1
         var quote: Char = 0
+        var lastMeaning: Char = 0
         while (j < n && (quote != 0 || s.charAt(j) != '>')) {
           val c = s.charAt(j)
           if (quote != 0) { if (c == quote) quote = 0 }
-          else if (c == '"' || c == '\'') quote = c
+          else {
+            if ((c == '"' || c == '\'') && lastMeaning == '=') quote = c
+            if (!Character.isWhitespace(c)) lastMeaning = c
+          }
           j += 1
         }
         i = if (j < n) j + 1 else n
@@ -277,6 +305,8 @@ object Charsets {
   def decode(bytes: Array[Byte], label: Option[String]): Decoded = {
     val resolved = label.flatMap(resolve)
     resolved match {
+      case Some(enc @ ("utf-16le" | "utf-16be")) =>
+        decodeCanonical(bytes, enc)
       case Some("x-user-defined") =>
         val sb = new java.lang.StringBuilder(bytes.length)
         var i = 0

@@ -99,6 +99,23 @@ object Common {
   def hash32(c: Column): Column =
     conv(substring(md5(encode(c, "UTF-8")), 1, 8), 16, 10).cast("long")
 
+  /** Per-thread MD5 instance for per-row hot loops (the
+    * ExprHelpers.mdPool / Warc.sha1Pool convention — a
+    * getInstance() per row pays JCA provider lookup + allocation).
+    */
+  private val md5Pool =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Lowercase-hex MD5 of `b` through the pooled instance. */
+  def md5Hex(b: Array[Byte]): String = {
+    val md = md5Pool.get()
+    md.reset()
+    md.digest(b).map("%02x".format(_)).mkString
+  }
+
   /** Deterministic-per-process scratch directory for streaming-drain
     * queries, deleted and recreated on every call: repeated calls within
     * one bench/verify JVM reuse ONE directory per (tag, input dir)

@@ -284,12 +284,18 @@ object Crawl {
     * g % 5. Returns [[graft.multimodal.Redirects.fetchRobots]]'s
     * (policy, body bytes when policy == rules).
     */
+  /** The synthetic per-host robots.txt body every robots scenario
+    * shares (q240/q246/q249 — one copy, review-r12).
+    */
+  def robotsBody(g: Long): String =
+    "User-agent: *\nDisallow: /private/\n" +
+      s"Crawl-delay: ${1 + g % 5}\n"
+
   def robotsFetchScenario(g: Long): (String, Option[Array[Byte]]) = {
     import graft.multimodal.{Http, Redirects}
     val host = s"ex$g.test"
     val ru = s"http://$host/robots.txt"
-    val body = ("User-agent: *\nDisallow: /private/\n" +
-      s"Crawl-delay: ${1 + g % 5}\n").getBytes("UTF-8")
+    val body = robotsBody(g).getBytes("UTF-8")
     def resp(st: Int, hs: (String, String)*) =
       Http.render(st, "x", hs.toSeq, Array.empty[Byte])
     val ok = Http.render(200, "OK",
@@ -774,8 +780,7 @@ object Crawl {
               (if (meta.wellFormed) 1L else 0L),
               meta.nExts.toLong, meta.nTrailers.toLong,
               decoded.length.toLong,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(decoded).map("%02x".format(_)).mkString)
+              Common.md5Hex(decoded))
           }
           .toDF("doc_id", "n_chunks", "well_formed", "n_exts",
             "n_trailers", "body_len", "body_md5")
@@ -901,9 +906,6 @@ object Crawl {
       (s, d) => {
         import s.implicits._
         import graft.multimodal.Base64s
-        def md5hex(b: Array[Byte]): String =
-          java.security.MessageDigest.getInstance("MD5").digest(b)
-            .map("%02x".format(_)).mkString
         table(s, d, "documents").select(col("doc_id")).as[Long]
           .map { id =>
             val len = (5 + id % 9).toInt
@@ -922,7 +924,7 @@ object Crawl {
               "data:;base64,ab!cd", // alphabet violation
               "data:;base64,abcde") // 1-char final quantum
             val parsed = uris.map(Base64s.parseDataUri)
-            val b64Md5s = parsed.take(3).flatten.map(p => md5hex(p.bytes))
+            val b64Md5s = parsed.take(3).flatten.map(p => Common.md5Hex(p.bytes))
             (id,
               parsed.count(_.isDefined).toLong,
               parsed.count(_.isEmpty).toLong,
@@ -930,7 +932,7 @@ object Crawl {
               b64Md5s.count(_ == b64Md5s.head).toLong,
               parsed(4).map(_.mediaType).getOrElse("-"),
               b64Md5s.headOption.getOrElse("-"),
-              parsed(4).map(p => md5hex(p.bytes)).getOrElse("-"),
+              parsed(4).map(p => Common.md5Hex(p.bytes)).getOrElse("-"),
               parsed.headOption.flatten.map(_.bytes.length.toLong)
                 .getOrElse(-1L))
           }
@@ -1129,9 +1131,7 @@ object Crawl {
               classified.count(_.cls == "good").toLong,
               classified.count(_.cls == "promoted").toLong,
               classified.count(_.cls == "bad").toLong,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(content.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString)
+              Common.md5Hex(content.getBytes("UTF-8")))
           }
           .toDF("doc_id", "n_blocks", "n_good", "n_promoted", "n_bad",
             "md5_content")
@@ -1369,9 +1369,7 @@ object Crawl {
               ContentExtract.classify(blocks)
                 .count(_.cls != "bad").toLong,
               content.length.toLong,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(content.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString)
+              Common.md5Hex(content.getBytes("UTF-8")))
           }
           .toDF("doc_id", "n_chunks", "warc_type", "media_type", "enc",
             "n_blocks", "n_content", "content_len", "md5_content")
@@ -2461,8 +2459,7 @@ object Crawl {
               chunkMeta.map(_.nChunks.toLong).getOrElse(0L),
               if (codingMeta.decoded) 1L else 0L,
               decoded.length.toLong,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(decoded).map("%02x".format(_)).mkString)
+              Common.md5Hex(decoded))
           }
           .toDF("doc_id", "codings", "n_chunks", "decoded_ok",
             "payload_len", "payload_md5")
@@ -2758,9 +2755,6 @@ object Crawl {
         import org.apache.spark.sql.DataFrame
         import org.apache.spark.sql.streaming.Trigger
         import graft.multimodal.Http
-        def md5hex(b: Array[Byte]): String =
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(b).map("%02x".format(_)).mkString
         // the origin: current entity of url k is CONSTANT — etag
         // "ok%7" (quoted, the RFC 9110 §8.8.3 wire form), body
         // "body of u<k> rev <k%7>". A conditional GET whose
@@ -2815,7 +2809,7 @@ object Crawl {
                 else { // 200: body fetched, digest + etag update
                   val (_, body) = Http.parseResponseWithBody(resp).get
                   etag = headers.find(_._1 == "etag").map(_._2).get
-                  digest = md5hex(body)
+                  digest = Common.md5Hex(body)
                   by += body.length
                   c200 += 1
                 }
@@ -3154,9 +3148,7 @@ object Crawl {
             (id, sn.source, sn.decoded.used,
               if (sn.decoded.fellBack) 1L else 0L,
               sn.decoded.nReplacements,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(sn.decoded.text.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString)
+              Common.md5Hex(sn.decoded.text.getBytes("UTF-8")))
           }
           .toDF("doc_id", "source", "used", "fell_back", "n_repl",
             "text_md5")
@@ -3208,8 +3200,7 @@ object Crawl {
             val host = s"ex$g.test"
             val ru = s"http://$host/robots.txt"
             val cachedEtag = "\"r" + (g % 13) + "\""
-            val cachedBody = "User-agent: *\nDisallow: /private/\n" +
-              s"Crawl-delay: ${1 + g % 5}\n"
+            val cachedBody = robotsBody(g)
             val age = (g % 7) * 400
             // the decision runs off the CACHED response's own headers
             // (the T140 production path — the frontier stores them
@@ -3332,8 +3323,7 @@ object Crawl {
               if (refersOk) 1L else 0L,
               if (digestOk) 1L else 0L,
               roundText.length.toLong,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(body).map("%02x".format(_)).mkString)
+              Common.md5Hex(body))
           }
           .toDF("doc_id", "conv_type", "refers_ok", "digest_ok",
             "text_len", "text_md5")
@@ -3390,9 +3380,8 @@ object Crawl {
             val o = Redirects.follow(u, Map(u -> resp).get)
             val backoff = o.backoffS.getOrElse(0L)
             val delay = 1 + g % 5
-            (host,
-              if (o.status == "ok") "ok" else o.status,
-              backoff, np, delay, backoff + (np - 1) * delay)
+            (host, o.status, backoff, np, delay,
+              backoff + (np - 1) * delay)
           }
           .toDF("host", "outcome", "backoff_s", "n_urls", "delay_s",
             "makespan_s")

@@ -34,8 +34,13 @@ class CharsetsSpec extends AnyFunSuite {
       assert(Charsets.resolve(l).contains("windows-1252"), l)
     for (l <- Seq("UTF-8", "utf8", "Unicode-1-1-UTF-8"))
       assert(Charsets.resolve(l).contains("utf-8"), l)
-    for (l <- Seq("shift_jis", "utf-16", "koi8-r", ""))
+    for (l <- Seq("shift_jis", "koi8-r", ""))
       assert(Charsets.resolve(l).isEmpty, l)
+    // WHATWG: "utf-16" labels utf-16le (review-r12 — a BOM-less
+    // UTF-16 page with a correct transport label must not fall to
+    // the flagged default: the prescan can never rescue it)
+    assert(Charsets.resolve("UTF-16").contains("utf-16le"))
+    assert(Charsets.resolve("utf-16be").contains("utf-16be"))
   }
 
   test("utf-8 path: valid multi-byte decodes clean; malformed counts " +
@@ -101,6 +106,28 @@ class CharsetsSpec extends AnyFunSuite {
     // first valid declaration wins
     assert(p("""<meta charset="utf-8"><meta charset="cp1252">""")
       .contains("utf-8"))
+    // review-r12 conformance set:
+    // empty comments are CLOSED comments (the end dashes may overlap
+    // the opener) — the meta after them must be found
+    assert(p("""<!--><meta charset="cp1252">""")
+      .contains("windows-1252"))
+    assert(p("""<!---><meta charset="cp1252">""")
+      .contains("windows-1252"))
+    // an apostrophe inside an UNQUOTED attribute value is value text,
+    // not an open quote — it must not swallow the window
+    assert(p("""<a title=don't><meta charset="cp1252">""")
+      .contains("windows-1252"))
+    // fromContent retries past a 'charset' substring with no '='
+    assert(p("""<meta http-equiv="content-type" """ +
+      """content="x-charset-hint; charset=cp1252">""")
+      .contains("windows-1252"))
+    // a present-but-unresolvable charset ATTRIBUTE makes the meta
+    // contribute nothing — never falls through to the pragma form
+    assert(p("""<meta charset="bogus" http-equiv="content-type" """ +
+      """content="text/html; charset=cp1252">""").isEmpty)
+    // an unresolvable first meta does not stop the scan
+    assert(p("""<meta charset="bogus"><meta charset="cp1252">""")
+      .contains("windows-1252"))
   }
 
   test("sniffDecode (T157): BOM > transport > meta > flagged default; " +
