@@ -284,8 +284,14 @@ object Http {
     *    (historically IIS) sends RAW deflate under this token, and
     *    every browser sniffs both — a zlib parse failure AT THE FIRST
     *    BYTES retries raw before giving up
+    *  - `zstd` — an RFC 8878 frame sequence, decoded through the
+    *    zstd-jni streaming reader Spark itself ships (multi-frame
+    *    streams concatenate, the RFC rule); malformation/truncation →
+    *    None. Same-library caveat, documented: writer and reader are
+    *    both zstd-jni (no independent JDK referee exists for zstd the
+    *    way java.util.zip referees gzip/deflate)
     *  - `identity` — pass-through (deprecated on the wire, still seen)
-    *  - anything else (`br`, `zstd`, garbage) → None — unsupported is
+    *  - anything else (`br`, garbage) → None — unsupported is
     *    undecodable, the caller flags it
     */
   def decodeCoding(body: Array[Byte], coding: String)
@@ -301,6 +307,18 @@ object Http {
       }
     case "deflate" =>
       inflate(body, raw = false).orElse(inflate(body, raw = true))
+    case "zstd" =>
+      try {
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(body))
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(out.toByteArray)
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     case "identity" => Some(body)
     case _ => None
   }

@@ -2367,13 +2367,15 @@ object Crawl {
         "story of the ingest stack: archived response BODIES are " +
         "routinely gzip/deflate-compressed, and the T117/T126 walk " +
         "handed them to the charset/HTML tier as garbage): per doc, " +
-        "one of five wire shapes — identity; Content-Encoding: gzip " +
+        "one of six wire shapes — identity; Content-Encoding: gzip " +
         "(JDK GZIPOutputStream as the independent writer); deflate " +
         "as RFC 1950 zlib; Transfer-Encoding: chunked STACKED over " +
         "CE gzip (RFC 9110 §8.4 + 9112 §6.1 — the Common Crawl " +
         "shape, de-framed then decompressed); raw-deflate under the " +
         "deflate token (the IIS-era server population, decoded via " +
-        "the documented browser-compat sniff) — plus a planted " +
+        "the documented browser-compat sniff); zstd (RFC 8878 via " +
+        "the zstd-jni reader Spark itself ships — same-library " +
+        "referee caveat documented) — plus a planted " +
         "MISLABEL decoy (CE: gzip over plain bytes) that must flag " +
         "decoded_ok=0 and surface the untouched payload, never " +
         "throw. Every output column closed-form; one wrong byte at " +
@@ -2386,13 +2388,14 @@ object Crawl {
                 CAST(1 + doc_id % 3 AS INT)) AS payload
           FROM documents)
         SELECT doc_id,
-          CASE WHEN doc_id % 10 = 5 THEN 'gzip'
-            ELSE CASE doc_id % 5 WHEN 0 THEN ''
+          CASE WHEN doc_id % 12 = 6 THEN 'gzip'
+            ELSE CASE doc_id % 6 WHEN 0 THEN ''
               WHEN 1 THEN 'gzip' WHEN 2 THEN 'deflate'
-              WHEN 3 THEN 'gzip' ELSE 'deflate' END END AS codings,
-          CAST(CASE WHEN doc_id % 5 = 3 THEN 3 ELSE 0 END AS BIGINT)
+              WHEN 3 THEN 'gzip' WHEN 4 THEN 'deflate'
+              ELSE 'zstd' END END AS codings,
+          CAST(CASE WHEN doc_id % 6 = 3 THEN 3 ELSE 0 END AS BIGINT)
             AS n_chunks,
-          CAST(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE 1 END AS BIGINT)
+          CAST(CASE WHEN doc_id % 12 = 6 THEN 0 ELSE 1 END AS BIGINT)
             AS decoded_ok,
           CAST(length(payload) AS BIGINT) AS payload_len,
           md5(payload) AS payload_md5
@@ -2435,10 +2438,10 @@ object Crawl {
             }
             val ct = "Content-Type" -> "text/plain; charset=utf-8"
             val wire =
-              if (id % 10 == 5) // mislabel decoy: CE lies, body plain
+              if (id % 12 == 6) // mislabel decoy: CE lies, body plain
                 Http.render(200, "OK",
                   Seq(ct, "Content-Encoding" -> "gzip"), payload)
-              else (id % 5) match {
+              else (id % 6) match {
                 case 0 => Http.render(200, "OK", Seq(ct), payload)
                 case 1 => Http.render(200, "OK",
                   Seq(ct, "Content-Encoding" -> "gzip"), gz(payload))
@@ -2449,9 +2452,12 @@ object Crawl {
                   Seq(ct, "Content-Encoding" -> "gzip",
                     "Transfer-Encoding" -> "chunked"),
                   chunk3(gz(payload)))
-                case _ => Http.render(200, "OK",
+                case 4 => Http.render(200, "OK",
                   Seq(ct, "Content-Encoding" -> "deflate"),
                   zl(payload, raw = true))
+                case _ => Http.render(200, "OK",
+                  Seq(ct, "Content-Encoding" -> "zstd"),
+                  com.github.luben.zstd.Zstd.compress(payload))
               }
             val (_, decoded, chunkMeta, codingMeta) =
               Http.parseResponseFullyDecoded(wire).get

@@ -252,7 +252,15 @@ class HttpSpec extends AnyFunSuite {
       .get.toSeq == p.toSeq)
     assert(Http.decodeCoding(p, "identity").get.toSeq == p.toSeq)
     assert(Http.decodeCoding(gz(p), "br").isEmpty)   // unsupported
-    assert(Http.decodeCoding(gz(p), "zstd").isEmpty)
+    // zstd (RFC 8878): round trip, multi-frame concat, garbage and
+    // truncation reject (same-library caveat: zstd-jni both ways)
+    val z = com.github.luben.zstd.Zstd.compress(p)
+    assert(Http.decodeCoding(z, "zstd").get.toSeq == p.toSeq)
+    assert(Http.decodeCoding(z ++ com.github.luben.zstd.Zstd
+      .compress("tail".getBytes), "zstd").get.toSeq ==
+      (p ++ "tail".getBytes).toSeq)
+    assert(Http.decodeCoding(gz(p), "zstd").isEmpty) // mislabeled
+    assert(Http.decodeCoding(z.take(z.length - 4), "zstd").isEmpty)
     assert(Http.decodeCoding(p, "gzip").isEmpty)     // mislabeled
     // truncation at every prefix length never throws, never succeeds
     for (cut <- 0 until gz(p).length)
