@@ -3392,6 +3392,98 @@ object Crawl {
           .toDF("host", "outcome", "backoff_s", "n_urls", "delay_s",
             "makespan_s")
           .orderBy("host")
+      }),
+
+    Q("q252_discovery_capstone",
+      "the frontier DISCOVERY capstone (T161 — the third capstone " +
+        "beside q226's ingest and q246's decision chains): per HOST, " +
+        "the complete discovery pipeline composed from the " +
+        "production operators — the real robots parse surfaces the " +
+        "Sitemap: line (T121), the T152 tree walk follows the " +
+        "sitemap INDEX through a relative child loc to two urlsets, " +
+        "every discovered loc canonicalizes (T120), the T153 trap " +
+        "gate drops a planted /a/a/a/ trap, the T121 rule evaluation " +
+        "drops a planted /private/ loc, and the survivors roll up " +
+        "into the politeness schedule (count, parsed crawl-delay, " +
+        "makespan, queue md5). One lost entry, one leaked trap or " +
+        "private loc, or one mis-resolved child sitemap hash-fails " +
+        "the queue. Per-host work on one narrow 97-row map — at " +
+        "100 TB discovery is amortized per host exactly like robots",
+      Some("""WITH h AS (SELECT DISTINCT doc_id % 97 AS g
+            FROM documents),
+          u AS (
+            SELECT g, 'http://ex' || CAST(g AS VARCHAR) || '.test/s' ||
+                CAST(g AS VARCHAR) || '/p' || CAST(j.j AS VARCHAR)
+                AS loc
+              FROM h, range(0, 3) j(j) WHERE j.j <= g % 3
+            UNION ALL
+            SELECT g, 'http://ex' || CAST(g AS VARCHAR) || '.test/s' ||
+                CAST(g AS VARCHAR) || '/q' || CAST(j.j AS VARCHAR)
+              FROM h, range(0, 2) j(j)),
+          agg AS (SELECT g,
+              CAST(COUNT(*) AS BIGINT) AS n_frontier,
+              md5(string_agg(loc, ',' ORDER BY loc)) AS order_md5
+            FROM u GROUP BY g)
+        SELECT 'ex' || CAST(g AS VARCHAR) || '.test' AS host,
+          CAST(3 AS BIGINT) AS n_sitemaps,
+          CAST(g % 3 + 5 AS BIGINT) AS n_discovered,
+          CAST(1 AS BIGINT) AS n_trapped,
+          CAST(1 AS BIGINT) AS n_blocked,
+          n_frontier,
+          CAST(1 + g % 5 AS BIGINT) AS delay_s,
+          CAST((n_frontier - 1) * (1 + g % 5) AS BIGINT) AS makespan_s,
+          order_md5
+        FROM agg ORDER BY host"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.{Robots, Sitemap, Urls}
+        table(s, d, "documents")
+          .select((col("doc_id") % 97).as("g")).distinct().as[Long]
+          .map { g =>
+            val host = s"ex$g.test"
+            val robots = Robots.parse(robotsBody(g) +
+              s"Sitemap: http://$host/sitemap.xml\n")
+            val smUrl = robots.sitemaps.head
+            def urlset(locs: Seq[String]) =
+              "<urlset>" + locs.map(l =>
+                s"<url><loc>$l</loc></url>").mkString + "</urlset>"
+            def index(locs: Seq[String]) =
+              "<sitemapindex>" + locs.map(l =>
+                s"<sitemap><loc>$l</loc></sitemap>").mkString +
+                "</sitemapindex>"
+            val store = Map(
+              smUrl -> index(Seq("/sm/a.xml", // relative child loc
+                s"http://$host/sm/b.xml")),
+              s"http://$host/sm/a.xml" -> urlset(
+                (0 to (g % 3).toInt).map(j =>
+                  s"http://$host/s$g/p$j") :+
+                  s"http://$host/a/a/a/t$g"), // the planted trap
+              s"http://$host/sm/b.xml" -> urlset(Seq(
+                s"http://$host/s$g/q0", s"http://$host/s$g/q1",
+                s"http://$host/private/s$g"))) // robots must drop
+            val tree = Sitemap.crawlTree(smUrl, store.get)
+            val locs = tree.entries.map(_.loc)
+              .flatMap(Urls.canonicalize)
+            val (trapped, rest) = locs.partition(u =>
+              Urls.trapReasons(u).exists(_.nonEmpty))
+            val grp = Robots.group(robots, "graftbot")
+            val rules = grp.map(_.rules).getOrElse(Seq.empty)
+            val delay = grp.flatMap(_.crawlDelay).getOrElse(0L)
+            val (kept, blocked) = rest.partition { u =>
+              Urls.parse(u).exists(p => Robots.evalRules(rules,
+                p.path + p.query.map("?" + _).getOrElse("")))
+            }
+            val sorted = kept.sorted
+            (host, tree.nVisited.toLong, locs.length.toLong,
+              trapped.length.toLong, blocked.length.toLong,
+              kept.length.toLong, delay,
+              (kept.length - 1) * delay,
+              Common.md5Hex(sorted.mkString(",").getBytes("UTF-8")))
+          }
+          .toDF("host", "n_sitemaps", "n_discovered", "n_trapped",
+            "n_blocked", "n_frontier", "delay_s", "makespan_s",
+            "order_md5")
+          .orderBy("host")
       })
   )
 }
