@@ -308,7 +308,13 @@ object Http {
     case "deflate" =>
       inflate(body, raw = false).orElse(inflate(body, raw = true))
     case "zstd" =>
-      try {
+      // a zero-byte body is the degenerate truncation, not an empty
+      // frame sequence — gzip/deflate reject it and zstd must match
+      // (review-r12: ZstdInputStream happily reads zero frames).
+      // Expansion is uncapped here, matching the gzip/deflate posture
+      // (a cap, if added, belongs to all codings at the caller)
+      if (body.isEmpty) None
+      else try {
         val in = new com.github.luben.zstd.ZstdInputStream(
           new java.io.ByteArrayInputStream(body))
         try {

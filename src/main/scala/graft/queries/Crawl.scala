@@ -284,6 +284,17 @@ object Crawl {
     * g % 5. Returns [[graft.multimodal.Redirects.fetchRobots]]'s
     * (policy, body bytes when policy == rules).
     */
+  /** Sitemap-XML render helpers the tree-walk queries share
+    * (q243/q252 — one copy, review-r12).
+    */
+  def sitemapUrlset(locs: Seq[String]): String =
+    "<urlset>" + locs.map(l =>
+      s"<url><loc>$l</loc></url>").mkString + "</urlset>"
+
+  def sitemapIndex(locs: Seq[String]): String =
+    "<sitemapindex>" + locs.map(l =>
+      s"<sitemap><loc>$l</loc></sitemap>").mkString + "</sitemapindex>"
+
   /** The synthetic per-host robots.txt body every robots scenario
     * shares (q240/q246/q249 — one copy, review-r12).
     */
@@ -2629,13 +2640,8 @@ object Crawl {
             val g = id % 97
             val h = s"http://ex$g.test"
             val root = s"$h/sitemap.xml"
-            def urlset(locs: Seq[String]) =
-              "<urlset>" + locs.map(l =>
-                s"<url><loc>$l</loc></url>").mkString + "</urlset>"
-            def index(locs: Seq[String]) =
-              "<sitemapindex>" + locs.map(l =>
-                s"<sitemap><loc>$l</loc></sitemap>").mkString +
-                "</sitemapindex>"
+            def urlset(locs: Seq[String]) = sitemapUrlset(locs)
+            def index(locs: Seq[String]) = sitemapIndex(locs)
             def p(j: Int) = s"$h/p$id/$j"
             val store: Map[String, String] = (id % 5) match {
               case 0 => Map(root -> urlset(Seq(p(0), p(1))))
@@ -3444,21 +3450,14 @@ object Crawl {
             val robots = Robots.parse(robotsBody(g) +
               s"Sitemap: http://$host/sitemap.xml\n")
             val smUrl = robots.sitemaps.head
-            def urlset(locs: Seq[String]) =
-              "<urlset>" + locs.map(l =>
-                s"<url><loc>$l</loc></url>").mkString + "</urlset>"
-            def index(locs: Seq[String]) =
-              "<sitemapindex>" + locs.map(l =>
-                s"<sitemap><loc>$l</loc></sitemap>").mkString +
-                "</sitemapindex>"
             val store = Map(
-              smUrl -> index(Seq("/sm/a.xml", // relative child loc
+              smUrl -> sitemapIndex(Seq("/sm/a.xml", // relative child
                 s"http://$host/sm/b.xml")),
-              s"http://$host/sm/a.xml" -> urlset(
+              s"http://$host/sm/a.xml" -> sitemapUrlset(
                 (0 to (g % 3).toInt).map(j =>
                   s"http://$host/s$g/p$j") :+
                   s"http://$host/a/a/a/t$g"), // the planted trap
-              s"http://$host/sm/b.xml" -> urlset(Seq(
+              s"http://$host/sm/b.xml" -> sitemapUrlset(Seq(
                 s"http://$host/s$g/q0", s"http://$host/s$g/q1",
                 s"http://$host/private/s$g"))) // robots must drop
             val tree = Sitemap.crawlTree(smUrl, store.get)

@@ -260,7 +260,10 @@ class HttpSpec extends AnyFunSuite {
       .compress("tail".getBytes), "zstd").get.toSeq ==
       (p ++ "tail".getBytes).toSeq)
     assert(Http.decodeCoding(gz(p), "zstd").isEmpty) // mislabeled
-    assert(Http.decodeCoding(z.take(z.length - 4), "zstd").isEmpty)
+    // full truncation sweep like gzip/deflate — incl. cut=0, where
+    // ZstdInputStream would otherwise read "zero frames" happily
+    for (cut <- 0 until z.length)
+      assert(Http.decodeCoding(z.take(cut), "zstd").isEmpty, s"cut=$cut")
     assert(Http.decodeCoding(p, "gzip").isEmpty)     // mislabeled
     // truncation at every prefix length never throws, never succeeds
     for (cut <- 0 until gz(p).length)
