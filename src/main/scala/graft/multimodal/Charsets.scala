@@ -217,7 +217,11 @@ object Charsets {
           else if (httpEquiv.exists(_.equalsIgnoreCase("content-type")))
             contentAttr.flatMap(fromContent).flatMap(metaResolve)
           else None
-        if (found.isDefined) return found
+        // ADVICE-r12: a meta whose '>' never arrived inside the window
+        // was only PARTIALLY read — WHATWG §13.2.3.2 aborts the prescan
+        // without a result when input ends mid-tag, so a declaration
+        // truncated at the cap boundary must NOT be honored
+        if (done && found.isDefined) return found
         i = if (done) j + 1 else n
       } else if (c2Tag(s, i)) {
         // any other tag: skip to '>' honoring quotes, so a '>' inside
@@ -271,16 +275,18 @@ object Charsets {
         }
     }
 
-  /** Decode by CANONICAL encoding name (label resolution already
-    * done). utf-16le/be decode natively: code-unit pairs, a lone
-    * trailing byte is one U+FFFD; surrogate pairs pass through as
-    * their units (the JVM String is UTF-16 already), an unpaired
-    * surrogate unit is kept as-is (String tolerates it; downstream
-    * UTF-8 encodes it as U+FFFD — the lossy path is the writer's).
+  /** Decode by CANONICAL encoding name (label resolution AND the BOM
+    * check already done — this layer never re-sniffs, so a stripped
+    * BOM followed by a second literal U+FEFF stays in the text, the
+    * WHATWG rule: exactly one BOM is consumed). utf-16le/be decode
+    * natively: code-unit pairs, a lone trailing byte is one U+FFFD;
+    * surrogate pairs pass through as their units (the JVM String is
+    * UTF-16 already), an unpaired surrogate unit is kept as-is
+    * (String tolerates it; downstream UTF-8 encodes it as U+FFFD —
+    * the lossy path is the writer's).
     */
   private[multimodal] def decodeCanonical(bytes: Array[Byte],
       enc: String): Decoded = enc match {
-    case "utf-8" | "windows-1252" => decode(bytes, Some(enc))
     case "utf-16le" | "utf-16be" =>
       val le = enc == "utf-16le"
       val sb = new java.lang.StringBuilder(bytes.length / 2 + 1)
@@ -294,48 +300,60 @@ object Charsets {
       }
       if (i < bytes.length) { sb.append('�'); repl += 1 }
       Decoded(sb.toString, enc, fellBack = false, repl)
-    case other => decode(bytes, Some(other))
+    case "x-user-defined" =>
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sb.append(if (b < 0x80) b.toChar else (0xf780 + b - 0x80).toChar)
+        i += 1
+      }
+      Decoded(sb.toString, "x-user-defined", fellBack = false, 0L)
+    case "windows-1252" =>
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sb.append(
+          if (b < 0x80) b.toChar
+          else if (b < 0xa0) cp1252Hi(b - 0x80)
+          else b.toChar)
+        i += 1
+      }
+      Decoded(sb.toString, "windows-1252", fellBack = false, 0L)
+    case "utf-8" =>
+      val sb = new java.lang.StringBuilder(bytes.length)
+      val st = graft.text.Utf8.decode(bytes, sb)
+      Decoded(sb.toString, "utf-8", fellBack = false, st.n_replacements)
+    case _ =>
+      val sb = new java.lang.StringBuilder(bytes.length)
+      val st = graft.text.Utf8.decode(bytes, sb)
+      Decoded(sb.toString, "utf-8", fellBack = true, st.n_replacements)
   }
 
-  /** Decode `bytes` per the declared `label`. Unknown or absent labels
+  /** Decode `bytes` per the declared `label`, with the full WHATWG
+    * `decode` algorithm's precedence: a UTF-8/UTF-16 BOM beats the
+    * label (ADVICE-r12 — a UTF-16BE-BOM body served with
+    * `charset=utf-16`, which labels LE, previously byte-swapped to
+    * garbage with `fellBack = false`, and an LE-BOM body kept U+FEFF
+    * at the head of the text: dedup-key/md5 poison). The BOM is
+    * stripped; BOM-routed decodes are NOT `fellBack` (the encoding is
+    * certain, whatever the label claimed). Unknown or absent labels
     * use UTF-8 with maximal-subpart U+FFFD repair and set `fellBack`.
     * windows-1252 is total (every byte maps), so its decode never
     * replaces; UTF-8 replacement counts come from the T107 auditor.
     */
-  def decode(bytes: Array[Byte], label: Option[String]): Decoded = {
-    val resolved = label.flatMap(resolve)
-    resolved match {
-      case Some(enc @ ("utf-16le" | "utf-16be")) =>
-        decodeCanonical(bytes, enc)
-      case Some("x-user-defined") =>
-        val sb = new java.lang.StringBuilder(bytes.length)
-        var i = 0
-        while (i < bytes.length) {
-          val b = bytes(i) & 0xff
-          sb.append(if (b < 0x80) b.toChar else (0xf780 + b - 0x80).toChar)
-          i += 1
-        }
-        Decoded(sb.toString, "x-user-defined", fellBack = false, 0L)
-      case Some("windows-1252") =>
-        val sb = new java.lang.StringBuilder(bytes.length)
-        var i = 0
-        while (i < bytes.length) {
-          val b = bytes(i) & 0xff
-          sb.append(
-            if (b < 0x80) b.toChar
-            else if (b < 0xa0) cp1252Hi(b - 0x80)
-            else b.toChar)
-          i += 1
-        }
-        Decoded(sb.toString, "windows-1252", fellBack = false, 0L)
-      case Some("utf-8") =>
-        val sb = new java.lang.StringBuilder(bytes.length)
-        val st = graft.text.Utf8.decode(bytes, sb)
-        Decoded(sb.toString, "utf-8", fellBack = false, st.n_replacements)
-      case _ =>
-        val sb = new java.lang.StringBuilder(bytes.length)
-        val st = graft.text.Utf8.decode(bytes, sb)
-        Decoded(sb.toString, "utf-8", fellBack = true, st.n_replacements)
+  def decode(bytes: Array[Byte], label: Option[String]): Decoded =
+    bomOf(bytes) match {
+      case Some((enc, bomLen)) =>
+        decodeCanonical(
+          java.util.Arrays.copyOfRange(bytes, bomLen, bytes.length), enc)
+      case None => label.flatMap(resolve) match {
+        case Some(enc) => decodeCanonical(bytes, enc)
+        case None =>
+          val sb = new java.lang.StringBuilder(bytes.length)
+          val st = graft.text.Utf8.decode(bytes, sb)
+          Decoded(sb.toString, "utf-8", fellBack = true, st.n_replacements)
+      }
     }
-  }
 }

@@ -62,8 +62,21 @@ object Compressed {
       : Option[Seq[(GzipMember, Array[Byte])]] =
     walkMembers(p, withPayload = true)
 
-  private def walkMembers(p: Array[Byte], withPayload: Boolean)
+  /** [[memberPayloads(p:Array[Byte])*]] with a cumulative cap on the
+    * MATERIALIZED inflated bytes (ADVICE-r12 decompression-bomb
+    * guard): the walk aborts with None the moment total inflated
+    * output exceeds `maxTotalOut`, so a hostile tiny body can never
+    * allocate more than the cap (+ one 8 KB buffer) in the task. The
+    * stats-only walker needs no cap — it streams and drops.
+    */
+  def memberPayloads(p: Array[Byte], maxTotalOut: Long)
+      : Option[Seq[(GzipMember, Array[Byte])]] =
+    walkMembers(p, withPayload = true, maxTotalOut)
+
+  private def walkMembers(p: Array[Byte], withPayload: Boolean,
+      maxTotalOut: Long = Long.MaxValue)
       : Option[Seq[(GzipMember, Array[Byte])]] = {
+    var cumOut = 0L
     val out = scala.collection.mutable.ArrayBuffer[(GzipMember, Array[Byte])]()
     var i = 0
     var idx = 0
@@ -120,7 +133,11 @@ object Compressed {
             var k = 0
             while (k < n) { byteSum += buf(k) & 0xff; k += 1 }
             total += n
-            if (payload != null) payload.write(buf, 0, n)
+            if (payload != null) {
+              cumOut += n
+              if (cumOut > maxTotalOut) return None // bomb guard
+              payload.write(buf, 0, n)
+            }
           }
         }
         val t = j + inf.getBytesRead.toInt

@@ -145,7 +145,13 @@ object Http {
     Some(HttpResponse(ver, status, reason, mediaType, charset,
       headers.size, declaredLen,
       declaredLen.forall(_ == bodyLen), bodyLen, bodySum, bodyMd5,
-      hdr("transfer-encoding").map(_.toLowerCase),
+      // ADVICE-r12: repeated Transfer-Encoding headers join to one
+      // comma list exactly like Content-Encoding (RFC 9110 §5.3) —
+      // 'Transfer-Encoding: gzip' + 'Transfer-Encoding: chunked' as
+      // two lines ≡ 'gzip, chunked', and isChunked's final-member
+      // check must see the full list or the body reads as non-chunked
+      headers.filter(_._1 == "transfer-encoding").map(_._2)
+        .reduceOption(_ + "," + _).map(_.toLowerCase),
       headers.filter(_._1 == "content-encoding").map(_._2)
         .reduceOption(_ + "," + _)))
   }
@@ -294,10 +300,23 @@ object Http {
     *  - anything else (`br`, garbage) → None — unsupported is
     *    undecodable, the caller flags it
     */
+  /** Decompression-bomb guard (ADVICE-r12): the hard cap on the
+    * DECODED size of one content-coding layer, enforced inside the
+    * read loops of every coding (zstd ratios exceed 1000×, and
+    * codings stack multiplicatively through
+    * [[decodeContentCodings]] — uncapped, a KB-sized hostile body
+    * expands to gigabytes in one task's ByteArrayOutputStream). 64
+    * MiB is far above any legitimate single response payload in a
+    * crawl corpus; exceeding it is a FAILED decode (None → flagged
+    * via `CodingMeta.decoded = false`), never a throw — the crawl
+    * posture for hostile input.
+    */
+  val MaxDecodedBytes: Long = 64L << 20
+
   def decodeCoding(body: Array[Byte], coding: String)
       : Option[Array[Byte]] = coding.trim.toLowerCase match {
     case "gzip" | "x-gzip" =>
-      Compressed.memberPayloads(body).flatMap { members =>
+      Compressed.memberPayloads(body, MaxDecodedBytes).flatMap { members =>
         if (members.exists(!_._1.crc_ok)) None
         else {
           val out = new java.io.ByteArrayOutputStream()
@@ -310,9 +329,7 @@ object Http {
     case "zstd" =>
       // a zero-byte body is the degenerate truncation, not an empty
       // frame sequence — gzip/deflate reject it and zstd must match
-      // (review-r12: ZstdInputStream happily reads zero frames).
-      // Expansion is uncapped here, matching the gzip/deflate posture
-      // (a cap, if added, belongs to all codings at the caller)
+      // (review-r12: ZstdInputStream happily reads zero frames)
       if (body.isEmpty) None
       else try {
         val in = new com.github.luben.zstd.ZstdInputStream(
@@ -321,7 +338,11 @@ object Http {
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          while (n >= 0) {
+            out.write(buf, 0, n)
+            if (out.size > MaxDecodedBytes) return None // bomb guard
+            n = in.read(buf)
+          }
           Some(out.toByteArray)
         } finally in.close()
       } catch { case _: java.io.IOException => None }
@@ -345,8 +366,10 @@ object Http {
         val n =
           try inf.inflate(buf)
           catch { case _: java.util.zip.DataFormatException => return None }
-        if (n > 0) out.write(buf, 0, n)
-        else if (!inf.finished()) return None // truncated or stuck
+        if (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size > MaxDecodedBytes) return None // bomb guard
+        } else if (!inf.finished()) return None // truncated or stuck
       }
       // a zlib stream ends in its Adler-32; raw ends at final block.
       // Anything after is not this coding's data

@@ -2282,30 +2282,36 @@ object Crawl {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          var ledger = toLedger(events.limit(0)).localCheckpoint()
           val inDir = Common.scratchDir("ledger_in", d)
           events.repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("ledger_chk", d)
-          // idempotence (ADVICE-r11): if a foreachBatch delivery is
-          // ever retried with the same batchId, a blind merge would
-          // double-apply it. The guard marks a batch applied only
-          // AFTER its merge succeeds (marking first would skip the
-          // retry of a FAILED merge — permanent loss, the inverse
-          // bug; review-r12). Documented single-RUN scope: the set is
-          // in-memory, so restart-from-checkpoint recovery would need
-          // it persisted with the ledger — here both checkpoint dir
-          // and ledger are fresh per run, so a drained run always
-          // covers every batch exactly once.
-          val applied = scala.collection.mutable.Set.empty[Long]
+          // restart-safe exactly-once (VERDICT-r12 item 1): the ledger
+          // and the applied-batch watermark persist ATOMICALLY per
+          // batch through LedgerStore (versioned snapshot + pointer),
+          // sharing the streaming checkpoint's lifetime — recovery
+          // from the checkpoint resumes the merge instead of silently
+          // dropping pre-restart state. `batchId > lastApplied`
+          // subsumes the ADVICE-r11 same-run retry guard (a
+          // re-delivered committed batch is ≤ the pointer) AND
+          // cross-restart recovery; the pointer advances only AFTER
+          // the merge's snapshot lands, so a failed merge is retried,
+          // never skipped. LedgerStoreSpec proves kill-and-resume:
+          // drain k of n batches, tear the query down, restart against
+          // the SAME checkpoint, drained ledger ≡ the batch oracle.
+          val store = new graft.streaming.LedgerStore(s,
+            s"$chkDir/ledger")
+          var (ledger, lastApplied) =
+            store.recover(toLedger(events.limit(0)))
           val q = s.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
             .writeStream
             .option("checkpointLocation", s"$chkDir/_chk")
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              if (!applied.contains(batchId)) {
-                ledger = merge(ledger, toLedger(batch)).localCheckpoint()
-                applied += batchId
+              if (batchId > lastApplied) {
+                ledger = store.commit(
+                  merge(ledger, toLedger(batch)), batchId)
+                lastApplied = batchId
               }
               ()
             }
@@ -2837,22 +2843,25 @@ object Crawl {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          var ledger = ledger0.localCheckpoint()
           val inDir = Common.scratchDir("refetch_in", d)
           events.repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("refetch_chk", d)
-          // same guard discipline as q239: mark applied only AFTER a
-          // successful step; in-memory set = single-run scope
-          val applied = scala.collection.mutable.Set.empty[Long]
+          // same restart-safe discipline as q239 (VERDICT-r12 item 1):
+          // ledger + applied-batch watermark persist atomically per
+          // batch via LedgerStore; recovery from the streaming
+          // checkpoint resumes instead of dropping pre-restart state
+          val store = new graft.streaming.LedgerStore(s,
+            s"$chkDir/ledger")
+          var (ledger, lastApplied) = store.recover(ledger0)
           val q = s.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
             .writeStream
             .option("checkpointLocation", s"$chkDir/_chk")
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              if (!applied.contains(batchId)) {
-                ledger = step(ledger, batch).localCheckpoint()
-                applied += batchId
+              if (batchId > lastApplied) {
+                ledger = store.commit(step(ledger, batch), batchId)
+                lastApplied = batchId
               }
               ()
             }

@@ -128,6 +128,56 @@ class CharsetsSpec extends AnyFunSuite {
     // an unresolvable first meta does not stop the scan
     assert(p("""<meta charset="bogus"><meta charset="cp1252">""")
       .contains("windows-1252"))
+    // ADVICE-r12: a meta whose '>' lands PAST the window boundary was
+    // only partially read — WHATWG §13.2.3.2 aborts without a result
+    // at end-of-input mid-tag, so the declaration must NOT be honored
+    // (the charset value itself fits; only the tag close is cut)
+    val pad = "<p>" + "y" * (1024 - 3 - 22)
+    val cut = pad + """<meta charset="utf-8" """ // 1024 bytes, no '>'
+    assert(cut.length == 1024)
+    assert(Charsets.prescan(
+      (cut + ">").getBytes("ISO-8859-1")).isEmpty)
+    // …and the SAME tag wholly inside the window is honored
+    assert(Charsets.prescan(
+      (pad.dropRight(1) + """<meta charset="utf-8" >""")
+        .getBytes("ISO-8859-1")).contains("utf-8"))
+  }
+
+  test("plain decode honors a BOM over ANY label (ADVICE-r12, the " +
+      "WHATWG decode algorithm): stripped, not fellBack") {
+    val text = "bom wins é中"
+    // UTF-16BE BOM + BE body served as charset=utf-16 (labels LE):
+    // pre-fix this byte-swapped to garbage with fellBack=false
+    val be = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+      text.getBytes("UTF-16BE")
+    val dbe = Charsets.decode(be, Some("utf-16"))
+    assert(dbe.used == "utf-16be" && dbe.text == text && !dbe.fellBack)
+    // UTF-16LE BOM + LE body + matching label: BOM must be STRIPPED
+    // (pre-fix the text kept U+FEFF at the head — dedup-key poison)
+    val le = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      text.getBytes("UTF-16LE")
+    val dle = Charsets.decode(le, Some("utf-16"))
+    assert(dle.used == "utf-16le" && dle.text == text)
+    assert(!dle.text.startsWith("﻿"))
+    // a UTF-8 BOM beats a cp1252 label too (full WHATWG precedence)
+    val u8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      text.getBytes("UTF-8")
+    val du8 = Charsets.decode(u8, Some("windows-1252"))
+    assert(du8.used == "utf-8" && du8.text == text && !du8.fellBack)
+    // exactly ONE BOM is consumed: a second literal U+FEFF stays
+    val dbl = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      ("﻿" + text).getBytes("UTF-16LE")
+    assert(Charsets.decode(dbl, Some("utf-16")).text == "﻿" + text)
+    // no BOM: the label path is unchanged (byte-order from the label)
+    val plain = Charsets.decode(text.getBytes("UTF-16LE"),
+      Some("utf-16"))
+    assert(plain.used == "utf-16le" && plain.text == text)
+    // refereed against the JDK: java.nio's "UTF-16" charset does the
+    // same BOM-first dispatch on both orders
+    for (body <- Seq(be, le)) {
+      val jdk = new String(body, java.nio.charset.StandardCharsets.UTF_16)
+      assert(Charsets.decode(body, Some("utf-16")).text == jdk)
+    }
   }
 
   test("sniffDecode (T157): BOM > transport > meta > flagged default; " +
