@@ -284,6 +284,53 @@ object Urls {
       }
     }
 
+  /** SURT canonical sort key (T164, VERDICT-r12 item 3) — the
+    * Sort-friendly URI Reordering Transform every real WARC consumer
+    * keys CDX indexes by (the webarchive-commons / pywb convention:
+    * `com,example)/path?a=1`). The property that makes it THE archive
+    * sort key: host labels are reversed and comma-joined, so one
+    * registrable domain's records sort contiguously — `)` (0x29)
+    * orders before `,` (0x2c), so a parent host's keys group
+    * immediately before its subdomains'. Implemented rules (the
+    * documented webarchive-commons default-canonicalizer subset):
+    *
+    *  - scheme, userinfo and fragment drop; host lowercases, loses a
+    *    trailing dot and ONE leading `www.` label, then reverses
+    *  - a non-default port survives as `:8080` after the reversed host
+    *  - the path pct-normalizes, loses dot segments, lowercases, and
+    *    drops a trailing slash (except the root path)
+    *  - query parameters lowercase and sort (duplicates kept), empty
+    *    query drops
+    *
+    * Reference vectors (the public SURT README / pywb canonicalize
+    * examples) are pinned in SurtSpec:
+    * `http://www.archive.org/` → `org,archive)/`,
+    * `http://archive.org/goo/?a=2&b&a=1` → `org,archive)/goo?a=1&a=2&b`.
+    * None exactly when [[parse]] rejects.
+    */
+  def surt(url: String): Option[String] = parse(url).map { p =>
+    val scheme = p.scheme.toLowerCase
+    val host0 = p.host.toLowerCase
+    val host1 = if (host0.endsWith(".") && host0.length > 1)
+      host0.dropRight(1) else host0
+    val host = if (host1.startsWith("www.") && host1.length > 4)
+      host1.substring(4) else host1
+    val defaultPort = scheme match {
+      case "http" => 80; case "https" => 443; case "ftp" => 21
+      case _ => -1
+    }
+    val port = p.port.filter(_ != defaultPort)
+    val path0 = removeDotSegments(pctNormalize(p.path)).toLowerCase
+    val path1 = if (path0.isEmpty) "/" else path0
+    val path = if (path1.length > 1 && path1.endsWith("/"))
+      path1.dropRight(1) else path1
+    val query = p.query.map(_.toLowerCase.split('&').filter(_.nonEmpty)
+      .map(pctNormalize).sorted.mkString("&")).filter(_.nonEmpty)
+    host.split('.').reverse.mkString(",") +
+      port.map(":" + _).getOrElse("") + ")" + path +
+      query.map("?" + _).getOrElse("")
+  }
+
   /** Crawl-trap heuristics (q244, T153 — VERDICT-r11 gap 4: without
     * a trap gate one pathological host eats the budget allocator):
     * the per-URL, zero-shuffle checks a frontier runs BEFORE the
