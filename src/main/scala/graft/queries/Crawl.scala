@@ -231,8 +231,6 @@ object Crawl {
     val edges = hostLinks(s, docs)
       .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
     // nodes is consumed 6× (the seed + all 5 iterations): without the
     // checkpoint each consumer re-derives it from the corpus and only
     // exchange REUSE — plan luck, not construction — kept the probe at
@@ -241,7 +239,22 @@ object Crawl {
     val nodes = docs
       .select(concat(lit("ex"), col("doc_id") % 97, lit(".test"))
         .as("h")).distinct()
-      .localCheckpoint()
+    rankFromEdges(edges, nodes)
+  }
+
+  /** The rank core of [[hostRank]] over an ALREADY-BUILT weighted
+    * edge frame (src, dst, w) + node frame (h) — split out for q257,
+    * whose standing frontier accumulates edges across micro-batches
+    * and re-ranks the growing graph each batch (one builder, not a
+    * hand-synced copy — the review-r12 apportionment lesson). Both
+    * inputs are localCheckpoint'd here: edges feed outW + 5
+    * iterations, nodes 6 consumers.
+    */
+  def rankFromEdges(edgesIn: DataFrame, nodesIn: DataFrame)
+      : DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val nodes = nodesIn.localCheckpoint()
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("ow"))
     var ranks = nodes.withColumn("pr", lit(1000000000L))
     for (_ <- 1 to 5) {
       val sums = edges.join(outW, "src")
@@ -288,6 +301,147 @@ object Crawl {
       .select(col("host"), col("pr"),
         (col("fl") + when(col("rk") <= col("lft"), 1L)
           .otherwise(0L)).as("quota"))
+  }
+
+  /** Shared builder (q246/q257): the per-host DECISION dimension off
+    * a (g, np, nd) mass frame — robots-fetch policy through the real
+    * follower + parser (the five-scenario builder), schedule gate
+    * from the real rule evaluation, revisit verdict off real
+    * rendered cache headers. Returns (host, policy, delay_s,
+    * n_allowed, revisit). One narrow map over the host dimension.
+    */
+  def hostDecisionDim(s: SparkSession, mass: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Http, Revisit}
+    import graft.text.Robots
+    mass.as[(Long, Long, Long)]
+      .map { case (g, np, nd) =>
+        val host = s"ex$g.test"
+        val (policy, bytes) = robotsFetchScenario(g)
+        val (privOk, pubOk, delay) = policy match {
+          case "rules" =>
+            val robots = Robots.parse(
+              new String(bytes.get, "UTF-8"))
+            (Robots.isAllowed(robots, "graftbot", s"/private/x"),
+              Robots.isAllowed(robots, "graftbot", s"/pub/x"),
+              Robots.group(robots, "graftbot")
+                .flatMap(_.crawlDelay).getOrElse(0L))
+          case "allow_all" => (true, true, 0L)
+          case _           => (false, false, 0L)
+        }
+        val allowed = (if (pubOk) np else 0L) +
+          (if (privOk) nd else 0L)
+        // revisit verdict: one cached-response profile per host
+        val age = (g % 7) * 400
+        val headers = (g % 3) match {
+          case 0 => Seq("Cache-Control" -> "max-age=1000",
+            "ETag" -> s""""h$g"""")
+          case 1 => Seq("Cache-Control" -> "no-store")
+          case _ => Seq("Cache-Control" -> "no-cache",
+            "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT",
+            "Last-Modified" -> "Tue, 14 Nov 2023 16:40:00 GMT")
+        }
+        val cached = Http.render(200, "OK",
+          ("Content-Type" -> "text/html") +: headers,
+          s"cached page of $host".getBytes("UTF-8"))
+        val revisit = Revisit.decideFromResponse(cached, age)
+          .get.action
+        (host, policy, delay, allowed, revisit)
+      }
+      .toDF("host", "policy", "delay_s", "n_allowed", "revisit")
+  }
+
+  /** Shared final join of the decision chain (q246/q257): quota ×
+    * the per-host decision dimension → fetch allotment, makespan,
+    * revisit verdict, action. UNSORTED; callers add ordering.
+    */
+  def decisionTable(quota: DataFrame, hostDim: DataFrame): DataFrame =
+    quota.join(hostDim, Seq("host"))
+      .select(col("host"), col("pr"), col("quota"), col("policy"),
+        col("delay_s"),
+        col("n_allowed"),
+        least(col("quota"), col("n_allowed")).as("fetch_allot"),
+        (greatest(least(col("quota"), col("n_allowed")) - 1,
+          lit(0L)) * col("delay_s")).as("makespan_s"),
+        col("revisit"),
+        when(col("policy") === "disallow_all", "blocked")
+          .when(col("revisit") === "skip", "skip")
+          .otherwise("crawl").as("action"))
+
+  /** The decision-capstone oracle q246 and q257 SHARE: the batch and
+    * the drained-streaming frontier must both equal this exact
+    * closed-form decision table (the drained-≡-batch discipline made
+    * literal — one SQL string, two execution topologies).
+    */
+  private[queries] def decisionCapstoneOracle: String = {
+    val prIters = (1 to 5).map { k =>
+      s"""pr$k AS (SELECT n0.h,
+            CAST(150000000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT)
+              AS pr
+          FROM n0 LEFT JOIN (SELECT e.dst AS h,
+              SUM((p.pr * e.w) // ow.ow) AS c
+            FROM e JOIN pr${k - 1} p ON e.src = p.h
+            JOIN ow ON e.src = ow.src GROUP BY e.dst) s USING (h))"""
+    }.mkString(",\n        ")
+    s"""WITH o AS (SELECT * FROM (VALUES (1, 1), (2, 1), (0, 5))
+            t(off, w)),
+          l AS (SELECT doc_id % 97 AS g,
+              (doc_id % 97 + o.off) % 97 AS dg, o.w
+            FROM documents, o),
+          e AS (SELECT g AS src, dg AS dst, CAST(SUM(w) AS BIGINT) AS w
+            FROM l GROUP BY g, dg),
+          ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+          n0 AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+          pr0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS pr FROM n0),
+          $prIters,
+          tot AS (SELECT SUM(pr) AS sp FROM pr5),
+          alloc AS (SELECT h, pr,
+              (100000 * pr) // sp AS fl,
+              (100000 * pr) % sp AS rem
+            FROM pr5, tot),
+          lo AS (SELECT 100000 - SUM(fl) AS lft FROM alloc),
+          r AS (SELECT h, pr, fl,
+              row_number() OVER (ORDER BY rem DESC,
+                'ex' || CAST(h AS VARCHAR) || '.test') AS rk
+            FROM alloc),
+          q AS (SELECT h, pr,
+              CAST(fl + CASE WHEN rk <= (SELECT lft FROM lo) THEN 1
+                ELSE 0 END AS BIGINT) AS quota
+            FROM r),
+          m AS (SELECT doc_id % 97 AS g,
+              CAST(SUM(doc_id % 3 + 1) AS BIGINT) AS np,
+              CAST(COUNT(*) AS BIGINT) AS nd
+            FROM documents GROUP BY 1),
+          c AS (SELECT q.h, q.pr, q.quota, m.np, m.nd,
+              CASE q.h % 5 WHEN 0 THEN 'rules' WHEN 1 THEN 'allow_all'
+                WHEN 2 THEN 'disallow_all' WHEN 3 THEN 'rules'
+                ELSE 'allow_all' END AS policy,
+              CASE WHEN q.h % 5 IN (0, 3) THEN 1 + q.h % 5
+                ELSE 0 END AS delay_s,
+              CASE WHEN q.h % 3 = 0 THEN
+                  CASE WHEN (q.h % 7) * 400 < 1000 THEN 'skip'
+                    ELSE 'revalidate' END
+                WHEN q.h % 3 = 1 THEN 'fetch'
+                ELSE 'revalidate' END AS revisit
+            FROM q JOIN m ON m.g = q.h),
+          s AS (SELECT *,
+              CASE policy WHEN 'rules' THEN np
+                WHEN 'allow_all' THEN np + nd ELSE 0 END AS n_allowed
+            FROM c),
+          f AS (SELECT *, LEAST(quota, n_allowed) AS fetch_allot
+            FROM s)
+        SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host,
+          pr, quota, policy,
+          CAST(delay_s AS BIGINT) AS delay_s,
+          CAST(n_allowed AS BIGINT) AS n_allowed,
+          CAST(fetch_allot AS BIGINT) AS fetch_allot,
+          CAST(GREATEST(fetch_allot - 1, 0) * delay_s AS BIGINT)
+            AS makespan_s,
+          revisit,
+          CASE WHEN policy = 'disallow_all' THEN 'blocked'
+            WHEN revisit = 'skip' THEN 'skip' ELSE 'crawl' END
+            AS action
+        FROM f ORDER BY host"""
   }
 
   /** Shared builder (q240/q246 — review-r12: the five-scenario store
@@ -2909,76 +3063,7 @@ object Crawl {
         "extraction (checkpointed, q230), then everything is " +
         "host-graph-sized; the per-host executors ride one narrow " +
         "map over the 97-row host dimension",
-      Some {
-        val prIters = (1 to 5).map { k =>
-          s"""pr$k AS (SELECT n0.h,
-            CAST(150000000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT)
-              AS pr
-          FROM n0 LEFT JOIN (SELECT e.dst AS h,
-              SUM((p.pr * e.w) // ow.ow) AS c
-            FROM e JOIN pr${k - 1} p ON e.src = p.h
-            JOIN ow ON e.src = ow.src GROUP BY e.dst) s USING (h))"""
-        }.mkString(",\n        ")
-        s"""WITH o AS (SELECT * FROM (VALUES (1, 1), (2, 1), (0, 5))
-            t(off, w)),
-          l AS (SELECT doc_id % 97 AS g,
-              (doc_id % 97 + o.off) % 97 AS dg, o.w
-            FROM documents, o),
-          e AS (SELECT g AS src, dg AS dst, CAST(SUM(w) AS BIGINT) AS w
-            FROM l GROUP BY g, dg),
-          ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
-          n0 AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
-          pr0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS pr FROM n0),
-          $prIters,
-          tot AS (SELECT SUM(pr) AS sp FROM pr5),
-          alloc AS (SELECT h, pr,
-              (100000 * pr) // sp AS fl,
-              (100000 * pr) % sp AS rem
-            FROM pr5, tot),
-          lo AS (SELECT 100000 - SUM(fl) AS lft FROM alloc),
-          r AS (SELECT h, pr, fl,
-              row_number() OVER (ORDER BY rem DESC,
-                'ex' || CAST(h AS VARCHAR) || '.test') AS rk
-            FROM alloc),
-          q AS (SELECT h, pr,
-              CAST(fl + CASE WHEN rk <= (SELECT lft FROM lo) THEN 1
-                ELSE 0 END AS BIGINT) AS quota
-            FROM r),
-          m AS (SELECT doc_id % 97 AS g,
-              CAST(SUM(doc_id % 3 + 1) AS BIGINT) AS np,
-              CAST(COUNT(*) AS BIGINT) AS nd
-            FROM documents GROUP BY 1),
-          c AS (SELECT q.h, q.pr, q.quota, m.np, m.nd,
-              CASE q.h % 5 WHEN 0 THEN 'rules' WHEN 1 THEN 'allow_all'
-                WHEN 2 THEN 'disallow_all' WHEN 3 THEN 'rules'
-                ELSE 'allow_all' END AS policy,
-              CASE WHEN q.h % 5 IN (0, 3) THEN 1 + q.h % 5
-                ELSE 0 END AS delay_s,
-              CASE WHEN q.h % 3 = 0 THEN
-                  CASE WHEN (q.h % 7) * 400 < 1000 THEN 'skip'
-                    ELSE 'revalidate' END
-                WHEN q.h % 3 = 1 THEN 'fetch'
-                ELSE 'revalidate' END AS revisit
-            FROM q JOIN m ON m.g = q.h),
-          s AS (SELECT *,
-              CASE policy WHEN 'rules' THEN np
-                WHEN 'allow_all' THEN np + nd ELSE 0 END AS n_allowed
-            FROM c),
-          f AS (SELECT *, LEAST(quota, n_allowed) AS fetch_allot
-            FROM s)
-        SELECT 'ex' || CAST(h AS VARCHAR) || '.test' AS host,
-          pr, quota, policy,
-          CAST(delay_s AS BIGINT) AS delay_s,
-          CAST(n_allowed AS BIGINT) AS n_allowed,
-          CAST(fetch_allot AS BIGINT) AS fetch_allot,
-          CAST(GREATEST(fetch_allot - 1, 0) * delay_s AS BIGINT)
-            AS makespan_s,
-          revisit,
-          CASE WHEN policy = 'disallow_all' THEN 'blocked'
-            WHEN revisit = 'skip' THEN 'skip' ELSE 'crawl' END
-            AS action
-        FROM f ORDER BY host"""
-      },
+      Some(decisionCapstoneOracle),
       (s, d) => {
         import s.implicits._
         import graft.multimodal.{Http, Revisit}
@@ -2992,57 +3077,9 @@ object Crawl {
           .groupBy((col("doc_id") % 97).as("g"))
           .agg(sum(col("doc_id") % 3 + 1).as("np"),
             count(lit(1)).as("nd"))
-        // the per-host DECISION dimension: robots-fetch policy through
-        // the real follower + parser (shared five-scenario builder),
-        // schedule gate from the real rule evaluation, revisit verdict
-        // off real rendered cache headers
-        val hostDim = mass.as[(Long, Long, Long)]
-          .map { case (g, np, nd) =>
-            val host = s"ex$g.test"
-            val (policy, bytes) = robotsFetchScenario(g)
-            val (privOk, pubOk, delay) = policy match {
-              case "rules" =>
-                val robots = Robots.parse(
-                  new String(bytes.get, "UTF-8"))
-                (Robots.isAllowed(robots, "graftbot", s"/private/x"),
-                  Robots.isAllowed(robots, "graftbot", s"/pub/x"),
-                  Robots.group(robots, "graftbot")
-                    .flatMap(_.crawlDelay).getOrElse(0L))
-              case "allow_all" => (true, true, 0L)
-              case _           => (false, false, 0L)
-            }
-            val allowed = (if (pubOk) np else 0L) +
-              (if (privOk) nd else 0L)
-            // revisit verdict: one cached-response profile per host
-            val age = (g % 7) * 400
-            val headers = (g % 3) match {
-              case 0 => Seq("Cache-Control" -> "max-age=1000",
-                "ETag" -> s""""h$g"""")
-              case 1 => Seq("Cache-Control" -> "no-store")
-              case _ => Seq("Cache-Control" -> "no-cache",
-                "Date" -> "Tue, 14 Nov 2023 22:13:20 GMT",
-                "Last-Modified" -> "Tue, 14 Nov 2023 16:40:00 GMT")
-            }
-            val cached = Http.render(200, "OK",
-              ("Content-Type" -> "text/html") +: headers,
-              s"cached page of $host".getBytes("UTF-8"))
-            val revisit = Revisit.decideFromResponse(cached, age)
-              .get.action
-            (host, policy, delay, allowed, revisit)
-          }
-          .toDF("host", "policy", "delay_s", "n_allowed", "revisit")
-        quota.join(hostDim, Seq("host"))
-          .select(col("host"), col("pr"), col("quota"), col("policy"),
-            col("delay_s"),
-            col("n_allowed"),
-            least(col("quota"), col("n_allowed")).as("fetch_allot"),
-            (greatest(least(col("quota"), col("n_allowed")) - 1,
-              lit(0L)) * col("delay_s")).as("makespan_s"),
-            col("revisit"),
-            when(col("policy") === "disallow_all", "blocked")
-              .when(col("revisit") === "skip", "skip")
-              .otherwise("crawl").as("action"))
-          .orderBy("host")
+        // the per-host DECISION dimension (shared builder — q257's
+        // standing frontier re-evaluates it per micro-batch)
+        decisionTable(quota, hostDecisionDim(s, mass)).orderBy("host")
       }),
 
     Q("q247_trap_gated_frontier",
@@ -3919,6 +3956,103 @@ object Crawl {
           .toDF("host", "n_urls", "delay_s", "backoff_s",
             "makespan_serial", "makespan_k3")
           .orderBy("host")
+      }),
+
+    Q("q257_stream_decision_frontier",
+      "STANDING decision frontier (T167, VERDICT-r12 stretch item 8 " +
+        "— the streaming twin of the q246 capstone, and the natural " +
+        "consumer of the round's LedgerStore): the corpus arrives in " +
+        "four micro-batches; each batch's REAL link extraction " +
+        "(T118+T129+T120 via hostLinks) and page mass merge into a " +
+        "restart-safe host ledger (edge weights + per-host mass, " +
+        "LedgerStore: versioned snapshot + atomic pointer per " +
+        "batch), and the COMPLETE decision chain re-evaluates on the " +
+        "grown graph — integer PageRank (rankFromEdges) → " +
+        "largest-remainder apportionment → robots-fetch policy " +
+        "through the real follower → schedule → revisit verdict " +
+        "(the shared q246 builders, one definition two topologies). " +
+        "The output IS the last micro-batch's standing decision " +
+        "table, and it must hash-match q246's batch oracle EXACTLY " +
+        "— drained ≡ batch, the q229 discipline, now for the whole " +
+        "decision chain. Scale shape: per batch one narrow " +
+        "extraction map + host-graph-sized state (hosts + edges " +
+        "frames, ~300 rows here, host-bounded at 100 TB); payload " +
+        "text never enters the ledger",
+      Some(decisionCapstoneOracle),
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.Trigger
+        val docsT = table(s, d, "documents")
+        // batch contribution → ledger rows (union schema: edge rows
+        // keyed (src,dst), mass rows keyed by the host residue g)
+        def toLedger(batch: DataFrame): DataFrame = {
+          val e = hostLinks(s, batch)
+            .groupBy(col("src_host").as("src"),
+              col("dst_host").as("dst"))
+            .agg(count(lit(1)).as("w"))
+            .select(lit("e").as("kind"), col("src"), col("dst"),
+              col("w"), lit(0L).as("np"), lit(0L).as("nd"))
+          val m = batch
+            .groupBy((col("doc_id") % 97).cast("string").as("src"))
+            .agg(sum(col("doc_id") % 3 + 1).as("np"),
+              count(lit(1)).as("nd"))
+            .select(lit("m").as("kind"), col("src"),
+              lit("").as("dst"), lit(0L).as("w"), col("np"),
+              col("nd"))
+          e.union(m)
+        }
+        def merge(a: DataFrame, b: DataFrame): DataFrame =
+          a.union(b).groupBy("kind", "src", "dst").agg(
+            sum("w").as("w"), sum("np").as("np"), sum("nd").as("nd"))
+        // the standing re-evaluation: the SAME builders as q246,
+        // fed from the accumulated ledger instead of the corpus
+        def evaluate(ledger: DataFrame): DataFrame = {
+          val edges = ledger.filter(col("kind") === "e")
+            .select("src", "dst", "w")
+          val massL = ledger.filter(col("kind") === "m")
+            .select(col("src").cast("long").as("g"), col("np"),
+              col("nd"))
+          val nodes = massL.select(
+            concat(lit("ex"), col("g"), lit(".test")).as("h"))
+          decisionTable(
+            apportion(rankFromEdges(edges, nodes), 100000L),
+            hostDecisionDim(s, massL))
+        }
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val inDir = Common.scratchDir("decision_in", d)
+          docsT.repartitionByRange(4, col("doc_id"))
+            .write.mode("overwrite").parquet(inDir)
+          val chkDir = Common.scratchDir("decision_chk", d)
+          val store = new graft.streaming.LedgerStore(s,
+            s"$chkDir/ledger")
+          var (ledger, lastApplied) =
+            store.recover(toLedger(docsT.limit(0)))
+          var decision: DataFrame = null
+          val q = s.readStream.schema(docsT.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$chkDir/_chk")
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              if (batchId > lastApplied) {
+                ledger = store.commit(
+                  merge(ledger, toLedger(batch)), batchId)
+                lastApplied = batchId
+                // the standing table: re-ranked, re-budgeted,
+                // re-scheduled on the graph as of THIS batch
+                decision = evaluate(ledger).localCheckpoint()
+              }
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // a restarted drain with zero new batches recovers the
+          // ledger and re-evaluates (decision derives from state)
+          if (decision == null) decision = evaluate(ledger)
+          decision.orderBy("host")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       })
   )
 }
