@@ -4053,6 +4053,82 @@ object Crawl {
           if (decision == null) decision = evaluate(ledger)
           decision.orderBy("host")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }),
+
+    Q("q258_coding_audit",
+      "flagged-codings corpus audit (T168 — the 'how much of the " +
+        "crawl can't we decode' meter VERDICT-r12 asked for in place " +
+        "of an in-sandbox brotli decoder): per doc, a response is " +
+        "synthesized under one of six Content-Encoding shapes (gzip " +
+        "/ deflate / zstd through the REAL encoders, br — " +
+        "undecodable by policy, the stacked 'br, gzip' whose OUTER " +
+        "gzip layer decodes before the br core flags, and identity) " +
+        "and run through the full T150 decode; the corpus-level " +
+        "rollup per declared coding list — responses, decoded, " +
+        "flagged, flagged ppm — is the audit a 100 TB ingest reads " +
+        "before deciding whether a missing decoder matters. The " +
+        "oracle pins every count closed-form by residue; one " +
+        "mis-flagged coding list shifts two groups. Zero shuffle " +
+        "beside the six-group rollup",
+      Some("""WITH e AS (SELECT doc_id,
+            CASE doc_id % 6 WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate'
+              WHEN 2 THEN 'zstd' WHEN 3 THEN 'br'
+              WHEN 4 THEN 'br,gzip' ELSE 'identity' END AS codings,
+            CASE WHEN doc_id % 6 IN (3, 4) THEN 0 ELSE 1 END AS dec
+          FROM documents)
+        SELECT codings,
+          CAST(COUNT(*) AS BIGINT) AS n_responses,
+          CAST(SUM(dec) AS BIGINT) AS n_decoded,
+          CAST(SUM(1 - dec) AS BIGINT) AS n_flagged,
+          CAST(1000000 * SUM(1 - dec) // COUNT(*) AS BIGINT)
+            AS flagged_ppm
+        FROM e GROUP BY codings ORDER BY codings"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Http
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val body = s"auditable payload of d$id".getBytes("UTF-8")
+            def gz(p: Array[Byte]): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(p); g.close(); bos.toByteArray
+            }
+            def zlib(p: Array[Byte]): Array[Byte] = {
+              val dfl = new java.util.zip.Deflater()
+              dfl.setInput(p); dfl.finish()
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](256)
+              while (!dfl.finished())
+                bos.write(buf, 0, dfl.deflate(buf))
+              dfl.end(); bos.toByteArray
+            }
+            val (ce, wire) = (id % 6) match {
+              case 0 => ("gzip", gz(body))
+              case 1 => ("deflate", zlib(body))
+              case 2 => ("zstd",
+                com.github.luben.zstd.Zstd.compress(body))
+              case 3 => ("br", body) // no decoder: flagged, kept
+              case 4 => ("br, gzip", gz(body)) // outer layer decodes,
+                // the br core flags — partial decode, still audited
+              case _ => ("identity", body)
+            }
+            val msg = Http.render(200, "OK",
+              Seq("Content-Type" -> "text/plain",
+                "Content-Encoding" -> ce), wire)
+            val (_, _, _, cm) = Http.parseResponseFullyDecoded(msg).get
+            (cm.codings.mkString(","), if (cm.decoded) 1L else 0L)
+          }
+          .toDF("codings", "dec")
+          .groupBy("codings")
+          .agg(count(lit(1)).as("n_responses"),
+            sum(col("dec")).as("n_decoded"),
+            sum(lit(1L) - col("dec")).as("n_flagged"))
+          .select(col("codings"), col("n_responses"), col("n_decoded"),
+            col("n_flagged"),
+            expr("1000000 * n_flagged div n_responses")
+              .as("flagged_ppm"))
+          .orderBy("codings")
       })
   )
 }
