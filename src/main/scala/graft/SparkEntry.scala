@@ -25,7 +25,7 @@ object SparkEntry {
       graft.queries.Audit.qs ++
       graft.queries.Audit2.qs ++ graft.queries.Audit3.qs ++
       graft.queries.Streaming2.qs ++ graft.queries.Formats.qs ++
-      graft.queries.Crawl.qs
+      graft.queries.Crawl.qs ++ graft.queries.Crawl2.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -54,6 +54,23 @@ object Html {
       feeds: Seq[String] = Nil, // <link rel=alternate type=rss/atom>
                              // href values (decoded, capped at 16) —
                              // the T147 feed-autodiscovery capture
+      canonical: Option[String] = None, // the FIRST <link
+                             // rel=canonical href> value (decoded,
+                             // trimmed, non-empty) — T169: the page's
+                             // self-declared dedup key. Later
+                             // canonical links are ignored (the
+                             // documented search-engine rule when a
+                             // page contradicts itself: first wins,
+                             // matching the <base> discipline); rel
+                             // is a space/comma token list so
+                             // rel="canonical nofollow" still counts
+      alternates: Seq[(String, String)] = Nil, // <link rel=alternate
+                             // hreflang=L href=H> pairs in document
+                             // order (lang tag lowered + trimmed,
+                             // href decoded), capped at 32 — T170:
+                             // the language-variant cluster feed for
+                             // parallel-corpus mining. Entries with
+                             // an empty lang or href never appear
       base: Option[String] = None) // the FIRST <base href> value
                              // (decoded; later base tags are ignored,
                              // the HTML5 rule) — T151: the document
@@ -157,6 +174,9 @@ object Html {
     val metas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val hrefs = scala.collection.mutable.ArrayBuffer.empty[String]
     val feeds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var canonical: Option[String] = None
+    val alternates =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var docBase: Option[String] = None
     // per-line anchor-text accounting (T132 link density): chars
     // emitted while inside an href-bearing <a> are link chars
@@ -297,19 +317,30 @@ object Html {
             case _ =>
           }
         }
-        // feed AUTODISCOVERY (T147): <link rel="alternate"
-        // type="application/rss+xml|atom+xml" href=…> is how pages
-        // advertise their feeds; rel is a space/comma token list,
-        // type matches case-insensitively, href entity-decodes like
-        // every captured URL. Links inside comments/rawtext never
-        // reach here (the scanner already skipped them)
-        if (name == "link" && feeds.length < 16 &&
-            attrVals.get("rel").exists(v => relSep.split(v)
-              .exists(_.equalsIgnoreCase("alternate"))) &&
-            attrVals.get("type").map(_.trim.toLowerCase).exists(t =>
-              t == "application/rss+xml" || t == "application/atom+xml"))
-          attrVals.get("href").map(h => decodeAll(h).trim)
-            .filter(_.nonEmpty).foreach(feeds += _)
+        // <link rel=…> captures — feed autodiscovery (T147),
+        // canonical (T169), hreflang alternates (T170). rel is a
+        // space/comma token list matched case-insensitively; href
+        // entity-decodes like every captured URL. Links inside
+        // comments/rawtext never reach here (the scanner already
+        // skipped them).
+        if (name == "link") {
+          val relToks = attrVals.get("rel").toSeq
+            .flatMap(v => relSep.split(v)).filter(_.nonEmpty)
+          def rel(t: String) = relToks.exists(_.equalsIgnoreCase(t))
+          val href = attrVals.get("href").map(h => decodeAll(h).trim)
+            .filter(_.nonEmpty)
+          if (feeds.length < 16 && rel("alternate") &&
+              attrVals.get("type").map(_.trim.toLowerCase).exists(t =>
+                t == "application/rss+xml" ||
+                  t == "application/atom+xml"))
+            href.foreach(feeds += _)
+          if (canonical.isEmpty && rel("canonical"))
+            href.foreach(h => canonical = Some(h))
+          if (alternates.length < 32 && rel("alternate"))
+            attrVals.get("hreflang").map(_.trim.toLowerCase)
+              .filter(_.nonEmpty)
+              .foreach(lg => href.foreach(h => alternates += ((lg, h))))
+        }
         if (block(name)) { out += '\n'; newline() }
         i = past
         if (name == "title" && !selfClosed) {
@@ -337,7 +368,8 @@ object Html {
       .filter(_.text.nonEmpty)
       .toSeq
     Extracted(title, blocks.map(_.text).mkString("\n"), nLinks, nTags,
-      metas.toSeq, nNofollow, hrefs.toSeq, blocks, feeds.toSeq, docBase)
+      metas.toSeq, nNofollow, hrefs.toSeq, blocks, feeds.toSeq,
+      canonical, alternates.toSeq, docBase)
   }
 
   /** Collapse runs of whitespace (incl. NBSP) to single spaces, trim. */

@@ -417,6 +417,160 @@ object Http {
       (r, payload, chunkMeta, codingMeta)
     }
 
+  /** RFC 9111 §4.1 secondary cache key (T171, q261): the normalized
+    * list of header FIELD NAMES a stored response's Vary declares.
+    * Repeated Vary header lines are equivalent to one comma-joined
+    * list (RFC 9110 §5.3 — same discipline as the T150 Content-
+    * Encoding join), members trim + lowercase (field names are
+    * case-insensitive), empties drop, duplicates collapse, order
+    * normalizes by sort so the key is stable however the server
+    * spelled it. `*` survives as a member — [[varyMatches]] gives it
+    * its never-match semantics; collapsing it here would silently
+    * upgrade an uncacheable response to always-cacheable.
+    * Expects lowercased header names ([[statusAndHeaders]] output).
+    */
+  def varyKey(headers: Seq[(String, String)]): Seq[String] =
+    headers.filter(_._1 == "vary")
+      .flatMap(_._2.split(','))
+      .map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+      .distinct.sorted
+
+  /** RFC 9111 §4.1 match: a stored response whose Vary key is
+    * `fields` may satisfy a new request iff every selected field has
+    * the SAME value list in the new request as in the original one
+    * (absent-in-both matches; values compare after trim — the
+    * documented simplification of the spec's optional per-field
+    * normalization), and a Vary of `*` NEVER matches, not even an
+    * identical request. Header names in both request lists are
+    * expected lowercased.
+    */
+  def varyMatches(fields: Seq[String],
+      origReq: Seq[(String, String)],
+      newReq: Seq[(String, String)]): Boolean =
+    !fields.contains("*") && fields.forall { f =>
+      def vals(hs: Seq[(String, String)]) =
+        hs.filter(_._1 == f).map(_._2.trim)
+      vals(origReq) == vals(newReq)
+    }
+
+  // ---- 206 Partial Content reassembly (T176, q266 — RFC 9110
+  // §14.4/§15.3.7): large media fetches resume through byte ranges,
+  // and an archive ingesting ranged captures must stitch the
+  // segments back into one payload — verifying coverage, agreeing
+  // overlaps, and the declared complete-length — before any digest
+  // or decode tier may run.
+
+  /** Parse a Content-Range value: `bytes first-last/complete` or
+    * `bytes first-last/*` (unknown total). The unsatisfied-range
+    * form (`bytes */complete`) and other units → None, as is any
+    * inverted or non-numeric range, and a complete length that does
+    * not exceed last-pos (§14.4: last-pos MUST be less than it).
+    */
+  def contentRange(v: String): Option[(Long, Long, Option[Long])] = {
+    val s = v.trim
+    if (!s.toLowerCase.startsWith("bytes")) return None
+    val rest = s.substring(5).trim
+    val slash = rest.indexOf('/')
+    if (slash < 0) return None
+    val range = rest.substring(0, slash).trim
+    val totalS = rest.substring(slash + 1).trim
+    val dash = range.indexOf('-')
+    if (dash <= 0) return None
+    def num(x: String): Option[Long] =
+      if (x.nonEmpty && x.forall(_.isDigit))
+        try Some(x.toLong) catch { case _: NumberFormatException => None }
+      else None
+    for {
+      first <- num(range.substring(0, dash))
+      last <- num(range.substring(dash + 1))
+      if last >= first
+      total <- totalS match {
+        case "*" => Some(None)
+        case t   => num(t).filter(_ > last).map(Some(_))
+      }
+    } yield (first, last, total)
+  }
+
+  /** One reassembly outcome: verdict ∈ complete | incomplete | gap |
+    * conflict | malformed, the union coverage in bytes, how many
+    * segment overlaps were absorbed, the declared complete length
+    * (when any segment carried one), and the stitched payload
+    * (present unless a gap/conflict/malformation made one
+    * impossible or meaningless).
+    */
+  final case class Reassembly(
+      verdict: String,
+      coveredLen: Long,
+      nOverlaps: Long,
+      totalDeclared: Option[Long],
+      body: Option[Array[Byte]])
+
+  /** Stitch 206 segments (first, last, declaredTotal, bytes) into the
+    * original payload. Rules: a segment whose byte count disagrees
+    * with its range, or two segments declaring DIFFERENT complete
+    * lengths, or overlapping segments whose shared bytes differ →
+    * the hard verdicts (malformed / conflict — the archive must not
+    * synthesize a payload nobody sent); agreeing overlaps absorb
+    * (resumed downloads re-send boundary bytes routinely); a hole →
+    * `gap`; contiguous from offset 0 matching the declared total →
+    * `complete`; contiguous but not provably whole → `incomplete`.
+    */
+  def reassembleRanges(
+      segs: Seq[(Long, Long, Option[Long], Array[Byte])]): Reassembly = {
+    if (segs.isEmpty) return Reassembly("malformed", 0L, 0L, None, None)
+    if (segs.exists { case (f, l, _, b) => l < f || b.length != l - f + 1 })
+      return Reassembly("malformed", 0L, 0L, None, None)
+    val totals = segs.flatMap(_._3).distinct
+    if (totals.length > 1)
+      return Reassembly("conflict", 0L, 0L, None, None)
+    val total = totals.headOption
+    val sorted = segs.sortBy(s => (s._1, s._2))
+    // `gap` flags an INTERNAL hole only — a capture that starts past
+    // offset 0 is a resumable suffix (incomplete), not a hole, so the
+    // walk starts "covered" right before the first segment
+    var end = sorted.head._1 - 1 // highest covered offset so far
+    var covered = 0L
+    var overlaps = 0L
+    var gap = false
+    val out = new java.io.ByteArrayOutputStream()
+    val written = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Byte])] // (first, bytes) for overlap checks
+    for ((f, l, _, b) <- sorted) {
+      if (f > end + 1) gap = true
+      if (f <= end) {
+        overlaps += 1
+        // verify every overlapped byte agrees with what is already
+        // stitched (walk the prior segments covering [f, min(end,l)])
+        val oEnd = math.min(end, l)
+        var off = f
+        while (off <= oEnd) {
+          val prior = written.find { case (pf, pb) =>
+            off >= pf && off < pf + pb.length }
+          val ok = prior.exists { case (pf, pb) =>
+            pb((off - pf).toInt) == b((off - f).toInt) }
+          if (!ok)
+            return Reassembly("conflict", 0L, overlaps, total, None)
+          off += 1
+        }
+      }
+      covered += math.max(0L, l - math.max(f, end + 1) + 1)
+      if (l > end) {
+        val from = math.max(f, end + 1)
+        out.write(b, (from - f).toInt, (l - from + 1).toInt)
+        end = l
+      }
+      written += ((f, b))
+    }
+    val start = sorted.head._1
+    val verdict =
+      if (gap) "gap"
+      else if (start == 0 && total.contains(end + 1)) "complete"
+      else "incomplete"
+    val body = if (gap) None else Some(out.toByteArray)
+    Reassembly(verdict, covered, overlaps, total, body)
+  }
+
   /** Serialize a response with the wire body given verbatim and NO
     * implicit Content-Length (synthesis side for chunked framing,
     * q217 — a chunked response legally has no Content-Length).

@@ -205,4 +205,89 @@ object Revisit {
         one("Last-Modified").flatMap(parseHttpDate),
         one("ETag"), ageS)
     }
+
+  // ---- entity-tag comparison (T175, q265 — RFC 9110 §8.8.3) ----
+  //
+  // The conditional-GET loop above sends If-None-Match with the
+  // stored ETag verbatim; these give the COMPARISON side its spec
+  // semantics: a weak tag (`W/"x"`) validates semantic equivalence,
+  // not byte identity, and §13.1.2 mandates the WEAK comparison for
+  // If-None-Match — so `W/"x"` vs `"x"` IS a match (304, keep the
+  // cached body) while a byte-exact use (If-Match, Range preconditions)
+  // requires the STRONG comparison where any weak side fails.
+
+  /** One parsed entity-tag: the weakness flag + the opaque-tag's
+    * content (without the surrounding DQUOTEs).
+    */
+  final case class ETag(weak: Boolean, opaque: String)
+
+  /** Parse one entity-tag: `"x"` or `W/"x"` (§8.8.3 ABNF; etagc is
+    * any VCHAR except DQUOTE plus obs-text — commas and spaces
+    * INSIDE the quotes are legal, which is why If-None-Match cannot
+    * be comma-split naively). Unquoted or unterminated → None.
+    */
+  def parseETag(s0: String): Option[ETag] = {
+    val s = s0.trim
+    val (weak, rest) =
+      if (s.startsWith("W/")) (true, s.substring(2)) else (false, s)
+    if (rest.length >= 2 && rest.charAt(0) == '"' &&
+        rest.charAt(rest.length - 1) == '"' &&
+        rest.indexOf('"', 1) == rest.length - 1)
+      Some(ETag(weak, rest.substring(1, rest.length - 1)))
+    else None
+  }
+
+  /** §8.8.3.2: strong comparison — both strong AND same opaque;
+    * weak comparison — same opaque, weakness ignored.
+    */
+  def etagMatches(a: ETag, b: ETag, strong: Boolean): Boolean =
+    (!strong || (!a.weak && !b.weak)) && a.opaque == b.opaque
+
+  /** Parse an If-None-Match / If-Match field value: `*` (Left) or
+    * the listed entity-tags (Right). The scan walks quoted regions
+    * so a comma INSIDE an opaque-tag never splits; a malformed
+    * member is skipped (conservative: an unparseable tag can never
+    * match, and the rest of the header still applies — the
+    * Cache-Control directive discipline above).
+    */
+  def parseETagList(v: String): Either[Unit, Seq[ETag]] = {
+    val s = v.trim
+    if (s == "*") return Left(())
+    val out = scala.collection.mutable.ArrayBuffer.empty[ETag]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ',' || Character.isWhitespace(c)) i += 1
+      else {
+        // one candidate member: optional W/, then a quoted region
+        val start = i
+        if (s.startsWith("W/", i)) i += 2
+        if (i < s.length && s.charAt(i) == '"') {
+          val close = s.indexOf('"', i + 1)
+          if (close < 0) i = s.length // unterminated: drop the tail
+          else {
+            i = close + 1
+            parseETag(s.substring(start, i)).foreach(out += _)
+          }
+        } else {
+          // malformed member: skip to the next comma
+          val nc = s.indexOf(',', i)
+          i = if (nc < 0) s.length else nc + 1
+        }
+      }
+    }
+    Right(out.toSeq)
+  }
+
+  /** The §13.1.2 If-None-Match evaluation against the stored entity:
+    * `*` matches whenever ANY representation is stored; otherwise
+    * the listed tags compare WEAKLY against the stored tag. True →
+    * the server answers 304 and the crawler keeps its cached body.
+    */
+  def ifNoneMatchHits(fieldValue: String, stored: Option[ETag])
+      : Boolean = parseETagList(fieldValue) match {
+    case Left(_)     => stored.isDefined
+    case Right(tags) =>
+      stored.exists(st => tags.exists(etagMatches(_, st, strong = false)))
+  }
 }

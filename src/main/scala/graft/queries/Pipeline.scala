@@ -1391,6 +1391,104 @@ object Pipeline {
           .filter(expr("(cw div 5000) > ((cw - w) div 5000)"))
           .orderBy("doc_id")
       }),
+
+    Q("q262_fim_transform",
+      "fill-in-the-middle transform (T172 — the document-level FIM " +
+        "rearrangement of Bavarian et al. 2022 that code/infilling " +
+        "models train on): per doc, a deterministic md5-derived coin " +
+        "applies FIM at rate 0.6 (the paper's recommended document-" +
+        "level range); applied docs draw TWO md5-derived cut points " +
+        "in [0,n] (order-normalized, so empty prefix/middle/suffix " +
+        "spans all occur and must round-trip), split the token " +
+        "sequence into prefix/middle/suffix, and render BOTH " +
+        "orderings — PSM (prefix,suffix,middle) and the SPM " +
+        "suffix-first variant — with sentinel tokens and a trailing " +
+        "EOT; unapplied docs pass through verbatim + EOT (the " +
+        "AR-capability-preserving arm). The loss mask trains on " +
+        "middle+EOT only: loss_tokens = (b-a)+1. Both renderings " +
+        "are pinned by md5 so one token leaking across a sentinel, " +
+        "a swapped ordering, or an off-by-one cut hash-fails. Zero " +
+        "shuffle — a narrow per-row map, the same line-rate class " +
+        "as T136 loss masking; at 100 TB this composes under the " +
+        "T137 packer unchanged",
+      Some("""WITH w AS (SELECT doc_id, text,
+            regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        c AS (SELECT doc_id, text, ws, len(ws) AS n,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#fim'),
+              1, 8) AS BIGINT) % 100 < 60 AS app,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#a'),
+              1, 8) AS BIGINT) % (len(ws) + 1) AS h1,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#b'),
+              1, 8) AS BIGINT) % (len(ws) + 1) AS h2
+          FROM w),
+        p AS (SELECT doc_id, text, ws, n, app,
+            LEAST(h1, h2) AS a, GREATEST(h1, h2) AS b FROM c),
+        r AS (SELECT doc_id, app, n, a, b,
+            CASE WHEN app THEN '<|fim_prefix|>' ||
+              COALESCE(array_to_string(ws[1:CAST(a AS INT)], ' '), '') ||
+              '<|fim_suffix|>' ||
+              COALESCE(array_to_string(
+                ws[CAST(b + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+              '<|fim_middle|>' ||
+              COALESCE(array_to_string(
+                ws[CAST(a + 1 AS INT):CAST(b AS INT)], ' '), '') || '<|endoftext|>'
+            ELSE text || '<|endoftext|>' END AS psm,
+            CASE WHEN app THEN '<|fim_suffix|>' ||
+              COALESCE(array_to_string(
+                ws[CAST(b + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+              '<|fim_prefix|>' ||
+              COALESCE(array_to_string(ws[1:CAST(a AS INT)], ' '), '') ||
+              '<|fim_middle|>' ||
+              COALESCE(array_to_string(
+                ws[CAST(a + 1 AS INT):CAST(b AS INT)], ' '), '') || '<|endoftext|>'
+            ELSE text || '<|endoftext|>' END AS spm
+          FROM p)
+        SELECT doc_id,
+          CAST(CASE WHEN app THEN 1 ELSE 0 END AS BIGINT)
+            AS fim_applied,
+          CAST(n AS BIGINT) AS n_tokens,
+          CAST(CASE WHEN app THEN a ELSE -1 END AS BIGINT) AS cut_a,
+          CAST(CASE WHEN app THEN b ELSE -1 END AS BIGINT) AS cut_b,
+          md5(psm) AS psm_md5, md5(spm) AS spm_md5,
+          CAST(CASE WHEN app THEN b - a + 1 ELSE n + 1 END AS BIGINT)
+            AS loss_tokens
+        FROM r ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        table(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            def h32(x: String): Long = java.lang.Long.parseLong(
+              Common.md5Hex(x.getBytes("UTF-8")).substring(0, 8), 16)
+            val ws = text.split("\\s+")
+            val n = ws.length.toLong
+            val eot = "<|endoftext|>"
+            if (h32(s"$id#fim") % 100 < 60) {
+              val h1 = h32(s"$id#a") % (n + 1)
+              val h2 = h32(s"$id#b") % (n + 1)
+              val a = math.min(h1, h2).toInt
+              val b = math.max(h1, h2).toInt
+              val pre = ws.slice(0, a).mkString(" ")
+              val mid = ws.slice(a, b).mkString(" ")
+              val suf = ws.slice(b, ws.length).mkString(" ")
+              val psm = s"<|fim_prefix|>$pre<|fim_suffix|>$suf" +
+                s"<|fim_middle|>$mid$eot"
+              val spm = s"<|fim_suffix|>$suf<|fim_prefix|>$pre" +
+                s"<|fim_middle|>$mid$eot"
+              (id, 1L, n, a.toLong, b.toLong,
+                Common.md5Hex(psm.getBytes("UTF-8")),
+                Common.md5Hex(spm.getBytes("UTF-8")),
+                (b - a + 1).toLong)
+            } else {
+              val doc = text + eot
+              val m = Common.md5Hex(doc.getBytes("UTF-8"))
+              (id, 0L, n, -1L, -1L, m, m, n + 1)
+            }
+          }
+          .toDF("doc_id", "fim_applied", "n_tokens", "cut_a", "cut_b",
+            "psm_md5", "spm_md5", "loss_tokens")
+          .orderBy("doc_id")
+      }),
   )
 
   /** Shared BPE trainer behind q144/q145: word-frequency table (the one

@@ -66,8 +66,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -89,6 +89,7 @@ object ScaleProbe {
     val doR19 = fam == "all" || fam == "r19"
     val doR20 = fam == "all" || fam == "r20"
     val doR21 = fam == "all" || fam == "r21"
+    val doR22 = fam == "all" || fam == "r22"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1541,6 +1542,48 @@ object ScaleProbe {
         val pairs = spark.range(5000L * mult)
           .select((col("id") * 2 + n).as("a_id"), (col("id") * 2 + n + 1).as("b_id"))
         graft.dedup.Dedup.dupClusters(chain.union(pairs)).count()
+      }
+      }
+
+      if (doR22) {
+      // --- round-13 (T169/T170): URL-alias clustering + hreflang
+      // bitext mining at mult×. Claim: the wall is the narrow
+      // extraction map (mass-linear, zero shuffle); the shuffle
+      // carries ONE small row per page (key, url, lang, fp) — never
+      // document text — so shuffle rows must grow exactly linearly.
+      // Replicas decorrelate by id offset (rep·10M): per-replica
+      // article/self keys stay distinct, while q259's shape-2 origin
+      // stories DELIBERATELY collide across replicas (40 hot
+      // syndication keys whose clusters grow mult×) — the hot-key
+      // shape real syndicated content produces, absorbed by
+      // partial-aggregable count/min (no row blowup, no skew stall).
+      import spark.implicits._
+      val idsR22 = table(spark, sfDir, "documents").select(col("doc_id"))
+        .crossJoin(spark.range(mult)
+          .select((col("id") * 10000000L).as("off")))
+        .select((col("doc_id") + col("off")).as("id"))
+        .localCheckpoint()
+      time(s"canonical alias clusters x$mult") {
+        idsR22.as[Long].map(graft.queries.Crawl2.canonicalRow)
+          .toDF("doc_id", "page_url", "canonical_key", "is_self")
+          .groupBy("canonical_key")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+          .count()
+      }
+      time(s"hreflang bitext mining x$mult") {
+        idsR22.as[Long].map(graft.queries.Crawl2.hreflangRow)
+          .toDF("ckey", "lang", "url", "alts", "fp")
+          .groupBy("ckey")
+          .agg(collect_list(struct(col("lang"), col("url"),
+            col("alts"), col("fp"))).as("ms"))
+          .as[(String, Seq[(String, String, Seq[String], String)])]
+          .map { case (k, ms) =>
+            graft.queries.Crawl2.hreflangVerdict(k, ms) }
+          .toDF("ckey", "n_pages", "langs", "n_pairs", "n_recip",
+            "n_fp_reject", "n_aligned")
+          .agg(sum(col("n_aligned")).as("aligned"),
+            sum(col("n_recip")).as("recip"))
+          .count()
       }
       }
     }

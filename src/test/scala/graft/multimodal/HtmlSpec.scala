@@ -234,4 +234,57 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText("<base href=\"\"><base href=\"/d/\">")
       .base.contains("/d/"))
   }
+
+  test("canonical capture (T169): first rel=canonical wins; rel token " +
+      "list counts; commented/rawtext/href-less/empty decoys ignored") {
+    assert(Html.extractText("<p>none</p>").canonical.isEmpty)
+    assert(Html.extractText(
+      "<link rel=\"canonical\" href=\"/art1\">").canonical
+      .contains("/art1"))
+    // first wins — a page contradicting itself keeps the first claim
+    assert(Html.extractText(
+      "<link rel=\"canonical\" href=\"/first\">" +
+        "<link rel=\"canonical\" href=\"/second\">").canonical
+      .contains("/first"))
+    // rel is a token list and matches case-insensitively
+    assert(Html.extractText(
+      "<link rel=\"CANONICAL nofollow\" href=\"/tok\">").canonical
+      .contains("/tok"))
+    // near-miss token never matches; href entity-decodes
+    assert(Html.extractText(
+      "<link rel=\"canonicalish\" href=\"/no\">" +
+        "<link rel=\"canonical\" href=\"/x?a=1&amp;b=2\">").canonical
+      .contains("/x?a=1&b=2"))
+    // commented / rawtext / href-less / empty-href contribute nothing
+    assert(Html.extractText(
+      "<!-- <link rel=\"canonical\" href=\"/c\"> -->" +
+        "<script><link rel=\"canonical\" href=\"/s\"></script>" +
+        "<link rel=\"canonical\">" +
+        "<link rel=\"canonical\" href=\"\">").canonical.isEmpty)
+  }
+
+  test("hreflang alternates (T170): lang lowered+trimmed, document " +
+      "order kept, lang-less/href-less entries and decoys dropped, " +
+      "feed capture unaffected by hreflang presence") {
+    val e = Html.extractText(
+      "<head>" +
+        "<link rel=\"alternate\" hreflang=\"EN\" href=\"/en/p\">" +
+        "<link rel=\"alternate\" hreflang=\"de\" href=\"/de/p\">" +
+        "<link rel=\"ALTERNATE\" hreflang=\" fr \" href=\"/fr/p\">" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"/p\">" +
+        // decoys: no hreflang (plain alternate), no href, empty lang,
+        // commented, wrong rel
+        "<link rel=\"alternate\" href=\"/mobile\">" +
+        "<link rel=\"alternate\" hreflang=\"es\">" +
+        "<link rel=\"alternate\" hreflang=\"\" href=\"/none\">" +
+        "<!-- <link rel=\"alternate\" hreflang=\"it\" href=\"/it\"> -->" +
+        "<link rel=\"stylesheet\" hreflang=\"pt\" href=\"/pt\">" +
+        // an rss alternate carrying hreflang lands in BOTH captures
+        "<link rel=\"alternate\" hreflang=\"en\" " +
+        "type=\"application/rss+xml\" href=\"/feed.xml\">" +
+        "</head>")
+    assert(e.alternates == Seq("en" -> "/en/p", "de" -> "/de/p",
+      "fr" -> "/fr/p", "x-default" -> "/p", "en" -> "/feed.xml"))
+    assert(e.feeds == Seq("/feed.xml"))
+  }
 }

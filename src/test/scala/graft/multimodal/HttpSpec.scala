@@ -421,4 +421,103 @@ class HttpSpec extends AnyFunSuite {
       "abc".getBytes("US-ASCII")
     assert(Http.decodeCoding(badFcs, "zstd").isEmpty)
   }
+
+  test("varyKey (T171): repeated Vary lines join, members trim + " +
+      "lower + sort + dedup, empties drop, '*' survives") {
+    def hs(vs: String*): Seq[(String, String)] =
+      ("content-type" -> "text/plain") +: vs.map("vary" -> _)
+    assert(Http.varyKey(hs()) == Seq.empty)
+    assert(Http.varyKey(hs("Accept-Encoding")) ==
+      Seq("accept-encoding"))
+    // two header LINES ≡ one comma list (RFC 9110 §5.3)
+    assert(Http.varyKey(hs("User-Agent", "Accept-Encoding")) ==
+      Seq("accept-encoding", "user-agent"))
+    // intra-line list, messy spacing, dup across lines, empty member
+    assert(Http.varyKey(hs(" accept-encoding ,, USER-AGENT",
+      "user-agent")) == Seq("accept-encoding", "user-agent"))
+    assert(Http.varyKey(hs("*")) == Seq("*"))
+    // '*' does not absorb its neighbors — both survive for the
+    // matcher to veto
+    assert(Http.varyKey(hs("accept-encoding, *")) ==
+      Seq("*", "accept-encoding"))
+  }
+
+  test("varyMatches (T171): per-field value match, absent-in-both " +
+      "matches, '*' never matches, non-varied fields ignored") {
+    val orig = Seq("accept-encoding" -> "gzip",
+      "user-agent" -> "graftbot/1.0")
+    val ae = Seq("accept-encoding")
+    // empty Vary: everything matches
+    assert(Http.varyMatches(Nil, orig, Seq.empty))
+    // matching / differing / missing selected value
+    assert(Http.varyMatches(ae, orig,
+      Seq("accept-encoding" -> "gzip", "user-agent" -> "x")))
+    assert(!Http.varyMatches(ae, orig,
+      Seq("accept-encoding" -> "br")))
+    assert(!Http.varyMatches(ae, orig, Seq("user-agent" -> "x")))
+    // absent in BOTH requests matches
+    assert(Http.varyMatches(Seq("cookie"), orig, orig))
+    // value comparison trims, and repeated header values compare as
+    // the ordered list (a second value is a different negotiation)
+    assert(Http.varyMatches(ae, orig,
+      Seq("accept-encoding" -> "  gzip ")))
+    assert(!Http.varyMatches(ae,
+      orig :+ ("accept-encoding" -> "br"), orig))
+    // '*' vetoes even an identical request
+    assert(!Http.varyMatches(Seq("*"), orig, orig))
+    assert(!Http.varyMatches(Seq("*", "accept-encoding"), orig, orig))
+  }
+
+  test("contentRange (T176): both RFC 9110 §14.4 forms parse; " +
+      "unsatisfied-range, other units, inversions, and a complete " +
+      "length not exceeding last-pos reject") {
+    assert(Http.contentRange("bytes 0-99/200").contains(
+      (0L, 99L, Some(200L))))
+    assert(Http.contentRange(" BYTES 5-9/* ").contains(
+      (5L, 9L, None)))
+    assert(Http.contentRange("bytes */200").isEmpty)
+    assert(Http.contentRange("pages 0-9/20").isEmpty)
+    assert(Http.contentRange("bytes 9-5/20").isEmpty)
+    assert(Http.contentRange("bytes 0-99/99").isEmpty)  // must exceed
+    assert(Http.contentRange("bytes 0-99/100").isDefined)
+    assert(Http.contentRange("bytes 0-9").isEmpty)      // no slash
+    assert(Http.contentRange("bytes a-9/20").isEmpty)
+  }
+
+  test("reassembleRanges (T176): out-of-order stitch, agreeing " +
+      "overlap absorbs, disagreeing overlap conflicts, gap/" +
+      "incomplete/malformed verdicts, declared-total referee") {
+    val full = "0123456789".getBytes("US-ASCII")
+    def seg(f: Int, l: Int, tot: Option[Long] = Some(10L)) =
+      (f.toLong, l.toLong, tot,
+        java.util.Arrays.copyOfRange(full, f, l + 1))
+    // clean split + out-of-order arrival
+    val r1 = Http.reassembleRanges(Seq(seg(7, 9), seg(0, 3), seg(4, 6)))
+    assert(r1.verdict == "complete" && r1.coveredLen == 10 &&
+      r1.body.get.toSeq == full.toSeq)
+    // agreeing overlap absorbs and still completes
+    val r2 = Http.reassembleRanges(Seq(seg(0, 6), seg(4, 9)))
+    assert(r2.verdict == "complete" && r2.nOverlaps == 1 &&
+      r2.body.get.toSeq == full.toSeq)
+    // disagreeing overlap is a conflict, never a silent overwrite
+    val bad = (4L, 9L, Some(10L), "XXXXXX".getBytes("US-ASCII"))
+    assert(Http.reassembleRanges(Seq(seg(0, 6), bad))
+      .verdict == "conflict")
+    // hole → gap, no synthesized body, union coverage reported
+    val r3 = Http.reassembleRanges(Seq(seg(0, 3), seg(7, 9)))
+    assert(r3.verdict == "gap" && r3.coveredLen == 7 && r3.body.isEmpty)
+    // contiguous but total lies / unknown / nonzero start → incomplete
+    assert(Http.reassembleRanges(Seq(seg(0, 9, Some(12L))))
+      .verdict == "incomplete")
+    assert(Http.reassembleRanges(Seq(seg(0, 9, None)))
+      .verdict == "incomplete")
+    assert(Http.reassembleRanges(Seq(seg(2, 9))).verdict == "incomplete")
+    // two segments declaring DIFFERENT totals conflict
+    assert(Http.reassembleRanges(Seq(seg(0, 4), seg(5, 9, Some(11L))))
+      .verdict == "conflict")
+    // a segment whose byte count lies about its range is malformed
+    assert(Http.reassembleRanges(Seq((0L, 9L, Some(10L),
+      "123".getBytes("US-ASCII")))).verdict == "malformed")
+    assert(Http.reassembleRanges(Nil).verdict == "malformed")
+  }
 }

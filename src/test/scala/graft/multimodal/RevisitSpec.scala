@@ -122,4 +122,55 @@ class RevisitSpec extends AnyFunSuite {
       stale.validator == "if-none-match")
     assert(Revisit.decideFromResponse("garbage".getBytes, 0L).isEmpty)
   }
+
+  test("entity-tag parse (T175): strong, weak, comma/space inside " +
+      "quotes, unquoted/unterminated/garbage reject") {
+    import Revisit.{parseETag, ETag}
+    assert(parseETag("\"x\"").contains(ETag(weak = false, "x")))
+    assert(parseETag(" W/\"x\" ").contains(ETag(weak = true, "x")))
+    assert(parseETag("\"a,b c\"").contains(ETag(weak = false, "a,b c")))
+    assert(parseETag("\"\"").contains(ETag(weak = false, "")))
+    assert(parseETag("x").isEmpty)        // unquoted
+    assert(parseETag("\"x").isEmpty)      // unterminated
+    assert(parseETag("w/\"x\"").isEmpty)  // weak marker is case-SENSITIVE
+    assert(parseETag("\"a\"b\"").isEmpty) // interior DQUOTE
+  }
+
+  test("etag comparison (RFC 9110 §8.8.3.2 table): weak matches on " +
+      "opaque alone, strong fails on ANY weak side") {
+    import Revisit.{etagMatches, ETag}
+    val s1 = ETag(weak = false, "1"); val w1 = ETag(weak = true, "1")
+    val s2 = ETag(weak = false, "2")
+    // the spec's §8.8.3.2 example table, all eight cells
+    assert(etagMatches(w1, w1, strong = false))
+    assert(!etagMatches(w1, w1, strong = true))
+    assert(etagMatches(w1, ETag(weak = true, "1"), strong = false))
+    assert(etagMatches(w1, s1, strong = false))
+    assert(!etagMatches(w1, s1, strong = true))
+    assert(etagMatches(s1, s1, strong = false))
+    assert(etagMatches(s1, s1, strong = true))
+    assert(!etagMatches(s1, s2, strong = false))
+    assert(!etagMatches(s1, s2, strong = true))
+  }
+
+  test("If-None-Match list evaluation (§13.1.2): star, quoted " +
+      "commas, malformed members skipped, weak comparison mandated") {
+    import Revisit.{parseETagList, ifNoneMatchHits, parseETag}
+    val stored = parseETag("\"v7\"")
+    assert(ifNoneMatchHits("*", stored))
+    assert(!ifNoneMatchHits("*", None))
+    assert(ifNoneMatchHits("\"v7\"", stored))
+    assert(ifNoneMatchHits("W/\"v7\"", stored)) // weak comparison
+    assert(ifNoneMatchHits("\"a,b\", W/\"x\", \"v7\"", stored))
+    assert(!ifNoneMatchHits("\"a,b\", W/\"x\"", stored))
+    // the comma-in-quotes trap parses as ONE tag, not two
+    assert(parseETagList("\"a,b\"").toOption.get.map(_.opaque) ==
+      Seq("a,b"))
+    // malformed member skipped, later members still apply
+    assert(ifNoneMatchHits("\"miss\", garbage, \"v7\"", stored))
+    assert(parseETagList("\"a\", not-quoted, W/\"b\"").toOption.get
+      .map(_.opaque) == Seq("a", "b"))
+    // unterminated tail drops without matching
+    assert(!ifNoneMatchHits("\"v7", stored))
+  }
 }
