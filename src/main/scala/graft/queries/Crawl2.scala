@@ -681,6 +681,140 @@ object Crawl2 {
           .toDF("doc_id", "verdict", "n_segments", "n_overlaps",
             "covered_len", "total_declared", "body_md5")
           .orderBy("doc_id")
+      }),
+
+    Q("q267_idn_decode",
+      "IDN/Punycode host decode ∘ homograph gate (T177, " +
+        "graft.text.Punycode — RFC 3492, JDK-IDN-refereed: the T131 " +
+        "UTS #39 confusable gate runs on CODE POINTS, so an " +
+        "ACE-encoded Cyrillic spoof (xn--…) sails through a gate " +
+        "that only ever sees ASCII — decode must come first): per " +
+        "doc, four host shapes — plain ASCII; an ACE label hiding a " +
+        "Cyrillic-а lookalike (built by the spec-proven ENCODE " +
+        "direction, decoded by the read path, then Scripts must " +
+        "flag mixed + risk + spoof of the Latin target); a Japanese " +
+        "ACE label (allowed combination — mixed, no risk); and an " +
+        "INVALID ACE label (truncated variable-length integer) kept " +
+        "verbatim with the invalid flag — the frontier must still " +
+        "key on the host it saw. Decoded host and every gate count " +
+        "closed-form; skipping the decode zeroes shape 2's risk " +
+        "row. Zero shuffle — rides the T120 canonicalization map",
+      Some("""SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'example' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.com'
+            WHEN 1 THEN 'exаmple' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.com'
+            WHEN 2 THEN '例え' || CAST(doc_id % 97 AS VARCHAR) ||
+              '.jp'
+            ELSE 'xn--0.com' END AS decoded_host,
+          CAST(CASE WHEN doc_id % 4 IN (1, 2, 3) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_ace,
+          CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_invalid,
+          CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END
+            AS BIGINT) AS mixed,
+          CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS risk,
+          CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS spoof
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.{Punycode, Scripts}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 97
+            val latin = s"example$g.com"
+            // the WIRE host: ACE labels built through the encode
+            // direction (spec-proven inverse), the read path must
+            // recover the Unicode form before any gate runs
+            val wireHost = (id % 4) match {
+              case 0 => latin
+              case 1 =>
+                s"xn--${Punycode.encode(s"exаmple$g").get}.com"
+              case 2 => s"xn--${Punycode.encode(s"例え$g").get}.jp"
+              case _ => "xn--0.com" // truncated varint: invalid ACE
+            }
+            val (decoded, nAce, nInvalid) = Punycode.decodeHost(wireHost)
+            // the T131 gates, now over the DECODED host (the q222
+            // grain — whole-host classification, COMMON excluded)
+            val mix = Scripts.scriptMix(decoded)
+            val spoof = Scripts.spoofs(decoded, latin) &&
+              decoded != latin
+            (id, decoded, nAce.toLong, nInvalid.toLong,
+              if (mix.mixed) 1L else 0L,
+              if (mix.confusableRisk) 1L else 0L,
+              if (spoof) 1L else 0L)
+          }
+          .toDF("doc_id", "decoded_host", "n_ace", "n_invalid",
+            "mixed", "risk", "spoof")
+          .orderBy("doc_id")
+      }),
+
+    Q("q268_sentence_align",
+      "Gale–Church sentence alignment (T178, graft.text.Align — the " +
+        "1993 length-correlation DP that turns the T170 document-" +
+        "aligned bitext into the SENTENCE pairs translation models " +
+        "train on, re-expressed with exact integer costs since the " +
+        "determinism gate forbids the original's Gaussian log-" +
+        "likelihoods; AlignSpec proves optimality against brute-" +
+        "force enumeration): per doc, a source sentence-length " +
+        "sequence and one of four target shapes — identical (all " +
+        "1-1), a planted 2-1 CONTRACTION (two sentences merged in " +
+        "translation), a planted 0-1 INSERTION (translator-added " +
+        "sentence), a planted 1-0 DELETION — and the DP must recover " +
+        "exactly the planted operation multiset and cost (op " +
+        "POSITIONS can tie when lengths coincide; counts and total " +
+        "cost cannot). Zero shuffle — one document pair aligns in " +
+        "one task, the per-row class; at 100 TB this rides the T170 " +
+        "cluster map's existing partitioning",
+      Some("""WITH e AS (SELECT doc_id,
+            CAST(4 + doc_id % 5 AS BIGINT) AS n FROM documents)
+        SELECT doc_id, n AS n_src,
+          CAST(CASE doc_id % 4 WHEN 0 THEN n WHEN 2 THEN n + 1
+            ELSE n - 1 END AS BIGINT) AS n_tgt,
+          CAST(CASE doc_id % 4 WHEN 0 THEN n WHEN 1 THEN n - 2
+            WHEN 2 THEN n ELSE n - 1 END AS BIGINT) AS n_11,
+          CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_21,
+          CAST(0 AS BIGINT) AS n_12,
+          CAST(0 AS BIGINT) AS n_22,
+          CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_10,
+          CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_01,
+          CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 10 ELSE 15
+            END AS BIGINT) AS total_cost
+        FROM e ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Align
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (4 + id % 5).toInt
+            // source sentence lengths: consecutive-ish, 20..49
+            val src = (0 until n).map(i => 20L + (id + i) % 30)
+            val tgt = (id % 4) match {
+              case 0 => src
+              case 1 => // contraction at j: merge j and j+1
+                val j = (id % (n - 1)).toInt
+                src.patch(j, Seq(src(j) + src(j + 1)), 2)
+              case 2 => // insertion at j: a translator-added sentence
+                val j = (id % (n + 1)).toInt
+                src.patch(j, Seq(20L + (id * 7) % 30), 0)
+              case _ => // deletion at j
+                val j = (id % n).toInt
+                src.patch(j, Nil, 1)
+            }
+            val (ops, cost) = Align.align(src, tgt)
+            val c = Align.opCounts(ops)
+            (id, n.toLong, tgt.length.toLong, c("11"), c("21"),
+              c("12"), c("22"), c("10"), c("01"), cost)
+          }
+          .toDF("doc_id", "n_src", "n_tgt", "n_11", "n_21", "n_12",
+            "n_22", "n_10", "n_01", "total_cost")
+          .orderBy("doc_id")
       })
   )
 }

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees for the RFC 3492 Punycode codec (T177).
+  *
+  * The load-bearing referee is the JDK's own `java.net.IDN`: for
+  * seeded random labels drawn from scripts Nameprep leaves alone
+  * (lowercase ASCII, Cyrillic, Greek, Hiragana, CJK), `toASCII` must
+  * equal `"xn--" + encode(label)` and `toUnicode` must invert it —
+  * an independent implementation of the same RFC, not a round-trip
+  * through this module's own code. A pinned known-answer vector
+  * anchors the codec to bytes a human can check; truncation/
+  * mutation sweeps pin the never-throw discipline.
+  */
+class PunycodeSpec extends AnyFunSuite {
+
+  test("known-answer vector: bücher ↔ bcher-kva (the registry " +
+      "example), plus decode case-insensitivity") {
+    assert(Punycode.encode("bücher").contains("bcher-kva"))
+    assert(Punycode.decode("bcher-kva").contains("bücher"))
+    // decode accepts either digit case (§5); basic chars keep theirs
+    assert(Punycode.decode("bcher-KVA").contains("bücher"))
+    assert(Punycode.decode("BCHER-kva").contains("BüCHER"))
+  }
+
+  test("JDK referee: 300 seeded labels round-trip through " +
+      "java.net.IDN in both directions") {
+    val pools = Seq(
+      ('a' to 'z').mkString,            // ASCII lowercase
+      ('а' to 'я').mkString,  // Cyrillic а–я
+      ('α' to 'ω').filterNot(_ == 'ς').mkString, // Greek α–ω minus
+                              // final sigma: IDN's Nameprep pass
+                              // case-folds ς→σ, which would referee
+                              // Nameprep, not the Punycode codec
+                              // (Python's punycode codec confirms
+                              // this codec's bytes on ς inputs)
+      ('あ' to 'ん').mkString,  // Hiragana
+      ('一' to '丯').mkString)  // CJK block head
+    for (seed <- 0 until 300) {
+      val rnd = new scala.util.Random(seed)
+      val len = 1 + rnd.nextInt(12)
+      val label = (0 until len).map { _ =>
+        val pool = pools(rnd.nextInt(pools.length))
+        pool.charAt(rnd.nextInt(pool.length))
+      }.mkString
+      if (label.exists(_ >= 0x80)) {
+        val enc = Punycode.encode(label).get
+        val viaJdk = java.net.IDN.toASCII(label)
+        assert(s"xn--$enc" == viaJdk, s"seed=$seed label=$label")
+        assert(Punycode.decode(enc).contains(label), s"seed=$seed")
+        assert(java.net.IDN.toUnicode(s"xn--$enc") == label,
+          s"seed=$seed")
+      }
+    }
+  }
+
+  test("decode rejects, never throws: out-of-alphabet digits, " +
+      "ACE-encoded ASCII, truncations, non-ASCII basics") {
+    assert(Punycode.decode("bcher-k!a").isEmpty)   // '!' not a digit
+    assert(Punycode.decode("bücher-kva").isEmpty)  // non-ASCII basic
+    // a decoded code point in the basic range must reject: 'a-'
+    // followed by a zero-valued extended insert targets U+0080-…
+    // via crafted digits; simplest trigger — delta encoding that
+    // lands below 0x80 cannot be built from a valid encoder, so
+    // referee via mutation sweep instead: every truncation of a
+    // valid encoding either decodes to SOMETHING or rejects cleanly
+    val enc = Punycode.encode("пример").get
+    for (cut <- 0 until enc.length)
+      Punycode.decode(enc.take(cut)) // must not throw
+    // every single-char mutation must not throw either
+    for (i <- enc.indices; c <- Seq('!', '~', '0', 'z'))
+      Punycode.decode(enc.updated(i, c)) // must not throw
+  }
+
+  test("decodeLabel/decodeHost: xn-- detection is case-insensitive, " +
+      "invalid ACE keeps ASCII form flagged, non-ACE passes through") {
+    assert(Punycode.decodeLabel("xn--bcher-kva") ==
+      (("bücher", true, true)))
+    assert(Punycode.decodeLabel("XN--bcher-kva") ==
+      (("bücher", true, true)))
+    assert(Punycode.decodeLabel("plain") == (("plain", false, true)))
+    val (kept, ace, ok) = Punycode.decodeLabel("xn--!!!")
+    assert(kept == "xn--!!!" && ace && !ok)
+    assert(Punycode.decodeHost("xn--bcher-kva.example.com") ==
+      (("bücher.example.com", 1, 0)))
+    assert(Punycode.decodeHost("xn--!!!.xn--bcher-kva.net") ==
+      (("xn--!!!.bücher.net", 2, 1)))
+  }
+
+  test("pure-ASCII encode carries the RFC delimiter form and " +
+      "round-trips; empty input round-trips") {
+    assert(Punycode.encode("abc").contains("abc-"))
+    assert(Punycode.decode("abc-").contains("abc"))
+    assert(Punycode.encode("").contains(""))
+    assert(Punycode.decode("").contains(""))
+  }
+}
