@@ -815,6 +815,129 @@ object Crawl2 {
           .toDF("doc_id", "n_src", "n_tgt", "n_11", "n_21", "n_12",
             "n_22", "n_10", "n_01", "total_cost")
           .orderBy("doc_id")
+      }),
+
+    Q("q269_bitext_capstone",
+      "bitext mining capstone (T179 ∘ T178 ∘ T170 ∘ T118 — the full " +
+        "parallel-corpus chain over REAL page pairs, the fourth " +
+        "capstone beside q226/q246/q252): per story, the en and de " +
+        "variant pages render as real HTML (hreflang links in the " +
+        "head, all sentences in ONE <p> so segmentation is genuinely " +
+        "exercised, with a planted honorific 'Dr. Kim' and a planted " +
+        "decimal '3.14' that the T179 guards must NOT split on) → " +
+        "T118 extraction → hreflang RECIPROCITY gate (every story " +
+        "≡0 mod 7 plants a de page missing its en return link — no " +
+        "pairs may be mined from it) → T179 sentence split → T178 " +
+        "integer Gale–Church over the real sentence char lengths, " +
+        "with a planted 2-1 contraction (story ≡1 mod 3) and a " +
+        "planted 0-1 translator insertion (story ≡2 mod 3) that the " +
+        "DP must recover exactly. Verdict, sentence counts, op " +
+        "multiset and cost all closed-form; a splitter guard " +
+        "failure changes a length and the cost column catches it. " +
+        "Zero shuffle — one story's full chain runs in one task",
+      Some("""WITH s AS (SELECT doc_id // 3 AS story FROM documents
+            WHERE doc_id % 3 = 0),
+        e AS (SELECT story, CAST(3 + story % 3 AS BIGINT) AS k FROM s)
+        SELECT story,
+          CASE WHEN story % 7 = 0 THEN 'non_reciprocal'
+            ELSE 'aligned' END AS verdict,
+          k AS n_src,
+          CAST(CASE story % 3 WHEN 0 THEN k WHEN 1 THEN k - 1
+            ELSE k + 1 END AS BIGINT) AS n_tgt,
+          CAST(CASE WHEN story % 7 = 0 THEN 0
+            WHEN story % 3 = 0 THEN k
+            WHEN story % 3 = 1 THEN k - 2 ELSE k END AS BIGINT)
+            AS n_11,
+          CAST(CASE WHEN story % 7 <> 0 AND story % 3 = 1 THEN 1
+            ELSE 0 END AS BIGINT) AS n_21,
+          CAST(CASE WHEN story % 7 <> 0 AND story % 3 = 2 THEN 1
+            ELSE 0 END AS BIGINT) AS n_01,
+          CAST(CASE WHEN story % 7 = 0 THEN 0
+            WHEN story % 3 = 1 THEN 10
+            WHEN story % 3 = 2 THEN 15 ELSE 0 END AS BIGINT)
+            AS total_cost
+        FROM e ORDER BY story"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Html
+        import graft.text.{Align, Sentences, Urls}
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter(_ % 3 == 0)
+          .map { id =>
+            val story = id / 3
+            val k = (3 + story % 3).toInt
+            def lenOf(i: Int): Int = 30 + ((6 * i + story) % 40).toInt
+            // exact-length sentence: prefix + fill + terminal '.'
+            def sent(prefix: String, fill: Char, l: Int): String =
+              prefix + fill.toString * (l - prefix.length - 1) + "."
+            // en sentences: the honorific guard rides sentence 0,
+            // the decimal guard sentence 1 (k >= 3 always)
+            def enPrefix(i: Int): String = i match {
+              case 0 => s"S$story Dr. Kim "
+              case 1 => s"S$i 3.14 "
+              case _ => s"S$i "
+            }
+            val enSents = (0 until k).map(i =>
+              sent(enPrefix(i), 'a', lenOf(i)))
+            val deSents: Seq[String] = (story % 3) match {
+              case 0 => (0 until k).map(i =>
+                sent(s"T$i ", 'b', lenOf(i)))
+              case 1 => // contraction: de merges en j and j+1
+                val j = (story % (k - 1)).toInt
+                (0 until k).flatMap { i =>
+                  if (i == j) Some(sent(s"T$i ", 'b',
+                    lenOf(j) + lenOf(j + 1)))
+                  else if (i == j + 1) None
+                  else Some(sent(s"T$i ", 'b', lenOf(i)))
+                }
+              case _ => // translator-added sentence at j
+                val j = (story % (k + 1)).toInt
+                val base = (0 until k).map(i =>
+                  sent(s"T$i ", 'b', lenOf(i)))
+                base.patch(j, Seq(sent("X ", 'c',
+                  30 + ((story * 11) % 40).toInt)), 0)
+            }
+            val g = story % 97
+            def page(lang: String, sents: Seq[String],
+                links: Seq[String]): String =
+              "<head>" + links.map(l =>
+                s"""<link rel="alternate" hreflang="$l" """ +
+                  s"""href="/$l/story$story">""").mkString +
+                s"</head><body><p>${sents.mkString(" ")}</p></body>"
+            val enLinks = Seq("de")
+            val deLinks = if (story % 7 == 0) Nil else Seq("en")
+            val enEx = Html.extractText(page("en", enSents, enLinks))
+            val deEx = Html.extractText(page("de", deSents, deLinks))
+            def resolved(lang: String, ex: Html.Extracted)
+                : Seq[String] = ex.alternates.flatMap { case (lg, h) =>
+              Urls.resolve(variantUrl(story, lang), h)
+                .flatMap(Urls.canonicalize).map(u => s"$lg>$u")
+            }
+            val enUrl = Urls.canonicalize(variantUrl(story, "en")).get
+            val deUrl = Urls.canonicalize(variantUrl(story, "de")).get
+            val reciprocal =
+              resolved("en", enEx).contains(s"de>$deUrl") &&
+                resolved("de", deEx).contains(s"en>$enUrl")
+            val srcSents = Sentences.split(enEx.text)
+            val tgtSents = Sentences.split(deEx.text)
+            require(srcSents == enSents && tgtSents == deSents,
+              s"segmentation drifted for story $story")
+            if (!reciprocal)
+              (story, "non_reciprocal", srcSents.length.toLong,
+                tgtSents.length.toLong, 0L, 0L, 0L, 0L)
+            else {
+              val (ops, cost) = Align.align(
+                srcSents.map(_.length.toLong),
+                tgtSents.map(_.length.toLong))
+              val c = Align.opCounts(ops)
+              (story, "aligned", srcSents.length.toLong,
+                tgtSents.length.toLong, c("11"), c("21"), c("01"),
+                cost)
+            }
+          }
+          .toDF("story", "verdict", "n_src", "n_tgt", "n_11", "n_21",
+            "n_01", "total_cost")
+          .orderBy("story")
       })
   )
 }
