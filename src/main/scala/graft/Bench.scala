@@ -55,6 +55,11 @@ object Bench {
       // and footer overhead beats scan parallelism at this scale. The
       // default split size stays; on a real cluster the same knob is
       // sized to executor memory, not to core count.
+      // shuffle/spill files ride the same tmpfs-preferring scratch
+      // root as streaming checkpoints (Common.scratchRoot — a
+      // throttled local volume must not masquerade as engine cost)
+      .config("spark.local.dir",
+        graft.queries.Common.scratchRoot + "/graft_spark_local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -92,12 +97,30 @@ object Bench {
       }
       try {
         run() // warm-up: JIT, codegen cache, file index
-        name -> Seq.fill(reps)(run())
+        val times = Seq.fill(reps)(run())
+        // Storage hygiene between queries (round-13): localCheckpoint
+        // blocks live in the SAME unified memory pool that execution
+        // borrows from, and the ContextCleaner only reclaims them
+        // after a driver GC proves the RDD unreachable — which an 8 GB
+        // driver may not run for hundreds of queries. At 280 queries ×
+        // 6 executions the accumulated blocks crowd out execution
+        // memory and the board's TAIL (q24x+, alphabetical) measured
+        // 10–50× its solo cost (q241 0.7 s solo vs 33.7 s in-sequence,
+        // q246 bimodal reps with one fast rep right after a GC — the
+        // heap-pressure signature). Queries are independent, so any
+        // RDD still persisted after a query's reps is a leak by
+        // definition here: unpersist them all, deterministically,
+        // instead of waiting for GC luck.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> times
       } catch {
         case e: Throwable =>
           // loud failure: a crashed query must read as a regression, not
           // as a faster total
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           name -> Seq.empty[Double]
       }
     }.map { case (name, times) =>

@@ -22,6 +22,11 @@ object Verify {
       // auto-route), so the correctness gate exercises the same plans
       // a library user gets
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // shuffle/spill files ride the same tmpfs-preferring scratch
+      // root as streaming checkpoints (Common.scratchRoot — a
+      // throttled local volume must not masquerade as engine cost)
+      .config("spark.local.dir",
+        graft.queries.Common.scratchRoot + "/graft_spark_local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,6 +39,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same storage hygiene as Bench: queries are independent, so a
+      // still-persisted RDD (localCheckpoint) after a query is a leak;
+      // freeing it deterministically keeps the 280-query sweep's tail
+      // out of storage-vs-execution memory contention
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

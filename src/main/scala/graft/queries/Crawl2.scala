@@ -6,31 +6,44 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Common.table
 
-/** Round-13 crawl wave 2: the URL-aliasing and multilingual-cluster
-  * operators a production crawl layers on top of the frontier
-  * (Crawl.scala) once pages are actually being fetched —
+/** Round-13 wave 2 (T169–T179): the URL-aliasing, multilingual/
+  * bitext, and conditional-fetch-semantics operators a production
+  * crawl layers on top of the frontier (Crawl.scala) once pages are
+  * actually being fetched —
   *
-  *  - rel=canonical alias clustering (T169, q259): pages declare their
-  *    own dedup key; the crawler folds tracked/syndicated/mirrored
-  *    variants onto it instead of re-storing them.
-  *  - hreflang language clusters → bitext pair mining (T170, q260):
-  *    the translated-page groups sites advertise are the highest-
-  *    precision source of parallel training text a crawl owns, IF the
-  *    annotations are reciprocal and the pages actually correspond.
-  *  - Vary-aware cache keys (T171, q261): the RFC 9111 §4.1 secondary
-  *    cache key — without it the T154 conditional-fetch ledger serves
-  *    a gzip body to a client that negotiated brotli.
+  *  - rel=canonical alias clustering (T169, q259) and the
+  *    redirect ≻ canonical ≻ tracking-strip alias-resolution
+  *    capstone (T174, q264): pages declare their own dedup key; the
+  *    crawler folds tracked/syndicated/mirrored variants onto it.
+  *  - hreflang clusters → bitext pair mining (T170, q260), IDN
+  *    decode under the homograph gate (T177, q267), Gale–Church
+  *    sentence alignment (T178, q268), and the full bitext capstone
+  *    (T179, q269): the translated-page groups sites advertise are
+  *    the highest-precision source of parallel training text a
+  *    crawl owns, IF the annotations are reciprocal and the pages
+  *    actually correspond.
+  *  - conditional-fetch semantics: Vary cache keys (T171, q261),
+  *    weak/strong entity-tag comparison (T175, q265), and 206
+  *    range reassembly (T176, q266) — the pieces the T154 ledger
+  *    needs before reusing stored responses.
+  *  - IP-grouped politeness (T173, q263) and the FIM training
+  *    transform (T172, q262 — in Pipeline.scala).
   *
   * Scale shape: every query here is per-row extraction work (the T118
   * scanner) followed by at most ONE equi-shuffle on a small derived
-  * key (canonical URL / cluster key); document payloads never move —
-  * only URLs, lang tags, and fingerprints enter the shuffle. At 100 TB
-  * the alias/cluster rollups are exactly the T120 canonical-key groupBy
-  * the frontier already pays, on strictly smaller rows.
+  * key (canonical URL / cluster key / IP); document payloads never
+  * move — only URLs, lang tags, lengths, and fingerprints enter the
+  * shuffle. At 100 TB the alias/cluster rollups are exactly the T120
+  * canonical-key groupBy the frontier already pays, on smaller rows.
   */
 object Crawl2 {
 
   private val langNames = Array("en", "de", "fr")
+
+  /** Digit-run matcher for the T170 fingerprint — compiled once (the
+    * relSep precedent: per-row compile in a hot map is waste).
+    */
+  private val digitRun = "[0-9]+".r
 
   /** Language-variant page URL for q260's synthesized corpus. */
   private def variantUrl(story: Long, lang: String): String =
@@ -130,7 +143,7 @@ object Crawl2 {
         .map(u => s"$lg>$u")
     }
     val clusterKey = (self +: alts.map(_.split(">", 2)(1))).min
-    val fp = "[0-9]+".r.findAllIn(ex.text).toSeq.distinct
+    val fp = digitRun.findAllIn(ex.text).toSeq.distinct
       .sorted.mkString(",")
     (clusterKey, lang, self, alts, fp)
   }
@@ -897,8 +910,7 @@ object Crawl2 {
                 base.patch(j, Seq(sent("X ", 'c',
                   30 + ((story * 11) % 40).toInt)), 0)
             }
-            val g = story % 97
-            def page(lang: String, sents: Seq[String],
+            def page(sents: Seq[String],
                 links: Seq[String]): String =
               "<head>" + links.map(l =>
                 s"""<link rel="alternate" hreflang="$l" """ +
@@ -906,8 +918,8 @@ object Crawl2 {
                 s"</head><body><p>${sents.mkString(" ")}</p></body>"
             val enLinks = Seq("de")
             val deLinks = if (story % 7 == 0) Nil else Seq("en")
-            val enEx = Html.extractText(page("en", enSents, enLinks))
-            val deEx = Html.extractText(page("de", deSents, deLinks))
+            val enEx = Html.extractText(page(enSents, enLinks))
+            val deEx = Html.extractText(page(deSents, deLinks))
             def resolved(lang: String, ex: Html.Extracted)
                 : Seq[String] = ex.alternates.flatMap { case (lg, h) =>
               Urls.resolve(variantUrl(story, lang), h)

@@ -17,6 +17,11 @@ object BenchSome {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/spill files ride the same tmpfs-preferring scratch
+      // root as streaming checkpoints (Common.scratchRoot — a
+      // throttled local volume must not masquerade as engine cost)
+      .config("spark.local.dir",
+        graft.queries.Common.scratchRoot + "/graft_spark_local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

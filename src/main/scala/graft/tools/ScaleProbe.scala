@@ -43,6 +43,11 @@ object ScaleProbe {
       // would serialize the whole probe into one task, measuring nothing
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // shuffle/spill files ride the same tmpfs-preferring scratch
+      // root as streaming checkpoints (Common.scratchRoot — a
+      // throttled local volume must not masquerade as engine cost)
+      .config("spark.local.dir",
+        graft.queries.Common.scratchRoot + "/graft_spark_local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
