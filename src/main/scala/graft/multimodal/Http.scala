@@ -432,7 +432,10 @@ object Http {
   def varyKey(headers: Seq[(String, String)]): Seq[String] =
     headers.filter(_._1 == "vary")
       .flatMap(_._2.split(','))
-      .map(_.trim.toLowerCase)
+      // Locale.ROOT (ADVICE-r13): under a Turkish-default JVM,
+      // 'If-None-Match'.toLowerCase folds 'I' → 'ı' and the key stops
+      // matching the request's field name — field names are ASCII.
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
       .distinct.sorted
 
@@ -541,18 +544,33 @@ object Http {
       if (f <= end) {
         overlaps += 1
         // verify every overlapped byte agrees with what is already
-        // stitched (walk the prior segments covering [f, min(end,l)])
+        // stitched. Sub-range compares against each prior segment that
+        // intersects [f, min(end,l)] via Arrays.mismatch (ADVICE-r13:
+        // the old per-byte `written.find` was O(overlapBytes × nSegs)
+        // plus a closure allocation per byte — resumed media downloads
+        // re-send megabyte boundary regions). A byte of the span that
+        // NO prior covers (an overlap reaching across an internal
+        // hole) is a conflict, exactly as before.
         val oEnd = math.min(end, l)
-        var off = f
-        while (off <= oEnd) {
-          val prior = written.find { case (pf, pb) =>
-            off >= pf && off < pf + pb.length }
-          val ok = prior.exists { case (pf, pb) =>
-            pb((off - pf).toInt) == b((off - f).toInt) }
-          if (!ok)
+        val ivs = written.iterator.flatMap { case (pf, pb) =>
+          val s = math.max(f, pf)
+          val e = math.min(oEnd, pf + pb.length - 1)
+          if (s <= e) {
+            val mm = java.util.Arrays.mismatch(
+              pb, (s - pf).toInt, (e - pf + 1).toInt,
+              b, (s - f).toInt, (e - f + 1).toInt)
+            if (mm >= 0) return Reassembly("conflict", 0L, overlaps, total, None)
+            Some((s, e))
+          } else None
+        }.toSeq.sorted
+        var cursor = f
+        for ((s, e) <- ivs) {
+          if (s > cursor)
             return Reassembly("conflict", 0L, overlaps, total, None)
-          off += 1
+          cursor = math.max(cursor, e + 1)
         }
+        if (cursor <= oEnd)
+          return Reassembly("conflict", 0L, overlaps, total, None)
       }
       covered += math.max(0L, l - math.max(f, end + 1) + 1)
       if (l > end) {

@@ -136,8 +136,21 @@ object Common {
   lazy val scratchRoot: String =
     sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) "/dev/shm"
+      // Capacity gate (ADVICE-r13): tmpfs is RAM — on a box smaller
+      // than the documented 128 GiB, routing shuffle spill into
+      // /dev/shm turns spill-to-disk into MORE memory pressure and
+      // tmpfs's RAM/2 default cap turns a large spill into ENOSPC.
+      // Only prefer tmpfs when it has real headroom (≥16 GiB usable);
+      // otherwise keep java.io.tmpdir. SPARK_GRAFT_SCRATCH overrides
+      // either way.
+      val shmUsable =
+        try {
+          if (java.nio.file.Files.isDirectory(shm) &&
+              java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        } catch { case _: Throwable => 0L }
+      if (shmUsable >= 16L * 1024 * 1024 * 1024) "/dev/shm"
       else sys.props("java.io.tmpdir")
     }
 

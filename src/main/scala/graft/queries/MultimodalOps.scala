@@ -931,6 +931,84 @@ object MultimodalOps {
         // for the recall lemma and the band-saturation rationale
         Multimodal.perceptualNearDupPairs(hashes, "media_id", "ahash", 3)
           .orderBy("a_id", "b_id")
+      }),
+
+    Q("q270_pdf_extract",
+      "PDF text extraction (T180 — the crawl corpus' last big " +
+        "undecoded content class): per doc a complete PDF is " +
+        "synthesized in one of three wire shapes by residue — " +
+        "classic xref + uncompressed streams, classic + FlateDecode, " +
+        "and the modern-writer layout (page dicts inside a " +
+        "compressed /ObjStm referenced by a predictor-12 xref " +
+        "STREAM) — and routed through the T123 sniffer into the " +
+        "full extractor: startxref → xref machinery → page-tree " +
+        "walk → content-stream decode → TJ/Tj text ops with the " +
+        "kerning-gap word rule. The oracle knows the synthesis " +
+        "formula, so one wrong xref field width, predictor row, " +
+        "objstm header offset, page order, or kern threshold " +
+        "hash-fails the text md5. PdfSpec additionally runs the " +
+        "SAME extractor over two real independently-written PDFs " +
+        "(TeX and DocBook toolchains, 36 + 17 pages, object " +
+        "streams + xref streams) and the decompression-bomb cap. " +
+        "Scale shape: per-row synth+extract inside one narrow " +
+        "mapPartitions tier — payload bytes never shuffle; only " +
+        "(id, shape, md5) rows move",
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              x -> regexp_matches(x, '^[ -~]+$')) AS ws
+          FROM documents),
+        e AS (SELECT doc_id, ws, len(ws) AS n,
+            CASE doc_id % 3 WHEN 0 THEN 'classic' WHEN 1 THEN 'flate'
+              ELSE 'objstm' END AS shape,
+            CASE WHEN doc_id % 2 = 1 AND len(ws) >= 2 THEN 2 ELSE 1 END
+              AS np
+          FROM t WHERE len(ws) >= 1),
+        x AS (SELECT doc_id, shape, np,
+            CASE WHEN np = 1 THEN array_to_string(ws, ' ') || chr(10)
+              ELSE array_to_string(ws[1:CAST((n+1)//2 AS INT)], ' ')
+                || chr(10)
+                || array_to_string(ws[CAST((n+1)//2+1 AS INT):
+                     CAST(n AS INT)], ' ') || chr(10) END AS txt
+          FROM e)
+        SELECT doc_id, shape, CAST(np AS INT) AS n_pages,
+          CAST(CASE WHEN shape = 'objstm' THEN 1 ELSE 0 END AS INT)
+            AS used_objstm,
+          md5(txt) AS text_md5
+        FROM x ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Pdf, Sniff}
+        table(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            // printable-ASCII tokens only: the byte→char identity the
+            // extractor implements exactly (non-ASCII handling is the
+            // charset tier's job, documented in Pdf's scaladoc)
+            val ws = text.split("\\s+").toSeq
+              .filter(t => t.nonEmpty && t.forall(c => c >= 0x20 && c <= 0x7e))
+            if (ws.isEmpty) None
+            else {
+              val shape = (id % 3) match {
+                case 0 => "classic"; case 1 => "flate"; case _ => "objstm"
+              }
+              val pages =
+                if (id % 2 == 1 && ws.length >= 2) {
+                  val k = (ws.length + 1) / 2
+                  Seq(ws.take(k), ws.drop(k))
+                } else Seq(ws)
+              val pdf = Pdf.synthesize(pages, shape)
+              // the sniffer routes it (T123): a PDF that does not sniff
+              // as application/pdf would mis-bucket in the corpus
+              val sniffed = Sniff.sniff(pdf)
+              val r = Pdf.extractText(pdf)
+              if (!r.ok || sniffed != "application/pdf") None
+              else Some((id, shape, r.nPages,
+                if (r.usedObjStm && r.usedXrefStream) 1 else 0,
+                Common.md5Hex(r.text.getBytes("UTF-8"))))
+            }
+          })
+          .toDF("doc_id", "shape", "n_pages", "used_objstm", "text_md5")
+          .orderBy("doc_id")
       })
   )
 }

@@ -183,8 +183,13 @@ object Punycode {
     if (label.length >= 4 &&
         label.substring(0, 4).equalsIgnoreCase("xn--"))
       decode(label.substring(4)) match {
-        case Some(u) => (u, true, true)
-        case None    => (label, true, false)
+        // A bare "xn--" decodes to the EMPTY string, but an empty
+        // label is forbidden for A-labels (RFC 5890 §2.3.2.1;
+        // ADVICE-r13) — accepting it would collapse 'a.xn--.b' to
+        // 'a..b' and collide with a genuinely different host key.
+        // Keep the wire form, flagged invalid, like any bad ACE.
+        case Some(u) if u.nonEmpty => (u, true, true)
+        case _                     => (label, true, false)
       }
     else (label, false, true)
 

@@ -47,7 +47,10 @@ object Sentences {
   private def abbrevBefore(s: String, i: Int): Boolean = {
     var j = i - 1
     while (j >= 0 && Character.isLetter(s.charAt(j))) j -= 1
-    val tok = s.substring(j + 1, i).toLowerCase
+    // Locale.ROOT (ADVICE-r13): default-locale folding breaks under
+    // Turkish/Azeri locales ('I' → 'ı'), so 'Inc.' would stop matching
+    // the abbreviation list — cross-JVM nondeterminism.
+    val tok = s.substring(j + 1, i).toLowerCase(java.util.Locale.ROOT)
     if (tok.isEmpty) false
     else if (abbrev.contains(tok)) true
     else tok.length == 1 && j >= 0 && s.charAt(j) == '.'

@@ -1,0 +1,157 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T180 PDF text extraction: synthesized shapes with closed-form
+  * expectations (the T101 JPEG pattern), a hand-written PDF in a
+  * DIFFERENT style than the synthesizer's (classic xref, octal
+  * escapes, hex strings, ' and " operators, ASCIIHexDecode,
+  * array-of-contents), the two REAL independently-written PDFs that
+  * ship in this container (TeX and DocBook toolchains), and the
+  * flagged-never-thrown discipline on garbage.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  test("synthesized round-trip: classic / flate / objstm shapes, " +
+      "single and multi page") {
+    val toks1 = Seq(Seq("alpha", "beta", "gamma"))
+    val toks2 = Seq(Seq("page", "one", "words"), Seq("page", "two"))
+    for (shape <- Seq("classic", "flate", "objstm")) {
+      val r1 = Pdf.extractText(Pdf.synthesize(toks1, shape))
+      assert(r1.ok, s"$shape: ${r1.stage}")
+      assert(r1.nPages == 1)
+      assert(r1.text == "alpha beta gamma\n", shape)
+      assert(r1.usedObjStm == (shape == "objstm"))
+      assert(r1.usedXrefStream == (shape == "objstm"))
+
+      val r2 = Pdf.extractText(Pdf.synthesize(toks2, shape))
+      assert(r2.ok, s"$shape: ${r2.stage}")
+      assert(r2.nPages == 2)
+      assert(r2.text == "page one words\npage two\n", shape)
+      assert(r2.nTextOps == 2) // one TJ per page
+    }
+  }
+
+  test("token escaping survives: parens and backslashes in tokens") {
+    val toks = Seq(Seq("a(b)", "c\\d", "(nested(deep))"))
+    for (shape <- Seq("classic", "objstm")) {
+      val r = Pdf.extractText(Pdf.synthesize(toks, shape))
+      assert(r.ok && r.text == "a(b) c\\d (nested(deep))\n", shape)
+    }
+  }
+
+  test("hand-written PDF in a different style: comments, octal " +
+      "escapes, hex strings, ' and \" operators, Td line breaks, " +
+      "ASCIIHexDecode, array-of-contents") {
+    // Content stream 1: Tj with octal escape (\101 = 'A'), Td newline,
+    // then the ' (move-and-show) operator.
+    val c1 = "BT /F1 10 Tf 50 700 Td (\\101lpha line) Tj " +
+      "0 -12 Td (second) Tj T* (third)' ET"
+    // Content stream 2 (ASCIIHexDecode): hex string text via the
+    // " operator (word-space, char-space, string).
+    val c2raw = "BT 1 0 0 1 50 600 Tm <68657821> Tj 2 3 (quoted)\" ET"
+    val c2hex = c2raw.getBytes("ISO-8859-1")
+      .map(b => f"$b%02x").mkString + ">"
+    val sb = new StringBuilder
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Unit = {
+      offs += sb.length
+      sb ++= body
+    }
+    sb ++= "%PDF-1.4\n% hand-written referee\n"
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/MediaBox [0 0 612 792] /Contents [4 0 R 5 0 R] >>\nendobj\n")
+    obj(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    obj(s"5 0 obj\n<< /Length ${c2hex.length} /Filter /ASCIIHexDecode >>" +
+      s"\nstream\n$c2hex\nendstream\nendobj\n")
+    val xref = sb.length
+    sb ++= "xref\n0 6\n0000000000 65535 f \n"
+    offs.foreach(o => sb ++= f"$o%010d 00000 n \n")
+    sb ++= "trailer\n<< /Size 6 /Root 1 0 R >>\n"
+    sb ++= s"startxref\n$xref\n%%EOF\n"
+    val r = Pdf.extractText(sb.toString.getBytes("ISO-8859-1"))
+    assert(r.ok, r.stage)
+    assert(r.nPages == 1)
+    assert(!r.usedObjStm && !r.usedXrefStream)
+    // c1: "Alpha line" Tj; Td → newline; "second"; T* → newline;
+    // "third" via ' (newline before show — already at line start);
+    // ET → newline. c2: "hex!" then " → newline + "quoted".
+    assert(r.text == "Alpha line\nsecond\nthird\nhex!\nquoted\n", r.text)
+    assert(r.nTextOps == 5)
+  }
+
+  test("real independently-written PDFs parse: the container's TeX " +
+      "and DocBook documents") {
+    for ((path, word) <- Seq(
+        "/usr/share/doc/libtasn1-doc/libtasn1.pdf" -> "ASN",
+        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf" ->
+          "MIME")) {
+      val p = java.nio.file.Paths.get(path)
+      assume(java.nio.file.Files.isReadable(p), s"$path not present")
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      val r = Pdf.extractText(bytes)
+      assert(r.ok, s"$path: ${r.stage}")
+      assert(r.nPages > 1, s"$path pages=${r.nPages}")
+      assert(r.nTextOps > 10, s"$path ops=${r.nTextOps}")
+      assert(r.text.length > 500, s"$path textLen=${r.text.length}")
+      assert(r.text.contains(word), s"$path missing '$word'")
+    }
+  }
+
+  test("malformed inputs flag, never throw") {
+    assert(!Pdf.extractText(Array.empty[Byte]).ok)
+    assert(Pdf.extractText("%PDF-1.4 garbage".getBytes).stage
+      == "startxref")
+    assert(Pdf.extractText("not a pdf at all".getBytes).stage == "header")
+    // valid header + startxref pointing nowhere
+    val t = "%PDF-1.4\njunk\nstartxref\n3\n%%EOF\n"
+    assert(!Pdf.extractText(t.getBytes).ok)
+    // truncated mid-file: cut a valid PDF in half (startxref gone)
+    val whole = Pdf.synthesize(Seq(Seq("x")), "flate")
+    assert(!Pdf.extractText(whole.take(whole.length / 2)).ok)
+    // bit-flipped xref offset digits
+    val s = new String(whole, "ISO-8859-1")
+      .replaceAll("startxref\n[0-9]+", "startxref\n999999")
+    assert(!Pdf.extractText(s.getBytes("ISO-8859-1")).ok)
+  }
+
+  test("decompression bomb flags at the cap instead of exhausting " +
+      "memory") {
+    // a content stream inflating to ~80 MiB from a few KB of zlib:
+    // over the 64 MiB budget → stage "bomb"
+    val big = new Array[Byte](80 << 20) // zeros compress ~1000:1
+    val d = new java.util.zip.Deflater(9)
+    d.setInput(big); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val payload = out.toByteArray
+    val sb = new StringBuilder
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sb ++= "%PDF-1.4\n"
+    offs += sb.length
+    sb ++= "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    offs += sb.length
+    sb ++= "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    offs += sb.length
+    sb ++= "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    offs += sb.length
+    sb ++= s"4 0 obj\n<< /Length ${payload.length} /Filter /FlateDecode >>\nstream\n"
+    val head = sb.toString.getBytes("ISO-8859-1")
+    val tailSb = new StringBuilder
+    tailSb ++= "\nendstream\nendobj\n"
+    val xref = head.length + payload.length + "\nendstream\nendobj\n".length
+    tailSb ++= "xref\n0 5\n0000000000 65535 f \n"
+    offs.foreach(o => tailSb ++= f"$o%010d 00000 n \n")
+    tailSb ++= "trailer\n<< /Size 5 /Root 1 0 R >>\n"
+    tailSb ++= s"startxref\n$xref\n%%EOF\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(head); bos.write(payload)
+    bos.write(tailSb.toString.getBytes("ISO-8859-1"))
+    val r = Pdf.extractText(bos.toByteArray)
+    assert(!r.ok && r.stage == "bomb", r.stage)
+  }
+}

@@ -86,6 +86,11 @@ class PunycodeSpec extends AnyFunSuite {
       (("bücher.example.com", 1, 0)))
     assert(Punycode.decodeHost("xn--!!!.xn--bcher-kva.net") ==
       (("xn--!!!.bücher.net", 2, 1)))
+    // ADVICE-r13: a bare "xn--" decodes to "" but an empty A-label is
+    // forbidden (RFC 5890 §2.3.2.1) — keep the wire form, flagged, so
+    // 'a.xn--.b' cannot collapse to the colliding key 'a..b'
+    assert(Punycode.decodeLabel("xn--") == (("xn--", true, false)))
+    assert(Punycode.decodeHost("a.xn--.b") == (("a.xn--.b", 1, 1)))
   }
 
   test("pure-ASCII encode carries the RFC delimiter form and " +
