@@ -950,6 +950,157 @@ object Crawl2 {
           .toDF("story", "verdict", "n_src", "n_tgt", "n_11", "n_21",
             "n_01", "total_cost")
           .orderBy("story")
+      }),
+
+    Q("q273_warc_segments",
+      "WARC record segmentation (T183, ISO 28500 §5.18–5.20 — the " +
+        "one archive feature the tier lacked, VERDICT-r13 item 7): " +
+        "per doc a logical record writes as real WARC segment " +
+        "records (segment 1 keeps the record's type/URI and " +
+        "WARC-Segment-Number 1; continuations carry Segment-Number " +
+        "+ Segment-Origin-ID; the last adds Segment-Total-Length), " +
+        "then the walker re-parses the raw records and REASSEMBLES: " +
+        "four wire shapes — unsegmented passthrough, a clean " +
+        "3-segment stitch (per-segment block digests verified, the " +
+        "logical block digest re-derived), a dropped middle segment " +
+        "(gap — the archive must not synthesize bytes nobody " +
+        "wrote), and a Segment-Total-Length LIE (conflict — the " +
+        "declared total never overrides the stitched evidence). " +
+        "Verdict, segment count, stitched length and payload md5 " +
+        "are closed-form; one mis-ordered or mis-attributed chunk " +
+        "flips the md5. Zero shuffle — one logical record's " +
+        "segments live in one task (the T115 record-grain rule)",
+      Some("""WITH b AS (SELECT doc_id,
+            repeat('w' || CAST(doc_id AS VARCHAR), 6) AS body
+          FROM documents),
+        c AS (SELECT doc_id, body,
+            CAST(length(body) AS BIGINT) AS len FROM b)
+        SELECT doc_id,
+          CASE doc_id % 4 WHEN 2 THEN 'gap' WHEN 3 THEN 'conflict'
+            ELSE 'complete' END AS verdict,
+          CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 2 ELSE 3 END
+            AS BIGINT) AS n_segments,
+          CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE len END AS BIGINT)
+            AS total_len,
+          CASE WHEN doc_id % 4 IN (0, 1) THEN md5(body) ELSE '' END
+            AS body_md5
+        FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Warc
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            // len = 6·(digits+1) is divisible by 6, so ceil(len/3)
+            // splits into exactly three equal chunks
+            val body = ("w" + id) * 6
+            val bytes = body.getBytes("UTF-8")
+            val maxSeg =
+              if (id % 4 == 0) bytes.length else (bytes.length + 2) / 3
+            val segs = Warc.writeSegmented("resource",
+              "2024-01-01T00:00:00Z", bytes, maxSeg,
+              targetUri = Some(s"https://ex.org/r/$id"),
+              contentType = Some("text/plain"))
+            val records = (id % 4) match {
+              case 2 => // middle continuation lost in transit
+                Seq(segs.head, segs.last)
+              case 3 => // declared total lies by 9 bytes
+                val lastTxt = new String(segs.last, "ISO-8859-1")
+                val lied = lastTxt.replace(
+                  s"WARC-Segment-Total-Length: ${bytes.length}",
+                  s"WARC-Segment-Total-Length: ${bytes.length + 9}")
+                segs.init :+ lied.getBytes("ISO-8859-1")
+              case _ => segs
+            }
+            val re = Warc.reassembleSegments(records)
+            (id, re.verdict, re.nSegments.toLong, re.totalLen,
+              re.body.filter(_ => re.verdict == "complete")
+                .map(Common.md5Hex).getOrElse(""))
+          }
+          .toDF("doc_id", "verdict", "n_segments", "total_len",
+            "body_md5")
+          .orderBy("doc_id")
+      }),
+
+    Q("q274_bitext_decontamination",
+      "sentence-level bitext decontamination (T184 — VERDICT-r13 " +
+        "stretch item 8, T179 ∘ T1 composed: the release check a " +
+        "parallel corpus actually runs before shipping): per story " +
+        "the en/de pages split into sentences (T179) and zip into " +
+        "1-1 pairs; every pair's SOURCE sentence is keyed by md5 of " +
+        "its terminal-stripped text and equi-joined against the " +
+        "sentence keys of the WHOLE monolingual corpus (documents " +
+        "through the same T179 splitter) — a pair whose en side " +
+        "already exists verbatim in the pretraining pool is " +
+        "contamination, not parallel signal, and is dropped. Every " +
+        "story ≡0 mod 5 plants its en sentence 0 as a verbatim copy " +
+        "of the story's own corpus document, so the join MUST find " +
+        "it (a normalization drift on either side under- or " +
+        "over-flags and hash-fails). Scale shape: both sides reduce " +
+        "to 16-byte sentence keys in narrow maps — ONE equi-shuffle " +
+        "on the key, sentences never move; the corpus side " +
+        "partial-aggregates to distinct keys map-side",
+      Some("""WITH s AS (SELECT doc_id // 3 AS story FROM documents
+            WHERE doc_id % 3 = 0)
+        SELECT story,
+          CAST(4 + story % 3 AS BIGINT) AS n_pairs,
+          CAST(CASE WHEN story % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_contaminated,
+          CAST(4 + story % 3 -
+            CASE WHEN story % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_kept
+        FROM s ORDER BY story"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Sentences
+        // the dedup key: terminal-stripped, trimmed sentence text —
+        // ONE definition used by both sides
+        def key(sent: String): String = {
+          val t = sent.trim
+          val core = if (t.nonEmpty && ".!?".contains(t.last))
+            t.dropRight(1).trim else t
+          Common.md5Hex(core.getBytes("UTF-8"))
+        }
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        // monolingual pool: every corpus sentence's key (distinct —
+        // the map-side-combinable form)
+        val pool = docs.as[(Long, String)]
+          .flatMap { case (_, text) => Sentences.split(text).map(key) }
+          .toDF("k").distinct()
+        // mined pairs: per story, k 1-1 sentence pairs; story%5==0
+        // plants its own corpus doc's text as en sentence 0
+        val mined = docs.as[(Long, String)]
+          .filter(_._1 % 3 == 0)
+          .flatMap { case (id, text) =>
+            val story = id / 3
+            val k = (4 + story % 3).toInt
+            def lenOf(i: Int): Int = 30 + ((5 * i + story) % 40).toInt
+            def sent(prefix: String, fill: Char, l: Int): String =
+              prefix + fill.toString * (l - prefix.length - 1) + "."
+            val en = (0 until k).map { i =>
+              if (i == 0 && story % 5 == 0) text + "."
+              else sent(s"S$i ", 'a', lenOf(i))
+            }
+            val de = (0 until k).map(i => sent(s"T$i ", 'b', lenOf(i)))
+            val enText = en.mkString(" ")
+            val deText = de.mkString(" ")
+            val srcSents = Sentences.split(enText)
+            val tgtSents = Sentences.split(deText)
+            require(srcSents.length == k && tgtSents.length == k,
+              s"segmentation drifted for story $story: " +
+                s"${srcSents.length}/${tgtSents.length}")
+            srcSents.zip(tgtSents).map { case (a, b) =>
+              (story, key(a), key(b))
+            }
+          }
+          .toDF("story", "src_k", "tgt_k")
+        mined.join(pool, mined("src_k") === pool("k"), "left")
+          .groupBy("story")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("k").isNotNull, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("story")
       })
   )
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Common._
+import graft.text.TextFunctions._
+
+/** Round-14 curation wave (SURVEY §2.7 T181+): variable-length
+  * duplicated-substring dedup (the Lee et al. any-length shape,
+  * re-expressed as multi-length window hashing with longest-match
+  * attribution) and the character-n-gram language scorer.
+  *
+  * Scale discipline (the file-level contract the dedup family keeps):
+  * text reduces to fixed-width hashes before any shuffle; per-doc span
+  * algebra is in-row array math; model tables are bounded and
+  * broadcast.
+  */
+object Curation5 {
+
+  /** Window tiers, longest first: a position covered at a longer tier
+    * is CHARGED there — long boilerplate is attributed once at (close
+    * to) its true length instead of as ~n fragments of the shortest
+    * tier.
+    */
+  private val Tiers = Seq(64, 32, 16, 8)
+
+  private val NGramB = 4096 // hashed char-3-gram buckets (T182)
+
+  private def covSql(l: Int): String =
+    s"""(SELECT doc_id, list_distinct(flatten(list_transform(
+          list_sort(list(i)), s -> range(s, s + $l)))) AS cov
+        FROM (SELECT doc_id, i,
+            CAST('0x' || substr(md5(array_to_string(
+              ws[CAST(i AS INT):CAST(i + ${l - 1} AS INT)], ' ')), 1, 8)
+              AS BIGINT) AS wh
+          FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${l - 1}))
+            AS i) g
+          WHERE n >= $l) w
+        WHERE wh IN (SELECT wh FROM (SELECT doc_id AS d2, i,
+              CAST('0x' || substr(md5(array_to_string(
+                ws[CAST(i AS INT):CAST(i + ${l - 1} AS INT)], ' ')), 1, 8)
+                AS BIGINT) AS wh
+            FROM tt, LATERAL (SELECT unnest(generate_series(1,
+              n - ${l - 1})) AS i) g
+            WHERE n >= $l) w2
+          GROUP BY wh HAVING COUNT(DISTINCT d2) > 1)
+        GROUP BY doc_id)"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q271_multiscale_dedup",
+      "variable-length duplicated-substring dedup (T181 — the Lee et " +
+        "al. any-match-length shape without a distributed suffix " +
+        "array): window tiers of 64/32/16/8 tokens hash in ONE pass " +
+        "over the corpus, duplicated windows per tier merge into " +
+        "per-doc covered-position sets, and attribution is " +
+        "longest-match-first — a position covered at a longer tier " +
+        "is charged there, so a planted 100-token duplicate reads as " +
+        "ONE ~100-token span at the 64 tier (T60/T69 report it as " +
+        "~12 overlapping 8-token fragments), while an isolated " +
+        "8-gram collision still lands in the 8-tier bucket. Output: " +
+        "per-doc covered mass, per-tier attributed masses, merged " +
+        "span count and longest span for the 100 most-covered docs. " +
+        "Scale shape: all four tiers ride ONE tokenization scan and " +
+        "ONE (tier, hash) groupBy + semi-join — 4 fixed-width hash " +
+        "rows per token position, text never shuffles; span algebra " +
+        "is in-row array math",
+      Some(s"""WITH t AS (SELECT doc_id,
+            regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        tt AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= 8),
+        c64 AS ${covSql(64)},
+        c32 AS ${covSql(32)},
+        c16 AS ${covSql(16)},
+        c8 AS ${covSql(8)},
+        j AS (SELECT tt.doc_id, CAST(tt.n AS BIGINT) AS n_tokens,
+            COALESCE(c64.cov, []) AS v64, COALESCE(c32.cov, []) AS v32,
+            COALESCE(c16.cov, []) AS v16, COALESCE(c8.cov, []) AS v8
+          FROM tt LEFT JOIN c64 USING (doc_id)
+            LEFT JOIN c32 USING (doc_id) LEFT JOIN c16 USING (doc_id)
+            LEFT JOIN c8 USING (doc_id)),
+        a AS (SELECT doc_id, n_tokens,
+            list_sort(list_distinct(v64 || v32 || v16 || v8)) AS u,
+            CAST(len(v64) AS BIGINT) AS t64,
+            CAST(len(list_filter(v32,
+              p -> NOT list_contains(v64, p))) AS BIGINT) AS t32,
+            CAST(len(list_filter(v16,
+              p -> NOT list_contains(v64 || v32, p))) AS BIGINT) AS t16,
+            CAST(len(list_filter(v8,
+              p -> NOT list_contains(v64 || v32 || v16, p))) AS BIGINT)
+              AS t8
+          FROM j),
+        sp AS (SELECT doc_id, n_tokens, t64, t32, t16, t8,
+            CAST(len(u) AS BIGINT) AS covered,
+            list_sort(list_filter(u,
+              p -> NOT list_contains(u, p - 1))) AS heads,
+            list_sort(list_filter(u,
+              p -> NOT list_contains(u, p + 1))) AS tails
+          FROM a)
+        SELECT doc_id, n_tokens, covered, t64, t32, t16, t8,
+          CAST(len(heads) AS BIGINT) AS n_spans,
+          CAST(COALESCE(list_max(list_transform(range(1, len(heads) + 1),
+            k -> tails[CAST(k AS INT)] - heads[CAST(k AS INT)] + 1)), 0)
+            AS BIGINT) AS longest_span
+        FROM sp WHERE covered > 0
+        ORDER BY covered DESC, doc_id LIMIT 100"""),
+      (s, d) => {
+        val t = table(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= Tiers.min)
+        // ONE generator for all tiers: per position per tier a
+        // (tier, start, hash) struct — a single narrow scan of the
+        // corpus however many tiers ride it. localCheckpoint for the
+        // same two-consumer reason as q150 (dup build + probe).
+        val tierWins = Tiers.map { l =>
+          transform(windowHashes(col("ws"), l),
+            (wh, i) => struct(lit(l).as("tier"), (i + 1).as("i"),
+              wh.as("wh")))
+        }
+        val wins = t.select(col("doc_id"),
+            explode(flatten(array(tierWins: _*))).as("x"))
+          .select(col("doc_id"), col("x.tier").as("tier"),
+            col("x.i").as("i"), col("x.wh").as("wh"))
+          .localCheckpoint()
+        // one (tier, hash) shuffle covers all tiers
+        val dup = wins.groupBy("tier", "wh")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("tier", "wh")
+        val cov = wins.join(dup, Seq("tier", "wh"), "left_semi")
+          .groupBy("doc_id", "tier")
+          .agg(array_sort(collect_list(col("i"))).as("starts"))
+          .select(col("doc_id"), col("tier"),
+            array_distinct(flatten(transform(col("starts"),
+              x => sequence(x.cast("long"),
+                (x + col("tier") - 1).cast("long"))))).as("cov"))
+        // pivot tiers wide: one row per (doc, tier) → first() is exact
+        val wide = cov.groupBy("doc_id")
+          .agg(Tiers.map(l =>
+            first(when(col("tier") === l, col("cov")), ignoreNulls = true)
+              .as(s"v$l")).head,
+            Tiers.map(l =>
+              first(when(col("tier") === l, col("cov")),
+                ignoreNulls = true).as(s"v$l")).tail: _*)
+        val empty = lit(Array.empty[Long])
+        val j = t.select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"))
+          .join(wide, Seq("doc_id"))
+          .select((Seq(col("doc_id"), col("n_tokens")) ++
+            Tiers.map(l => coalesce(col(s"v$l"), empty).as(s"v$l"))): _*)
+        val u = array_sort(array_distinct(
+          concat(col("v64"), col("v32"), col("v16"), col("v8"))))
+        val heads = array_sort(filter(col("u"),
+          p => !array_contains(col("u"), p - 1)))
+        val tails = array_sort(filter(col("u"),
+          p => !array_contains(col("u"), p + 1)))
+        j.withColumn("u", u)
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("u")).cast("long").as("covered"),
+            size(col("v64")).cast("long").as("t64"),
+            size(array_except(col("v32"), col("v64"))).cast("long")
+              .as("t32"),
+            size(array_except(col("v16"),
+              concat(col("v64"), col("v32")))).cast("long").as("t16"),
+            size(array_except(col("v8"),
+              concat(col("v64"), col("v32"), col("v16")))).cast("long")
+              .as("t8"),
+            size(heads).cast("long").as("n_spans"),
+            coalesce(array_max(zip_with(heads, tails,
+              (a, b) => b - a + 1)), lit(0L)).as("longest_span"))
+          .filter(col("covered") > 0)
+          .orderBy(col("covered").desc, col("doc_id")).limit(100)
+      }),
+
+    Q("q272_ngram_lang_confusion",
+      "character-n-gram language scorer (T182 — VERDICT-r13 item 5, " +
+        "the upgrade path for T89's stopword argmax): hashed char-" +
+        s"3-gram profiles ($NGramB buckets, add-1-smoothed integer " +
+        "per-1e9 weights) built from the corpus's declared-lang " +
+        "slices, every doc re-scored by Σ nb·w[lang,bucket] and " +
+        "argmax'd — the label/content consistency audit in the same " +
+        "confusion-matrix shape as q177. On THIS corpus the lang " +
+        "labels are content-independent by construction (all slices " +
+        "share one vocabulary — measured, see Curation5Spec), so the " +
+        "matrix quantifies label noise; on a real multilingual " +
+        "corpus the same operator separates scripts and languages " +
+        "(Curation5Spec plants real de/en/es/fr snippets and the " +
+        "scorer achieves a perfect diagonal where the stopword " +
+        "heuristic mislabels). All integer math: polynomial char " +
+        "hash, integer-division weights, long-sum argmax with the " +
+        "max-struct tie-break. Scale shape: the profile table is " +
+        s"(langs × $NGramB) and broadcast; the corpus shuffles once " +
+        "as per-doc (bucket, count) histogram rows — text never " +
+        "moves",
+      Some(s"""WITH cs AS (SELECT doc_id, lang,
+            list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+              AS cs
+          FROM documents WHERE length(text) >= 3),
+        g AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, length(cs) - 1),
+              i -> ((cs[CAST(i AS INT)] * 31 + cs[CAST(i + 1 AS INT)]) * 31
+                + cs[CAST(i + 2 AS INT)]) % ${graft.ops.Hashing.P}
+                % $NGramB)) AS b
+          FROM cs),
+        hist AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS nb
+          FROM g GROUP BY doc_id, lang, b),
+        prof AS (SELECT lang AS plang, b, CAST(SUM(nb) AS BIGINT) AS c
+          FROM hist GROUP BY lang, b),
+        tot AS (SELECT plang, CAST(SUM(c) AS BIGINT) AS tot
+          FROM prof GROUP BY plang),
+        w AS (SELECT prof.plang, prof.b,
+            (prof.c + 1) * 1000000000 // (t.tot + $NGramB) AS w
+          FROM prof JOIN tot t USING (plang)),
+        sc AS (SELECT h.doc_id, h.lang, t.plang,
+            CAST(SUM(h.nb * COALESCE(w.w,
+              1000000000 // (t.tot + $NGramB))) AS BIGINT) AS score
+          FROM hist h CROSS JOIN tot t
+            LEFT JOIN w ON w.plang = t.plang AND w.b = h.b
+          GROUP BY h.doc_id, h.lang, t.plang),
+        best AS (SELECT doc_id, lang,
+            list_aggregate(list({'score': score, 'plang': plang}),
+              'max') AS m
+          FROM sc GROUP BY doc_id, lang)
+        SELECT lang AS lang_declared, m.plang AS lang_pred,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM best GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .filter(expr("char_length(text) >= 3"))
+          .select(col("doc_id"), col("lang"),
+            expr("transform(sequence(1, char_length(text)), " +
+              "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))").as("cs"))
+        val grams = docs.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(cs) - 2), " +
+            s"i -> ((element_at(cs, i) * 31 + element_at(cs, i + 1)) * 31" +
+            s" + element_at(cs, i + 2)) % ${graft.ops.Hashing.P}" +
+            s" % $NGramB)")).as("b"))
+        // ONE corpus shuffle: per-doc bucket histograms (map-side
+        // combined); profiles/weights/totals all derive from it
+        val hist = grams.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("nb"))
+          .localCheckpoint() // feeds profile build AND scoring probe
+        val prof = hist.groupBy(col("lang").as("plang"), col("b"))
+          .agg(sum(col("nb")).as("c"))
+        val tot = prof.groupBy("plang").agg(sum(col("c")).as("tot"))
+        val w = prof.join(broadcast(tot), "plang")
+          .select(col("plang"), col("b"),
+            expr(s"(c + 1) * 1000000000L DIV (tot + $NGramB)").as("w"))
+        val sc = hist.crossJoin(broadcast(tot))
+          .join(broadcast(w), Seq("plang", "b"), "left")
+          .groupBy("doc_id", "lang", "plang")
+          .agg(sum(col("nb") *
+            coalesce(col("w"),
+              expr(s"1000000000L DIV (tot + $NGramB)"))).as("score"))
+        sc.groupBy("doc_id", "lang")
+          .agg(max(struct(col("score"), col("plang"))).as("m"))
+          .select(col("lang").as("lang_declared"),
+            col("m.plang").as("lang_pred"))
+          .groupBy("lang_declared", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang_declared", "lang_pred")
+      })
+  )
+}

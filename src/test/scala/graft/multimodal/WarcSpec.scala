@@ -211,4 +211,86 @@ class WarcSpec extends AnyFunSuite {
       Seq("WARC-X" -> "b", "WARC-Y" -> "d"))).get.recordId
     assert(x1 != x2)
   }
+
+  test("segmentation (T183): split + reassemble round-trips, headers " +
+      "carry the ISO 28500 fields, small blocks never segment") {
+    val body = (1 to 400).map(i => (i % 251).toByte).toArray
+    val segs = Warc.writeSegmented("resource", "2024-01-01T00:00:00Z",
+      body, 150, Some("https://ex.org/big"), Some("text/plain"))
+    assert(segs.length == 3)
+    // segment 1 keeps the type and carries number 1, no origin
+    assert(Warc.header(segs(0), "WARC-Segment-Number").contains("1"))
+    assert(Warc.header(segs(0), "WARC-Segment-Origin-ID").isEmpty)
+    assert(Warc.parseSingle(segs(0)).get.warcType == "resource")
+    // continuations point at segment 1's id; only the LAST declares
+    // the total
+    val origin = Warc.parseSingle(segs(0)).get.recordId
+    for (k <- 1 to 2) {
+      val r = Warc.parseSingle(segs(k)).get
+      assert(r.warcType == "continuation")
+      assert(Warc.header(segs(k), "WARC-Segment-Origin-ID")
+        .contains(origin))
+      assert(Warc.header(segs(k), "WARC-Segment-Number")
+        .contains((k + 1).toString))
+    }
+    assert(Warc.header(segs(1), "WARC-Segment-Total-Length").isEmpty)
+    assert(Warc.header(segs(2), "WARC-Segment-Total-Length")
+      .contains("400"))
+    // reassembly: verdict, length, logical digest, byte-exact body —
+    // order-insensitive (archives interleave records)
+    for (perm <- Seq(segs, segs.reverse, Seq(segs(1), segs(2), segs(0)))) {
+      val re = Warc.reassembleSegments(perm)
+      assert(re.verdict == "complete" && re.nSegments == 3)
+      assert(re.totalLen == 400L)
+      assert(re.blockDigest == Warc.blockDigest(body))
+      assert(java.util.Arrays.equals(re.body.get, body))
+    }
+    // a block under the threshold emits ONE plain record
+    val one = Warc.writeSegmented("resource", "2024-01-01T00:00:00Z",
+      body, 400, Some("https://ex.org/big"))
+    assert(one.length == 1)
+    assert(Warc.header(one.head, "WARC-Segment-Number").isEmpty)
+    val re1 = Warc.reassembleSegments(one)
+    assert(re1.verdict == "complete" && re1.nSegments == 1 &&
+      java.util.Arrays.equals(re1.body.get, body))
+  }
+
+  test("segmentation defects: gap, total-length lie, wrong origin, " +
+      "duplicate number, flipped chunk digest, malformed record") {
+    val body = ("payload " * 60).getBytes("UTF-8")
+    val segs = Warc.writeSegmented("resource", "2024-01-01T00:00:00Z",
+      body, 160, Some("https://ex.org/d"))
+    assert(segs.length == 3)
+    // missing middle → gap
+    assert(Warc.reassembleSegments(Seq(segs(0), segs(2)))
+      .verdict == "gap")
+    // missing FIRST → gap (numbers don't start at 1)
+    assert(Warc.reassembleSegments(segs.tail).verdict == "gap")
+    // total-length lie → conflict
+    def edit(p: Array[Byte], from: String, to: String): Array[Byte] =
+      new String(p, "ISO-8859-1").replace(from, to).getBytes("ISO-8859-1")
+    val lied = segs.init :+ edit(segs(2),
+      s"WARC-Segment-Total-Length: ${body.length}",
+      s"WARC-Segment-Total-Length: ${body.length + 1}")
+    assert(Warc.reassembleSegments(lied).verdict == "conflict")
+    // wrong origin id on a continuation → conflict
+    val orig = Warc.parseSingle(segs(0)).get.recordId
+    val reOriented = Seq(segs(0),
+      edit(segs(1), orig, "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
+      segs(2))
+    assert(Warc.reassembleSegments(reOriented).verdict == "conflict")
+    // duplicate segment number → conflict
+    assert(Warc.reassembleSegments(Seq(segs(0), segs(1), segs(1)))
+      .verdict == "conflict")
+    // a flipped body byte breaks that segment's block digest → conflict
+    val tampered = segs(1).clone()
+    val bodyStart = tampered.length - 4 -
+      Warc.parseSingle(segs(1)).get.contentLength.toInt
+    tampered(bodyStart) = (tampered(bodyStart) ^ 1).toByte
+    assert(Warc.reassembleSegments(Seq(segs(0), tampered, segs(2)))
+      .verdict == "conflict")
+    // unparseable bytes anywhere → malformed
+    assert(Warc.reassembleSegments(Seq(segs(0), "junk".getBytes))
+      .verdict == "malformed")
+  }
 }
