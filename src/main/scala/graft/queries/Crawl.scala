@@ -3962,7 +3962,7 @@ object Crawl {
       "STANDING decision frontier (T167, VERDICT-r12 stretch item 8 " +
         "— the streaming twin of the q246 capstone, and the natural " +
         "consumer of the round's LedgerStore): the corpus arrives in " +
-        "four micro-batches; each batch's REAL link extraction " +
+        "three micro-batches; each batch's REAL link extraction " +
         "(T118+T129+T120 via hostLinks) and page mass merge into a " +
         "restart-safe host ledger (edge weights + per-host mass, " +
         "LedgerStore: versioned snapshot + atomic pointer per " +
@@ -4022,7 +4022,12 @@ object Crawl {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val inDir = Common.scratchDir("decision_in", d)
-          docsT.repartitionByRange(4, col("doc_id"))
+          // three micro-batches (round-14, VERDICT-r13 item 6): the
+          // standing-re-evaluation semantics need >1 batch and the
+          // restart proof lives in LedgerStoreSpec, not in the batch
+          // count — each extra batch re-runs the whole decision chain
+          // (~2.8 s of fixed job-scheduling cost at sf0.1)
+          docsT.repartitionByRange(3, col("doc_id"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("decision_chk", d)
           val store = new graft.streaming.LedgerStore(s,

@@ -1167,6 +1167,12 @@ object Pipeline {
         // shuffle partitions the wall is task scheduling, not data.
         // Scope the whole drain to 8 — state/exchange sizing follows
         // batch volume, not corpus volume, in an incremental design.
+        // (Round-14, VERDICT-r13 item 6: tried 4 partitions + AQE
+        // partition-coalesce off — measured WORSE, 18.2/19.4/18.4 s vs
+        // 15.9 s solo at sf0.1: the coalesce was doing real work on the
+        // band-join exchanges, and halving partitions under-parallelized
+        // the per-batch contraction rounds. Knob reverted; the number is
+        // recorded so the next round doesn't re-try it.)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
