@@ -120,7 +120,127 @@ object Multimodal {
         }
       }
       out
+    } else if (p.length >= 10 && p(0) == 'G'.toByte &&
+        p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == '8'.toByte &&
+        (p(4) == '7'.toByte || p(4) == '9'.toByte) && p(5) == 'a'.toByte) {
+      // GIF (T186): logical screen descriptor right after the 6-byte
+      // signature — LE16 width/height; palette-indexed → 1 channel
+      // (the PNG color-type-3 convention above)
+      val w = le16(6); val h = le16(8)
+      if (w > 0 && h > 0) Some(("gif", w, h, 1)) else None
+    } else if (p.length >= 12 && p(0) == 'R'.toByte &&
+        p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+        p(8) == 'W'.toByte && p(9) == 'E'.toByte && p(10) == 'B'.toByte &&
+        p(11) == 'P'.toByte) {
+      // WebP (T186): walk the RIFF chunk list to the first image-
+      // bearing chunk. Three public layouts:
+      //  - "VP8 " (lossy): 3-byte frame tag, sync 9D 01 2A, then
+      //    14-bit LE width/height (top 2 bits are scale hints);
+      //  - "VP8L" (lossless): 0x2F then width-1/height-1 as two
+      //    14-bit fields packed LSB-first, bit 28 = alpha;
+      //  - "VP8X" (extended): 1 flag byte (bit 0x10 = alpha), 3
+      //    reserved, then 24-bit LE canvas width-1/height-1.
+      var i = 12
+      var out: Option[(String, Int, Int, Int)] = None
+      while (out.isEmpty && i + 8 <= p.length) {
+        val tag = new String(p, i, 4, "ISO-8859-1")
+        val sz = le32(i + 4)
+        val body = i + 8
+        tag match {
+          case "VP8 " if body + 10 <= p.length &&
+              (p(body + 3) & 0xff) == 0x9d &&
+              (p(body + 4) & 0xff) == 0x01 &&
+              (p(body + 5) & 0xff) == 0x2a =>
+            val w = le16(body + 6) & 0x3fff
+            val h = le16(body + 8) & 0x3fff
+            if (w > 0 && h > 0) out = Some(("webp", w, h, 3))
+          case "VP8L" if body + 5 <= p.length &&
+              (p(body) & 0xff) == 0x2f =>
+            val bits = le32(body + 1)
+            val w = (bits & 0x3fff) + 1
+            val h = ((bits >>> 14) & 0x3fff) + 1
+            val alpha = ((bits >>> 28) & 1) == 1
+            out = Some(("webp", w, h, if (alpha) 4 else 3))
+          case "VP8X" if body + 10 <= p.length =>
+            val alpha = (p(body) & 0x10) != 0
+            def le24(j: Int): Int = (p(j) & 0xff) |
+              ((p(j + 1) & 0xff) << 8) | ((p(j + 2) & 0xff) << 16)
+            val w = le24(body + 4) + 1
+            val h = le24(body + 7) + 1
+            out = Some(("webp", w, h, if (alpha) 4 else 3))
+          case _ => // skip unknown chunk (padded to even length)
+        }
+        i = body + sz + (sz & 1)
+        if (sz < 0) i = p.length // corrupt size: stop, never loop
+      }
+      out
     } else None
+  }
+
+  /** Synthesize a WebP file in one of the three public layouts —
+    * `variant` ∈ lossy | lossless | extended; alpha only exists for
+    * the latter two. The non-header payload is deterministic filler
+    * (the pixel tier stays the documented stub).
+    */
+  def syntheticWebp(w: Int, h: Int, variant: String,
+      alpha: Boolean = false): Array[Byte] = {
+    val chunk: (String, Array[Byte]) = variant match {
+      case "lossy" =>
+        val b = new Array[Byte](10 + 6)
+        // 3-byte frame tag (key frame, version 0, show_frame): zeros
+        b(3) = 0x9d.toByte; b(4) = 0x01; b(5) = 0x2a
+        b(6) = (w & 0xff).toByte; b(7) = ((w >> 8) & 0x3f).toByte
+        b(8) = (h & 0xff).toByte; b(9) = ((h >> 8) & 0x3f).toByte
+        ("VP8 ", b)
+      case "lossless" =>
+        val bits = ((w - 1) & 0x3fff) | (((h - 1) & 0x3fff) << 14) |
+          ((if (alpha) 1 else 0) << 28)
+        val b = new Array[Byte](5 + 3)
+        b(0) = 0x2f
+        b(1) = (bits & 0xff).toByte; b(2) = ((bits >> 8) & 0xff).toByte
+        b(3) = ((bits >> 16) & 0xff).toByte
+        b(4) = ((bits >> 24) & 0xff).toByte
+        ("VP8L", b)
+      case "extended" =>
+        val b = new Array[Byte](10)
+        if (alpha) b(0) = 0x10
+        def le24(v: Int, j: Int): Unit = {
+          b(j) = (v & 0xff).toByte; b(j + 1) = ((v >> 8) & 0xff).toByte
+          b(j + 2) = ((v >> 16) & 0xff).toByte
+        }
+        le24(w - 1, 4); le24(h - 1, 7)
+        ("VP8X", b)
+      case other =>
+        throw new IllegalArgumentException(s"unknown variant $other")
+    }
+    val (tag, body) = chunk
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    bos.write("RIFF".getBytes("ISO-8859-1"))
+    w32(4 + 8 + body.length + (body.length & 1))
+    bos.write("WEBP".getBytes("ISO-8859-1"))
+    bos.write(tag.getBytes("ISO-8859-1"))
+    w32(body.length)
+    bos.write(body)
+    if ((body.length & 1) == 1) bos.write(0) // RIFF even-padding
+    bos.toByteArray
+  }
+
+  /** Synthesize a minimal GIF89a: signature + logical screen
+    * descriptor + trailer (no image data — header decode is the
+    * tested tier, like the other synthetic containers).
+    */
+  def syntheticGif(w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("ISO-8859-1"))
+    bos.write(w & 0xff); bos.write((w >> 8) & 0xff)
+    bos.write(h & 0xff); bos.write((h >> 8) & 0xff)
+    bos.write(0); bos.write(0); bos.write(0) // no GCT, bg, aspect
+    bos.write(0x3b) // trailer
+    bos.toByteArray
   }
 
   /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment — the

@@ -1009,6 +1009,141 @@ object MultimodalOps {
           })
           .toDF("doc_id", "shape", "n_pages", "used_objstm", "text_md5")
           .orderBy("doc_id")
+      }),
+
+    Q("q275_content_router",
+      "content-extraction ROUTER capstone (T185 — the front door a " +
+        "100 TB ingest actually runs: T123 sniff → dispatch → the " +
+        "right extractor): per doc one of six wire shapes — real " +
+        "HTML (T118 scanner, title + block text), a classic-xref " +
+        "PDF and a modern objstm PDF (both through the T180 " +
+        "extractor), UTF-8-BOM and UTF-16LE-BOM plain text (the " +
+        "T119 WHATWG decode, BOM beats everything), and PNG-" +
+        "signature binary (routed to the binary bucket, no text) — " +
+        "is synthesized, sniffed, routed, and extracted. Route, " +
+        "sniffed essence, title, text md5 and char count are all " +
+        "closed-form: one mis-sniffed byte or mis-dispatched " +
+        "extractor flips a row. Zero shuffle — the whole chain is " +
+        "one narrow per-row tier, payload bytes never move",
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              x -> regexp_matches(x, '^[ -~]+$')) AS ws
+          FROM documents),
+        e AS (SELECT doc_id, array_to_string(ws, ' ') AS body
+          FROM t WHERE len(ws) >= 1)
+        SELECT doc_id,
+          CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+            WHEN 2 THEN 'pdf' WHEN 5 THEN 'binary' ELSE 'text' END
+            AS route,
+          CASE doc_id % 6 WHEN 0 THEN 'text/html'
+            WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'application/pdf'
+            WHEN 5 THEN 'image/png' ELSE 'text/plain' END AS sniffed,
+          CASE WHEN doc_id % 6 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+            ELSE NULL END AS title,
+          CASE doc_id % 6 WHEN 0 THEN md5(body)
+            WHEN 1 THEN md5(body || chr(10))
+            WHEN 2 THEN md5(body || chr(10))
+            WHEN 5 THEN '' ELSE md5(body) END AS text_md5,
+          CAST(CASE doc_id % 6 WHEN 5 THEN 0
+            WHEN 1 THEN length(body) + 1 WHEN 2 THEN length(body) + 1
+            ELSE length(body) END AS BIGINT) AS n_chars
+        FROM e ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{Charsets, Html, Pdf, Sniff}
+        table(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, raw) =>
+            val ws = raw.split("\\s+").toSeq
+              .filter(t => t.nonEmpty && t.forall(c => c >= 0x20 && c <= 0x7e))
+            if (ws.isEmpty) None
+            else {
+              val body = ws.mkString(" ")
+              val payload: Array[Byte] = (id % 6) match {
+                case 0 =>
+                  (s"<html><head><title>Doc $id</title></head>" +
+                    s"<body><p>$body</p></body></html>")
+                    .getBytes("UTF-8")
+                case 1 => Pdf.synthesize(Seq(ws), "classic")
+                case 2 => Pdf.synthesize(Seq(ws), "objstm")
+                case 3 =>
+                  Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                    body.getBytes("UTF-8")
+                case 4 =>
+                  Array[Byte](0xff.toByte, 0xfe.toByte) ++
+                    body.getBytes("UTF-16LE")
+                case _ =>
+                  Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d,
+                    0x0a, 0x1a, 0x0a) ++ Array.fill[Byte](16)(0)
+              }
+              // THE router: sniff, then dispatch to the tier that owns
+              // the essence — the q270/q210/q39 extractors composed
+              val sniffed = Sniff.sniff(payload)
+              val (route, title, text) = sniffed match {
+                case "text/html" =>
+                  val ex = Html.extractText(
+                    new String(payload, "UTF-8"))
+                  ("html", ex.title, ex.text)
+                case "application/pdf" =>
+                  val r = Pdf.extractText(payload)
+                  ("pdf", None, if (r.ok) r.text else "")
+                case "text/plain" =>
+                  ("text", None, Charsets.decode(payload, None).text)
+                case _ => ("binary", None, "")
+              }
+              Some((id, route, sniffed, title.orNull,
+                if (route == "binary") ""
+                else Common.md5Hex(text.getBytes("UTF-8")),
+                text.length.toLong))
+            }
+          })
+          .toDF("doc_id", "route", "sniffed", "title", "text_md5",
+            "n_chars")
+          .orderBy("doc_id")
+      }),
+
+    Q("q276_webp_gif_headers",
+      "WebP + GIF container decode (T186, closing the image-header " +
+        "matrix next to PNG/BMP/JPEG): per doc one of five container " +
+        "shapes — GIF89a logical screen descriptor, lossy WebP " +
+        "(VP8 frame tag + 9D012A sync + 14-bit LE dims), lossless " +
+        "VP8L (packed 14-bit width-1/height-1, bit-28 alpha, both " +
+        "with and without), and extended VP8X (flag byte + 24-bit " +
+        "LE canvas dims) — synthesized and decoded through the SAME " +
+        "decodeImageHeader walk the other formats use (the RIFF " +
+        "chunk list is walked for real, even-padding included). The " +
+        "oracle knows the synthesis formula; one mis-read bit field " +
+        "(the VP8L 14-bit packing is the classic off-by-one) " +
+        "hash-fails. Per-row narrow map, payload never shuffles",
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 5 = 0 THEN 'gif' ELSE 'webp' END AS format,
+          CAST(doc_id % 300 + 1 AS INT) AS width,
+          CAST(doc_id % 200 + 1 AS INT) AS height,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 3 THEN 4 WHEN 4
+            THEN 4 ELSE 3 END AS INT) AS channels
+        FROM documents ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        val media = table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 300 + 1).toInt
+            val h = (id % 200 + 1).toInt
+            val p = (id % 5) match {
+              case 0 => Multimodal.syntheticGif(w, h)
+              case 1 => Multimodal.syntheticWebp(w, h, "lossy")
+              case 2 => Multimodal.syntheticWebp(w, h, "lossless")
+              case 3 => Multimodal.syntheticWebp(w, h, "lossless",
+                alpha = true)
+              case _ => Multimodal.syntheticWebp(w, h, "extended",
+                alpha = true)
+            }
+            Multimodal.MediaRow(id,
+              if (id % 5 == 0) "gif" else "webp", p)
+          }
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("format"), col("width"),
+            col("height"), col("channels"))
+          .orderBy("media_id")
       })
   )
 }

@@ -453,4 +453,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got.contains((2L, 102L, 2L)) && got.contains((3L, 103L, 3L)))
     assert(!got.exists { case (a, b, _) => b == 104L || a == 104L || b == 105L })
   }
+
+  test("WebP/GIF header decode (T186): all five synthetic layouts " +
+      "round-trip; a REAL ImageIO-written GIF parses with the same " +
+      "scanner; corrupt bytes decode to None") {
+    // the three WebP layouts, alpha variants included
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticWebp(320, 240, "lossy"))
+      .contains(("webp", 320, 240, 3)))
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticWebp(1, 16383, "lossless"))
+      .contains(("webp", 1, 16383, 3)))
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticWebp(257, 129, "lossless", alpha = true))
+      .contains(("webp", 257, 129, 4)))
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticWebp(5000, 3000, "extended", alpha = true))
+      .contains(("webp", 5000, 3000, 4)))
+    assert(Multimodal.decodeImageHeader(Multimodal.syntheticGif(99, 47))
+      .contains(("gif", 99, 47, 1)))
+    // the strong referee: a genuine GIF stream from the JDK writer
+    // (LZW image data, palette, extensions) — the header walk reads
+    // the logical screen descriptor regardless of what follows
+    val img = new java.awt.image.BufferedImage(41, 29,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 41; y <- 0 until 29)
+      img.setRGB(x, y, (x * 11 + y * 17) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val real = bos.toByteArray
+    assert(Multimodal.decodeImageHeader(real)
+      .contains(("gif", 41, 29, 1)), Multimodal.decodeImageHeader(real))
+    // corrupt WebP: bad VP8 sync code, truncated chunk list → None
+    val badSync = Multimodal.syntheticWebp(10, 10, "lossy")
+    badSync(12 + 8 + 3) = 0x00 // clobber the 9D 01 2A sync
+    assert(Multimodal.decodeImageHeader(badSync).isEmpty)
+    for (cut <- Seq(4, 11, 14)) // RIFF/WEBP/chunk-header truncations
+      assert(Multimodal.decodeImageHeader(
+        Multimodal.syntheticWebp(10, 10, "lossless").take(cut)).isEmpty)
+    assert(Multimodal.decodeImageHeader(
+      Multimodal.syntheticGif(9, 9).take(8)).isEmpty)
+  }
 }
