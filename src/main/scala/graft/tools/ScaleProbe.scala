@@ -71,8 +71,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22", "r23")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22, r23")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -95,6 +95,7 @@ object ScaleProbe {
     val doR20 = fam == "all" || fam == "r20"
     val doR21 = fam == "all" || fam == "r21"
     val doR22 = fam == "all" || fam == "r22"
+    val doR23 = fam == "all" || fam == "r23"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1588,6 +1589,103 @@ object ScaleProbe {
             "n_fp_reject", "n_aligned")
           .agg(sum(col("n_aligned")).as("aligned"),
             sum(col("n_recip")).as("recip"))
+          .count()
+      }
+      }
+
+      if (doR23) {
+      // --- round-14 (T180–T185) shapes ---
+      import spark.implicits._
+      import graft.text.TextFunctions.windowHashes
+      val docsR23 = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          col("text"), col("rep"))
+        .localCheckpoint()
+      // Multiscale window dedup (q271 shape): 4 tiers ride ONE scan
+      // and ONE (tier, hash) exchange — shuffle rows = Σ_tier
+      // positions, so the probe must read exactly linear in mult.
+      // Replicas decorrelate by the r15 rep-token interleave (dup
+      // mass stays intra-replica; a naive replication would measure
+      // the ×mult² cross-replica explosion instead of the shape).
+      time(s"multiscale windows 64/32/16/8 x$mult") {
+        val t = docsR23.select(col("doc_id"),
+          split(regexp_replace(
+            regexp_replace(col("text"), lit("\\s+"), lit(" ")),
+            lit(" "), concat(lit(" z"), col("rep").cast("string"),
+              lit(" "))), " ").as("ws"))
+          .filter(size(col("ws")) >= 8)
+        val tierWins = Seq(64, 32, 16, 8).map { l =>
+          transform(windowHashes(col("ws"), l),
+            (wh, i) => struct(lit(l).as("tier"), (i + 1).as("i"),
+              wh.as("wh")))
+        }
+        val wins = t.select(col("doc_id"),
+            explode(flatten(array(tierWins: _*))).as("x"))
+          .select(col("doc_id"), col("x.tier").as("tier"),
+            col("x.wh").as("wh"))
+          .localCheckpoint()
+        val dup = wins.groupBy("tier", "wh")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("tier", "wh")
+        wins.join(dup, Seq("tier", "wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
+      // Char-3-gram lang scorer (q272 shape): the corpus shuffles
+      // ONCE as per-doc (bucket, count) histogram rows (≤4096/doc,
+      // partial-aggregated map-side); the model table is bounded
+      // (langs × 4096) at ANY corpus size, so only the histogram leg
+      // may grow — linearly.
+      time(s"ngram lang histograms x$mult") {
+        val cs = docsR23
+          .filter(expr("char_length(text) >= 3"))
+          .select(col("doc_id"),
+            expr("transform(sequence(1, char_length(text)), " +
+              "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))").as("cs"))
+        cs.select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(cs) - 2), " +
+              "i -> ((element_at(cs, i) * 31 + element_at(cs, i + 1)) " +
+              "* 31 + element_at(cs, i + 2)) % 1000000007 % 4096)"))
+              .as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)))
+          .count()
+      }
+      // PDF synth+extract and the content router (q270/q275 shape):
+      // pure narrow per-row tiers — the probe pins ZERO shuffle rows
+      // at every multiplier (payload bytes never leave the task).
+      time(s"pdf extract narrow x$mult") {
+        docsR23.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val ws = text.split("\\s+").toSeq.filter(t =>
+              t.nonEmpty && t.forall(c => c >= 0x20 && c <= 0x7e))
+            if (ws.isEmpty) 0L
+            else graft.multimodal.Pdf.extractText(
+              graft.multimodal.Pdf.synthesize(Seq(ws),
+                if (id % 2 == 0) "flate" else "objstm")).nTextOps
+          })
+          .filter(_ > 0L).count()
+      }
+      // Bitext decontamination (q274 shape): both sides reduce to
+      // 16-byte sentence keys in narrow maps; the ONE exchange is the
+      // key equi-join + per-story rollup — rows linear in mult.
+      time(s"bitext decontamination keys x$mult") {
+        val pool = docsR23.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (_, text) =>
+            graft.text.Sentences.split(text)
+              .map(s => md5Hex(s.getBytes("UTF-8"))) }
+          .toDF("k").distinct()
+        val mined = docsR23.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .filter(_._1 % 3 == 0)
+          .flatMap { case (id, text) =>
+            (0 until 4).map(i =>
+              (id / 3, md5Hex(s"S$i $id $text".getBytes("UTF-8")))) }
+          .toDF("story", "src_k")
+        mined.join(pool, mined("src_k") === pool("k"), "left")
+          .groupBy("story")
+          .agg(count(lit(1)), sum(when(col("k").isNotNull, 1L)
+            .otherwise(0L)))
           .count()
       }
       }
