@@ -695,6 +695,58 @@ object Pdf {
     }
   }
 
+  // ---------- document metadata (T187: the /Info dictionary) ----------
+
+  /** Decoded document-information dictionary (PDF 32000-1 §14.3.3).
+    * Strings decode per the spec's two text encodings: a UTF-16BE BOM
+    * (FE FF) routes to UTF-16BE, anything else reads as
+    * PDFDocEncoding (ASCII-transparent; the non-ASCII differences
+    * from Latin-1 are dropped with the same printable discipline as
+    * the text extractor).
+    */
+  final case class PdfInfo(
+      ok: Boolean,
+      title: Option[String],
+      author: Option[String],
+      producer: Option[String],
+      creationDate: Option[String])
+
+  private def textString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, "UTF-16BE")
+    else new String(b.filter(x => (x & 0xff) >= 0x20 && (x & 0xff) <= 0x7e),
+      "ISO-8859-1")
+
+  /** Extract the trailer's /Info dictionary. Flagged, never thrown —
+    * and a PDF without one is ok=true with empty fields (absence is
+    * normal, not a malformation).
+    */
+  def info(bytes: Array[Byte]): PdfInfo = {
+    if (bytes.length < 8 ||
+        new String(bytes, 0, 5, "ISO-8859-1") != "%PDF-")
+      return PdfInfo(ok = false, None, None, None, None)
+    val sx = startxref(bytes)
+    if (sx < 0 || sx >= bytes.length)
+      return PdfInfo(ok = false, None, None, None, None)
+    val doc = new Doc(bytes)
+    try {
+      doc.loadXref(sx)
+      doc.trailer.get("Info").map(doc.resolve) match {
+        case Some(d: PDict) =>
+          def f(k: String): Option[String] = doc.resolve(
+            d.m.getOrElse(k, PNull)) match {
+            case PStr(b) => Some(textString(b))
+            case _ => None
+          }
+          PdfInfo(ok = true, f("Title"), f("Author"), f("Producer"),
+            f("CreationDate"))
+        case _ => PdfInfo(ok = true, None, None, None, None)
+      }
+    } catch {
+      case _: Throwable => PdfInfo(ok = false, None, None, None, None)
+    }
+  }
+
   // ---------- synthesis (the closed-form-oracle side, T101 pattern) ----------
 
   /** Escape a string for a PDF literal string. */
@@ -734,9 +786,16 @@ object Pdf {
     *    object stream referenced by a predictor-12 xref STREAM —
     *    the modern-writer layout.
     *
-    * `pageTokens` — one token seq per page.
+    * `pageTokens` — one token seq per page. `info` adds a document-
+    * information dictionary (an extra trailer-referenced object; in
+    * the objstm shape it lives INSIDE the object stream, as modern
+    * writers do); `utf16Info` renders its strings as BOM'd UTF-16BE
+    * hex strings instead of literal strings (both legal text-string
+    * encodings — §14.3.3's two wire forms).
     */
-  def synthesize(pageTokens: Seq[Seq[String]], shape: String): Array[Byte] = {
+  def synthesize(pageTokens: Seq[Seq[String]], shape: String,
+      info: Seq[(String, String)] = Nil,
+      utf16Info: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
@@ -760,6 +819,15 @@ object Pdf {
         s">> >> >>"
     val fontDict =
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    def infoVal(v: String): String =
+      if (utf16Info)
+        "<FEFF" + v.getBytes("UTF-16BE").map("%02X".format(_)).mkString +
+          ">"
+      else s"(${esc(v)})"
+    val infoDict: Option[String] =
+      if (info.isEmpty) None
+      else Some(info.map { case (k, v) => s"/$k ${infoVal(v)}" }
+        .mkString("<< ", " ", " >>"))
 
     def writeObj(n: Int, body: String): Unit = {
       offsets(n) = out.size()
@@ -784,28 +852,34 @@ object Pdf {
         for (i <- 0 until nPages)
           writeStreamObj(contN(i), "", contentFor(pageTokens(i)), compress)
         writeObj(fontN, fontDict)
+        val infoN = fontN + 1
+        infoDict.foreach(d => writeObj(infoN, d))
         val xrefOff = out.size()
-        val maxN = fontN
+        val maxN = if (infoDict.isDefined) infoN else fontN
         w(s"xref\n0 ${maxN + 1}\n")
         w("0000000000 65535 f \n")
         for (n <- 1 to maxN)
           w(f"${offsets(n)}%010d 00000 n \n")
-        w(s"trailer\n<< /Size ${maxN + 1} /Root $catN 0 R >>\n")
+        val infoRef =
+          if (infoDict.isDefined) s" /Info $infoN 0 R" else ""
+        w(s"trailer\n<< /Size ${maxN + 1} /Root $catN 0 R$infoRef >>\n")
         w(s"startxref\n$xrefOff\n%%EOF\n")
 
       case "objstm" =>
         val objStmN = 4 + 2 * nPages
         val xrefStmN = 5 + 2 * nPages
+        val infoN = 6 + 2 * nPages
         // content streams + font live as direct objects; the DICTS
-        // (catalog, pages, pages) live inside the object stream
+        // (catalog, pages, pages, info) live inside the object stream
         for (i <- 0 until nPages)
           writeStreamObj(contN(i), "", contentFor(pageTokens(i)),
             compress = true)
         writeObj(fontN, fontDict)
         // object stream: header pairs then bodies
         val inStream: Seq[(Int, String)] =
-          Seq(catN -> catalog, pagesN -> pagesDict) ++
-            (0 until nPages).map(i => pageN(i) -> pageDict(i))
+          (Seq(catN -> catalog, pagesN -> pagesDict) ++
+            (0 until nPages).map(i => pageN(i) -> pageDict(i))) ++
+            infoDict.map(infoN -> _).toSeq
         val bodies = inStream.map(_._2 + "\n")
         val offs = bodies.scanLeft(0)(_ + _.length).init
         val header = inStream.zip(offs)
@@ -818,7 +892,7 @@ object Pdf {
         // xref stream: W [1 4 2], predictor-12 rows for objects
         // 0..xrefStmN
         val xrefOff = out.size()
-        val size = xrefStmN + 1
+        val size = if (infoDict.isDefined) infoN + 1 else xrefStmN + 1
         val rows = (0 until size).map { n =>
           val (t, f2, f3): (Int, Int, Int) =
             if (n == 0) (0, 0, 65535)
@@ -846,8 +920,10 @@ object Pdf {
         }
         offsets(xrefStmN) = xrefOff
         val xdata = deflate(pred.toByteArray)
+        val infoRef =
+          if (infoDict.isDefined) s"/Info $infoN 0 R " else ""
         w(s"$xrefStmN 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
-          s"/Root $catN 0 R /Filter /FlateDecode " +
+          s"/Root $catN 0 R $infoRef/Filter /FlateDecode " +
           s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
           s"/Length ${xdata.length} >>\nstream\n")
         out.write(xdata)

@@ -189,74 +189,106 @@ object Curation5 {
         s"(langs × $NGramB) and broadcast; the corpus shuffles once " +
         "as per-doc (bucket, count) histogram rows — text never " +
         "moves",
-      Some(s"""WITH cs AS (SELECT doc_id, lang,
-            list_transform(range(1, length(text) + 1),
-              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
-              AS cs
-          FROM documents WHERE length(text) >= 3),
-        g AS (SELECT doc_id, lang,
-            unnest(list_transform(range(1, length(cs) - 1),
-              i -> ((cs[CAST(i AS INT)] * 31 + cs[CAST(i + 1 AS INT)]) * 31
-                + cs[CAST(i + 2 AS INT)]) % ${graft.ops.Hashing.P}
-                % $NGramB)) AS b
-          FROM cs),
-        hist AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS nb
-          FROM g GROUP BY doc_id, lang, b),
-        prof AS (SELECT lang AS plang, b, CAST(SUM(nb) AS BIGINT) AS c
-          FROM hist GROUP BY lang, b),
-        tot AS (SELECT plang, CAST(SUM(c) AS BIGINT) AS tot
-          FROM prof GROUP BY plang),
-        w AS (SELECT prof.plang, prof.b,
-            (prof.c + 1) * 1000000000 // (t.tot + $NGramB) AS w
-          FROM prof JOIN tot t USING (plang)),
-        sc AS (SELECT h.doc_id, h.lang, t.plang,
-            CAST(SUM(h.nb * COALESCE(w.w,
-              1000000000 // (t.tot + $NGramB))) AS BIGINT) AS score
-          FROM hist h CROSS JOIN tot t
-            LEFT JOIN w ON w.plang = t.plang AND w.b = h.b
-          GROUP BY h.doc_id, h.lang, t.plang),
-        best AS (SELECT doc_id, lang,
-            list_aggregate(list({'score': score, 'plang': plang}),
-              'max') AS m
-          FROM sc GROUP BY doc_id, lang)
-        SELECT lang AS lang_declared, m.plang AS lang_pred,
-          CAST(COUNT(*) AS BIGINT) AS n
-        FROM best GROUP BY 1, 2 ORDER BY 1, 2"""),
-      (s, d) => {
-        val docs = table(s, d, "documents")
-          .filter(expr("char_length(text) >= 3"))
-          .select(col("doc_id"), col("lang"),
-            expr("transform(sequence(1, char_length(text)), " +
-              "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))").as("cs"))
-        val grams = docs.select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, size(cs) - 2), " +
-            s"i -> ((element_at(cs, i) * 31 + element_at(cs, i + 1)) * 31" +
-            s" + element_at(cs, i + 2)) % ${graft.ops.Hashing.P}" +
-            s" % $NGramB)")).as("b"))
-        // ONE corpus shuffle: per-doc bucket histograms (map-side
-        // combined); profiles/weights/totals all derive from it
-        val hist = grams.groupBy("doc_id", "lang", "b")
-          .agg(count(lit(1)).as("nb"))
-          .localCheckpoint() // feeds profile build AND scoring probe
-        val prof = hist.groupBy(col("lang").as("plang"), col("b"))
-          .agg(sum(col("nb")).as("c"))
-        val tot = prof.groupBy("plang").agg(sum(col("c")).as("tot"))
-        val w = prof.join(broadcast(tot), "plang")
-          .select(col("plang"), col("b"),
-            expr(s"(c + 1) * 1000000000L DIV (tot + $NGramB)").as("w"))
-        val sc = hist.crossJoin(broadcast(tot))
-          .join(broadcast(w), Seq("plang", "b"), "left")
-          .groupBy("doc_id", "lang", "plang")
-          .agg(sum(col("nb") *
-            coalesce(col("w"),
-              expr(s"1000000000L DIV (tot + $NGramB)"))).as("score"))
-        sc.groupBy("doc_id", "lang")
-          .agg(max(struct(col("score"), col("plang"))).as("m"))
-          .select(col("lang").as("lang_declared"),
-            col("m.plang").as("lang_pred"))
-          .groupBy("lang_declared", "lang_pred")
-          .agg(count(lit(1)).as("n"))
-          .orderBy("lang_declared", "lang_pred")
-      })
+      Some(langConfusionSql(train = "1 = 1", eval = "1 = 1")),
+      (s, d) => langConfusion(s, d, train = "1 = 1", eval = "1 = 1")),
+
+    Q("q278_ngram_lang_holdout",
+      "held-out generalization of the T182 scorer: profiles train on " +
+        "the 90% slice (doc_id%10<>0) and score ONLY the disjoint " +
+        "10% eval slice — the q141-discipline split that separates " +
+        "what the 3-gram model memorized from what it learned. On " +
+        "this corpus (content-independent labels by construction) " +
+        "the held-out matrix collapses toward the majority class, " +
+        "and the GAP between q272's self-scored diagonal and this " +
+        "one IS the measured memorization mass — the audit a " +
+        "deployment reads before trusting a corpus-trained router " +
+        "on new data. Same integer machinery, same shapes",
+      Some(langConfusionSql(train = "doc_id % 10 <> 0",
+        eval = "doc_id % 10 = 0")),
+      (s, d) => langConfusion(s, d, train = "doc_id % 10 <> 0",
+        eval = "doc_id % 10 = 0"))
   )
+
+  /** The DuckDB twin of [[langConfusion]], parameterized by the
+    * train/eval slice predicates.
+    */
+  private def langConfusionSql(train: String, eval: String): String =
+    s"""WITH cs AS (SELECT doc_id, lang,
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+            AS cs
+        FROM documents WHERE length(text) >= 3),
+      g AS (SELECT doc_id, lang,
+          unnest(list_transform(range(1, length(cs) - 1),
+            i -> ((cs[CAST(i AS INT)] * 31 + cs[CAST(i + 1 AS INT)]) * 31
+              + cs[CAST(i + 2 AS INT)]) % ${graft.ops.Hashing.P}
+              % $NGramB)) AS b
+        FROM cs),
+      hist AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM g GROUP BY doc_id, lang, b),
+      prof AS (SELECT lang AS plang, b, CAST(SUM(nb) AS BIGINT) AS c
+        FROM hist WHERE $train GROUP BY lang, b),
+      tot AS (SELECT plang, CAST(SUM(c) AS BIGINT) AS tot
+        FROM prof GROUP BY plang),
+      w AS (SELECT prof.plang, prof.b,
+          (prof.c + 1) * 1000000000 // (t.tot + $NGramB) AS w
+        FROM prof JOIN tot t USING (plang)),
+      sc AS (SELECT h.doc_id, h.lang, t.plang,
+          CAST(SUM(h.nb * COALESCE(w.w,
+            1000000000 // (t.tot + $NGramB))) AS BIGINT) AS score
+        FROM hist h CROSS JOIN tot t
+          LEFT JOIN w ON w.plang = t.plang AND w.b = h.b
+        WHERE $eval
+        GROUP BY h.doc_id, h.lang, t.plang),
+      best AS (SELECT doc_id, lang,
+          list_aggregate(list({'score': score, 'plang': plang}),
+            'max') AS m
+        FROM sc GROUP BY doc_id, lang)
+      SELECT lang AS lang_declared, m.plang AS lang_pred,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM best GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** The T182 scorer, parameterized by SQL-syntax slice predicates
+    * over (doc_id, lang) — applied via expr() so the Spark and DuckDB
+    * slices cannot fork.
+    */
+  private def langConfusion(s: org.apache.spark.sql.SparkSession,
+      d: String, train: String, eval: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = table(s, d, "documents")
+      .filter(expr("char_length(text) >= 3"))
+      .select(col("doc_id"), col("lang"),
+        expr("transform(sequence(1, char_length(text)), " +
+          "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))").as("cs"))
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, size(cs) - 2), " +
+        s"i -> ((element_at(cs, i) * 31 + element_at(cs, i + 1)) * 31" +
+        s" + element_at(cs, i + 2)) % ${graft.ops.Hashing.P}" +
+        s" % $NGramB)")).as("b"))
+    // ONE corpus shuffle: per-doc bucket histograms (map-side
+    // combined); profiles/weights/totals all derive from it
+    val hist = grams.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("nb"))
+      .localCheckpoint() // feeds profile build AND scoring probe
+    val prof = hist.filter(expr(train))
+      .groupBy(col("lang").as("plang"), col("b"))
+      .agg(sum(col("nb")).as("c"))
+    val tot = prof.groupBy("plang").agg(sum(col("c")).as("tot"))
+    val w = prof.join(broadcast(tot), "plang")
+      .select(col("plang"), col("b"),
+        expr(s"(c + 1) * 1000000000L DIV (tot + $NGramB)").as("w"))
+    val sc = hist.filter(expr(eval)).crossJoin(broadcast(tot))
+      .join(broadcast(w), Seq("plang", "b"), "left")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(sum(col("nb") *
+        coalesce(col("w"),
+          expr(s"1000000000L DIV (tot + $NGramB)"))).as("score"))
+    sc.groupBy("doc_id", "lang")
+      .agg(max(struct(col("score"), col("plang"))).as("m"))
+      .select(col("lang").as("lang_declared"),
+        col("m.plang").as("lang_pred"))
+      .groupBy("lang_declared", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_declared", "lang_pred")
+  }
 }

@@ -1144,6 +1144,54 @@ object MultimodalOps {
           .select(col("media_id"), col("format"), col("width"),
             col("height"), col("channels"))
           .orderBy("media_id")
+      }),
+
+    Q("q277_pdf_metadata",
+      "PDF document-information extraction (T187, the /Info " +
+        "dictionary a crawl corpus indexes on — PDF 32000-1 " +
+        "§14.3.3): per doc the synthesized PDF carries Title / " +
+        "Author / Producer / CreationDate, in BOTH legal text-string " +
+        "wire forms — literal strings with escaped parens and " +
+        "backslashes for even docs, BOM'd UTF-16BE hex strings for " +
+        "odd — across the same three xref shapes as q270 (in the " +
+        "objstm shape the Info dict itself lives inside the " +
+        "compressed object stream, as modern writers emit it). The " +
+        "extractor resolves trailer /Info through the full xref " +
+        "machinery and decodes by BOM; every field is closed-form. " +
+        "Per-row narrow map, zero shuffle",
+      Some("""SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'classic' WHEN 1 THEN 'flate'
+            ELSE 'objstm' END AS shape,
+          'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+          'Team (core) \ ' || CAST(doc_id % 5 AS VARCHAR) AS author,
+          'graft-' || CAST(doc_id % 7 AS VARCHAR) AS producer,
+          'D:202401' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            || '000000Z' AS creation_date
+        FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Pdf
+        table(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val shape = (id % 3) match {
+              case 0 => "classic"; case 1 => "flate"; case _ => "objstm"
+            }
+            val fields = Seq(
+              "Title" -> s"Doc $id",
+              "Author" -> s"Team (core) \\ ${id % 5}",
+              "Producer" -> s"graft-${id % 7}",
+              "CreationDate" ->
+                f"D:202401${id % 28 + 1}%02d000000Z")
+            val pdf = Pdf.synthesize(Seq(Seq("meta")), shape,
+              info = fields, utf16Info = id % 2 == 1)
+            val i = Pdf.info(pdf)
+            require(i.ok, s"info parse failed for $id/$shape")
+            (id, shape, i.title.getOrElse(""), i.author.getOrElse(""),
+              i.producer.getOrElse(""), i.creationDate.getOrElse(""))
+          }
+          .toDF("doc_id", "shape", "title", "author", "producer",
+            "creation_date")
+          .orderBy("doc_id")
       })
   )
 }

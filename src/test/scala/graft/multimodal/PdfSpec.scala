@@ -100,6 +100,37 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("document info (T187): literal and UTF-16BE wire forms, all " +
+      "three xref shapes, objstm-resident info dict, absence is ok") {
+    val fields = Seq("Title" -> "A (test) \\ doc",
+      "Author" -> "Jo Writer", "Producer" -> "graft",
+      "CreationDate" -> "D:20240115000000Z")
+    for (shape <- Seq("classic", "flate", "objstm");
+         utf16 <- Seq(false, true)) {
+      val pdf = Pdf.synthesize(Seq(Seq("body")), shape, fields, utf16)
+      // text extraction is undisturbed by the extra object
+      assert(Pdf.extractText(pdf).text == "body\n", s"$shape/$utf16")
+      val i = Pdf.info(pdf)
+      assert(i.ok, s"$shape/$utf16")
+      assert(i.title.contains("A (test) \\ doc"), s"$shape/$utf16: $i")
+      assert(i.author.contains("Jo Writer"))
+      assert(i.producer.contains("graft"))
+      assert(i.creationDate.contains("D:20240115000000Z"))
+    }
+    // no Info dict → ok with empty fields, not a failure
+    val plain = Pdf.info(Pdf.synthesize(Seq(Seq("x")), "classic"))
+    assert(plain.ok && plain.title.isEmpty)
+    // the real PDFs: whatever their info says, the walk must not throw
+    for (path <- Seq("/usr/share/doc/libtasn1-doc/libtasn1.pdf",
+        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf")) {
+      val p = java.nio.file.Paths.get(path)
+      assume(java.nio.file.Files.isReadable(p), s"$path not present")
+      val i = Pdf.info(java.nio.file.Files.readAllBytes(p))
+      assert(i.ok, s"$path: $i")
+    }
+    assert(!Pdf.info("junk".getBytes).ok)
+  }
+
   test("malformed inputs flag, never throw") {
     assert(!Pdf.extractText(Array.empty[Byte]).ok)
     assert(Pdf.extractText("%PDF-1.4 garbage".getBytes).stage
