@@ -57,6 +57,20 @@ import org.apache.spark.sql.SparkSession
   * builder closing board) — NOT whatever BENCH_full.json a prior
   * intra-round run left on disk, which after a known-bad board made
   * repins measure drift against contamination.
+  *
+  * Stall containment (round-15, VERDICT-r14 item 1): the r14 driver
+  * board was poisoned by ONE 1,262 s host-stall rep (q106) that ate
+  * 1,600 s of the 1,800 s budget and pushed 273 queries into cold
+  * 1-rep tiers. Four changes: (a) per-query stall cap — any rep
+  * (warm-up included) exceeding max(30 s, 10× blessed prior) (300 s
+  * with no prior) aborts the query's remaining reps and marks it in
+  * "stalled"; (b) tier-2 keeps ONE warm-up before its single timed
+  * rep (a cold single-shot is noise, not a degraded number); (c) the
+  * tier schedule degrades at 0.55/0.85 of the budget, reserving the
+  * last ~15% for the auto-repin pass, whose movers are now ranked by
+  * med/prior DESC before the 10-slot cap; (d) the artifact carries
+  * "stalled", per-query "reps_effective", and a stdout
+  * "board_quality" flag so a degraded board reads as degraded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -140,12 +154,15 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
 
-    // ---- shared mutable board state (main loop writes, flush reads;
-    // both synchronize on `results` — the shutdown hook runs on its own
-    // thread while a query may be mid-append) ----
+    // ---- shared mutable board state (main loop writes, flush reads).
+    // ALL of results/degraded/repinned/stalled are guarded by the ONE
+    // `results` monitor — the shutdown hook renders on its own thread
+    // while the main loop may be mid-append, and mixed locks let the
+    // partial-flush path iterate an ArrayBuffer mid-append (ADVICE r14).
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Double, Double, Double, Seq[Double]))]
     val degraded = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val stalled = scala.collection.mutable.ArrayBuffer.empty[String]
     val repinned = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Double, Double, Double, Seq[Double]))]
     val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -163,6 +180,9 @@ object Bench {
       s""""queries_reps":${jmap(results.toSeq.map { case (k, (_, _, _, ts)) =>
         k -> ts.map(fmt3).mkString("[", ",", "]") })},""" +
       s""""degraded":${jmap(degraded.toSeq.map { case (k, r) => k -> r.toString })},""" +
+      s""""stalled":[${stalled.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""reps_effective":${jmap(results.toSeq.map { case (k, (_, _, _, ts)) =>
+        k -> ts.length.toString })},""" +
       s""""prior_ref":"$priorPath",""" +
       s""""repinned":${jmap(repinned.toSeq.map { case (k, (p, seqMed, solo, ts)) =>
         k -> (s"""{"prior":$p,"sequence":$seqMed,"solo":$solo,""" +
@@ -180,6 +200,12 @@ object Bench {
       s""""key_scheme":"qNNN prefix of full query name",""" +
       s""""queries_file":"$fullOut","queries":$qs,""" +
       s""""failed":[${failed.mkString(",")}],""" +
+      // reps_effective summary (VERDICT-r14 item 4): a top-level
+      // "reps":5 header over a board where most queries ran 1–2 reps
+      // misleads; board_quality says so up front
+      s""""n_degraded":${degraded.size},"n_stalled":${stalled.size},""" +
+      s""""board_quality":"${
+        if (degraded.size * 2 > results.size.max(1)) "degraded" else "full"}",""" +
       s""""repinned":${repinned.size},"sf":"$sfDir"}"""
     }
     // Atomic flush: write sibling tmp then ATOMIC_MOVE over the target —
@@ -219,20 +245,58 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // time-budget degradation (round-14): reps shrink as the board
-      // approaches the harness wall — numbers degrade before they vanish
-      val tier = if (elapsed > budgetSec) 2
-        else if (elapsed > budgetSec * 2 / 3) 1 else 0
+      // approaches the harness wall — numbers degrade before they
+      // vanish. Round-15 (VERDICT-r14 item 1): tier thresholds moved
+      // from 2/3 / 1.0 to 0.55 / 0.85 of the budget so the last ~15%
+      // is RESERVED for the auto-repin pass — on a bad box the repins
+      // are the only trustworthy numbers the run produces.
+      val tier = if (elapsed > budgetSec * 0.85) 2
+        else if (elapsed > budgetSec * 0.55) 1 else 0
       val repsHere = tier match {
         case 0 => reps
         case 1 => reps.min(2)
         case 2 => 1
       }
-      if (repsHere < reps) degraded.synchronized {
+      if (repsHere < reps) results.synchronized {
         degraded += ((name, repsHere)) }
+      // per-query stall cap (VERDICT-r14 item 1a): one host stall must
+      // not eat the whole board's budget — r14's q106 read 1,262 s on
+      // ONE rep (85× its own other reps) and condemned 273 queries to
+      // cold 1-rep readings. If any rep (warm-up included) exceeds
+      // 10× the blessed prior AND 30 s — or 300 s absolute with no
+      // prior — the query is marked stalled and its remaining reps are
+      // abandoned; a stall is box weather, more reps of it are not data.
+      val stallCap = {
+        val p = priorOf(name)
+        if (p > 0) math.max(30.0, 10.0 * p) else 300.0
+      }
       val entry =
         try {
-          if (tier < 2) run() // warm-up: JIT, codegen cache, file index
-          val times = Seq.fill(repsHere)(run())
+          // tier-2 keeps ONE warm-up before the single timed rep
+          // (VERDICT-r14 item 1b): a cold single-shot measures JVM/JIT
+          // state, not the plan — it is noise, not a degraded number
+          val warm = run()
+          val times =
+            if (warm > stallCap) {
+              // the warm-up itself stalled: record it as the lone
+              // (stalled) reading and move on
+              results.synchronized { stalled += name }
+              Seq(warm)
+            } else {
+              val acc = scala.collection.mutable.ArrayBuffer.empty[Double]
+              var i = 0
+              var bail = false
+              while (i < repsHere && !bail) {
+                val t = run()
+                acc += t
+                if (t > stallCap) {
+                  results.synchronized { stalled += name }
+                  bail = true
+                }
+                i += 1
+              }
+              acc.toSeq
+            }
           // Storage hygiene between queries (round-13): localCheckpoint
           // blocks live in the SAME unified memory pool that execution
           // borrows from, and the ContextCleaner only reclaims them
@@ -274,14 +338,21 @@ object Bench {
     // escalation if a repin still reads >1.4×.) Capped at 10 movers —
     // more than that means the BOX moved, not the queries. Skipped
     // entirely when the board already ate the time budget.
+    // movers are ranked by med/prior DESCENDING before the cap
+    // (VERDICT-r14 item 1c): alphabetical .take(10) spent every solo
+    // slot on 1.0–1.6× drifters while the 8.7× monster went unpinned
     val movers = results.synchronized {
       results.collect {
         case (k, (med, _, _, _)) if med > 0 && priorOf(k) > 0 &&
             (med / priorOf(k) > 1.4 || priorOf(k) / med > 1.4) &&
-            math.abs(med - priorOf(k)) > 0.4 => k
-      }.take(10).toSeq
+            math.abs(med - priorOf(k)) > 0.4 =>
+          (k, math.max(med / priorOf(k), priorOf(k) / med))
+      }.sortBy(-_._2).map(_._1).take(10).toSeq
     }
-    for (name <- movers if elapsed < budgetSec * 0.9) {
+    // repins run inside the headroom the tier schedule reserved
+    // (budget × 0.85 … 1.05) — on a degraded board they are the only
+    // trustworthy numbers, so they must not be the first thing skipped
+    for (name <- movers if elapsed < budgetSec * 1.05) {
       System.err.println(s"[bench] repin $name: sequence median moved " +
         s"vs blessed prior ${priorOf(name)}")
       val fn = SparkEntry.queries(name)
@@ -290,12 +361,19 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val repinReps = if (elapsed > budgetSec * 2 / 3) 2 else reps
+      val repinReps = if (elapsed > budgetSec * 0.85) 2 else reps
+      val repinCap = {
+        val p = priorOf(name)
+        if (p > 0) math.max(30.0, 10.0 * p) else 300.0
+      }
       val times =
-        try { run(); Seq.fill(repinReps)(run()) }
-        catch { case _: Throwable => Seq.empty[Double] }
+        try {
+          val warm = run()
+          if (warm > repinCap) Seq.empty[Double] // stalled solo = no data
+          else Seq.fill(repinReps)(run())
+        } catch { case _: Throwable => Seq.empty[Double] }
       val seqMed = results.synchronized { results.toMap.apply(name)._1 }
-      repinned.synchronized {
+      results.synchronized {
         repinned += ((name, (priorOf(name), seqMed,
           if (times.isEmpty) -1.0 else median(times), times)))
       }

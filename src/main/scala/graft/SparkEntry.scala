@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Pipeline.qs ++ graft.queries.Curation.qs ++
       graft.queries.Curation2.qs ++ graft.queries.Curation3.qs ++
       graft.queries.Curation4.qs ++ graft.queries.Curation5.qs ++
+      graft.queries.Curation6.qs ++
       graft.queries.Audit.qs ++
       graft.queries.Audit2.qs ++ graft.queries.Audit3.qs ++
       graft.queries.Streaming2.qs ++ graft.queries.Formats.qs ++

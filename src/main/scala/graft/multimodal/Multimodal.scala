@@ -170,8 +170,12 @@ object Multimodal {
             out = Some(("webp", w, h, if (alpha) 4 else 3))
           case _ => // skip unknown chunk (padded to even length)
         }
-        i = body + sz + (sz & 1)
-        if (sz < 0) i = p.length // corrupt size: stop, never loop
+        // next offset in Long: a crafted chunk size near Int.MaxValue
+        // overflows Int to a NEGATIVE index and the next tag read
+        // throws StringIndexOutOfBounds — decodeImageHeader must never
+        // crash the task on malformed bytes (ADVICE r14)
+        val next = body.toLong + sz.toLong + (sz & 1)
+        i = if (sz < 0 || next > p.length) p.length else next.toInt
       }
       out
     } else None

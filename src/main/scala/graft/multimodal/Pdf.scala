@@ -325,10 +325,13 @@ object Pdf {
   private final class Doc(bytes: Array[Byte]) {
     val budget = Array(InflateCap.toLong)
     // object number → either a file offset (type 1) or (objstm, idx)
-    // (type 2). Newest xref section wins: entries are only added if
-    // the object number is not already known.
+    // (type 2). Newest xref section wins: every entry — INCLUDING
+    // free/'f'/type-0 — claims its object number in `xrefSeen`, so an
+    // object deleted in an incremental update is a tombstone an older
+    // /Prev section cannot resurrect (PDF 32000-1 §7.5.6; ADVICE r14).
     val direct = scala.collection.mutable.Map.empty[Int, Long]
     val inStm = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    private val xrefSeen = scala.collection.mutable.HashSet.empty[Int]
     var trailer: Map[String, Obj] = Map.empty
     var sawXrefStream = false
     var sawObjStm = false
@@ -438,6 +441,58 @@ object Pdf {
       } finally loading -= n
     })
 
+    /** Process ONE xref-stream section at `off`; returns its /Prev
+      * offset (-1 if none). Every row — including type-0 (free) —
+      * claims its object number, so a newer free entry tombstones the
+      * object against older sections. */
+    private def loadStreamSection(off: Long): Long = {
+      sawXrefStream = true
+      val o = parseAt(off)
+      val st = o match {
+        case s: PStream => s
+        case _ => throw new RuntimeException("bad xref stream")
+      }
+      if (trailer.isEmpty) trailer = st.dict.m
+      val data = decodeStream(st)
+      val w = resolve(st.dict.m.getOrElse("W", PNull)) match {
+        case PArr(items) => items.map {
+          case p: PNum => p.i.toInt; case _ => 0 }
+        case _ => throw new RuntimeException("no /W")
+      }
+      val size = num(st.dict.m.getOrElse("Size", PNull)).getOrElse(0L)
+      val index = resolve(st.dict.m.getOrElse("Index", PNull)) match {
+        case PArr(items) => items.map {
+          case p: PNum => p.i; case _ => 0L }
+        case _ => Seq(0L, size)
+      }
+      val rowLen = w.sum
+      var pos = 0
+      val pairs = index.grouped(2).toSeq
+      for (Seq(start, count) <- pairs; k <- 0L until count
+           if pos + rowLen <= data.length) {
+        def field(fi: Int): Long = {
+          val o0 = pos + w.take(fi).sum
+          var v = 0L
+          for (j <- 0 until w(fi)) v = (v << 8) | (data(o0 + j) & 0xff)
+          v
+        }
+        val typ = if (w(0) == 0) 1L else field(0)
+        val f2 = field(1)
+        val f3 = field(2)
+        val objN = (start + k).toInt
+        if (xrefSeen.add(objN)) {
+          if (typ == 1L) direct(objN) = f2
+          else if (typ == 2L) inStm(objN) = (f2.toInt, f3.toInt)
+          // typ == 0: free — tombstone only
+        }
+        pos += rowLen
+      }
+      st.dict.m.get("Prev") match {
+        case Some(p: PNum) => p.i
+        case _ => -1L
+      }
+    }
+
     /** Load xref section(s) starting at `off`, following /Prev. */
     def loadXref(off0: Long): Unit = {
       var off = off0
@@ -447,7 +502,14 @@ object Pdf {
         val lx = new Lexer(bytes, off.toInt)
         lx.skipWs()
         if (lx.peekKeyword("xref")) {
-          // classic table
+          // classic table — entries are BUFFERED, not committed, until
+          // the trailer is read: a hybrid-reference file (§7.5.8.4)
+          // carries /XRefStm in the classic trailer, and the stream's
+          // entries take precedence over this table's (the table marks
+          // objstm-resident objects free; committing table-first would
+          // tombstone them and hide their text — ADVICE r14)
+          val pending = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Char, Long)]
           lx.p += 4
           lx.skipWs()
           while (!lx.peekKeyword("trailer")) {
@@ -462,10 +524,7 @@ object Pdf {
               val e = new String(bytes, lx.p, 18, "ISO-8859-1")
               val entOff = e.substring(0, 10).toLong
               val typ = e.charAt(17)
-              val objN = start + k
-              if (typ == 'n' && !direct.contains(objN) &&
-                  !inStm.contains(objN))
-                direct(objN) = entOff
+              pending += ((start + k, typ, entOff))
               lx.p += 18
               while (lx.p < bytes.length && (bytes(lx.p) == ' ' ||
                   bytes(lx.p) == '\r' || bytes(lx.p) == '\n')) lx.p += 1
@@ -475,56 +534,24 @@ object Pdf {
           lx.p += "trailer".length
           val t = lx.obj().asInstanceOf[PDict]
           if (trailer.isEmpty) trailer = t.m
+          t.m.get("XRefStm") match {
+            case Some(p: PNum) =>
+              // hybrid file: the stream's /Prev (if any) is ignored —
+              // the classic chain below carries the /Prev walk
+              try loadStreamSection(p.i)
+              catch { case _: Throwable => } // broken XRefStm must not
+                                             // kill the classic chain
+            case _ =>
+          }
+          for ((objN, typ, entOff) <- pending)
+            if (xrefSeen.add(objN) && typ == 'n')
+              direct(objN) = entOff // 'f' = tombstone: seen, no offset
           off = t.m.get("Prev") match {
             case Some(p: PNum) => p.i
             case _ => -1L
           }
         } else {
-          // xref STREAM: an indirect stream object
-          sawXrefStream = true
-          val o = parseAt(off)
-          val st = o match {
-            case s: PStream => s
-            case _ => throw new RuntimeException("bad xref stream")
-          }
-          if (trailer.isEmpty) trailer = st.dict.m
-          val data = decodeStream(st)
-          val w = resolve(st.dict.m.getOrElse("W", PNull)) match {
-            case PArr(items) => items.map {
-              case p: PNum => p.i.toInt; case _ => 0 }
-            case _ => throw new RuntimeException("no /W")
-          }
-          val size = num(st.dict.m.getOrElse("Size", PNull)).getOrElse(0L)
-          val index = resolve(st.dict.m.getOrElse("Index", PNull)) match {
-            case PArr(items) => items.map {
-              case p: PNum => p.i; case _ => 0L }
-            case _ => Seq(0L, size)
-          }
-          val rowLen = w.sum
-          var pos = 0
-          val pairs = index.grouped(2).toSeq
-          for (Seq(start, count) <- pairs; k <- 0L until count
-               if pos + rowLen <= data.length) {
-            def field(fi: Int): Long = {
-              val o0 = pos + w.take(fi).sum
-              var v = 0L
-              for (j <- 0 until w(fi)) v = (v << 8) | (data(o0 + j) & 0xff)
-              v
-            }
-            val typ = if (w(0) == 0) 1L else field(0)
-            val f2 = field(1)
-            val f3 = field(2)
-            val objN = (start + k).toInt
-            if (!direct.contains(objN) && !inStm.contains(objN)) {
-              if (typ == 1L) direct(objN) = f2
-              else if (typ == 2L) inStm(objN) = (f2.toInt, f3.toInt)
-            }
-            pos += rowLen
-          }
-          off = st.dict.m.get("Prev") match {
-            case Some(p: PNum) => p.i
-            case _ => -1L
-          }
+          off = loadStreamSection(off)
         }
       }
     }

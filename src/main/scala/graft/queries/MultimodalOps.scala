@@ -1027,7 +1027,7 @@ object MultimodalOps {
         "one narrow per-row tier, payload bytes never move",
       Some("""WITH t AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\s+'),
-              x -> regexp_matches(x, '^[ -~]+$')) AS ws
+              x -> regexp_matches(x, '^[ -%''-;=?-~]+$')) AS ws
           FROM documents),
         e AS (SELECT doc_id, array_to_string(ws, ' ') AS body
           FROM t WHERE len(ws) >= 1)
@@ -1054,8 +1054,13 @@ object MultimodalOps {
         table(s, d, "documents").select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, raw) =>
+            // printable ASCII MINUS the HTML markup chars &<> (both
+            // engines): body is interpolated into <p>…</p> below, and
+            // an unescaped markup char would make Html.extractText
+            // diverge from the oracle's md5(body) (ADVICE r14)
             val ws = raw.split("\\s+").toSeq
-              .filter(t => t.nonEmpty && t.forall(c => c >= 0x20 && c <= 0x7e))
+              .filter(t => t.nonEmpty && t.forall(c => c >= 0x20 &&
+                c <= 0x7e && c != '&' && c != '<' && c != '>'))
             if (ws.isEmpty) None
             else {
               val body = ws.mkString(" ")

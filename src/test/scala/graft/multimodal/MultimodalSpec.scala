@@ -493,5 +493,14 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.syntheticWebp(10, 10, "lossless").take(cut)).isEmpty)
     assert(Multimodal.decodeImageHeader(
       Multimodal.syntheticGif(9, 9).take(8)).isEmpty)
+    // crafted chunk size near Int.MaxValue: body + sz overflows Int to
+    // a negative index — the walk must stop, not throw (ADVICE r14)
+    val bomb = java.util.Arrays.copyOf(
+      Multimodal.syntheticWebp(10, 10, "lossy"), 40)
+    // overwrite the first chunk header with an unknown tag + huge size
+    bomb(12) = 'J'; bomb(13) = 'U'; bomb(14) = 'N'; bomb(15) = 'K'
+    bomb(16) = 0xf0.toByte; bomb(17) = 0xff.toByte
+    bomb(18) = 0xff.toByte; bomb(19) = 0x7f.toByte // LE 0x7ffffff0
+    assert(Multimodal.decodeImageHeader(bomb).isEmpty) // and no throw
   }
 }

@@ -185,4 +185,109 @@ class PdfSpec extends AnyFunSuite {
     val r = Pdf.extractText(bos.toByteArray)
     assert(!r.ok && r.stage == "bomb", r.stage)
   }
+
+  /** Base single-page classic PDF whose content is object 4; returns
+    * (text so far, offset of each object 1..4, offset of the xref).
+    * All-ASCII, so char offsets == byte offsets.
+    */
+  private def classicBase(content: String): (StringBuilder, Seq[Int], Int) = {
+    val sb = new StringBuilder
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sb ++= "%PDF-1.4\n"
+    offs += sb.length
+    sb ++= "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    offs += sb.length
+    sb ++= "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+    offs += sb.length
+    sb ++= "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+    offs += sb.length
+    sb ++= s"4 0 obj << /Length ${content.length} >> stream\n"
+    sb ++= content
+    sb ++= "\nendstream endobj\n"
+    val x = sb.length
+    sb ++= "xref\n0 5\n0000000000 65535 f \n"
+    offs.foreach(o => sb ++= f"$o%010d 00000 n \n")
+    sb ++= "trailer << /Size 5 /Root 1 0 R >>\n"
+    sb ++= s"startxref\n$x\n%%EOF\n"
+    (sb, offs.toSeq, x)
+  }
+
+  test("incremental update, replacement: the newest section's entry " +
+      "wins over the /Prev section's") {
+    val (sb, _, x1) = classicBase("BT /F1 10 Tf (ghost text) Tj ET")
+    val r0 = Pdf.extractText(sb.toString.getBytes("ISO-8859-1"))
+    assert(r0.ok && r0.text == "ghost text\n", r0.stage + r0.text)
+    // append a replacement object 4 + an update xref section
+    val c2 = "BT /F1 10 Tf (updated text) Tj ET"
+    val o4b = sb.length
+    sb ++= s"4 0 obj << /Length ${c2.length} >> stream\n$c2\nendstream endobj\n"
+    val x2 = sb.length
+    sb ++= "xref\n0 1\n0000000000 65535 f \n4 1\n"
+    sb ++= f"$o4b%010d 00001 n \n"
+    sb ++= s"trailer << /Size 5 /Root 1 0 R /Prev $x1 >>\n"
+    sb ++= s"startxref\n$x2\n%%EOF\n"
+    val r1 = Pdf.extractText(sb.toString.getBytes("ISO-8859-1"))
+    assert(r1.ok, r1.stage)
+    assert(r1.text == "updated text\n", r1.text)
+  }
+
+  test("incremental update, deletion: a FREED object is a tombstone " +
+      "the older /Prev section must not resurrect (ADVICE r14; " +
+      "PDF 32000-1 §7.5.6 newest-entry-wins includes free entries)") {
+    val (sb, _, x1) = classicBase("BT /F1 10 Tf (ghost text) Tj ET")
+    // update section: object 4 deleted (type 'f') — the page's
+    // /Contents now resolves to null, so the ghost text must vanish
+    val x2 = sb.length
+    sb ++= "xref\n0 1\n0000000000 65535 f \n4 1\n"
+    sb ++= "0000000000 00002 f \n"
+    sb ++= s"trailer << /Size 5 /Root 1 0 R /Prev $x1 >>\n"
+    sb ++= s"startxref\n$x2\n%%EOF\n"
+    val r = Pdf.extractText(sb.toString.getBytes("ISO-8859-1"))
+    assert(r.ok, r.stage)
+    assert(r.nPages == 1)
+    assert(r.text == "", s"freed object resurrected: '${r.text}'")
+  }
+
+  test("hybrid-reference file (§7.5.8.4): the classic trailer's " +
+      "/XRefStm maps an objstm-resident page dict the classic table " +
+      "marks free — stream entries take precedence (ADVICE r14)") {
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.5\n"
+    val o1 = sb.length
+    sb ++= "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    val o2 = sb.length
+    sb ++= "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+    // object 3 (the page dict) lives INSIDE object stream 5 — the
+    // classic table below marks it free, hybrid-writer style
+    val c = "BT /F1 10 Tf (hybrid works) Tj ET"
+    val o4 = sb.length
+    sb ++= s"4 0 obj << /Length ${c.length} >> stream\n$c\nendstream endobj\n"
+    val stmData = "3 0\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val o5 = sb.length
+    sb ++= s"5 0 obj << /Type /ObjStm /N 1 /First 4 " +
+      s"/Length ${stmData.length} >> stream\n$stmData\nendstream endobj\n"
+    // xref STREAM (object 6): W [1 2 1], Index [3 1], one type-2 row
+    // (objstm 5, idx 0); no /Filter — raw rows
+    val xrefRow = new String(Array[Char](2, 0, 5, 0))
+    val o6 = sb.length
+    sb ++= "6 0 obj << /Type /XRef /Size 7 /W [1 2 1] /Index [3 1] " +
+      s"/Root 1 0 R /Length 4 >> stream\n$xrefRow\nendstream endobj\n"
+    // classic table: everything direct EXCEPT object 3, marked free
+    val x = sb.length
+    sb ++= "xref\n0 7\n"
+    sb ++= "0000000000 65535 f \n"
+    sb ++= f"$o1%010d 00000 n \n"
+    sb ++= f"$o2%010d 00000 n \n"
+    sb ++= "0000000000 00000 f \n" // page dict: free in the table
+    sb ++= f"$o4%010d 00000 n \n"
+    sb ++= f"$o5%010d 00000 n \n"
+    sb ++= f"$o6%010d 00000 n \n"
+    sb ++= s"trailer << /Size 7 /Root 1 0 R /XRefStm $o6 >>\n"
+    sb ++= s"startxref\n$x\n%%EOF\n"
+    val r = Pdf.extractText(sb.toString.getBytes("ISO-8859-1"))
+    assert(r.ok, r.stage)
+    assert(r.nPages == 1)
+    assert(r.text == "hybrid works\n", r.text)
+    assert(r.usedObjStm && r.usedXrefStream)
+  }
 }

@@ -120,4 +120,64 @@ class Curation5Spec extends SparkSpec {
     assert(total == nDocs, s"matrix covers every doc: $total vs $nDocs")
     assert(rows.forall(_._3 > 0))
   }
+
+  // ---- T189: the production router (q279) ----
+
+  private val fixture = Seq(
+    (1L, "de", "der zug fährt heute über die brücke und hält nicht an"),
+    (2L, "de", "die kinder spielen im garten während der lehrer zuschaut"),
+    (3L, "de", "ein schönes wetter ist nicht immer mit regen verbunden"),
+    (4L, "en", "the quick brown fox jumps over the lazy dog in the park"),
+    (5L, "en", "reading books is one of the best ways to learn and grow"),
+    (6L, "en", "the weather for tomorrow looks sunny and warm in town"),
+    (7L, "es", "hola amigos vamos juntos a la playa para nadar mañana"),
+    (8L, "es", "los niños juegan en el parque y cantan canciones bonitas"),
+    (9L, "es", "me gusta mucho cocinar paella para toda mi familia"),
+    (10L, "fr", "le train arrive dans la gare et les voyageurs descendent"),
+    (11L, "fr", "nous aimons marcher ensemble sous la pluie du matin"),
+    (12L, "fr", "je voudrais acheter du pain frais pour le petit déjeuner"),
+    (13L, "zh", "今天天气很好我们一起去公园散步看花"),
+    (14L, "zh", "我喜欢在周末和朋友一起吃饭聊天看电影"),
+    (15L, "zh", "学习新的语言需要很多时间和耐心练习")
+  )
+
+  test("q279 router: perfect diagonal on the real-snippet fixture " +
+      "(each parent alone errs there), and a digits-only OOD doc " +
+      "ABSTAINS instead of routing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    val ood = (99L, "xx", "101 202 303 404 505 606 707 808 909 000")
+    (fixture :+ ood).toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // self-scored on the snippets (the q272 fixture discipline);
+    // the OOD doc is EXCLUDED from training and scored alone below
+    val routed = graft.queries.Curation5
+      .langRouter(spark, dir, train = "doc_id <= 15",
+        eval = "doc_id <= 15")
+      .as[(String, String, Long)].collect().toSeq
+    val diag = routed.collect { case (a, b, n) if a == b => n }.sum
+    assert(diag == 15L, s"router matrix: $routed")
+    assert(!routed.exists(_._2 == "und"), s"no fixture abstain: $routed")
+    val oodRow = graft.queries.Curation5
+      .langRouter(spark, dir, train = "doc_id <= 15",
+        eval = "doc_id = 99")
+      .as[(String, String, Long)].collect().toSeq
+    assert(oodRow == Seq(("xx", "und", 1L)),
+      s"OOD must abstain: $oodRow")
+  }
+
+  test("q279 router held-out on the corpus: diagonal ≥ the pure " +
+      "n-gram held-out (q278) — the interpolation never costs " +
+      "against either parent") {
+    def diag(rows: Seq[(String, String, Long)]): Long =
+      rows.collect { case (a, b, n) if a == b => n }.sum
+    val router = q("q279_lang_router", sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    val ngram = q("q278_ngram_lang_holdout", sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(diag(router) >= diag(ngram),
+      s"router $router vs ngram $ngram")
+    // matrix covers exactly the eval slice
+    assert(router.map(_._3).sum == ngram.map(_._3).sum)
+  }
 }
