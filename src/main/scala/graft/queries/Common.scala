@@ -154,6 +154,49 @@ object Common {
       else sys.props("java.io.tmpdir")
     }
 
+  /** localCheckpoint at MEMORY_AND_DISK_SER — for CORPUS-SIZED pinned
+    * frames (the per-token-position (id, hash) families: q150/q154/
+    * q159/q162/q194/q271/q280 and the n-gram histograms). Plain
+    * localCheckpoint persists DESERIALIZED row objects in the unified
+    * pool; at one row per token position those blocks inflate several
+    * × over their serialized size and crowd out execution memory —
+    * the r14 driver box amplified this family 50–80× under heap
+    * pressure (VERDICT-r14 item 4). Serialized blocks keep the pinned
+    * mass at wire size and spill gracefully; the serde cost is paid
+    * on frames that are each read at most twice.
+    */
+  def checkpointSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** State partition count for the bench/verify streaming DRAINS.
+    * Every stateful streaming operator pays a fixed
+    * per-partition-per-batch state-store cost (provider init, delta
+    * file, snapshot, fsync) regardless of row volume; the drains here
+    * carry sf-scale micro-batches, so the 32-partition session
+    * default buys no parallelism and multiplies that fixed cost.
+    * Measured on q229 at sf0.1 (round 15): cumulative state commit
+    * 15.0 → 1.2 s and the drain wall 5.2 → 2.1 s at 32 → 8. A
+    * production stream sizes state partitions to state VOLUME — this
+    * is the harness-scale expression of that sizing, not an engine
+    * constant.
+    */
+  val DrainShuffle = 8
+
+  /** Run `f` (a streaming drain: build → start → awaitTermination)
+    * with shuffle partitions temporarily at [[DrainShuffle]]; the
+    * prior value is restored even on failure, so later queries in the
+    * shared bench/verify session are unaffected. Stateful operators
+    * read the value at stream START, and each drain's checkpoint dir
+    * is fresh per call, so no checkpoint ever sees two partition
+    * counts.
+    */
+  def withDrainShuffle[A](s: SparkSession)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", DrainShuffle.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Deterministic-per-process scratch directory for streaming-drain
     * queries, deleted and recreated on every call: repeated calls within
     * one bench/verify JVM reuse ONE directory per (tag, input dir)

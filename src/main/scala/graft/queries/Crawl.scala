@@ -1726,13 +1726,15 @@ object Crawl {
           .withColumn("ts", timestamp_seconds(lit(1700000000L)))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("url")
-        val query = urls.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/data")
-          .option("checkpointLocation", s"$scratch/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+        Common.withDrainShuffle(s) {
+          val query = urls.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/data")
+            .option("checkpointLocation", s"$scratch/chk")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          query.awaitTermination()
+        }
         s.read.parquet(s"$scratch/data")
           .groupBy("host", "delay_s")
           .agg(count(lit(1)).as("n_urls"),
@@ -2450,7 +2452,12 @@ object Crawl {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val inDir = Common.scratchDir("ledger_in", d)
-          events.repartitionByRange(4, col("ts"))
+          // TWO micro-batches (round-15, VERDICT-r14 item 2): >1 batch
+          // proves the incremental merge + applied-batch watermark;
+          // the restart/exactly-once proof lives in LedgerStoreSpec,
+          // and each extra batch re-pays the fixed per-batch ledger
+          // commit + scheduling cost
+          events.repartitionByRange(2, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("ledger_chk", d)
           // restart-safe exactly-once (VERDICT-r12 item 1): the ledger
@@ -3011,7 +3018,10 @@ object Crawl {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val inDir = Common.scratchDir("refetch_in", d)
-          events.repartitionByRange(4, col("ts"))
+          // TWO micro-batches (round-15, VERDICT-r14 item 2) — same
+          // rationale as q239's trim: incrementality needs >1 batch,
+          // restart-safety is LedgerStoreSpec's job
+          events.repartitionByRange(2, col("ts"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("refetch_chk", d)
           // same restart-safe discipline as q239 (VERDICT-r12 item 1):
@@ -4022,12 +4032,13 @@ object Crawl {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val inDir = Common.scratchDir("decision_in", d)
-          // three micro-batches (round-14, VERDICT-r13 item 6): the
-          // standing-re-evaluation semantics need >1 batch and the
-          // restart proof lives in LedgerStoreSpec, not in the batch
-          // count — each extra batch re-runs the whole decision chain
-          // (~2.8 s of fixed job-scheduling cost at sf0.1)
-          docsT.repartitionByRange(3, col("doc_id"))
+          // TWO micro-batches (round-15, VERDICT-r14 item 2 — was 4,
+          // then 3 in r14): the standing-re-evaluation semantics need
+          // >1 batch and the restart proof lives in LedgerStoreSpec,
+          // not in the batch count — each extra batch re-runs the
+          // WHOLE decision chain (~5 s of extraction + evaluation at
+          // sf0.1 on the r15 box)
+          docsT.repartitionByRange(2, col("doc_id"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("decision_chk", d)
           val store = new graft.streaming.LedgerStore(s,

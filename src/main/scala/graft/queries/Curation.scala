@@ -162,9 +162,8 @@ object Curation {
         // twice. Materializing the (id, hash) rows once (the q144
         // wf-checkpoint pattern) halves the dominant narrow stage;
         // AQE still broadcasts the dup side off runtime stats.
-        val wins = t.select(col("doc_id"),
-          explode(windowHashes(col("ws"), W)).as("wh"))
-          .localCheckpoint()
+        val wins = Common.checkpointSer(t.select(col("doc_id"),
+          explode(windowHashes(col("ws"), W)).as("wh")))
         val dup = wins.groupBy("wh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")
@@ -436,9 +435,8 @@ object Curation {
           .filter(size(col("ws")) >= W)
         // localCheckpoint for the same reason as q150: two consumers
         // (first-seen build, attribution probe), no exchange to share
-        val wins = t.select(col("doc_id"),
-          explode(windowHashes(col("ws"), W)).as("wh"))
-          .localCheckpoint()
+        val wins = Common.checkpointSer(t.select(col("doc_id"),
+          explode(windowHashes(col("ws"), W)).as("wh")))
         val firstSeen = wins.groupBy("wh").agg(min("doc_id").as("first_doc"))
         wins.join(firstSeen, Seq("wh"))
           .groupBy("doc_id")
@@ -717,10 +715,9 @@ object Curation {
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= W)
         // localCheckpoint: dup-hash build + position probe, as in q150
-        val wins = t.select(col("doc_id"),
+        val wins = Common.checkpointSer(t.select(col("doc_id"),
           posexplode(windowHashes(col("ws"), W)).as(Seq("p0", "wh")))
-          .select(col("doc_id"), (col("p0") + 1).as("i"), col("wh"))
-          .localCheckpoint()
+          .select(col("doc_id"), (col("p0") + 1).as("i"), col("wh")))
         val dup = wins.groupBy("wh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")
@@ -848,9 +845,8 @@ object Curation {
         val t = table(s, d, "documents")
           .select(col("doc_id"), words(col("text")).as("ws"))
           .filter(size(col("ws")) >= W)
-        val wins = t.select(col("doc_id"),
-          explode(windowHashes(col("ws"), W)).as("wh"))
-          .localCheckpoint()
+        val wins = Common.checkpointSer(t.select(col("doc_id"),
+          explode(windowHashes(col("ws"), W)).as("wh")))
         val dup = wins.groupBy("wh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("wh")

@@ -103,11 +103,11 @@ object Curation3 {
         // in practice tiny) anti-joined on both sides; AQE broadcasts
         // it off runtime stats, so the drop costs one keyed pass over
         // the (id, hash) rows it is about to shrink.
-        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+        val hashes = Common.checkpointSer(
+          Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
           .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
-          .localCheckpoint()
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
         val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
         // corpus-relative τ rides in as a 1-row broadcast (never a
         // collect): the same scalar-totals pattern as q100/q112
@@ -172,11 +172,11 @@ object Curation3 {
         FROM scored WHERE n_inter * 2 >= least(na, nb)
         ORDER BY containment DESC, a_id, b_id"""),
       (s, d) => {
-        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+        val hashes = Common.checkpointSer(
+          Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
           .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
-          .localCheckpoint()
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
         // index side: every hash with its rank j in the doc's sorted
         // array + the doc's set size (posexplode keeps slice ranks =
         // array ranks because the prefix is a head slice)
@@ -242,11 +242,11 @@ object Curation3 {
       (s, d) => {
         // candidates from the recall-exact positional tier (q184), so
         // the curve is the TRUE pair distribution, not an estimate
-        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+        val hashes = Common.checkpointSer(
+          Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
           .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
-          .localCheckpoint()
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
         val idx = hashes
           .select(col("doc_id").as("i_id"), size(col("hs")).as("nb"),
             posexplode(col("hs")).as(Seq("j", "h")))
@@ -311,11 +311,11 @@ object Curation3 {
           CAST((1000000 * SUM(np * c)) // tm AS BIGINT) AS cand_share_ppm
         FROM b CROSS JOIN tot GROUP BY log2_df, tm ORDER BY log2_df"""),
       (s, d) => {
-        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+        val hashes = Common.checkpointSer(
+          Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
           .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
-          .localCheckpoint()
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
         val ex = hashes.select(explode(col("hs")).as("h"))
         val pre = hashes.select(
           explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
@@ -586,11 +586,11 @@ object Curation3 {
           WHERE tier = 'positional' AND n_inter * 2 >= least(na, nb)
         ORDER BY a_id, b_id"""),
       (s, d) => {
-        val hashes = Dedup.shingleFrame(table(s, d, "documents"),
+        val hashes = Common.checkpointSer(
+          Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
           .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
-          .localCheckpoint()
+            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
         val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
         val tau = hashes.agg(
           expr(s"greatest(CAST($StopDfFloor AS BIGINT), " +

@@ -158,7 +158,7 @@ object Curation5 {
             }
           }
           .toDF("doc_id", "tier", "i", "wh")
-          .localCheckpoint()
+          .transform(Common.checkpointSer)
         // one (tier, hash) shuffle covers all tiers
         val dup = wins.groupBy("tier", "wh")
           .agg(countDistinct("doc_id").as("nd"))
@@ -329,9 +329,8 @@ object Curation5 {
         s"i -> ((element_at(cs, i) * 31 + element_at(cs, i + 1)) * 31" +
         s" + element_at(cs, i + 2)) % ${graft.ops.Hashing.P}" +
         s" % $NGramB)")).as("b"))
-    grams.groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("nb"))
-      .localCheckpoint()
+    Common.checkpointSer(grams.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("nb")))
   }
 
   /** The T182 scorer, parameterized by SQL-syntax slice predicates

@@ -75,12 +75,18 @@ object Curation6 {
   private def chain(g: Column, blk: Column, b: Long, p: Long): Column =
     aggregate(blk, g, (acc, h) => (acc * b + h) % p)
 
-  private[graft] def exactDup(s: SparkSession, d: String): DataFrame = {
-    val docsH = table(s, d, "documents")
+  private[graft] def exactDup(s: SparkSession, d: String): DataFrame =
+    exactDupFrom(table(s, d, "documents"))
+
+  /** The operator body over an explicit (doc_id, text) frame — the
+    * probe entry (tools/ScaleProbe r24 feeds decorrelated replicas).
+    */
+  private[graft] def exactDupFrom(docs: DataFrame): DataFrame = {
+    val docsH = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"), transform(col("ws"), w => hash32(w)).as("hs"))
-      .localCheckpoint() // re-joined every refinement round
+      .transform(Common.checkpointSer) // re-joined every round
 
     // round-0 state: every token position, grouped by its own token
     var tied: DataFrame = docsH
@@ -112,7 +118,7 @@ object Curation6 {
           pl(col("blk"), col("leadB"))))
         .withColumn("sgc",
           count(when(col("full"), lit(1))).over(wSub))
-        .localCheckpoint() // feeds BOTH the dead slice and next round
+        .transform(Common.checkpointSer) // dead slice + next round
       dead += scored.filter(!col("full") || col("sgc") < 2)
         .select(col("doc_id"),
           (lit(off.toLong) + col("best")).as("maxdup"),

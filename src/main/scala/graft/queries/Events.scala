@@ -222,16 +222,19 @@ object Events {
         val stream = normalizeTs(s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
         val outDir = scratchDir("drain", d)
-        val q = graft.streaming.EventStream.tumblingCounts(stream)
-          .writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", s"$outDir/_chk")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(s"$outDir/table")
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Common.withDrainShuffle(s) {
+          val q = graft.streaming.EventStream.tumblingCounts(stream)
+            .writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", s"$outDir/_chk")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                batch.write.mode("overwrite").parquet(s"$outDir/table")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$outDir/table")
           .orderBy("window_start", "event_type")
       }),

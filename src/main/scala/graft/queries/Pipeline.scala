@@ -534,19 +534,23 @@ object Pipeline {
           .filter(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
         val outDir = scratchDir("snear", d)
-        val q = stream.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$outDir/_chk")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            bandsOf(batch)
-              .join(index, Seq("bi", "bv"), "left")
-              .groupBy("doc_id")
-              .agg((sum(coalesce(col("hit"), lit(0))) > 0).as("is_near"))
-              .write.mode("append").parquet(s"$outDir/table")
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Common.withDrainShuffle(s) {
+          val q = stream.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$outDir/_chk")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                bandsOf(batch)
+                  .join(index, Seq("bi", "bv"), "left")
+                  .groupBy("doc_id")
+                  .agg((sum(coalesce(col("hit"), lit(0))) > 0)
+                    .as("is_near"))
+                  .write.mode("append").parquet(s"$outDir/table")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$outDir/table").orderBy("doc_id")
       }),
 
@@ -804,21 +808,25 @@ object Pipeline {
           .select(col("doc_id"), when(col("doc_id") % 7 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" v2"))).as("text"))
         val outDir = scratchDir("sbloom", d)
-        val q = stream.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$outDir/_chk")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val clear = batch.filter(!mc).select(col("doc_id"))
-            val novelSuspects = batch.filter(mc)
-              .select(col("doc_id"), Dedup.digest(col("text")).as("h"))
-              .join(storeDigests, Seq("h"), "left_anti")
-              .select(col("doc_id"))
-            clear.union(novelSuspects)
-              .write.mode("append").parquet(s"$outDir/table")
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Common.withDrainShuffle(s) {
+          val q = stream.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$outDir/_chk")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                val clear = batch.filter(!mc).select(col("doc_id"))
+                val novelSuspects = batch.filter(mc)
+                  .select(col("doc_id"),
+                    Dedup.digest(col("text")).as("h"))
+                  .join(storeDigests, Seq("h"), "left_anti")
+                  .select(col("doc_id"))
+                clear.union(novelSuspects)
+                  .write.mode("append").parquet(s"$outDir/table")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         sk.unpersist()
         s.read.parquet(s"$outDir/table").orderBy("doc_id")
       }),
@@ -1180,10 +1188,14 @@ object Pipeline {
           .localCheckpoint()
         var forest = graft.dedup.Dedup.dupClusters(
           pairsBetween(index, index)).localCheckpoint()
-        // stage eval docs as 4 files → 4 genuine micro-batches
+        // stage eval docs as 2 files → 2 genuine micro-batches
+        // (round-15, VERDICT-r14 item 2 — was 4): two batches prove
+        // the incremental index/forest maintenance across batches;
+        // the per-batch band-join + CC contraction rounds are the
+        // fixed cost each extra batch re-pays
         val inDir = scratchDir("sic_in", d)
         raw.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
-          .repartitionByRange(4, col("doc_id"))
+          .repartitionByRange(2, col("doc_id"))
           .write.mode("overwrite").parquet(inDir)
         val outDir = scratchDir("sic_chk", d)
         val q = s.readStream.schema(raw.select("doc_id", "text").schema)

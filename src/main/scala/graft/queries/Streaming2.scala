@@ -41,13 +41,16 @@ object Streaming2 {
             timestamp_seconds(lit(1700000000L)).as("ts"))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("source", "dg")
-        val query = stream.writeStream
-          .format("parquet")
-          .option("path", s"$scratch/data")
-          .option("checkpointLocation", s"$scratch/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+        Common.withDrainShuffle(s) {
+          val query = stream.writeStream
+            .format("parquet")
+            .option("path", s"$scratch/data")
+            .option("checkpointLocation", s"$scratch/chk")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          query.awaitTermination()
+        }
         s.read.parquet(s"$scratch/data")
           .select("source", "dg").orderBy("source", "dg")
       }),
@@ -140,6 +143,7 @@ object Streaming2 {
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("first_match", idType))))
           .write.mode("append").parquet(s"$outDir/table")
+        Common.withDrainShuffle(s) {
         val q = stream.writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$outDir/_chk")
@@ -178,6 +182,7 @@ object Streaming2 {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        }
         } finally {
           // the drained result no longer reads the index — drop it so
           // a bench/verify session doesn't accumulate warehouse

@@ -438,15 +438,18 @@ object TextOps {
         val joined = stream.join(store, Seq("h"), "left")
           .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact"))
         val outDir = scratchDir("sdedup", d)
-        val q = joined.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$outDir/_chk")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(s"$outDir/table")
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Common.withDrainShuffle(s) {
+          val q = joined.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$outDir/_chk")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                batch.write.mode("append").parquet(s"$outDir/table")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$outDir/table").orderBy("doc_id")
       }),
 

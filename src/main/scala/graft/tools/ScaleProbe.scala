@@ -71,8 +71,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22", "r23")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22, r23")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22", "r23", "r24")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22, r23, r24")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -96,6 +96,7 @@ object ScaleProbe {
     val doR21 = fam == "all" || fam == "r21"
     val doR22 = fam == "all" || fam == "r22"
     val doR23 = fam == "all" || fam == "r23"
+    val doR24 = fam == "all" || fam == "r24"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1686,6 +1687,79 @@ object ScaleProbe {
           .groupBy("story")
           .agg(count(lit(1)), sum(when(col("k").isNotNull, 1L)
             .otherwise(0L)))
+          .count()
+      }
+      }
+
+      if (doR24) {
+      // --- round-15 (T189/T190) shapes ---
+      import spark.implicits._
+      // rep-token interleave decorrelates replicas (the r23
+      // discipline): duplicated substrings stay INTRA-replica, so the
+      // probe reads the operator's shape, not a ×mult² cross-replica
+      // dup explosion
+      val docsR24 = table(spark, sfDir, "documents")
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), lit("\\s+"), lit(" ")),
+            lit(" "), concat(lit(" z"), col("rep").cast("string"),
+              lit(" "))).as("text"))
+        .localCheckpoint()
+      // Exact dup-substring (q280 / T190): round 0 is the one
+      // corpus-sized exchange (positions, fixed-width rows); the
+      // tied set after round 0 is the dup mass, which the interleave
+      // keeps linear in mult — so wall AND shuffle rows must read
+      // linear, and the tied-set fraction ~constant.
+      time(s"exact-dup suffix rounds x$mult") {
+        graft.queries.Curation6.exactDupFrom(docsR24).count()
+      }
+      // the decay evidence: positions vs the still-tied set after a
+      // first full-block (16-token) refinement — the fraction is the
+      // per-round cost model at 100 TB
+      time(s"exact-dup round-0 decay x$mult") {
+        val hs = docsR24
+          .select(col("doc_id"),
+            graft.text.TextFunctions.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 1)
+          .select(col("doc_id"), transform(col("ws"),
+            w => graft.queries.Common.hash32(w)).as("hs"))
+        val pos = hs.select(col("doc_id"),
+            explode(sequence(lit(1), size(col("hs")))).as("pos"),
+            col("hs"))
+          .select(col("doc_id"), col("pos"),
+            when(size(col("hs")) - col("pos") + 1 >= 16,
+              slice(col("hs"), col("pos"), lit(16))).as("blk"))
+        val nPos = pos.count()
+        val tied = pos.filter(col("blk").isNotNull)
+          .groupBy("blk").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .agg(sum("c")).as[Long].head()
+        println(s"[scale]   positions=$nPos tied-after-16=$tied " +
+          f"(${100.0 * tied / nPos}%.2f%%)")
+        nPos
+      }
+      // Router scoring leg (q279 / T189): the model is langs×4096 at
+      // ANY corpus size — only the histogram exchange grows (probed
+      // as "ngram lang histograms" in r23); here the score join:
+      // histogram rows × broadcast model, shuffle = histogram-sized.
+      time(s"router score join x$mult") {
+        val hist = docsR24
+          .filter(expr("char_length(text) >= 3"))
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, char_length(text) - 2)," +
+              " i -> (ascii(substr(text, i, 1)) * 31 + " +
+              "ascii(substr(text, i + 1, 1))) * 31 + " +
+              "ascii(substr(text, i + 2, 1)))")).as("g"))
+          .select(col("doc_id"), (col("g") % 1000000007 % 4096).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+        val model = spark.range(5).select(col("id").as("lang"))
+          .crossJoin(spark.range(4096).select(col("id").as("b")))
+          .select(col("lang"), col("b"),
+            (col("b") * 31 + col("lang")).as("w"))
+        hist.join(broadcast(model), "b")
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("nb") * col("w")))
           .count()
       }
       }
