@@ -259,4 +259,27 @@ object ExprHelpers {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Sequential-fold dot product of two double arrays — the imperative
+    * twin of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * ([[graft.similarity.Vectors.dot]]): IDENTICAL fold order, so the
+    * accumulated IEEE double is bit-for-bit the HOF's (and the DuckDB
+    * list_reduce oracle's) at every input. Null on length mismatch or
+    * any null element (zip_with pads the shorter side with nulls and
+    * null×x → null → null sum — same observable result). The HOF runs
+    * the lambda machinery interpreted per element (~150k 64-dim folds
+    * per second measured); this loop JITs.
+    */
+  def dotSeq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }

@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity(GraftFunctions.JaccardName, 2, exprs)
         JaccardExpr(exprs.head, exprs(1))
       }))
+    e.injectFunction((FunctionIdentifier(GraftFunctions.DotName),
+      info(GraftFunctions.DotName, classOf[DotExpr]),
+      (exprs: Seq[Expression]) => {
+        checkArity(GraftFunctions.DotName, 2, exprs)
+        DotExpr(exprs.head, exprs(1))
+      }))
     e.injectFunction((FunctionIdentifier(GraftFunctions.NfcName),
       info(GraftFunctions.NfcName, classOf[NfcNormalizeExpr]),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(

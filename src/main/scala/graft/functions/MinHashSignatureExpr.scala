@@ -76,6 +76,7 @@ object GraftFunctions {
   val ShingleExplodeName = "graft_explode_shingles"
   val LshBucketName = "graft_lsh_bucket"
   val JaccardName = "graft_jaccard"
+  val DotName = "graft_dot"
   val SimhashName = "graft_simhash"
   val NfcName = "graft_nfc"
   val NearestSeedName = "graft_nearest_seed"
@@ -126,6 +127,11 @@ object GraftFunctions {
       JaccardName,
       exprs => { checkArity(JaccardName, 2, exprs)
         JaccardExpr(exprs.head, exprs(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      DotName,
+      exprs => { checkArity(DotName, 2, exprs)
+        DotExpr(exprs.head, exprs(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       SimhashName,

@@ -77,6 +77,22 @@ object Embeddings {
           .otherwise(acc)
       }).getField("sid")
 
+  // ---- T191 graph-ANN constants (shared by the query + the oracle).
+  // Calibrated on all three SFs (BASELINE.md r15): the Hamming≤1 seed
+  // graph with beam 8 / 3 hops read recall@5 0.44; Hamming≤2 probes +
+  // 2 NN-descent rounds + beam 24 / 3 hops read 0.99/—/0.83
+  // (4 hops: 0.99/0.97/0.84 for +4 stages — not worth the wall).
+  private val GraphM = 16 // out-neighbors kept per node
+  private val GraphBeam = 24 // beam width during search
+  private val GraphHops = 3 // fixed expand-score-prune rounds
+  private val GraphEntries = 4 // fixed entry nodes: vec_id < 4
+  private val NdRounds = 2 // NN-descent refinement rounds
+  /** XOR masks of the Hamming≤2 ball over the 8-bit bucket space. */
+  private val ProbeMasks: Seq[Long] =
+    0L +: (0 until 8).map(p => 1L << p) ++:
+      (for (p <- 0 until 8; q <- p + 1 until 8)
+        yield (1L << p) | (1L << q))
+
   val qs: Seq[Q] = Seq(
     Q("q36_cosine_topk",
       "exact brute-force cosine top-5 neighbors for query vectors",
@@ -539,6 +555,212 @@ ${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           .select(col("x.di").as("di"), col("x.dj").as("dj"), col("n"),
             (col("x.s").cast("double") / 1e12).as("g"))
           .orderBy("di", "dj")
-      })
+      }),
+
+    Q("q281_ann_graph",
+      "GRAPH-index ANN (T191 — the NSW/HNSW-class tier VERDICT has " +
+        "listed as the one optional ANN gap since r12): a navigable " +
+        "k-NN graph is BUILT from the corpus — seeded per node with " +
+        s"the top-$GraphM cosine neighbors among its Hamming≤2 " +
+        "multi-probe LSH neighborhood (37 buckets/node, candidates " +
+        "bounded by bucket occupancy, never all-pairs), then REFINED " +
+        s"by $NdRounds rounds of NN-descent (Dong et al.: re-rank " +
+        "each node against neighbors ∪ neighbors-of-neighbors, " +
+        "symmetrized — candidate volume deg² per node per round), " +
+        "then symmetrized into the search graph. Queries run GREEDY " +
+        "BEAM SEARCH: the frontier seeds with " +
+        s"$GraphEntries fixed entry nodes + the query's bucketmates " +
+        s"+ the query node itself, then $GraphHops " +
+        s"expand-score-prune rounds (beam $GraphBeam, ties " +
+        "(cosine desc, id) — the q36 ordering) walk the graph, and " +
+        "the top-5 non-self beam survivors are the answer. " +
+        "Deterministic end-to-end: the same sequential-fold cosine " +
+        "as q36 on both engines, struct-ordered pruning, fixed " +
+        "round counts instead of convergence loops. EmbeddingsSpec " +
+        "referees recall@5 against the q36 brute force — measured " +
+        "0.99 / 0.97 / 0.84 at sf0.001/0.01/0.1 (the synthetic " +
+        "near-uniform 64-dim embeddings are ANN-hostile; the " +
+        "NN-descent rounds lifted sf0.1 from 0.67). Scale shape: " +
+        "build = one bounded bucket join + per-node top-M, refine = " +
+        "deg²-bounded candidate joins (vectors move only for " +
+        "candidate pairs), graph = nodes×≤2M edges; search cost is " +
+        "hop-count-bounded and independent of corpus size — the " +
+        "property that makes graph ANN the production tier at 100 TB",
+      Some(annGraphSql),
+      (s, d) => annGraph(s, d))
   )
+
+  /** T191 implementation: LSH-multiprobe seed + NN-descent refine +
+    * beam search.
+    */
+  private def annGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // the vector frame feeds ~15 consumers (probe sides, per-round
+    // scoring joins, query/entry/mate frames, per-hop rescoring) —
+    // checkpoint (serialized) or each consumer re-reads + re-buckets
+    // the corpus; a real cluster makes this a bucketed-by-id table
+    val v = Common.checkpointSer(table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", Vectors.norm(col("e")))
+      .withColumn("bucket", graft.functions.LshBucket(s, col("e")))
+      .repartition(col("vec_id")))
+    val nside = v.toDF("n_id", "ne", "nn", "nbucket")
+    val wSrc = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
+    // every knn frame is consumed TWICE by the union-with-reverse
+    // symmetrization — checkpoint (serialized) or the whole scoring
+    // subtree re-executes per branch (measured 2x the build wall)
+    def topM(scored: org.apache.spark.sql.DataFrame) =
+      Common.checkpointSer(scored
+        .withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= GraphM).select("src", "dst"))
+    def scorePairs(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(v.select(col("vec_id").as("src"), col("e").as("se"),
+        col("nrm").as("sn")), "src")
+      .join(nside.select(col("n_id").as("dst"), col("ne"), col("nn")),
+        "dst")
+      .select(col("src"), col("dst"),
+        Vectors.cosinePre(graft.functions.Dot(s, col("se"), col("ne")),
+          col("sn"), col("nn")).as("cs"))
+    // ---- build seed: per-node top-M among the Hamming≤2 probes
+    val probeArr = array(ProbeMasks.map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)
+    // the whole build is EAGER (checkpoint-terminated) and its frames
+    // are candidate-pair-sized — run it at drain-scale partitions so
+    // its ~10 stages pay 8 tasks each, not 32 (the q229 sizing rule)
+    val edges = Common.withDrainShuffle(s) {
+      val pairs = v.select(col("vec_id"), col("e"), col("nrm"),
+          explode(probeArr).as("pb"))
+        .join(nside, col("pb") === col("nbucket") &&
+          col("vec_id") =!= col("n_id"))
+        .select(col("vec_id").as("src"), col("n_id").as("dst"),
+          Vectors.cosinePre(graft.functions.Dot(s, col("e"), col("ne")),
+            col("nrm"), col("nn")).as("cs"))
+      var knn = topM(pairs)
+      // ---- NN-descent refinement: neighbors ∪ nbrs-of-nbrs
+      for (_ <- 1 to NdRounds) {
+        val sym = knn
+          .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct() // knn is checkpointed; both branches read blocks
+        val cand = sym.toDF("src", "mid")
+          .join(sym.toDF("mid2", "dst"), col("mid") === col("mid2"))
+          .select(col("src"), col("dst"))
+          .filter(col("src") =!= col("dst"))
+          .union(sym)
+          .distinct()
+        knn = topM(scorePairs(cand))
+      }
+      knn
+        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint() // small; walked GraphHops times
+    }
+    // ---- search
+    val qv = v.filter(col("vec_id") < 20)
+      .toDF("q_id", "qe", "qn", "qbucket")
+    val entries = v.filter(col("vec_id") < GraphEntries)
+      .select(col("vec_id").as("n_id"))
+    val mates = qv.join(nside.select(col("n_id"), col("nbucket")),
+        col("qbucket") === col("nbucket"))
+      .select(col("q_id"), col("n_id"))
+    val f0 = qv.select(col("q_id"), col("q_id").as("n_id"))
+      .union(qv.select(col("q_id")).crossJoin(broadcast(entries)))
+      .union(mates)
+      .distinct()
+    def score(f: org.apache.spark.sql.DataFrame) = f
+      .join(nside.select(col("n_id"), col("ne"), col("nn")), "n_id")
+      .join(qv.select(col("q_id"), col("qe"), col("qn")), "q_id")
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosinePre(graft.functions.Dot(s, col("qe"), col("ne")),
+          col("qn"), col("nn")).as("cs"))
+    val wq = Window.partitionBy("q_id").orderBy(col("cs").desc, col("n_id"))
+    var beam = score(f0).withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= GraphBeam).drop("rn")
+    for (_ <- 1 to GraphHops) {
+      val cand = beam.select(col("q_id"), col("n_id"))
+        .join(edges, col("n_id") === col("src"))
+        .select(col("q_id"), col("dst").as("n_id"))
+        .union(beam.select(col("q_id"), col("n_id")))
+        .distinct()
+      beam = score(cand).withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= GraphBeam).drop("rn")
+    }
+    beam.filter(col("n_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wq).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn"), col("cs").as("cosine"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** DuckDB twin of [[annGraph]] — NN-descent rounds and beam hops
+    * unrolled as CTEs.
+    */
+  private def annGraphSql: String = {
+    val nd = (1 to NdRounds).map { k =>
+      s"""sym$k AS (SELECT src, dst FROM knn${k - 1}
+        UNION SELECT dst, src FROM knn${k - 1}),
+      cand$k AS (SELECT a.src AS src, b.dst AS dst
+          FROM sym$k a JOIN sym$k b ON a.dst = b.src AND a.src <> b.dst
+        UNION SELECT src, dst FROM sym$k),
+      sc$k AS (SELECT c.src, c.dst,
+          ${sqlDot("sv.embedding", "nv.embedding")} / (sv.nrm * nv.nrm)
+            AS cs
+        FROM cand$k c JOIN vb sv ON c.src = sv.vec_id
+          JOIN vb nv ON c.dst = nv.vec_id),
+      knn$k AS (SELECT src, dst FROM (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cs DESC, dst) AS rn FROM sc$k) t
+        WHERE rn <= $GraphM)"""
+    }.mkString(",\n      ")
+    val hops = (1 to GraphHops).map { t =>
+      s"""x$t AS (SELECT b.q_id, e.dst AS n_id
+          FROM b${t - 1} b JOIN edges e ON b.n_id = e.src
+        UNION SELECT q_id, n_id FROM b${t - 1}),
+      s$t AS (SELECT x.q_id, x.n_id,
+          ${sqlDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cs
+        FROM x$t x JOIN vb n ON x.n_id = n.vec_id
+          JOIN qv q ON x.q_id = q.q_id),
+      b$t AS (SELECT q_id, n_id, cs FROM (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cs DESC, n_id) AS rn FROM s$t) t
+        WHERE rn <= $GraphBeam)"""
+    }.mkString(",\n      ")
+    val probeList = ProbeMasks
+      .map(m => s"xor(bucket, CAST($m AS BIGINT))").mkString(", ")
+    s"""WITH $sqlNormed,
+      vb AS (SELECT vec_id, embedding, nrm, $sqlBucket AS bucket FROM v),
+      pr AS (SELECT vec_id, embedding, nrm,
+          unnest([$probeList]) AS pb
+        FROM vb),
+      pairs AS (SELECT a.vec_id AS src, n.vec_id AS dst,
+          ${sqlDot("a.embedding", "n.embedding")} / (a.nrm * n.nrm) AS cs
+        FROM pr a JOIN vb n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
+      knn0 AS (SELECT src, dst FROM (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cs DESC, dst) AS rn FROM pairs) t
+        WHERE rn <= $GraphM),
+      $nd,
+      edges AS (SELECT src, dst FROM knn$NdRounds
+        UNION SELECT dst, src FROM knn$NdRounds),
+      qv AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn,
+          bucket AS qbucket FROM vb WHERE vec_id < 20),
+      f0 AS (SELECT q_id, q_id AS n_id FROM qv
+        UNION SELECT q.q_id, e.vec_id AS n_id FROM qv q,
+          (SELECT vec_id FROM vb WHERE vec_id < $GraphEntries) e
+        UNION SELECT q.q_id, n.vec_id AS n_id FROM qv q
+          JOIN vb n ON q.qbucket = n.bucket),
+      s0 AS (SELECT f.q_id, f.n_id,
+          ${sqlDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cs
+        FROM f0 f JOIN vb n ON f.n_id = n.vec_id
+          JOIN qv q ON f.q_id = q.q_id),
+      b0 AS (SELECT q_id, n_id, cs FROM (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cs DESC, n_id) AS rn FROM s0) t
+        WHERE rn <= $GraphBeam),
+      $hops
+      SELECT q_id, n_id, CAST(rn AS BIGINT) AS rn, cs AS cosine
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cs DESC, n_id) AS rn
+        FROM b$GraphHops WHERE n_id <> q_id) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""
+  }
 }
