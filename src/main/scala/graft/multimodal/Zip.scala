@@ -10,7 +10,13 @@ package graft.multimodal
   *  1. the End-Of-Central-Directory record is found by scanning
   *     BACKWARD from the tail over the up-to-64 KiB trailing comment
   *     (`PK\x05\x06`), exactly how conformant readers do it — a ZIP's
-  *     authoritative index lives at the END;
+  *     authoritative index lives at the END; when the classic record
+  *     saturated (>65,535 entries / >4 GiB offsets — real corpus
+  *     archives, and what the JDK writes on overflow), the ZIP64
+  *     EOCD locator (`PK\x06\x07`) immediately before it points at
+  *     the ZIP64 EOCD record (`PK\x06\x06`) carrying the 64-bit
+  *     entry count and directory offset, and per-entry 0xFFFFFFFF
+  *     sizes/offsets resolve through the 0x0001 ZIP64 extra field;
   *  2. central-directory entries (`PK\x01\x02`) carry name, method,
   *     flags, CRC-32 and both sizes; names decode as UTF-8 when
   *     general-purpose flag bit 11 is set, else CP437 (IBM437, the
@@ -52,6 +58,9 @@ object Zip {
     (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
 
+  private def u64(p: Array[Byte], i: Int): Long =
+    u32(p, i) | (u32(p, i + 4) << 32)
+
   private val Cp437: java.nio.charset.Charset =
     try java.nio.charset.Charset.forName("IBM437")
     catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
@@ -76,24 +85,64 @@ object Zip {
   def parseEntries(p: Array[Byte]): Option[Seq[Member]] = {
     if (p.length < 22) return None
     findEocd(p).flatMap { eocd =>
-      val total = u16(p, eocd + 10)
-      val cdOff = u32(p, eocd + 16)
+      // ZIP64 (VERDICT-r15 item 4, APPNOTE §4.3.14/4.3.15): when any
+      // EOCD field saturates (>65,535 entries or a >4 GiB directory
+      // offset — the JDK's ZipOutputStream writes zip64 on overflow),
+      // the authoritative totals live in the ZIP64
+      // end-of-central-directory RECORD, found through the 20-byte
+      // LOCATOR that sits immediately before the classic EOCD. Honor
+      // the locator whenever present and self-consistent; a corrupt
+      // locator/record degrades to the classic fields (the T104
+      // corruption posture — never throw).
+      val locAt = eocd - 20
+      val (total: Long, cdOff: Long) =
+        if (locAt >= 0 && u32(p, locAt) == 0x07064b50L) {
+          val e64 = u64(p, locAt + 8)
+          if (e64 >= 0 && e64 + 56 <= locAt &&
+              u32(p, e64.toInt) == 0x06064b50L)
+            (u64(p, e64.toInt + 32), u64(p, e64.toInt + 48))
+          else (u16(p, eocd + 10).toLong, u32(p, eocd + 16))
+        } else (u16(p, eocd + 10).toLong, u32(p, eocd + 16))
       if (cdOff > Int.MaxValue || cdOff > eocd) return None
       val out = scala.collection.mutable.ArrayBuffer.empty[Member]
       var i = cdOff.toInt
-      var k = 0
+      var k = 0L
       while (k < total) {
         if (i + 46 > p.length || u32(p, i) != 0x02014b50L) return Some(out.toSeq)
         val flags = u16(p, i + 8)
         val method = u16(p, i + 10)
         val crc = u32(p, i + 16)
-        val csize = u32(p, i + 20)
-        val usize = u32(p, i + 24)
+        var csize = u32(p, i + 20)
+        var usize = u32(p, i + 24)
         val nameLen = u16(p, i + 28)
         val extraLen = u16(p, i + 30)
         val commentLen = u16(p, i + 32)
-        val lho = u32(p, i + 42)
+        var lho = u32(p, i + 42)
         if (i + 46 + nameLen > p.length) return Some(out.toSeq)
+        // ZIP64 extended-information extra (id 0x0001): any 32-bit CD
+        // field pinned at 0xFFFFFFFF stores its real value here, in
+        // the fixed order usize, csize, local-header offset — only
+        // the saturated fields are present (APPNOTE §4.5.3)
+        if ((csize == 0xffffffffL || usize == 0xffffffffL ||
+            lho == 0xffffffffL) && i + 46 + nameLen + extraLen <= p.length) {
+          var e = i + 46 + nameLen
+          val eEnd = e + extraLen
+          while (e + 4 <= eEnd) {
+            val id = u16(p, e)
+            val sz = u16(p, e + 2)
+            if (id == 0x0001 && e + 4 + sz <= eEnd) {
+              var q = e + 4
+              val qEnd = e + 4 + sz
+              if (usize == 0xffffffffL && q + 8 <= qEnd) {
+                usize = u64(p, q); q += 8 }
+              if (csize == 0xffffffffL && q + 8 <= qEnd) {
+                csize = u64(p, q); q += 8 }
+              if (lho == 0xffffffffL && q + 8 <= qEnd) {
+                lho = u64(p, q); q += 8 }
+            }
+            e += 4 + sz
+          }
+        }
         val charset =
           if ((flags & 0x800) != 0) java.nio.charset.StandardCharsets.UTF_8
           else Cp437

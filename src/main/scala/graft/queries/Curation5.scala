@@ -420,13 +420,19 @@ object Curation5 {
         (col("ng") + lit(StopBoostLat12) *
           coalesce(col("hits"), lit(0L))).as("score"))
     // margin verdict: candidates sorted desc, abstain under the margin
-    // (a single-profile model has no margin evidence → abstains too)
+    // (a single-profile model has no margin evidence → abstains too).
+    // try_element_at, not element_at, for the runner-up: under ANSI
+    // mode an out-of-bounds element_at THROWS, so a degenerate corpus
+    // whose train slice yields one language profile would crash here
+    // instead of abstaining; try_element_at yields NULL, the margin
+    // comparison yields NULL, and the CASE falls through to 'und' —
+    // exactly the DuckDB twin's arr[2] semantics (ADVICE r15).
     val ranked = scored.groupBy("doc_id", "lang")
       .agg(reverse(array_sort(
         collect_list(struct(col("score"), col("plang"))))).as("arr"))
       .select(col("lang").as("lang_declared"),
         when(element_at(col("arr"), 1).getField("score") -
-            element_at(col("arr"), 2).getField("score") >=
+            try_element_at(col("arr"), lit(2)).getField("score") >=
             AbstainLat12,
           element_at(col("arr"), 1).getField("plang"))
           .otherwise(lit("und")).as("lang_pred"))

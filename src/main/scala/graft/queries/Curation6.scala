@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 import Common._
 import graft.text.TextFunctions.words
@@ -75,6 +76,93 @@ object Curation6 {
   private def chain(g: Column, blk: Column, b: Long, p: Long): Column =
     aggregate(blk, g, (acc, h) => (acc * b + h) % p)
 
+  /** Round-0 neighbor resolution WITHOUT a per-group window
+    * (VERDICT-r15 item 2): the round-0 group key is the suffix's own
+    * first token, so `Window.partitionBy(gA, gB)` put every position
+    * of one token in ONE task — on a Zipf-vocabulary corpus the
+    * hottest token ("the", 3–5% of positions) owns ~10¹¹ rows of a
+    * 100 TB corpus in a single window task. But round 0 is also the
+    * one round where the group key is a PREFIX of the sort block
+    * (blk starts at the position itself), so group scoping is free:
+    * a neighbor from a different first-token group shares a 0-length
+    * block prefix by construction, exactly the 0 the old group-edge
+    * null-neighbor produced. That licenses a GLOBAL neighbor pass
+    * with no per-key task:
+    *
+    *  1. range-repartition on the full (blk, doc_id, pos) sort key —
+    *     the range partitioner splits a hot first-token run across
+    *     as many tasks as its mass demands, because the deeper sort
+    *     columns keep the keys distinct;
+    *  2. one per-partition pass (mapPartitions — genuinely
+    *     sequential lag/lead logic) stitches each row to its
+    *     in-partition neighbors and flags the ≤2 edge rows per task;
+    *  3. the edge rows (≤ 2·partitions, corpus-size-independent) get
+    *     their cross-task neighbor from one tiny single-task window
+    *     over the edge set — a subset of a total order preserves
+    *     adjacency, so an edge row's neighbor among edge rows IS its
+    *     global neighbor — and a broadcast join patches them in.
+    *
+    * Emits the input columns plus `lagB`/`leadB` (neighbor blocks,
+    * null at the corpus ends). Used by round 0 only: rounds ≥ 1 key
+    * their windows on 2×~30-bit gid chains over ≥16-token prefixes,
+    * where the group IS required scoping (the block no longer
+    * contains the group key) and hot keys require a corpus with a
+    * massively duplicated ≥16-token block — the geometric-decay
+    * regime the r24 probe pins.
+    */
+  private def globalNeighbors(df: DataFrame): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols = Seq(col("blk"), col("doc_id"), col("pos"))
+    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val inSchema = sorted.schema
+    val outSchema = inSchema
+      .add("lagB", ArrayType(LongType))
+      .add("leadB", ArrayType(LongType))
+      .add("edge", IntegerType) // bit 1 = task-first, bit 2 = task-last
+    val blkIdx = inSchema.fieldIndex("blk")
+    val paired = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else new Iterator[Row] {
+        private val buf = it.buffered
+        private var prevBlk: Any = null
+        private var first = true
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val cur = buf.next()
+          val leadB = if (buf.hasNext) buf.head.get(blkIdx) else null
+          val edge = (if (first) 1 else 0) | (if (!buf.hasNext) 2 else 0)
+          val r = Row.fromSeq(cur.toSeq ++ Seq(prevBlk, leadB, edge))
+          prevBlk = cur.get(blkIdx)
+          first = false
+          r
+        }
+      }
+    }(Encoders.row(outSchema))
+    // pinned: consumed by the edge extraction AND the patch join —
+    // without the pin each consumer would re-run the corpus-sized
+    // range exchange
+    val pinned = Common.checkpointSer(paired)
+    // cross-task stitching: ≤ 2 edge rows per task. In the edge set's
+    // own (blk, doc_id, pos) order, a task-last row's successor is
+    // the first row of the next non-empty task and a task-first row's
+    // predecessor is the previous task's last row — empty range
+    // partitions simply contribute nothing. Single-task window over a
+    // corpus-size-independent frame.
+    val wEdge = Window.orderBy(sortCols: _*)
+    val patch = pinned.filter(col("edge") > 0)
+      .select((Seq(col("doc_id"), col("pos"), col("blk"), col("edge"))): _*)
+      .withColumn("extLagB", when(col("edge").bitwiseAND(1) === 1,
+        lag(col("blk"), 1).over(wEdge)))
+      .withColumn("extLeadB", when(col("edge").bitwiseAND(2) === 2,
+        lead(col("blk"), 1).over(wEdge)))
+      .select(col("doc_id"), col("pos"), col("extLagB"), col("extLeadB"))
+    pinned.join(broadcast(patch), Seq("doc_id", "pos"), "left")
+      .withColumn("lagB", coalesce(col("lagB"), col("extLagB")))
+      .withColumn("leadB", coalesce(col("leadB"), col("extLeadB")))
+      .drop("extLagB", "extLeadB", "edge")
+  }
+
   private[graft] def exactDup(s: SparkSession, d: String): DataFrame =
     exactDupFrom(table(s, d, "documents"))
 
@@ -100,10 +188,7 @@ object Curation6 {
 
     for (r <- 0 until Rounds) {
       val off = r * BlockLen
-      val wOrd = Window.partitionBy("gA", "gB")
-        .orderBy(col("blk"), col("doc_id"), col("pos"))
-      val wSub = Window.partitionBy("ngA", "ngB")
-      val scored = tied.join(docsH, "doc_id")
+      val based = tied.join(docsH, "doc_id")
         .withColumn("blk", slice(col("hs"), col("pos") + lit(off),
           least(lit(BlockLen), col("rem") - lit(off)).cast("int")))
         .drop("hs")
@@ -112,18 +197,46 @@ object Curation6 {
           when(col("full"), chain(col("gA"), col("blk"), B1, P1)))
         .withColumn("ngB",
           when(col("full"), chain(col("gB"), col("blk"), B2, P2)))
-        .withColumn("lagB", lag(col("blk"), 1).over(wOrd))
-        .withColumn("leadB", lead(col("blk"), 1).over(wOrd))
-        .withColumn("best", greatest(pl(col("blk"), col("lagB")),
-          pl(col("blk"), col("leadB"))))
-        .withColumn("sgc",
-          count(when(col("full"), lit(1))).over(wSub))
-        .transform(Common.checkpointSer) // dead slice + next round
-      dead += scored.filter(!col("full") || col("sgc") < 2)
+      // round 0: range-balanced global neighbors (no per-token window
+      // task — VERDICT-r15 item 2); rounds ≥1: per-group windows on
+      // the 2×~30-bit gid chains, where the group is required scoping
+      val nbrs =
+        if (r == 0) globalNeighbors(based)
+        else {
+          val wOrd = Window.partitionBy("gA", "gB")
+            .orderBy(col("blk"), col("doc_id"), col("pos"))
+          based.withColumn("lagB", lag(col("blk"), 1).over(wOrd))
+            .withColumn("leadB", lead(col("blk"), 1).over(wOrd))
+        }
+      val withBest = nbrs.withColumn("best",
+        greatest(pl(col("blk"), col("lagB")), pl(col("blk"), col("leadB"))))
+      // r==0's heavy subtree is already pinned inside globalNeighbors;
+      // later rounds pin here so the dead slice and the sgc join both
+      // read the window output once
+      val withBestC =
+        if (r == 0) withBest else Common.checkpointSer(withBest)
+      dead += withBestC.filter(!col("full"))
         .select(col("doc_id"),
           (lit(off.toLong) + col("best")).as("maxdup"),
           lit(0).as("sat"))
-      tied = scored.filter(col("full") && col("sgc") >= 2)
+      // subgroup size by partial-agg groupBy + join, NOT a window
+      // (VERDICT-r15 item 2): a window partitioned on (ngA, ngB) puts
+      // a massively duplicated block's whole subgroup in one task; the
+      // groupBy combines map-side and the join back is an AQE
+      // skew-splittable shuffle join. Projected narrow first — the
+      // blocks and neighbor blocks stay out of both exchanges.
+      val fullRows = withBestC.filter(col("full"))
+        .select(col("doc_id"), col("pos"), col("rem"),
+          col("ngA"), col("ngB"), col("best"))
+      val cnt = fullRows.groupBy("ngA", "ngB")
+        .agg(count(lit(1)).as("sgc"))
+      val joined =
+        Common.checkpointSer(fullRows.join(cnt, Seq("ngA", "ngB")))
+      dead += joined.filter(col("sgc") < 2)
+        .select(col("doc_id"),
+          (lit(off.toLong) + col("best")).as("maxdup"),
+          lit(0).as("sat"))
+      tied = joined.filter(col("sgc") >= 2)
         .select(col("doc_id"), col("pos"), col("rem"),
           col("ngA").as("gA"), col("ngB").as("gB"))
     }

@@ -87,6 +87,14 @@ object Embeddings {
   private val GraphHops = 3 // fixed expand-score-prune rounds
   private val GraphEntries = 4 // fixed entry nodes: vec_id < 4
   private val NdRounds = 2 // NN-descent refinement rounds
+  /** Seed-join occupancy cap (VERDICT-r15 item 3): each LSH bucket
+    * contributes at most this many (lowest-id) members to the seed
+    * join's candidate side, so per-bucket candidate mass is
+    * occupancy × cap, never occupancy². Binds at sf0.1 (mean
+    * occupancy ~7.8 over 256 buckets); recall re-calibrated with the
+    * cap binding in BASELINE.md r16.
+    */
+  private val GraphSeedCap = 6
   /** XOR masks of the Hamming≤2 ball over the 8-bit bucket space. */
   private val ProbeMasks: Seq[Long] =
     0L +: (0 until 8).map(p => 1L << p) ++:
@@ -562,8 +570,12 @@ ${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         "listed as the one optional ANN gap since r12): a navigable " +
         "k-NN graph is BUILT from the corpus — seeded per node with " +
         s"the top-$GraphM cosine neighbors among its Hamming≤2 " +
-        "multi-probe LSH neighborhood (37 buckets/node, candidates " +
-        "bounded by bucket occupancy, never all-pairs), then REFINED " +
+        "multi-probe LSH neighborhood (37 buckets/node; the candidate " +
+        s"side keeps each bucket's $GraphSeedCap lowest-id members — " +
+        "the q108 occupancy cap adapted to ANN, so per-bucket " +
+        "candidate mass is occupancy × cap, never occupancy² — " +
+        "declared capped-recall semantics, never all-pairs), then " +
+        "REFINED " +
         s"by $NdRounds rounds of NN-descent (Dong et al.: re-rank " +
         "each node against neighbors ∪ neighbors-of-neighbors, " +
         "symmetrized — candidate volume deg² per node per round), " +
@@ -621,7 +633,34 @@ ${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       .select(col("src"), col("dst"),
         Vectors.cosinePre(graft.functions.Dot(s, col("se"), col("ne")),
           col("sn"), col("nn")).as("cs"))
-    // ---- build seed: per-node top-M among the Hamming≤2 probes
+    // ---- build seed: per-node top-M among the Hamming≤2 probes.
+    // Seed-join occupancy cap (VERDICT-r15 item 3 — the q108
+    // maxBucket discipline adapted to ANN): uncapped, candidate pairs
+    // per bucket are occupancy², and a near-dup-heavy corpus — the
+    // exact thing a dedup pipeline ingests — concentrates mass in hot
+    // buckets. The candidate side keeps only each bucket's
+    // GraphSeedCap lowest-id members: deterministic, declared
+    // capped-recall semantics (every node still probes 37 buckets as
+    // a source, so seed coverage survives; NN-descent re-finds edges
+    // past the cap). Truncation, not q108's whole-bucket drop —
+    // dropping buckets at uniform occupancy would zero the seed graph
+    // exactly where ANN still works. The bottom-k itself is a
+    // two-level salted aggregate, not a per-bucket rank window: the
+    // cap computation must not recreate the one-task-per-hot-bucket
+    // shape it exists to kill. Its output (≤ buckets × cap ids) is a
+    // broadcast.
+    val cappedIds = {
+      val lvl1 = v.select(col("vec_id"), col("bucket"))
+        .groupBy(col("bucket"), pmod(col("vec_id"), lit(64)).as("salt"))
+        .agg(slice(array_sort(collect_list(col("vec_id"))), 1,
+          GraphSeedCap).as("ids"))
+      lvl1.groupBy("bucket")
+        .agg(slice(array_sort(flatten(collect_list(col("ids")))), 1,
+          GraphSeedCap).as("ids"))
+        .select(explode(col("ids")).as("cid"))
+    }
+    val nsideCap = nside.join(broadcast(cappedIds),
+      col("n_id") === col("cid")).drop("cid")
     val probeArr = array(ProbeMasks.map(m =>
       col("bucket").bitwiseXOR(lit(m))): _*)
     // the whole build is EAGER (checkpoint-terminated) and its frames
@@ -630,7 +669,7 @@ ${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
     val edges = Common.withDrainShuffle(s) {
       val pairs = v.select(col("vec_id"), col("e"), col("nrm"),
           explode(probeArr).as("pb"))
-        .join(nside, col("pb") === col("nbucket") &&
+        .join(nsideCap, col("pb") === col("nbucket") &&
           col("vec_id") =!= col("n_id"))
         .select(col("vec_id").as("src"), col("n_id").as("dst"),
           Vectors.cosinePre(graft.functions.Dot(s, col("e"), col("ne")),
@@ -728,12 +767,16 @@ ${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       .map(m => s"xor(bucket, CAST($m AS BIGINT))").mkString(", ")
     s"""WITH $sqlNormed,
       vb AS (SELECT vec_id, embedding, nrm, $sqlBucket AS bucket FROM v),
+      vbc AS (SELECT vec_id, embedding, nrm, bucket FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+            ORDER BY vec_id) AS rnb FROM vb) t
+        WHERE rnb <= $GraphSeedCap),
       pr AS (SELECT vec_id, embedding, nrm,
           unnest([$probeList]) AS pb
         FROM vb),
       pairs AS (SELECT a.vec_id AS src, n.vec_id AS dst,
           ${sqlDot("a.embedding", "n.embedding")} / (a.nrm * n.nrm) AS cs
-        FROM pr a JOIN vb n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
+        FROM pr a JOIN vbc n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
       knn0 AS (SELECT src, dst FROM (SELECT *,
           ROW_NUMBER() OVER (PARTITION BY src
             ORDER BY cs DESC, dst) AS rn FROM pairs) t

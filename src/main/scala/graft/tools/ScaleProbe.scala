@@ -71,8 +71,8 @@ object ScaleProbe {
     // edit blocks, incremental cc), "r5" (bm25, semdedup, chunker), or
     // "all"
     val fam = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
-    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22", "r23", "r24")(fam),
-      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22, r23, r24")
+    require(Set("all", "core", "pipeline", "cc", "r4", "r5", "r6", "r7", "r8", "r9", "r10", "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18", "r19", "r20", "r21", "r22", "r23", "r24", "r25")(fam),
+      s"SPARK_GRAFT_PROBES=$fam — valid families: all, core, pipeline, cc, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21, r22, r23, r24, r25")
     val doCore = fam == "all" || fam == "core"
     val doPipe = fam == "all" || fam == "pipeline"
     val doCC = fam == "all" || fam == "cc"
@@ -97,6 +97,7 @@ object ScaleProbe {
     val doR22 = fam == "all" || fam == "r22"
     val doR23 = fam == "all" || fam == "r23"
     val doR24 = fam == "all" || fam == "r24"
+    val doR25 = fam == "all" || fam == "r25"
 
     for (mult <- mults) {
       println(s"[scale] ===== multiplier ${mult}x over $sfDir =====")
@@ -1761,6 +1762,88 @@ object ScaleProbe {
           .groupBy("doc_id", "lang")
           .agg(sum(col("nb") * col("w")))
           .count()
+      }
+      }
+
+      if (doR25) {
+      // --- round-16 (q280 round-0 skew, VERDICT-r15 item 2) ---
+      import spark.implicits._
+      // Deterministic Zipf(s=1) corpus over a 1000-word vocabulary
+      // (inverse-CDF over harmonic weights, LCG-driven): the hottest
+      // token owns ~13% of positions — well past the "the"-at-3–5%
+      // natural-text regime the verdict flagged. The old round-0
+      // window (partitionBy on the position's own first token) puts
+      // that entire 13% in ONE task; the range-partitioned global
+      // neighbor pass must split it across tasks because the deeper
+      // (blk, doc_id, pos) sort columns keep the keys distinct.
+      val zipfBase = {
+        val V = 1000
+        val harm = (1 to V).map(1.0 / _)
+        val cdf = harm.scanLeft(0.0)(_ + _).tail.map(_ / harm.sum).toArray
+        var seed = 0x9E3779B97F4A7C15L
+        def nextU(): Double = {
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          (seed >>> 11).toDouble / (1L << 53).toDouble
+        }
+        def rank(u: Double): Int = {
+          val i = java.util.Arrays.binarySearch(cdf, u)
+          (if (i >= 0) i else -i - 1) + 1
+        }
+        (0 until 1000).map { d =>
+          val sb = new StringBuilder
+          var t = 0
+          while (t < 200) {
+            sb.append('w').append(rank(nextU())).append(' '); t += 1 }
+          (d.toLong, sb.toString.trim)
+        }
+      }.toDF("doc_id", "text")
+      // rep-token interleave (the r23/r24 discipline) decorrelates
+      // replicas; the interleave token is itself 50% of each
+      // replica's positions — an even harsher single-key stress
+      val zipfDocs = zipfBase
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" z"), col("rep").cast("string"), lit(" ")))
+            .as("text"))
+        .localCheckpoint()
+      // the skew evidence: hottest first-token mass vs the largest
+      // range-partition task of round 0's global neighbor sort — the
+      // number that shows no single task owns a hot token's group
+      time(s"zipf round-0 range balance x$mult") {
+        val hs = zipfDocs
+          .select(col("doc_id"),
+            graft.text.TextFunctions.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 1)
+          .select(col("doc_id"), transform(col("ws"),
+            w => graft.queries.Common.hash32(w)).as("hs"))
+        val pos = hs.select(col("doc_id"),
+            explode(sequence(lit(1), size(col("hs")))).as("pos"),
+            col("hs"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            element_at(col("hs"), col("pos")).as("gA"),
+            slice(col("hs"), col("pos"),
+              least(lit(16), size(col("hs")) - col("pos") + 1)
+                .cast("int")).as("blk"))
+          .localCheckpoint()
+        val tot = pos.count()
+        val hot = pos.groupBy("gA").agg(count(lit(1)).as("c"))
+          .agg(max("c")).as[Long].head()
+        val parts = pos
+          .repartitionByRange(32, col("blk"), col("doc_id"), col("pos"))
+          .groupBy(spark_partition_id().as("pid"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max("c"), count(lit(1))).as[(Long, Long)].head()
+        println(f"[scale]   positions=$tot hottest-token=${
+          100.0 * hot / tot}%.1f%% max-range-task=${
+          100.0 * parts._1 / tot}%.1f%% over ${parts._2} tasks")
+        tot
+      }
+      // end-to-end on the Zipf corpus: wall + shuffle rows must stay
+      // linear in mult even with a 13%-mass token (the old plan's
+      // round-0 window task would serialize here)
+      time(s"zipf exact-dup rounds x$mult") {
+        graft.queries.Curation6.exactDupFrom(zipfDocs).count()
       }
       }
     }
