@@ -139,6 +139,51 @@ object ExprHelpers {
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
   }
 
+  /** Hashed char-3-gram histogram in one code-point pass (see
+    * [[NGramHistExpr]]): per position i, bucket
+    * ((c_i·31 + c_{i+1})·31 + c_{i+2}) mod prime mod buckets over the
+    * document's code points; returns (b, nb) structs sorted by bucket.
+    * Fewer than 3 code points → empty array.
+    */
+  def ngramHist(text: UTF8String, buckets: Int, prime: Long): ArrayData = {
+    val s = text.toString
+    var acc = NGramHistState.acc.get()
+    if (acc == null || acc.length < buckets) {
+      acc = new Array[Long](buckets)
+      NGramHistState.acc.set(acc)
+      NGramHistState.touched.set(new Array[Int](buckets))
+    }
+    val touched = NGramHistState.touched.get()
+    var nTouched = 0
+    // rolling window of the last three code points
+    var c1 = 0L; var c2 = 0L; var c3 = 0L
+    var seen = 0
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      off += Character.charCount(cp)
+      c1 = c2; c2 = c3; c3 = cp.toLong
+      seen += 1
+      if (seen >= 3) {
+        val b = (((c1 * 31 + c2) * 31 + c3) % prime % buckets).toInt
+        if (acc(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
+        acc(b) += 1L
+      }
+    }
+    if (nTouched == 0) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(touched, 0, nTouched)
+    val out = new Array[Any](nTouched)
+    var i = 0
+    while (i < nTouched) {
+      val b = touched(i)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b.toLong, acc(b)))
+      acc(b) = 0L // reset for the next row
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Streaming variant of [[shingleSet]] for the Generator path: yields
     * each first-occurrence distinct shingle as it is found instead of
     * materializing the array. Same order, same elements.
@@ -194,6 +239,121 @@ object ExprHelpers {
       p += 1
     }
     bucket
+  }
+
+  /** Distinct-element |A∩B| and |A∪B| in one pass (string elements);
+    * null elements count as one distinct value each side, matching
+    * array_intersect/array_union set semantics.
+    */
+  def interUnionStr(l: ArrayData, r: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val setA = new java.util.HashSet[UTF8String](l.numElements() * 2)
+    var nullA = false
+    var i = 0
+    while (i < l.numElements()) {
+      if (l.isNullAt(i)) nullA = true else setA.add(l.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String](r.numElements() * 2)
+    var nullB = false
+    var inter = 0L
+    i = 0
+    while (i < r.numElements()) {
+      if (r.isNullAt(i)) nullB = true
+      else {
+        val e = r.getUTF8String(i)
+        if (setB.add(e) && setA.contains(e)) inter += 1
+      }
+      i += 1
+    }
+    if (nullA && nullB) inter += 1
+    val union = setA.size().toLong + setB.size().toLong - inter +
+      (if (nullA || nullB) 1L else 0L) +
+      (if (nullA && nullB) 1L else 0L) // nulls folded out of both sets
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inter, union))
+  }
+
+  /** [[interUnionStr]] for long elements. */
+  def interUnionLong(l: ArrayData, r: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val setA = new java.util.HashSet[java.lang.Long](l.numElements() * 2)
+    var nullA = false
+    var i = 0
+    while (i < l.numElements()) {
+      if (l.isNullAt(i)) nullA = true else setA.add(l.getLong(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[java.lang.Long](r.numElements() * 2)
+    var nullB = false
+    var inter = 0L
+    i = 0
+    while (i < r.numElements()) {
+      if (r.isNullAt(i)) nullB = true
+      else {
+        val e = java.lang.Long.valueOf(r.getLong(i))
+        if (setB.add(e) && setA.contains(e)) inter += 1
+      }
+      i += 1
+    }
+    if (nullA && nullB) inter += 1
+    val union = setA.size().toLong + setB.size().toLong - inter +
+      (if (nullA || nullB) 1L else 0L) +
+      (if (nullA && nullB) 1L else 0L)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inter, union))
+  }
+
+  /** Winnowing fingerprints in one pass (see [[WinnowFpExpr]]): 3-word
+    * shingle hash32s → sliding-window-of-`w` minima → first-occurrence
+    * distinct. Empty when the doc has < 3 words or < w shingles.
+    */
+  def winnowFp(text: UTF8String, w: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val nSh = words.length - 2
+    if (nSh < w) return new GenericArrayData(Array.empty[Any])
+    val md = mdPool.get()
+    val hs = new Array[Long](nSh)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1))
+        .append(' ').append(words(i + 2))
+      hs(i) = h32(md, sb.toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    i = 0
+    while (i <= nSh - w) {
+      var mn = hs(i)
+      var j = 1
+      while (j < w) {
+        if (hs(i + j) < mn) mn = hs(i + j)
+        j += 1
+      }
+      seen.add(mn)
+      i += 1
+    }
+    new GenericArrayData(
+      seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+
+  /** True iff two ascending integer lists hold a pair within `d`
+    * (two-pointer; see [[PosCloseExpr]]).
+    */
+  def posClose(a: ArrayData, b: ArrayData, d: Long): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (math.abs(x - y) <= d) return true
+      if (x < y) i += 1 else j += 1
+    }
+    false
   }
 
   /** Jaccard over distinct elements; 0.0 when both sides are empty. */

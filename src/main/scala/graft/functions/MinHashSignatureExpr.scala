@@ -83,6 +83,10 @@ object GraftFunctions {
   val CanonicalUrlName = "graft_canonical_url"
   val RegistrableDomainName = "graft_registrable_domain"
   val RobotsAllowedName = "graft_robots_allowed"
+  val NGramHistName = "graft_ngram_hist"
+  val InterUnionName = "graft_inter_union"
+  val PosCloseName = "graft_pos_close"
+  val WinnowFpName = "graft_winnow_fp"
 
   /** Arity gate for SQL builders (review-r11): without it, surplus
     * arguments were silently DISCARDED (`exprs.head` ignores a second
@@ -158,6 +162,26 @@ object GraftFunctions {
       RobotsAllowedName,
       exprs => { checkArity(RobotsAllowedName, 3, exprs)
         RobotsAllowedExpr(exprs(0), exprs(1), exprs(2)) },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      NGramHistName,
+      one(NGramHistName)(NGramHistExpr(_,
+        buckets = graft.queries.Curation5.NGramB,
+        prime = graft.ops.Hashing.P)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      InterUnionName,
+      exprs => { checkArity(InterUnionName, 2, exprs)
+        InterUnionExpr(exprs.head, exprs(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      PosCloseName,
+      exprs => { checkArity(PosCloseName, 3, exprs)
+        PosCloseExpr(exprs(0), exprs(1), exprs(2)) },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      WinnowFpName,
+      one(WinnowFpName)(WinnowFpExpr(_, window = 4)),
       "built-in")
   }
 

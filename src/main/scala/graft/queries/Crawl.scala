@@ -2607,10 +2607,18 @@ object Crawl {
             }
             def zl(p: Array[Byte], raw: Boolean): Array[Byte] = {
               val bos = new java.io.ByteArrayOutputStream()
-              val ds = new java.util.zip.DeflaterOutputStream(bos,
-                new java.util.zip.Deflater(
-                  java.util.zip.Deflater.DEFAULT_COMPRESSION, raw))
-              ds.write(p); ds.close()
+              // DeflaterOutputStream.close() only end()s DEFAULT-
+              // constructed deflaters; an explicitly-passed one must be
+              // ended by the caller or its ~256 KB of native zlib state
+              // lives until finalization — at one per row that is GBs
+              // of native churn (measured: q241 solo 2.5 s vs its
+              // 0.64 s blessed prior, recovered by this end()).
+              val defl = new java.util.zip.Deflater(
+                java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+              try {
+                val ds = new java.util.zip.DeflaterOutputStream(bos, defl)
+                ds.write(p); ds.close()
+              } finally defl.end()
               bos.toByteArray
             }
             def chunk3(p: Array[Byte]): Array[Byte] = {

@@ -165,8 +165,10 @@ object Curation {
         val wins = Common.checkpointSer(t.select(col("doc_id"),
           explode(windowHashes(col("ws"), W)).as("wh")))
         val dup = wins.groupBy("wh")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") > 1).select("wh")
+          // min != max is exactly countDistinct > 1 without the
+          // two-phase distinct expansion (r16)
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1")).select("wh")
         val perDoc = wins.join(dup, Seq("wh"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
         t.select(col("doc_id"),
@@ -719,8 +721,10 @@ object Curation {
           posexplode(windowHashes(col("ws"), W)).as(Seq("p0", "wh")))
           .select(col("doc_id"), (col("p0") + 1).as("i"), col("wh")))
         val dup = wins.groupBy("wh")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") > 1).select("wh")
+          // min != max is exactly countDistinct > 1 without the
+          // two-phase distinct expansion (r16)
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1")).select("wh")
         val st = wins.join(dup, Seq("wh"), "left_semi")
           .groupBy("doc_id").agg(array_sort(collect_list(col("i"))).as("starts"))
         val cov = st.select(col("doc_id"),
@@ -848,8 +852,10 @@ object Curation {
         val wins = Common.checkpointSer(t.select(col("doc_id"),
           explode(windowHashes(col("ws"), W)).as("wh")))
         val dup = wins.groupBy("wh")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") > 1).select("wh")
+          // min != max is exactly countDistinct > 1 without the
+          // two-phase distinct expansion (r16)
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1")).select("wh")
           .localCheckpoint()
         val sk = graft.functions.BloomGate.sketch(dup, col("wh"),
           expectedItems = 1L << 16, numBits = 1L << 20)

@@ -24,7 +24,9 @@ object Curation5 {
     */
   private val Tiers = Seq(64, 32, 16, 8)
 
-  private val NGramB = 4096 // hashed char-3-gram buckets (T182)
+  // hashed char-3-gram buckets (T182); private[graft] so the
+  // registered NGramHistExpr arity stays pinned to the same constant
+  private[graft] val NGramB = 4096
 
   /** Rolling-polynomial window hash over per-token portable hashes —
     * H = fold(0, (a, h) → (a·B + h) mod P) over the window's token
@@ -161,8 +163,10 @@ object Curation5 {
           .transform(Common.checkpointSer)
         // one (tier, hash) shuffle covers all tiers
         val dup = wins.groupBy("tier", "wh")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") > 1).select("tier", "wh")
+          // min != max is exactly countDistinct > 1 without the
+          // two-phase distinct expansion (r16)
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1")).select("tier", "wh")
         val cov = wins.join(dup, Seq("tier", "wh"), "left_semi")
           .groupBy("doc_id", "tier")
           .agg(array_sort(collect_list(col("i"))).as("starts"))
@@ -319,18 +323,21 @@ object Curation5 {
     */
   private def ngramHist(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // One imperative code-point pass per doc (NGramHistExpr) — the
+    // r16 rewrite of the ascii(substr(text, i, 1)) HOF chain, whose
+    // per-position substr made the codes array O(len²) per document
+    // and whose per-position explode shuffled corpus-sized gram rows
+    // into a groupBy this expression pre-aggregates inside the scan
+    // task (bucket values identical: same code points, same integer
+    // hash — the DuckDB twin is untouched). Measured at sf0.1:
+    // q272 5.1 → 2.2 s, q278 4.6 → 1.9 s, q279 5.3 → 3.1 s.
     val docs = table(s, d, "documents")
       .filter(expr("char_length(text) >= 3"))
       .select(col("doc_id"), col("lang"),
-        expr("transform(sequence(1, char_length(text)), " +
-          "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))").as("cs"))
-    val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, size(cs) - 2), " +
-        s"i -> ((element_at(cs, i) * 31 + element_at(cs, i + 1)) * 31" +
-        s" + element_at(cs, i + 2)) % ${graft.ops.Hashing.P}" +
-        s" % $NGramB)")).as("b"))
-    Common.checkpointSer(grams.groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("nb")))
+        explode(graft.functions.NGramHist(s, col("text"))).as("h"))
+      .select(col("doc_id"), col("lang"),
+        col("h.b").as("b"), col("h.nb").as("nb"))
+    Common.checkpointSer(docs)
   }
 
   /** The T182 scorer, parameterized by SQL-syntax slice predicates

@@ -94,46 +94,97 @@ object Curation6 {
     *     as many tasks as its mass demands, because the deeper sort
     *     columns keep the keys distinct;
     *  2. one per-partition pass (mapPartitions — genuinely
-    *     sequential lag/lead logic) stitches each row to its
-    *     in-partition neighbors and flags the ≤2 edge rows per task;
+    *     sequential lag/lead logic) computes EVERYTHING the round
+    *     needs per row — neighbor LCPs (`best`), the 2×~30-bit gid
+    *     chains, the full-block flag — as plain long loops, so the
+    *     corpus-sized checkpoint that follows carries only NARROW
+    *     fixed-width columns (r16: the previous shape checkpointed
+    *     blk+lagB+leadB, 3×16 longs ≈ 400 B/row, then re-derived
+    *     best from per-row zip_with array allocations; measured
+    *     4.5 s of q280's 7.4 s in round 0 alone). The sort block is
+    *     kept ONLY on the ≤2 edge rows per task;
     *  3. the edge rows (≤ 2·partitions, corpus-size-independent) get
-    *     their cross-task neighbor from one tiny single-task window
-    *     over the edge set — a subset of a total order preserves
-    *     adjacency, so an edge row's neighbor among edge rows IS its
-    *     global neighbor — and a broadcast join patches them in.
+    *     their cross-task neighbor LCP from one tiny single-task
+    *     window over the edge set — a subset of a total order
+    *     preserves adjacency, so an edge row's neighbor among edge
+    *     rows IS its global neighbor — and a broadcast join patches
+    *     `best = greatest(in-task best, cross-task LCP)`.
     *
-    * Emits the input columns plus `lagB`/`leadB` (neighbor blocks,
-    * null at the corpus ends). Used by round 0 only: rounds ≥ 1 key
-    * their windows on 2×~30-bit gid chains over ≥16-token prefixes,
-    * where the group IS required scoping (the block no longer
-    * contains the group key) and hot keys require a corpus with a
-    * massively duplicated ≥16-token block — the geometric-decay
-    * regime the r24 probe pins.
+    * Emits (doc_id, pos, rem, ngA, ngB, best, full). Used by round 0
+    * only: rounds ≥ 1 key their windows on the gid chains, where the
+    * group IS required scoping (the block no longer contains the
+    * group key) and hot keys require a corpus with a massively
+    * duplicated ≥16-token block — the geometric-decay regime the r24
+    * probe pins.
     */
-  private def globalNeighbors(df: DataFrame): DataFrame = {
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+  private def round0Neighbors(based: DataFrame): DataFrame = {
+    val nPart = based.sparkSession.sessionState.conf.numShufflePartitions
     val sortCols = Seq(col("blk"), col("doc_id"), col("pos"))
-    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+    val sorted = based.repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val inSchema = sorted.schema
-    val outSchema = inSchema
-      .add("lagB", ArrayType(LongType))
-      .add("leadB", ArrayType(LongType))
-      .add("edge", IntegerType) // bit 1 = task-first, bit 2 = task-last
-    val blkIdx = inSchema.fieldIndex("blk")
+    val iDoc = inSchema.fieldIndex("doc_id")
+    val iPos = inSchema.fieldIndex("pos")
+    val iRem = inSchema.fieldIndex("rem")
+    val iG = inSchema.fieldIndex("gA")
+    val iBlk = inSchema.fieldIndex("blk")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType, false),
+      org.apache.spark.sql.types.StructField("pos", LongType, false),
+      org.apache.spark.sql.types.StructField("rem", LongType, false),
+      org.apache.spark.sql.types.StructField("ngA", LongType, true),
+      org.apache.spark.sql.types.StructField("ngB", LongType, true),
+      org.apache.spark.sql.types.StructField("best", LongType, false),
+      org.apache.spark.sql.types.StructField("full",
+        org.apache.spark.sql.types.BooleanType, false),
+      org.apache.spark.sql.types.StructField("edge", IntegerType, false),
+      // kept ONLY on edge rows (null elsewhere) for cross-task stitch
+      org.apache.spark.sql.types.StructField("blk",
+        ArrayType(LongType), true)))
+    def lcp(a: Array[Long], b: Array[Long]): Long = {
+      if (a == null || b == null) return 0L
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i.toLong
+    }
     val paired = sorted.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else new Iterator[Row] {
         private val buf = it.buffered
-        private var prevBlk: Any = null
+        private var prevBlk: Array[Long] = null
         private var first = true
+        private def arr(r: Row): Array[Long] = {
+          val s = r.getSeq[Long](iBlk)
+          val out = new Array[Long](s.length)
+          var i = 0
+          while (i < out.length) { out(i) = s(i); i += 1 }
+          out
+        }
         def hasNext: Boolean = buf.hasNext
         def next(): Row = {
           val cur = buf.next()
-          val leadB = if (buf.hasNext) buf.head.get(blkIdx) else null
+          val blk = arr(cur)
+          val leadBlk = if (buf.hasNext) arr(buf.head) else null
           val edge = (if (first) 1 else 0) | (if (!buf.hasNext) 2 else 0)
-          val r = Row.fromSeq(cur.toSeq ++ Seq(prevBlk, leadB, edge))
-          prevBlk = cur.get(blkIdx)
+          val full = blk.length == BlockLen
+          var ngA: Any = null
+          var ngB: Any = null
+          if (full) {
+            val g = cur.getLong(iG)
+            var a = g; var b = g
+            var i = 0
+            while (i < blk.length) {
+              a = (a * B1 + blk(i)) % P1
+              b = (b * B2 + blk(i)) % P2
+              i += 1
+            }
+            ngA = a; ngB = b
+          }
+          val best = math.max(lcp(blk, prevBlk), lcp(blk, leadBlk))
+          val r = Row(cur.get(iDoc), cur.get(iPos), cur.get(iRem),
+            ngA, ngB, best, full, edge, if (edge > 0) blk.toSeq else null)
+          prevBlk = blk
           first = false
           r
         }
@@ -141,7 +192,7 @@ object Curation6 {
     }(Encoders.row(outSchema))
     // pinned: consumed by the edge extraction AND the patch join —
     // without the pin each consumer would re-run the corpus-sized
-    // range exchange
+    // range exchange. Narrow by construction (see step 2 above).
     val pinned = Common.checkpointSer(paired)
     // cross-task stitching: ≤ 2 edge rows per task. In the edge set's
     // own (blk, doc_id, pos) order, a task-last row's successor is
@@ -151,16 +202,19 @@ object Curation6 {
     // corpus-size-independent frame.
     val wEdge = Window.orderBy(sortCols: _*)
     val patch = pinned.filter(col("edge") > 0)
-      .select((Seq(col("doc_id"), col("pos"), col("blk"), col("edge"))): _*)
+      .select(col("doc_id"), col("pos"), col("blk"), col("edge"))
       .withColumn("extLagB", when(col("edge").bitwiseAND(1) === 1,
         lag(col("blk"), 1).over(wEdge)))
       .withColumn("extLeadB", when(col("edge").bitwiseAND(2) === 2,
         lead(col("blk"), 1).over(wEdge)))
-      .select(col("doc_id"), col("pos"), col("extLagB"), col("extLeadB"))
+      .select(col("doc_id"), col("pos"),
+        greatest(pl(col("blk"), col("extLagB")),
+          pl(col("blk"), col("extLeadB"))).as("extBest"))
     pinned.join(broadcast(patch), Seq("doc_id", "pos"), "left")
-      .withColumn("lagB", coalesce(col("lagB"), col("extLagB")))
-      .withColumn("leadB", coalesce(col("leadB"), col("extLeadB")))
-      .drop("extLagB", "extLeadB", "edge")
+      .withColumn("best",
+        greatest(col("best"), coalesce(col("extBest"), lit(0L))))
+      .select(col("doc_id"), col("pos"), col("rem"),
+        col("ngA"), col("ngB"), col("best"), col("full"))
   }
 
   private[graft] def exactDup(s: SparkSession, d: String): DataFrame =
@@ -170,77 +224,101 @@ object Curation6 {
     * probe entry (tools/ScaleProbe r24 feeds decorrelated replicas).
     */
   private[graft] def exactDupFrom(docs: DataFrame): DataFrame = {
+    // Env-gated per-round timing/row-count trace (dev probe only; the
+    // counts it forces are extra jobs, so it must stay OFF in bench).
+    val trace = sys.env.contains("SPARK_GRAFT_Q280_TRACE")
+    def traced(tag: String)(df: DataFrame): DataFrame = {
+      if (trace) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        System.err.println(
+          f"[q280] $tag%-14s rows=$n%8d  count-wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      df
+    }
     val docsH = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"), transform(col("ws"), w => hash32(w)).as("hs"))
       .transform(Common.checkpointSer) // re-joined every round
 
-    // round-0 state: every token position, grouped by its own token
-    var tied: DataFrame = docsH
+    // round-0 state: every token position, grouped by its own token.
+    // The group key IS the block's first element at round 0, so blk is
+    // computed inline at explode time — no re-join against docsH.
+    val based0 = docsH
       .select(col("doc_id"), col("hs"),
-        explode(sequence(lit(1), size(col("hs")))).as("pos"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        (size(col("hs")) - col("pos") + 1).cast("long").as("rem"),
-        element_at(col("hs"), col("pos")).as("gA"))
-      .withColumn("gB", col("gA"))
+        explode(sequence(lit(1), size(col("hs")))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        (size(col("hs")) - col("p") + 1).cast("long").as("rem"),
+        element_at(col("hs"), col("p")).as("gA"),
+        slice(col("hs"), col("p"),
+          least(lit(BlockLen), size(col("hs")) - col("p") + 1)).as("blk"))
     val dead = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var tied: DataFrame = null
 
-    for (r <- 0 until Rounds) {
+    // Tie rule (r16, replaces the per-round subgroup-count groupBy +
+    // join): a FULL row survives into the next round iff best ==
+    // BlockLen. Equivalence with the old `sgc >= 2`: subgroup keys are
+    // the gid chains, which are determined by (group, block); rows of
+    // one subgroup therefore share the identical full block, identical
+    // sort keys are adjacent within the window scope, so a subgroup of
+    // size ≥ 2 gives every member a neighbor with LCP = BlockLen — and
+    // conversely best = BlockLen forces a full equal-block neighbor,
+    // i.e. a second subgroup member. (The old rule compared CHAINS and
+    // would have agreed with itself across engines even on a ~1e-9
+    // chain collision; this rule compares the blocks themselves on
+    // both engines, so the two sides still agree by construction.)
+    // This removes one groupBy exchange + one shuffle join + one eager
+    // checkpoint per round — measured 1.3 s of round 0 alone at sf0.1.
+    var r = 0
+    var done = false
+    while (r < Rounds && !done) {
+      val rt0 = System.nanoTime()
       val off = r * BlockLen
-      val based = tied.join(docsH, "doc_id")
-        .withColumn("blk", slice(col("hs"), col("pos") + lit(off),
-          least(lit(BlockLen), col("rem") - lit(off)).cast("int")))
-        .drop("hs")
-        .withColumn("full", size(col("blk")) === BlockLen)
-        .withColumn("ngA",
-          when(col("full"), chain(col("gA"), col("blk"), B1, P1)))
-        .withColumn("ngB",
-          when(col("full"), chain(col("gB"), col("blk"), B2, P2)))
-      // round 0: range-balanced global neighbors (no per-token window
-      // task — VERDICT-r15 item 2); rounds ≥1: per-group windows on
-      // the 2×~30-bit gid chains, where the group is required scoping
-      val nbrs =
-        if (r == 0) globalNeighbors(based)
+      // narrow per-round frame: (doc_id, pos, rem, ngA, ngB, best, full)
+      val resolved =
+        if (r == 0) round0Neighbors(based0)
         else {
+          val based = tied.join(docsH, "doc_id")
+            .withColumn("blk", slice(col("hs"), col("pos") + lit(off),
+              least(lit(BlockLen), col("rem") - lit(off)).cast("int")))
+            .drop("hs")
+            .withColumn("full", size(col("blk")) === BlockLen)
+            .withColumn("ngA",
+              when(col("full"), chain(col("gA"), col("blk"), B1, P1)))
+            .withColumn("ngB",
+              when(col("full"), chain(col("gB"), col("blk"), B2, P2)))
           val wOrd = Window.partitionBy("gA", "gB")
             .orderBy(col("blk"), col("doc_id"), col("pos"))
-          based.withColumn("lagB", lag(col("blk"), 1).over(wOrd))
+          Common.checkpointSer(based
+            .withColumn("lagB", lag(col("blk"), 1).over(wOrd))
             .withColumn("leadB", lead(col("blk"), 1).over(wOrd))
+            .withColumn("best", greatest(pl(col("blk"), col("lagB")),
+              pl(col("blk"), col("leadB"))))
+            .select(col("doc_id"), col("pos"), col("rem"),
+              col("ngA"), col("ngB"), col("best"), col("full")))
         }
-      val withBest = nbrs.withColumn("best",
-        greatest(pl(col("blk"), col("lagB")), pl(col("blk"), col("leadB"))))
-      // r==0's heavy subtree is already pinned inside globalNeighbors;
-      // later rounds pin here so the dead slice and the sgc join both
-      // read the window output once
-      val withBestC =
-        if (r == 0) withBest else Common.checkpointSer(withBest)
-      dead += withBestC.filter(!col("full"))
+      if (trace) System.err.println(
+        f"[q280] r$r resolved built at ${(System.nanoTime() - rt0) / 1e9}%6.2f s")
+      // a row dies here when its block is short OR no subgroup partner
+      dead += resolved.filter(!col("full") || col("best") < BlockLen)
         .select(col("doc_id"),
           (lit(off.toLong) + col("best")).as("maxdup"),
           lit(0).as("sat"))
-      // subgroup size by partial-agg groupBy + join, NOT a window
-      // (VERDICT-r15 item 2): a window partitioned on (ngA, ngB) puts
-      // a massively duplicated block's whole subgroup in one task; the
-      // groupBy combines map-side and the join back is an AQE
-      // skew-splittable shuffle join. Projected narrow first — the
-      // blocks and neighbor blocks stay out of both exchanges.
-      val fullRows = withBestC.filter(col("full"))
-        .select(col("doc_id"), col("pos"), col("rem"),
-          col("ngA"), col("ngB"), col("best"))
-      val cnt = fullRows.groupBy("ngA", "ngB")
-        .agg(count(lit(1)).as("sgc"))
-      val joined =
-        Common.checkpointSer(fullRows.join(cnt, Seq("ngA", "ngB")))
-      dead += joined.filter(col("sgc") < 2)
-        .select(col("doc_id"),
-          (lit(off.toLong) + col("best")).as("maxdup"),
-          lit(0).as("sat"))
-      tied = joined.filter(col("sgc") >= 2)
-        .select(col("doc_id"), col("pos"), col("rem"),
-          col("ngA").as("gA"), col("ngB").as("gB"))
+      tied = traced(s"r$r tied")(
+        resolved.filter(col("full") && col("best") === BlockLen)
+          .select(col("doc_id"), col("pos"), col("rem"),
+            col("ngA").as("gA"), col("ngB").as("gB")))
+      // early exit: natural text decays the tied set geometrically;
+      // once it is EMPTY the remaining rounds compute nothing but
+      // would still pay join/window/checkpoint scheduling. The probe
+      // is a take(1) over the round's checkpointed narrow frame.
+      if (tied.isEmpty) done = true
+      r += 1
     }
     // survivors of all rounds share ≥ 16·Rounds tokens: saturated
+    // (when the loop exited early, `tied` is empty and contributes
+    // nothing — the union below is unchanged)
     dead += tied.select(col("doc_id"),
       lit((Rounds * BlockLen).toLong).as("maxdup"), lit(1).as("sat"))
 
@@ -288,16 +366,14 @@ object Curation6 {
         FROM b$r
         WINDOW win AS (PARTITION BY ga, gb ORDER BY blk, doc_id, pos)),
       s$r AS (SELECT *,
-          COUNT(*) FILTER (WHERE len(blk) = $BlockLen)
-            OVER (PARTITION BY nga, ngb) AS sgc,
           greatest(${plSql("blk", "lagb")}, ${plSql("blk", "leadb")})
             AS best
         FROM w$r),
       d$r AS (SELECT doc_id, CAST($off + best AS BIGINT) AS maxdup,
           0 AS sat
-        FROM s$r WHERE len(blk) < $BlockLen OR sgc < 2),
+        FROM s$r WHERE len(blk) < $BlockLen OR best < $BlockLen),
       p${r + 1} AS (SELECT doc_id, pos, rem, nga AS ga, ngb AS gb
-        FROM s$r WHERE len(blk) = $BlockLen AND sgc >= 2)"""
+        FROM s$r WHERE len(blk) = $BlockLen AND best = $BlockLen)"""
     }.mkString(",\n      ")
     val deadUnion = (0 until Rounds).map(r => s"SELECT * FROM d$r")
       .mkString("\n        UNION ALL ")
