@@ -48,6 +48,82 @@ object ExprHelpers {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** [[h32]] straight off a UTF8String's UTF-8 bytes (no String
+    * round-trip — `UTF8String.getBytes` IS the `encode(x, 'UTF-8')`
+    * byte sequence).
+    */
+  private def h32u(md: MessageDigest, s: UTF8String): Long = {
+    val d = md.digest(s.getBytes)
+    md.reset()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Elementwise md5-prefix hash32 of a string array in one pass (see
+    * [[Hash32ArrayExpr]]). Modes replicate the exact HOF compositions
+    * they replace (null elements hash to null, like `hash32(null)`):
+    *  - 1: `array_distinct(transform(arr, hash32))` — distinct,
+    *       first-occurrence order (one null kept at its first slot);
+    *  - 2: `array_sort(transform(arr, hash32))` — ascending, duplicate
+    *       hashes kept, nulls last;
+    *  - 3: `array_sort(array_distinct(transform(arr, hash32)))` —
+    *       ascending distinct, one null last.
+    */
+  def hash32Array(arr: ArrayData, mode: Int): ArrayData = {
+    val md = mdPool.get()
+    val n = arr.numElements()
+    mode match {
+      case 1 =>
+        val seen = new java.util.LinkedHashSet[java.lang.Long]
+        var i = 0
+        while (i < n) {
+          seen.add(if (arr.isNullAt(i)) null
+            else java.lang.Long.valueOf(h32u(md, arr.getUTF8String(i))))
+          i += 1
+        }
+        val out = new Array[Any](seen.size())
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        new GenericArrayData(out)
+      case 2 =>
+        val vals = new Array[Long](n)
+        var nNull = 0
+        var i = 0
+        while (i < n) {
+          if (arr.isNullAt(i)) nNull += 1
+          else { vals(i - nNull) = h32u(md, arr.getUTF8String(i)) }
+          i += 1
+        }
+        java.util.Arrays.sort(vals, 0, n - nNull)
+        val out = new Array[Any](n)
+        var k = 0
+        while (k < n - nNull) { out(k) = java.lang.Long.valueOf(vals(k)); k += 1 }
+        // array_sort default comparator: nulls LAST
+        new GenericArrayData(out)
+      case 3 =>
+        val seen = new java.util.HashSet[java.lang.Long](n * 2)
+        var hasNull = false
+        var i = 0
+        while (i < n) {
+          if (arr.isNullAt(i)) hasNull = true
+          else seen.add(java.lang.Long.valueOf(h32u(md, arr.getUTF8String(i))))
+          i += 1
+        }
+        val vals = new Array[Long](seen.size())
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { vals(k) = it.next().longValue(); k += 1 }
+        java.util.Arrays.sort(vals)
+        val out = new Array[Any](vals.length + (if (hasNull) 1 else 0))
+        k = 0
+        while (k < vals.length) { out(k) = java.lang.Long.valueOf(vals(k)); k += 1 }
+        new GenericArrayData(out)
+      case other =>
+        throw new IllegalArgumentException(s"hash32Array: unknown mode $other")
+    }
+  }
+
   def minhash(text: UTF8String, shingleK: Int, numHashes: Int): ArrayData = {
     val words = text.toString.split("\\s+", -1)
     if (words.length < shingleK) {
@@ -155,33 +231,44 @@ object ExprHelpers {
     }
     val touched = NGramHistState.touched.get()
     var nTouched = 0
-    // rolling window of the last three code points
-    var c1 = 0L; var c2 = 0L; var c3 = 0L
-    var seen = 0
-    var off = 0
-    while (off < s.length) {
-      val cp = s.codePointAt(off)
-      off += Character.charCount(cp)
-      c1 = c2; c2 = c3; c3 = cp.toLong
-      seen += 1
-      if (seen >= 3) {
-        val b = (((c1 * 31 + c2) * 31 + c3) % prime % buckets).toInt
-        if (acc(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
-        acc(b) += 1L
+    try {
+      // rolling window of the last three code points
+      var c1 = 0L; var c2 = 0L; var c3 = 0L
+      var seen = 0
+      var off = 0
+      while (off < s.length) {
+        val cp = s.codePointAt(off)
+        off += Character.charCount(cp)
+        c1 = c2; c2 = c3; c3 = cp.toLong
+        seen += 1
+        if (seen >= 3) {
+          val b = (((c1 * 31 + c2) * 31 + c3) % prime % buckets).toInt
+          if (acc(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
+          acc(b) += 1L
+        }
       }
+      if (nTouched == 0) return new GenericArrayData(Array.empty[Any])
+      java.util.Arrays.sort(touched, 0, nTouched)
+      val out = new Array[Any](nTouched)
+      var i = 0
+      while (i < nTouched) {
+        val b = touched(i)
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](b.toLong, acc(b)))
+        acc(b) = 0L // reset for the next row
+        i += 1
+      }
+      new GenericArrayData(out)
+    } catch {
+      // exception safety (ADVICE r16): the accumulator is a reused
+      // thread-local — if anything throws mid-row, zero every touched
+      // slot (idempotent for slots the output loop already reset) so
+      // stale counts cannot leak into later rows on this thread
+      case t: Throwable =>
+        var i = 0
+        while (i < nTouched) { acc(touched(i)) = 0L; i += 1 }
+        throw t
     }
-    if (nTouched == 0) return new GenericArrayData(Array.empty[Any])
-    java.util.Arrays.sort(touched, 0, nTouched)
-    val out = new Array[Any](nTouched)
-    var i = 0
-    while (i < nTouched) {
-      val b = touched(i)
-      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](b.toLong, acc(b)))
-      acc(b) = 0L // reset for the next row
-      i += 1
-    }
-    new GenericArrayData(out)
   }
 
   /** Streaming variant of [[shingleSet]] for the Generator path: yields
@@ -340,9 +427,15 @@ object ExprHelpers {
   }
 
   /** True iff two ascending integer lists hold a pair within `d`
-    * (two-pointer; see [[PosCloseExpr]]).
+    * (two-pointer; see [[PosCloseExpr]]). The two-pointer walk is only
+    * correct for ascending lists (the production builders emit them
+    * sorted by construction); because graft_pos_close is also exposed
+    * as a general SQL function, a descending step detected during the
+    * walk falls back to the exact O(n·m) scan (ADVICE r16) — lists are
+    * a few elements, so the guard costs two compares per step.
     */
   def posClose(a: ArrayData, b: ArrayData, d: Long): Boolean = {
+    if (!ascending(a) || !ascending(b)) return posCloseScan(a, b, d)
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
@@ -352,6 +445,33 @@ object ExprHelpers {
       val y = b.getLong(j)
       if (math.abs(x - y) <= d) return true
       if (x < y) i += 1 else j += 1
+    }
+    false
+  }
+
+  private def ascending(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i) < a.getLong(i - 1)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Exact quadratic fallback for [[posClose]] on unsorted input. */
+  private def posCloseScan(a: ArrayData, b: ArrayData, d: Long): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    while (i < na) {
+      val x = a.getLong(i)
+      var j = 0
+      while (j < nb) {
+        if (math.abs(x - b.getLong(j)) <= d) return true
+        j += 1
+      }
+      i += 1
     }
     false
   }
@@ -406,6 +526,130 @@ object ExprHelpers {
       i += 1
     }
     best
+  }
+
+  // Stopword-profile tables for [[langId]] — built once from the same
+  // public lists the HOF form reads (TextFunctions.LangStopwords),
+  // SORTED ascending by language code so that "later index" ==
+  // "lexicographically larger code" (the argmax tiebreak below relies
+  // on it; sorting here keeps that true even if the table is ever
+  // reordered).
+  private lazy val langIdTable: Seq[(String, Seq[String])] =
+    graft.text.TextFunctions.LangStopwords.sortBy(_._1)
+  private lazy val langIdLangs: Array[UTF8String] =
+    langIdTable.map(p => UTF8String.fromString(p._1)).toArray
+  private lazy val langIdStops: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]
+    for (((_, stops), i) <- langIdTable.zipWithIndex; w <- stops) {
+      val prev = m.getOrDefault(w, 0)
+      m.put(w, prev | (1 << i))
+    }
+    m
+  }
+  private val langIdUnd = UTF8String.fromString("und")
+
+  /** Stopword-profile language ID in one tokenization pass (see
+    * [[LangIdExpr]]): ws = split(lower(text), "\\s+") (Java regex,
+    * limit -1 — the Spark `split` semantics), score per language =
+    * stopword OCCURRENCE count (not distinct), winner = max by
+    * (score, code) — the exact struct-array_max tiebreak of the HOF
+    * form: ties toward the lexicographically largest code, and the
+    * zero-score "und" sentinel wins iff every profile scores 0
+    * ("und" sorts above every language code).
+    */
+  def langId(text: UTF8String): UTF8String = {
+    val words = text.toLowerCase.toString.split("\\s+", -1)
+    val nLangs = langIdLangs.length
+    val scores = new Array[Int](nLangs)
+    var i = 0
+    while (i < words.length) {
+      val mask = langIdStops.getOrDefault(words(i), 0)
+      if (mask != 0) {
+        var j = 0
+        var m = mask
+        while (m != 0) {
+          if ((m & 1) != 0) scores(j) += 1
+          m >>>= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // argmax by (score, code): codes ascend with index, so the later
+    // index wins ties — identical to array_max over (score, lang)
+    var best = 0
+    var j = 1
+    while (j < nLangs) {
+      if (scores(j) >= scores(best)) best = j
+      j += 1
+    }
+    // the zero-score "und" sentinel rides the same max: it wins only
+    // when the best profile also scores 0 AND its code sorts below
+    // "und" (true for every current code; kept faithful regardless)
+    if (scores(best) == 0 && langIdLangs(best).compareTo(langIdUnd) < 0)
+      langIdUnd
+    else langIdLangs(best)
+  }
+
+  /** Content-defined chunk digests in one pass (see [[CdcChunksExpr]]):
+    * words (Java regex `\\s+` split, limit -1) → per-word hash32 →
+    * boundaries where the 4-word Karp-Rabin polynomial ≡ 0 (mod 8) →
+    * md5 hex digest of each space-joined chunk. Bit-identical to the
+    * HOF chain in `Curation4.cdcChunkFrame` (boundaries at 1-based
+    * positions i ≥ 4 with (g[i-3]·29791 + g[i-2]·961 + g[i-1]·31 +
+    * g[i]) % 8 == 0 over 1-based g; chunk k spans ss(k)..es(k); empty
+    * spans skipped). Returns the digests in chunk order, duplicates
+    * kept — the explode consumer sees exactly the old rows.
+    */
+  def cdcChunks(text: UTF8String): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val n = words.length
+    val md = mdPool.get()
+    val gs = new Array[Long](n)
+    var i = 0
+    while (i < n) { gs(i) = h32(md, words(i)); i += 1 }
+    // boundary positions, 1-based (the HOF's filter over sequence(1, n))
+    val bs = new java.util.ArrayList[Int]
+    i = 4
+    while (i <= n) {
+      if ((gs(i - 4) * 29791L + gs(i - 3) * 961L + gs(i - 2) * 31L +
+          gs(i - 1)) % 8 == 0) bs.add(i)
+      i += 1
+    }
+    val nb = bs.size()
+    val out = new java.util.ArrayList[Any](nb + 1)
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    while (k <= nb) {
+      val ss = if (k == 0) 1 else bs.get(k - 1) + 1
+      val es = if (k == nb) n else bs.get(k)
+      if (es >= ss) {
+        sb.setLength(0)
+        var w = ss - 1
+        while (w < es) {
+          if (w > ss - 1) sb.append(' ')
+          sb.append(words(w))
+          w += 1
+        }
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        md.reset()
+        out.add(UTF8String.fromString(hexLower(d)))
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def hexLower(d: Array[Byte]): String = {
+    val hex = "0123456789abcdef"
+    val cs = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      cs(2 * i) = hex((d(i) >> 4) & 0xf)
+      cs(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(cs)
   }
 
   /** Unicode NFC canonicalization (combining sequences composed — the

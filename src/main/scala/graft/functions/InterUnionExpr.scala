@@ -36,6 +36,22 @@ case class InterUnionExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 
+  // Analysis-time validation (ADVICE r16): both children must be
+  // arrays of the SAME supported element type — a mismatched or
+  // unsupported right side must fail analysis like the built-ins do,
+  // not at execution (or worse, misread long data as strings).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${GraftFunctions.InterUnionName} requires two array<string> " +
+            s"or two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+    }
+
   private lazy val isString = left.dataType match {
     case ArrayType(StringType, _) => true
     case ArrayType(LongType, _) => false

@@ -87,6 +87,11 @@ object GraftFunctions {
   val InterUnionName = "graft_inter_union"
   val PosCloseName = "graft_pos_close"
   val WinnowFpName = "graft_winnow_fp"
+  val Hash32DistinctName = "graft_hash32_distinct"
+  val Hash32SortedName = "graft_hash32_sorted"
+  val Hash32SortedDistinctName = "graft_hash32_sorted_distinct"
+  val LangIdName = "graft_lang_id"
+  val CdcChunksName = "graft_cdc_chunks"
 
   /** Arity gate for SQL builders (review-r11): without it, surplus
     * arguments were silently DISCARDED (`exprs.head` ignores a second
@@ -182,6 +187,26 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       WinnowFpName,
       one(WinnowFpName)(WinnowFpExpr(_, window = 4)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      Hash32DistinctName,
+      one(Hash32DistinctName)(Hash32ArrayExpr(_, mode = 1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      Hash32SortedName,
+      one(Hash32SortedName)(Hash32ArrayExpr(_, mode = 2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      Hash32SortedDistinctName,
+      one(Hash32SortedDistinctName)(Hash32ArrayExpr(_, mode = 3)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      LangIdName,
+      one(LangIdName)(LangIdExpr(_)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      CdcChunksName,
+      one(CdcChunksName)(CdcChunksExpr(_)),
       "built-in")
   }
 

@@ -172,8 +172,9 @@ object Audit {
         // shape) — J ≥ 0.5 implies containment ≥ 0.5, so no true pair
         // escapes; exact Jaccard then filters to the real truth set
         val hashes = sh.select(col("doc_id"),
-          array_sort(transform(col("sh"), x => Hashing.hash32(x)))
-            .as("hs"))
+          // one-pass hash32+sort (r17): == array_sort(transform(sh,
+          // hash32)) — the HOF ran one interpreted md5 lambda/shingle
+          graft.functions.Hash32Arr.sorted(s, col("sh")).as("hs"))
         val idx = hashes.select(col("doc_id").as("i_id"),
           explode(col("hs")).as("h"))
         val pre = hashes.select(col("doc_id").as("p_id"),
@@ -191,12 +192,16 @@ object Audit {
         val allCand = lsh.withColumn("in_lsh", lit(true))
           .union(overlapCand.withColumn("in_lsh", lit(false)))
           .groupBy("a_id", "b_id").agg(max(col("in_lsh")).as("in_lsh"))
+        // one-pass |A∩B|/|A∪B| (InterUnionExpr, r17) — same distinct
+        // counts as the array_intersect/array_union pair, two hash
+        // tables per candidate instead of four (the q106 verify cure)
+        val iu170 = graft.functions.InterUnion(s, col("a_sh"), col("b_sh"))
         val scored = allCand
           .join(sh.toDF("a_id", "a_sh"), "a_id")
           .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .withColumn("iu", iu170)
           .select(col("in_lsh"),
-            (size(array_intersect(col("a_sh"), col("b_sh"))) * 2 >=
-              size(array_union(col("a_sh"), col("b_sh")))).as("is_true"))
+            (col("iu.inter") * 2 >= col("iu.uni")).as("is_true"))
         scored.agg(
             count(when(col("in_lsh"), 1)).as("n_candidates"),
             count(when(col("is_true"), 1)).as("n_true"),

@@ -170,7 +170,10 @@ object Audit3 {
         FROM best GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, d) => table(s, d, "documents")
         .select(col("lang").as("lang_declared"),
-          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+          // one-pass codegen'd scorer (r17): same split/lower, same
+          // occurrence counts, same (score, code) argmax tiebreak as
+          // the 4-filter-HOF + array_max form (LangIdExpr)
+          graft.functions.LangId(s, col("text")).as("lang_pred"))
         .groupBy("lang_declared", "lang_pred")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang_declared", "lang_pred")),

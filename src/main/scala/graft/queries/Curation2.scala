@@ -108,8 +108,8 @@ object Curation2 {
         // without, 1 with — the q150 window-frame pattern).
         val hashes = Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+          .select(col("doc_id"), graft.functions.Hash32Arr
+            .sortedDistinct(s, col("sh")).as("hs"))
           .localCheckpoint()
         // full inverted index (id, hash) — the honest floor, same row
         // class as q150's window hashes

@@ -106,8 +106,8 @@ object Curation3 {
         val hashes = Common.checkpointSer(
           Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
+          .select(col("doc_id"), graft.functions.Hash32Arr
+            .sortedDistinct(s, col("sh")).as("hs")))
         val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
         // corpus-relative τ rides in as a 1-row broadcast (never a
         // collect): the same scalar-totals pattern as q100/q112
@@ -175,8 +175,8 @@ object Curation3 {
         val hashes = Common.checkpointSer(
           Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
+          .select(col("doc_id"), graft.functions.Hash32Arr
+            .sortedDistinct(s, col("sh")).as("hs")))
         // index side: every hash with its rank j in the doc's sorted
         // array + the doc's set size (posexplode keeps slice ranks =
         // array ranks because the prefix is a head slice)
@@ -245,8 +245,8 @@ object Curation3 {
         val hashes = Common.checkpointSer(
           Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
+          .select(col("doc_id"), graft.functions.Hash32Arr
+            .sortedDistinct(s, col("sh")).as("hs")))
         val idx = hashes
           .select(col("doc_id").as("i_id"), size(col("hs")).as("nb"),
             posexplode(col("hs")).as(Seq("j", "h")))
@@ -314,8 +314,8 @@ object Curation3 {
         val hashes = Common.checkpointSer(
           Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
+          .select(col("doc_id"), graft.functions.Hash32Arr
+            .sortedDistinct(s, col("sh")).as("hs")))
         val ex = hashes.select(explode(col("hs")).as("h"))
         val pre = hashes.select(
           explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
@@ -589,8 +589,8 @@ object Curation3 {
         val hashes = Common.checkpointSer(
           Dedup.shingleFrame(table(s, d, "documents"),
             "doc_id", "text")
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(col("sh"), x => Hashing.hash32(x)))).as("hs")))
+          .select(col("doc_id"), graft.functions.Hash32Arr
+            .sortedDistinct(s, col("sh")).as("hs")))
         val ex = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
         val tau = hashes.agg(
           expr(s"greatest(CAST($StopDfFloor AS BIGINT), " +

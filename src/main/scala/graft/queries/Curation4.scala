@@ -23,9 +23,12 @@ object Curation4 {
     */
   def noveltyExplode(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
+    // one-pass hash32+distinct expression (r17): identical elements
+    // and first-occurrence order as array_distinct(transform(..));
+    // the HOF form ran one interpreted md5 lambda per shingle
     Dedup.shingleFrame(docs, "doc_id", "text")
-      .select(col("doc_id"), explode(array_distinct(
-        transform(col("sh"), x => Hashing.hash32(x)))).as("h"))
+      .select(col("doc_id"), explode(graft.functions.Hash32Arr
+        .distinct(docs.sparkSession, col("sh"))).as("h"))
 
   /** (doc_id, dg) — CDC chunk digests under the 4-word Karp-Rabin
     * mod-8 boundary rule (q202's chunker; the r16 probe measures the
@@ -33,27 +36,14 @@ object Curation4 {
     */
   def cdcChunkFrame(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-      .withColumn("gs", expr("transform(ws, x -> CAST(conv(" +
-        "substring(md5(encode(x, 'UTF-8')), 1, 8), 16, 10) AS BIGINT))"))
-      // CASE keeps the lambda lazy: element_at(gs, i-3) must not
-      // evaluate for i < 4 (array indices are 1-based and AND is
-      // not short-circuit under codegen)
-      .withColumn("bs", expr("filter(sequence(1, size(ws)), " +
-        "i -> CASE WHEN i >= 4 THEN (element_at(gs, i-3)*29791 + " +
-        "element_at(gs, i-2)*961 + element_at(gs, i-1)*31 + " +
-        "element_at(gs, i)) % 8 = 0 ELSE false END)"))
-      .withColumn("ss", expr(
-        "concat(array(1), transform(bs, x -> x + 1))"))
-      .withColumn("es", expr("concat(bs, array(size(ws)))"))
-      .select(col("doc_id"), explode(expr(
-        "filter(transform(sequence(1, size(ss)), i -> " +
-          "CASE WHEN element_at(es, i) >= element_at(ss, i) " +
-          "THEN md5(encode(concat_ws(' ', slice(ws, " +
-          "element_at(ss, i), element_at(es, i) - " +
-          "element_at(ss, i) + 1)), 'UTF-8')) ELSE NULL END), " +
-          "x -> x IS NOT NULL)")).as("dg"))
+    // one imperative pass per doc (CdcChunksExpr, r17): same `\s+`
+    // split, same per-word hash32, same 4-word Karp-Rabin mod-8
+    // boundary rule, same per-chunk space-joined md5 digests as the
+    // HOF chain it replaces (which ran ~3·len interpreted lambdas +
+    // one md5 per word per doc); Curation4Spec's independent
+    // plain-Scala CDC referee and the DuckDB twin pin the equivalence
+    docs.select(col("doc_id"), explode(graft.functions.CdcChunks(
+      docs.sparkSession, col("text"))).as("dg"))
 
   /** (doc_id, v) — UNCAPPED winnowing fingerprints: positional trigram
     * hashes, sliding windows of 4, per-window minimum (q203's

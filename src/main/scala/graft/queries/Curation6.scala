@@ -153,6 +153,9 @@ object Curation6 {
       else new Iterator[Row] {
         private val buf = it.buffered
         private var prevBlk: Array[Long] = null
+        // lookahead conversion carried into the next iteration — each
+        // row's blk Seq is converted exactly once (ADVICE r16)
+        private var curBlk: Array[Long] = null
         private var first = true
         private def arr(r: Row): Array[Long] = {
           val s = r.getSeq[Long](iBlk)
@@ -164,8 +167,9 @@ object Curation6 {
         def hasNext: Boolean = buf.hasNext
         def next(): Row = {
           val cur = buf.next()
-          val blk = arr(cur)
+          val blk = if (curBlk != null) curBlk else arr(cur)
           val leadBlk = if (buf.hasNext) arr(buf.head) else null
+          curBlk = leadBlk
           val edge = (if (first) 1 else 0) | (if (!buf.hasNext) 2 else 0)
           val full = blk.length == BlockLen
           var ngA: Any = null
@@ -309,6 +313,12 @@ object Curation6 {
         resolved.filter(col("full") && col("best") === BlockLen)
           .select(col("doc_id"), col("pos"), col("rem"),
             col("ngA").as("gA"), col("ngB").as("gB")))
+      // round 0's resolved ends in an UNPINNED broadcast-patch join
+      // (only its `pinned` input is checkpointed), so the isEmpty
+      // probe below and round 1's join would each execute that join
+      // over the corpus checkpoint — pin the (small: duplicated
+      // positions only) tied set once instead (ADVICE r16)
+      if (r == 0) tied = Common.checkpointSer(tied)
       // early exit: natural text decays the tied set geometrically;
       // once it is EMPTY the remaining rounds compute nothing but
       // would still pay join/window/checkpoint scheduling. The probe

@@ -97,8 +97,8 @@ object Streaming2 {
         // batches re-probe without re-shingling
         def hashFrame(df: org.apache.spark.sql.DataFrame) =
           graft.dedup.Dedup.shingleFrame(df, "doc_id", "text")
-            .select(col("doc_id"), array_sort(array_distinct(
-              transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+            .select(col("doc_id"), graft.functions.Hash32Arr
+              .sortedDistinct(s, col("sh")).as("hs"))
         val raw = s.read.parquet(s"$d/documents.parquet")
         val train = hashFrame(raw.filter(col("doc_id") % 10 =!= 0))
           .toDF("t_id", "t_hs").localCheckpoint()
