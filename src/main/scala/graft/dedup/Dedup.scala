@@ -336,14 +336,92 @@ object Dedup {
         .select(col("cluster_id")).distinct())
     val affected = p.join(touchedClusters, Seq("cluster_id"), "left_semi")
     // star edges of touched clusters (center self-rows carry no edge) +
-    // the new batch; dupClusters re-contracts this small graph only
+    // the new batch; the contraction below re-labels this small graph only
     val subEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
       .union(np)
-    val relabeled = dupClusters(subEdges, maxIter)
+    // Contraction route (r17, VERDICT-r16 item 3): the iterative
+    // star-contraction costs ~8-10 scheduled jobs (per-round
+    // checkpoint + checksum, convergence confirm, node list) — pure
+    // scheduling when the touched subgraph is micro-batch-sized
+    // (measured: ~2.0 s of q126's ~2.1 s per-batch incremental wall).
+    // The subgraph is pinned and counted ONCE (the count is the
+    // checkpoint's materializing action); at or below
+    // [[LocalContractMaxEdges]] it is contracted in ONE task by an
+    // exact min-label union-find — the same task-local bound the
+    // broadcasts above already impose on the batch, applied to the
+    // touched membership. Larger subgraphs (or non-long ids) take the
+    // distributed [[dupClusters]] rounds exactly as before.
+    val sub = subEdges.localCheckpoint(eager = false)
+    val idsAreLong = sub.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val nSub = sub.count()
+    val relabeled =
+      if (idsAreLong && nSub <= LocalContractMaxEdges) localClusters(sub)
+      else dupClusters(sub, maxIter)
     val untouched = p.join(touchedClusters, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     untouched.union(relabeled)
+  }
+
+  /** One-task ceiling for the union-find fast path of
+    * [[incrementalClusters]] — ~2M edges is tens of MB of hash-map
+    * state, comfortably one task; past it the distributed rounds take
+    * over (the same "too big for the incremental path" boundary the
+    * broadcast hints already declare).
+    */
+  private val LocalContractMaxEdges = 2000000L
+
+  /** Exact connected components of a (small, pinned) pair frame in ONE
+    * task: min-label union-find with path compression. Bit-identical
+    * output contract to [[dupClusters]]: (doc_id, cluster_id = smallest
+    * doc_id in the component) for every doc appearing in at least one
+    * pair — ids appearing only in self-pairs label themselves, exactly
+    * like dupClusters' node list + left join. Ids must be non-null
+    * longs (every candidate-pair builder in the repo emits them so).
+    */
+  private[graft] def localClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    pairs.toDF("a_id", "b_id").coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
+      def add(x: Long): Unit =
+        if (!parent.containsKey(x)) parent.put(x, x)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) {
+          val n = parent.get(c)
+          parent.put(c, r)
+          c = n
+        }
+        r
+      }
+      it.foreach { row =>
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        add(a); add(b)
+        if (a != b) {
+          val ra = find(a)
+          val rb = find(b)
+          // union toward the smaller root: roots stay component minima
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Row](parent.size())
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) {
+        val k = keys.next().longValue()
+        out += Row(k, find(k))
+      }
+      out.iterator
+    }(Encoders.row(outSchema))
   }
 
   /** 32-bit SimHash over a token array (token multiplicity counts, as in

@@ -652,6 +652,197 @@ object ExprHelpers {
     new String(cs)
   }
 
+  /** Rolling polynomial fingerprint fold over a string's code points:
+    * fold((acc·31 + cp) mod P) from 0 — exactly
+    * `aggregate(sequence(1, length(c)), 0L, (acc, i) -> (acc*31 +
+    * ascii(substr(c, i, 1))) % P)` (Spark's length/substr/ascii walk
+    * code points), whose HOF form is O(len²) per string because
+    * substr(c, i, 1) is an O(i) scan. Empty string → 0, matching the
+    * `when(length > 0, ...).otherwise(0)` guard in the HOF builder.
+    */
+  def fingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      off += Character.charCount(cp)
+      acc = (acc * 31 + cp) % Hashing.P
+    }
+    acc
+  }
+
+  /** Hashed-feature buckets, one per whitespace token (fastText-style;
+    * see [[HashedBucketsExpr]]): bucket = [[fingerprint]](token) mod
+    * `buckets`. Order-preserving, empty tokens bucket 0 — identical to
+    * `transform(split(text, "\\s+"), w -> fingerprint(w) % buckets)`.
+    */
+  def hashedBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val out = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      out(i) = java.lang.Long.valueOf(
+        fingerprintStr(words(i)) % buckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Closed-form linear score over [[hashedBuckets]] without the
+    * intermediate array: Σ (bucket mod 201 − 100) — identical to
+    * `aggregate(hashedBuckets(..), 0L, (acc, b) -> acc + (b % 201 -
+    * 100))` (the T42 quality score).
+    */
+  def hashedScore(text: UTF8String, buckets: Int): Long = {
+    val words = text.toString.split("\\s+", -1)
+    var score = 0L
+    var i = 0
+    while (i < words.length) {
+      score += fingerprintStr(words(i)) % buckets % 201 - 100
+      i += 1
+    }
+    score
+  }
+
+  private def fingerprintStr(s: String): Long = {
+    var acc = 0L
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      off += Character.charCount(cp)
+      acc = (acc * 31 + cp) % Hashing.P
+    }
+    acc
+  }
+
+  /** Multiscale rolling window hashes (q271's generator; see
+    * [[MultiscaleWindowsExpr]]): per token one md5-prefix hash32, then
+    * for each tier length l every window's polynomial hash by O(1)
+    * rolling update — h_1 = fold((h·B + hs_j) mod P) over the first l
+    * tokens, h_{i+1} = ((h_i + P − hs_{i−l}·B^{l−1} mod P) mod P · B +
+    * hs_i) mod P. Bit-identical to the typed-Dataset flatMap it
+    * replaces (same hash, same update, same (tier, 1-based start,
+    * hash) rows in the same order); tiers shorter than the doc emit
+    * nothing, docs shorter than every tier emit an empty array.
+    */
+  def multiscaleWindows(ws: ArrayData, tiers: Array[Int], rollB: Long)
+      : ArrayData = {
+    val P = Hashing.P
+    val n = ws.numElements()
+    val md = mdPool.get()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = h32u(md, ws.getUTF8String(i)); i += 1 }
+    var total = 0
+    var t = 0
+    while (t < tiers.length) {
+      if (n >= tiers(t)) total += n - tiers(t) + 1
+      t += 1
+    }
+    val out = new Array[Any](total)
+    var o = 0
+    t = 0
+    while (t < tiers.length) {
+      val l = tiers(t)
+      if (n >= l) {
+        var pow = 1L
+        var k = 0
+        while (k < l - 1) { pow = pow * rollB % P; k += 1 }
+        var h = 0L
+        var j = 0
+        while (j < l) { h = (h * rollB + hs(j)) % P; j += 1 }
+        out(o) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](l, 1, h))
+        o += 1
+        i = l
+        while (i < n) {
+          h = ((h + P - hs(i - l) * pow % P) % P * rollB + hs(i)) % P
+          out(o) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](l, i - l + 2, h))
+          o += 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Multiscale coverage statistics in one pass (see
+    * [[CoverageStatsExpr]]; q271's span algebra). Inputs: the four
+    * per-tier covered-position arrays (each already distinct by
+    * construction; treated set-wise exactly like the HOF forms).
+    * Returns struct(covered, t64, t32, t16, t8, n_spans,
+    * longest_span), all longs, where:
+    *  - covered = |distinct(v64 ∪ v32 ∪ v16 ∪ v8)|;
+    *  - t64 = size(v64) (raw, matching `size(col)`), t32 =
+    *    |distinct(v32) \ v64|, t16 = |distinct(v16) \ (v64 ∪ v32)|,
+    *    t8 = |distinct(v8) \ (v64 ∪ v32 ∪ v16)| (array_except
+    *    semantics: distinct left minus right);
+    *  - spans: maximal runs of consecutive positions in the union —
+    *    n_spans = run count (== |heads|), longest_span = max run
+    *    length, 0 when the union is empty (the coalesce'd
+    *    array_max(zip_with(heads, tails, ..)) form).
+    */
+  def coverageStats(v64: ArrayData, v32: ArrayData, v16: ArrayData,
+      v8: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val seen = new java.util.HashSet[java.lang.Long](
+      (v64.numElements() + v32.numElements() + v16.numElements() +
+        v8.numElements()) * 2)
+    var i = 0
+    while (i < v64.numElements()) { seen.add(v64.getLong(i)); i += 1 }
+    val t64 = v64.numElements().toLong
+    var t32 = 0L
+    val dup32 = new java.util.HashSet[java.lang.Long](v32.numElements() * 2)
+    i = 0
+    while (i < v32.numElements()) {
+      val p = java.lang.Long.valueOf(v32.getLong(i))
+      if (dup32.add(p) && !seen.contains(p)) t32 += 1
+      i += 1
+    }
+    seen.addAll(dup32)
+    var t16 = 0L
+    val dup16 = new java.util.HashSet[java.lang.Long](v16.numElements() * 2)
+    i = 0
+    while (i < v16.numElements()) {
+      val p = java.lang.Long.valueOf(v16.getLong(i))
+      if (dup16.add(p) && !seen.contains(p)) t16 += 1
+      i += 1
+    }
+    seen.addAll(dup16)
+    var t8 = 0L
+    val dup8 = new java.util.HashSet[java.lang.Long](v8.numElements() * 2)
+    i = 0
+    while (i < v8.numElements()) {
+      val p = java.lang.Long.valueOf(v8.getLong(i))
+      if (dup8.add(p) && !seen.contains(p)) t8 += 1
+      i += 1
+    }
+    seen.addAll(dup8)
+    val u = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { u(i) = it.next().longValue(); i += 1 }
+    java.util.Arrays.sort(u)
+    var nSpans = 0L
+    var longest = 0L
+    var runStart = 0
+    i = 0
+    while (i < u.length) {
+      if (i + 1 >= u.length || u(i + 1) != u(i) + 1) {
+        nSpans += 1
+        val len = i - runStart + 1L
+        if (len > longest) longest = len
+        runStart = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](u.length.toLong, t64, t32, t16, t8, nSpans, longest))
+  }
+
   /** Unicode NFC canonicalization (combining sequences composed — the
     * pre-hash normalization step; DuckDB twin: `nfc_normalize`). Fast
     * path: `isNormalized` is a cheap scan and true for virtually all

@@ -120,6 +120,226 @@ case class CdcChunksExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.ExprHelpers.cdcChunks($c);")
 }
 
+/** Rolling polynomial document fingerprint (fold((acc·31 + cp) mod P)
+  * over code points) — replaces an aggregate-over-sequence HOF whose
+  * substr(c, i, 1) step made it O(len²) per string.
+  */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = GraftFunctions.FingerprintName
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.sql}")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.fingerprint($c);")
+}
+
+/** Per-token hashed-feature buckets (fingerprint(w) mod buckets) in one
+  * pass — the T42/DSIR feature map without per-token interpreted folds.
+  */
+case class HashedBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = GraftFunctions.HashedBucketsName
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.sql}")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.hashedBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.hashedBuckets($c, $buckets);")
+}
+
+/** The T42 linear quality score Σ (bucket mod 201 − 100) straight off
+  * the text — [[HashedBucketsExpr]] folded without the array.
+  */
+case class HashedScoreExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = GraftFunctions.HashedScoreName
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.sql}")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.hashedScore(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.hashedScore($c, $buckets);")
+}
+
+/** Multiscale coverage statistics (q271's span algebra) in one pass
+  * over the four per-tier covered-position arrays — replaces a chain
+  * of interpreted array_sort/array_distinct/array_except/filter-with-
+  * array_contains HOFs, the last of which was O(|u|²) per document.
+  */
+case class CoverageStatsExpr(v64: Expression, v32: Expression,
+    v16: Expression, v8: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = v64
+  override def second: Expression = v32
+  override def third: Expression = v16
+  override def fourth: Expression = v8
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(
+      Seq("covered", "t64", "t32", "t16", "t8", "n_spans", "longest_span")
+        .map(org.apache.spark.sql.types.StructField(_, LongType,
+          nullable = false)))
+
+  override def prettyName: String = GraftFunctions.CoverageStatsName
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName requires four array<bigint> arguments")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression =
+    copy(v64 = a, v32 = b, v16 = c, v8 = d)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    ExprHelpers.coverageStats(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.ExprHelpers.coverageStats($a, $b, $c, $d);")
+}
+
+/** Multiscale rolling window hashes over a token array — q271's
+  * 4-tier generator as one codegen'd pass (array<struct<tier, i, wh>>;
+  * the typed-Dataset flatMap it replaces paid Seq[String]
+  * deserialization + per-window tuple re-encoding for every row).
+  */
+case class MultiscaleWindowsExpr(child: Expression, tiers: Seq[Int],
+    rollB: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("wh", LongType,
+        nullable = false))), containsNull = false)
+
+  override def prettyName: String = GraftFunctions.MultiscaleWindowsName
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.sql}")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  private lazy val tiersArr = tiers.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.multiscaleWindows(input.asInstanceOf[ArrayData],
+      tiersArr, rollB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tiersRef = ctx.addReferenceObj("tiers", tiersArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.multiscaleWindows(" +
+        s"$c, $tiersRef, ${rollB}L);")
+  }
+}
+
+object MultiscaleWindows {
+  def apply(spark: SparkSession, c: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.MultiscaleWindowsName, c)
+  }
+}
+
+object CoverageStats {
+  def apply(spark: SparkSession, v64: Column, v32: Column, v16: Column,
+      v8: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.CoverageStatsName, v64, v32, v16, v8)
+  }
+}
+
+object Fingerprint {
+  def apply(spark: SparkSession, c: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.FingerprintName, c)
+  }
+}
+
+object HashedBuckets {
+  def apply(spark: SparkSession, c: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.HashedBucketsName, c)
+  }
+}
+
+object HashedScore {
+  def apply(spark: SparkSession, c: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.HashedScoreName, c)
+  }
+}
+
 object Hash32Arr {
   /** array_distinct(transform(arr, hash32)) — first-occurrence order. */
   def distinct(spark: SparkSession, c: Column): Column = {

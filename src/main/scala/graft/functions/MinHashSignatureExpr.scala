@@ -92,6 +92,14 @@ object GraftFunctions {
   val Hash32SortedDistinctName = "graft_hash32_sorted_distinct"
   val LangIdName = "graft_lang_id"
   val CdcChunksName = "graft_cdc_chunks"
+  val FingerprintName = "graft_fingerprint"
+  val CoverageStatsName = "graft_coverage_stats"
+  val MultiscaleWindowsName = "graft_multiscale_windows"
+  val HashedBucketsName = "graft_hashed_buckets"
+  val HashedScoreName = "graft_hashed_score"
+
+  /** The one hashed-feature width every T42/DSIR consumer uses. */
+  val FeatureBuckets = 1024
 
   /** Arity gate for SQL builders (review-r11): without it, surplus
     * arguments were silently DISCARDED (`exprs.head` ignores a second
@@ -207,6 +215,29 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       CdcChunksName,
       one(CdcChunksName)(CdcChunksExpr(_)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      FingerprintName,
+      one(FingerprintName)(FingerprintExpr(_)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      CoverageStatsName,
+      exprs => { checkArity(CoverageStatsName, 4, exprs)
+        CoverageStatsExpr(exprs(0), exprs(1), exprs(2), exprs(3)) },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      MultiscaleWindowsName,
+      one(MultiscaleWindowsName)(MultiscaleWindowsExpr(_,
+        tiers = graft.queries.Curation5.Tiers,
+        rollB = graft.queries.Curation5.RollB)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      HashedBucketsName,
+      one(HashedBucketsName)(HashedBucketsExpr(_, buckets = FeatureBuckets)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      HashedScoreName,
+      one(HashedScoreName)(HashedScoreExpr(_, buckets = FeatureBuckets)),
       "built-in")
   }
 

@@ -113,7 +113,7 @@ object Curation {
         // engines — NO transcendental and NO round-on-double anywhere.
         val hist = table(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            explode(hashedBuckets(words(col("text")), B)).as("b"))
+            explode(graft.functions.HashedBuckets(s, col("text"))).as("b"))
           .groupBy(col("doc_id"), col("lang"), col("b"))
           .agg(count(lit(1)).as("nb"))
         val bc = hist.groupBy("b").agg(sum(col("nb")).as("cr"),
@@ -386,8 +386,7 @@ object Curation {
         // frame is global. All-integer cumulative counts; the one
         // division per row is IEEE-identical cross-engine.
         val scored = table(s, d, "documents").select(
-          hashedLinearScore(hashedBuckets(words(col("text")), B))
-            .as("score"),
+          graft.functions.HashedScore(s, col("text")).as("score"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
         // count() (not sum) so the per-score columns are NON-NULLABLE
         // longs — one of the auto-route's guards (SQL sum over an
@@ -524,7 +523,7 @@ object Curation {
         val ws = words(col("text"))
         val sc = table(s, d, "documents").select(col("doc_id"),
           col("source"),
-          (hashedLinearScore(hashedBuckets(ws, B)).cast("double") /
+          (graft.functions.HashedScore(s, col("text")).cast("double") /
             (lit(100.0) * size(ws))).as("q"))
         val dec = sc.withColumn("decile", ntile(10).over(
           Window.partitionBy("source").orderBy(col("q"), col("doc_id"))))
@@ -658,8 +657,7 @@ object Curation {
           .filter(graft.functions.Jaccard(s, col("a_sh"), col("b_sh")) >= 0.8)
           .select("a_id", "b_id")
         val quality = docs.select(col("doc_id"),
-          hashedLinearScore(hashedBuckets(words(col("text")), B))
-            .as("score"))
+          graft.functions.HashedScore(s, col("text")).as("score"))
         val m = graft.dedup.Dedup.dupClusters(edges)
           .join(quality, Seq("doc_id"))
         val stats = m.groupBy("cluster_id")

@@ -22,7 +22,7 @@ object Curation5 {
     * to) its true length instead of as ~n fragments of the shortest
     * tier.
     */
-  private val Tiers = Seq(64, 32, 16, 8)
+  private[graft] val Tiers = Seq(64, 32, 16, 8)
 
   // hashed char-3-gram buckets (T182); private[graft] so the
   // registered NGramHistExpr arity stays pinned to the same constant
@@ -40,7 +40,7 @@ object Curation5 {
     * per window, which is fine at oracle scale. Same fold, same
     * constants, both engines.
     */
-  private val RollB = 1000003L
+  private[graft] val RollB = 1000003L
 
   private def winsSql(l: Int): String =
     s"""(SELECT doc_id, i,
@@ -126,40 +126,16 @@ object Curation5 {
         // token md5-hashes once, then every tier's window hash is an
         // O(1) polynomial update — vs the per-window concat+md5 form
         // whose narrow stage copied Σ tier lengths ≈ 120 tokens per
-        // position (measured 2.5× the whole query at sf0.1).
-        // localCheckpoint for the same two-consumer reason as q150
-        // (dup build + probe).
-        val P = graft.ops.Hashing.P
-        val wins = t.as[(Long, Seq[String])]
-          .flatMap { case (id, ws) =>
-            val hs = ws.iterator.map { tok =>
-              java.lang.Long.parseLong(
-                Common.md5Hex(tok.getBytes("UTF-8")).substring(0, 8), 16)
-            }.toArray
-            Tiers.iterator.flatMap { l =>
-              if (hs.length < l) Iterator.empty
-              else {
-                var pow = 1L // RollB^(l-1) mod P
-                var k = 0
-                while (k < l - 1) { pow = pow * RollB % P; k += 1 }
-                var h = 0L
-                var j = 0
-                while (j < l) { h = (h * RollB + hs(j)) % P; j += 1 }
-                val out = new scala.collection.mutable.ArrayBuffer[
-                  (Long, Int, Int, Long)](hs.length - l + 1)
-                out += ((id, l, 1, h))
-                var i = l
-                while (i < hs.length) {
-                  h = ((h + P - hs(i - l) * pow % P) % P * RollB +
-                    hs(i)) % P
-                  out += ((id, l, i - l + 2, h))
-                  i += 1
-                }
-                out.iterator
-              }
-            }
-          }
-          .toDF("doc_id", "tier", "i", "wh")
+        // position (measured 2.5× the whole query at sf0.1). r17: the
+        // typed-Dataset flatMap became a codegen'd expression
+        // (MultiscaleWindowsExpr, bit-identical rows) — the flatMap
+        // paid Seq[String] deserialization + per-window tuple
+        // re-encoding on every document. localCheckpoint for the same
+        // two-consumer reason as q150 (dup build + probe).
+        val wins = t.select(col("doc_id"), explode(
+            graft.functions.MultiscaleWindows(s, col("ws"))).as("w"))
+          .select(col("doc_id"), col("w.tier").as("tier"),
+            col("w.i").as("i"), col("w.wh").as("wh"))
           .transform(Common.checkpointSer)
         // one (tier, hash) shuffle covers all tiers
         val dup = wins.groupBy("tier", "wh")
@@ -188,26 +164,18 @@ object Curation5 {
           .join(wide, Seq("doc_id"))
           .select((Seq(col("doc_id"), col("n_tokens")) ++
             Tiers.map(l => coalesce(col(s"v$l"), empty).as(s"v$l"))): _*)
-        val u = array_sort(array_distinct(
-          concat(col("v64"), col("v32"), col("v16"), col("v8"))))
-        val heads = array_sort(filter(col("u"),
-          p => !array_contains(col("u"), p - 1)))
-        val tails = array_sort(filter(col("u"),
-          p => !array_contains(col("u"), p + 1)))
-        j.withColumn("u", u)
+        // one-pass span algebra (CoverageStatsExpr, r17): identical
+        // set semantics to the array_sort/distinct/except/filter-with-
+        // array_contains HOF chain it replaces — whose heads/tails
+        // filters were O(|u|²) interpreted lambdas per document
+        val cs = graft.functions.CoverageStats(s,
+          col("v64"), col("v32"), col("v16"), col("v8"))
+        j.withColumn("cs", cs)
           .select(col("doc_id"), col("n_tokens"),
-            size(col("u")).cast("long").as("covered"),
-            size(col("v64")).cast("long").as("t64"),
-            size(array_except(col("v32"), col("v64"))).cast("long")
-              .as("t32"),
-            size(array_except(col("v16"),
-              concat(col("v64"), col("v32")))).cast("long").as("t16"),
-            size(array_except(col("v8"),
-              concat(col("v64"), col("v32"), col("v16")))).cast("long")
-              .as("t8"),
-            size(heads).cast("long").as("n_spans"),
-            coalesce(array_max(zip_with(heads, tails,
-              (a, b) => b - a + 1)), lit(0L)).as("longest_span"))
+            col("cs.covered").as("covered"), col("cs.t64").as("t64"),
+            col("cs.t32").as("t32"), col("cs.t16").as("t16"),
+            col("cs.t8").as("t8"), col("cs.n_spans").as("n_spans"),
+            col("cs.longest_span").as("longest_span"))
           .filter(col("covered") > 0)
           .orderBy(col("covered").desc, col("doc_id")).limit(100)
       }),

@@ -703,38 +703,62 @@ ${Vectors.latScalarSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         .localCheckpoint() // small; walked GraphHops times
     }
     mark("edges ready")
-    // ---- search
-    val qv = v.filter(col("vec_id") < 20)
-      .toDF("q_id", "qe", "qn", "qbucket")
-    val entries = v.filter(col("vec_id") < GraphEntries)
-      .select(col("vec_id").as("n_id"))
-    val mates = qv.join(nside.select(col("n_id"), col("nbucket")),
-        col("qbucket") === col("nbucket"))
-      .select(col("q_id"), col("n_id"))
-    val f0 = qv.select(col("q_id"), col("q_id").as("n_id"))
-      .union(qv.select(col("q_id")).crossJoin(broadcast(entries)))
-      .union(mates)
-      .distinct()
-    def score(f: org.apache.spark.sql.DataFrame) = f
-      .join(nside.select(col("n_id"), col("ne"), col("nn")), "n_id")
-      .join(qv.select(col("q_id"), col("qe"), col("qn")), "q_id")
-      .select(col("q_id"), col("n_id"),
-        Vectors.cosinePre(graft.functions.Dot(s, col("qe"), col("ne")),
-          col("qn"), col("nn")).as("cs"))
-    val wq = Window.partitionBy("q_id").orderBy(col("cs").desc, col("n_id"))
-    var beam = score(f0).withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= GraphBeam).drop("rn")
-    for (_ <- 1 to GraphHops) {
-      val cand = beam.select(col("q_id"), col("n_id"))
-        .join(edges, col("n_id") === col("src"))
-        .select(col("q_id"), col("dst").as("n_id"))
-        .union(beam.select(col("q_id"), col("n_id")))
+    // ---- search (restructured r17, VERDICT-r16 item 1: the hops were
+    // ~10 AQE-replanned tiny stages — pure scheduling, not data).
+    // Three scheduling cuts, all scale-neutral:
+    //  (a) hop-invariant frames join ONCE: qv (the query rows) is
+    //      pinned, so the per-hop score() and the mates/f0 builders
+    //      read 20 rows instead of re-filtering the corpus checkpoint
+    //      per consumer (was 3 hops + 3 extra corpus-checkpoint scans);
+    //  (b) the beam is pinned PER HOP: hop k+1 references beam_k twice
+    //      (expansion join + union), so an unpinned beam doubled its
+    //      subtree per hop and forced AQE to replan the whole chain —
+    //      each hop now executes exactly once over ≤ queries × beam ×
+    //      (M+1) rows (query-set-bounded, corpus-size-independent);
+    //  (c) the hops run under drain-scale shuffle partitions (the q229
+    //      state-volume sizing): every hop frame is beam-sized, so 32
+    //      partitions per window/join/distinct are pure task overhead.
+    val search = Common.withDrainShuffle(s) {
+      val qv = v.filter(col("vec_id") < 20)
+        .toDF("q_id", "qe", "qn", "qbucket")
+        .localCheckpoint() // 20 rows; 3 hops + 3 builders consume it
+      val entries = v.filter(col("vec_id") < GraphEntries)
+        .select(col("vec_id").as("n_id"))
+      val mates = qv.join(nside.select(col("n_id"), col("nbucket")),
+          col("qbucket") === col("nbucket"))
+        .select(col("q_id"), col("n_id"))
+      val f0 = qv.select(col("q_id"), col("q_id").as("n_id"))
+        .union(qv.select(col("q_id")).crossJoin(broadcast(entries)))
+        .union(mates)
         .distinct()
-      beam = score(cand).withColumn("rn", row_number().over(wq))
+      def score(f: org.apache.spark.sql.DataFrame) = f
+        .join(nside.select(col("n_id"), col("ne"), col("nn")), "n_id")
+        .join(qv.select(col("q_id"), col("qe"), col("qn")), "q_id")
+        .select(col("q_id"), col("n_id"),
+          Vectors.cosinePre(graft.functions.Dot(s, col("qe"), col("ne")),
+            col("qn"), col("nn")).as("cs"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("cs").desc, col("n_id"))
+      var beam = score(f0).withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= GraphBeam).drop("rn")
+        .localCheckpoint()
+      for (h <- 1 to GraphHops) {
+        val cand = beam.select(col("q_id"), col("n_id"))
+          .join(edges, col("n_id") === col("src"))
+          .select(col("q_id"), col("dst").as("n_id"))
+          .union(beam.select(col("q_id"), col("n_id")))
+          .distinct()
+        beam = score(cand).withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= GraphBeam).drop("rn")
+          .localCheckpoint()
+        mark(s"hop $h")
+      }
+      beam
     }
-    beam.filter(col("n_id") =!= col("q_id"))
-      .withColumn("rn", row_number().over(wq).cast("long"))
+    mark("search done")
+    val wqF = Window.partitionBy("q_id").orderBy(col("cs").desc, col("n_id"))
+    search.filter(col("n_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wqF).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("n_id"), col("rn"), col("cs").as("cosine"))
       .orderBy("q_id", "rn")

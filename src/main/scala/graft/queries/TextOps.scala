@@ -138,7 +138,8 @@ object TextOps {
             (a, b) -> (a*31 + b) % $P) AS fp
         FROM documents ORDER BY doc_id"""),
       (s, d) => table(s, d, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          graft.functions.Fingerprint(s, col("text")).as("fp"))
         .orderBy("doc_id")),
 
     Q("q69_normalize",
@@ -708,11 +709,10 @@ object TextOps {
           raw_score > 0 AS keep
         FROM scored ORDER BY doc_id"""),
       (s, d) => {
-        val buckets = hashedBuckets(words(col("text")), 1024)
         table(s, d, "documents")
           .select(col("doc_id"),
             size(words(col("text"))).cast("long").as("n_tokens"),
-            hashedLinearScore(buckets).as("raw_score"))
+            graft.functions.HashedScore(s, col("text")).as("raw_score"))
           .withColumn("quality_score",
             col("raw_score").cast("double") / (lit(100.0) * col("n_tokens")))
           .withColumn("keep", col("raw_score") > 0)

@@ -153,6 +153,36 @@ class DedupSpec extends SparkSpec {
     assert((2L until 1000L by 2).forall(i => inc(i) == i && inc(i + 1) == i))
   }
 
+  test("localClusters (one-task union-find) ≡ dupClusters on random " +
+      "graphs incl. self-pairs and duplicate/reversed edges") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 3) {
+      val n = 400
+      val pairs = (0 until 800).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) // self-pairs too
+      } ++ Seq((3000L, 3000L)) // isolated self-pair labels itself
+      val df = pairs.toDF("a_id", "b_id")
+      val fast = Dedup.localClusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Dedup.dupClusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"trial $trial differs")
+    }
+  }
+
+  test("incrementalClusters falls back to distributed contraction on " +
+      "non-long ids") {
+    // string ids route around the union-find fast path; results must
+    // still match the from-scratch labeling
+    val b1 = Seq(("a", "b"), ("c", "d")).toDF("a_id", "b_id")
+    val b2 = Seq(("b", "c")).toDF("a_id", "b_id")
+    val inc = Dedup.incrementalClusters(Dedup.dupClusters(b1), b2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val scratch = Dedup.dupClusters(b1.union(b2))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc == scratch)
+  }
+
   test("SimHashExpr ≡ the HOF simhash32, bit for bit") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = docsReal.select(

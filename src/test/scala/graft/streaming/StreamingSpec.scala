@@ -34,34 +34,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "n_contained", "first_match"))
   }
 
-  test("q187 standing index: the bucketed-by-h materialization makes " +
-      "the per-batch candidate join BATCH-side-only — exactly one " +
-      "exchange, on the arriving side (VERDICT-r9 item 2)") {
-    import graft.ops.Hashing
+  test("q187 standing index: the partitioned-and-sorted-on-h pinned " +
+      "materialization makes the per-batch candidate join " +
+      "BATCH-side-only — exactly one exchange, on the arriving side " +
+      "(VERDICT-r9 item 2; r17: localCheckpoint replaces the per-run " +
+      "bucketed warehouse write, preserving the same join property)") {
     def hashFrame(df: org.apache.spark.sql.DataFrame) =
       graft.dedup.Dedup.shingleFrame(df, "doc_id", "text")
-        .select(col("doc_id"), array_sort(array_distinct(
-          transform(col("sh"), x => Hashing.hash32(x)))).as("hs"))
+        .select(col("doc_id"), graft.functions.Hash32Arr
+          .sortedDistinct(spark, col("sh")).as("hs"))
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     // checkpointed like the shipped q187 train — the per-batch plans
     // under test start from the materialized frame, not shingling
     val train = hashFrame(raw.filter(col("doc_id") % 10 =!= 0))
       .toDF("t_id", "t_hs").localCheckpoint()
-    graft.load.Warehouse.writeBucketed(
-      train.select(col("t_id"), size(col("t_hs")).as("nb"),
-        posexplode(col("t_hs")).as(Seq("j", "h"))), "t_q187_idx", "h", 8)
+    // the exact standing-index shape from q187
+    val trainPos = train
+      .select(col("t_id"), size(col("t_hs")).as("nb"),
+        posexplode(col("t_hs")).as(Seq("j", "h")))
+      .repartition(Common.DrainShuffle, col("h"))
+      .sortWithinPartitions("h")
+      .localCheckpoint()
     // the exact per-batch candidate-join shape from q187's foreachBatch
     val eh = hashFrame(raw.filter(col("doc_id") % 10 === 0))
       .toDF("e_id", "e_hs")
     val cand = eh.select(col("e_id"), size(col("e_hs")).as("na"),
         posexplode(col("e_hs")).as(Seq("i", "h")))
-      .join(spark.table("t_q187_idx"), "h")
+      .join(trainPos, "h")
       .filter((lit(1) + least(col("na") - col("i") - 1,
         col("nb") - col("j") - 1)) * 2 >= least(col("na"), col("nb")))
     val p = cand.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1,
-      s"want exactly 1 exchange (batch side; index arrives bucketed):\n$p")
+      s"want exactly 1 exchange (batch side; index arrives " +
+        s"pre-partitioned):\n$p")
     assert(cand.count() > 0)
     // and the exact-verify side: the candidate-id broadcast semi-
     // reduction scans the standing hash frame without ANY hash
@@ -79,7 +85,6 @@ class StreamingSpec extends SparkSpec {
       s"standing-corpus semi-reduction must not exchange train:\n" +
         trainHit.queryExecution.executedPlan.toString)
     assert(trainHit.count() > 0)
-    spark.sql("DROP TABLE t_q187_idx")
   }
 
   test("streaming tumbling counts == batch q23 aggregates") {
