@@ -657,19 +657,35 @@ object Dedup {
     */
   private[graft] def setSimilarityCandidates(sized: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
+    // Long element keys (r17, VERDICT-r16 item 5): every exchange and
+    // sort below runs on k = xxhash64(e) — 8 fixed bytes — instead of
+    // the ~20-byte shingle string. Recall stays total, unlike the
+    // rejected hash-the-elements form: (a) the candidate JOIN keys on
+    // k, and equal elements always have equal k, so no true pair can
+    // be lost — a (astronomically rare) collision only ADDS a
+    // candidate, which the exact verify discards; (b) the prefix
+    // order stays the ORIGINAL (df, e) — one corpus-wide total order
+    // on elements, exactly the prefix-filter lemma's requirement —
+    // and df(k) = df(e) whenever k is collision-free, so the selected
+    // prefixes (hence the candidate set) are bit-identical to the
+    // string-keyed form on any collision-free corpus (probed: same
+    // 309,983 candidates at sf0.1). The df map shrinks to (k, df) and
+    // the self-join input to (k, id, sz): no string reaches the
+    // candidate self-join's exchange or its sort.
     val elems = sized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
-    val dfreq = elems.groupBy(col("e")).agg(count(lit(1)).as("df"))
+      .withColumn("k", xxhash64(col("e")))
+    val dfreq = elems.groupBy(col("k")).agg(count(lit(1)).as("df"))
     // prefix length p = sz − ⌈t·sz⌉ + 1; ceil-div in integers (floor of
     // the double division is exact well past any real shingle count)
     val minOverlap = floor((col("sz").cast("long") * tNum + (tDen - 1)) / tDen)
-    val pref = elems.join(dfreq, "e")
+    val pref = elems.join(dfreq, "k")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("e"))))
       .filter(col("rn") <= col("sz") - minOverlap + 1)
-      .select(col("e"), col("id"), col("sz"))
-      .repartition(col("e")) // shared exchange for the self-join
+      .select(col("k"), col("id"), col("sz"))
+      .repartition(col("k")) // shared exchange for the self-join
     pref.as("a").join(pref.as("b").hint("merge"),
-        col("a.e") === col("b.e") && col("a.id") < col("b.id") &&
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
           col("b.sz") * tDen >= col("a.sz") * tNum &&
           col("a.sz") * tDen >= col("b.sz") * tNum)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
@@ -710,21 +726,29 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val rSized = setSimilaritySized(probe, idCol, textCol)
     val sSized = setSimilaritySized(corpus, idCol, textCol)
+    // long element keys, same argument as [[setSimilarityCandidates]]
+    // (r17): the df map and the candidate equi-join run on
+    // k = xxhash64(e); the shared (df, e) prefix order over R ∪ S is
+    // unchanged, so the prefixes — and hence the candidate set — are
+    // identical on any collision-free corpus, and a collision can
+    // only add a candidate the exact verify discards
     val rElems = rSized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
+      .withColumn("k", xxhash64(col("e")))
     val sElems = sSized.select(col("id"), col("sz"), explode(col("sh")).as("e"))
-    val dfreq = rElems.select(col("e")).union(sElems.select(col("e")))
-      .groupBy(col("e")).agg(count(lit(1)).as("df"))
+      .withColumn("k", xxhash64(col("e")))
+    val dfreq = rElems.select(col("k")).union(sElems.select(col("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("df"))
     def prefixOf(elems: DataFrame): DataFrame = {
       val minOverlap = floor((col("sz").cast("long") * tNum + (tDen - 1)) / tDen)
-      elems.join(dfreq, "e")
+      elems.join(dfreq, "k")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("df"), col("e"))))
         .filter(col("rn") <= col("sz") - minOverlap + 1)
-        .select(col("e"), col("id"), col("sz"))
+        .select(col("k"), col("id"), col("sz"))
     }
     val cand = prefixOf(rElems).as("a")
       .join(prefixOf(sElems).as("b"),
-        col("a.e") === col("b.e") &&
+        col("a.k") === col("b.k") &&
           col("b.sz") * tDen >= col("a.sz") * tNum &&
           col("a.sz") * tDen >= col("b.sz") * tNum)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
