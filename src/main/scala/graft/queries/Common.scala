@@ -28,8 +28,27 @@ final case class Q(
   */
 object Common {
 
+  /** Schema memo per parquet path (r17, VERDICT-r16 item 6): every
+    * `spark.read.parquet(path)` call re-infers the schema from the
+    * file footer on the DRIVER — measured 0.13–0.4 s of CONSTRUCTION
+    * per small query (30–45% of the sub-second tail's wall, re-paid
+    * every rep). The memo holds METADATA only (the same information
+    * Spark's own footer cache primes); every action still computes
+    * its result from the parquet input. Keyed by full path, so two
+    * sf dirs never collide; testdata is immutable for a JVM's life.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+
+  private def readWithMemo(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readWithMemo(spark, s"$dir/$name.parquet")
 
   /** The `events` table's `ts` column has shipped in two physical parquet
     * types across testdata generations: TIMESTAMP(NANOS) — which Spark's
@@ -48,7 +67,9 @@ object Common {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    // memo AFTER the conf is set — the nanosAsLong shim participates
+    // in schema inference, so the memo'd schema is the shimmed one
+    normalizeTs(readWithMemo(spark, s"$dir/events.parquet"))
   }
 
   /** Normalize an events frame's `ts` to TimestampType (µs, UTC instant)

@@ -4045,16 +4045,22 @@ object Crawl {
           // >1 batch and the restart proof lives in LedgerStoreSpec,
           // not in the batch count — each extra batch re-runs the
           // WHOLE decision chain (~5 s of extraction + evaluation at
-          // sf0.1 on the r15 box)
-          docsT.repartitionByRange(2, col("doc_id"))
+          // sf0.1 on the r15 box). Staged column: doc_id ONLY (r17) —
+          // the whole ledger derives from it (hostLinks synthesizes
+          // pages from the id; the mass rows group id residues), so
+          // staging text was a corpus-sized write + stream re-read
+          // for nothing, and the description's "payload text never
+          // enters the ledger" now holds for the staging leg too.
+          val staged = docsT.select(col("doc_id"))
+          staged.repartitionByRange(2, col("doc_id"))
             .write.mode("overwrite").parquet(inDir)
           val chkDir = Common.scratchDir("decision_chk", d)
           val store = new graft.streaming.LedgerStore(s,
             s"$chkDir/ledger")
           var (ledger, lastApplied) =
-            store.recover(toLedger(docsT.limit(0)))
+            store.recover(toLedger(staged.limit(0)))
           var decision: DataFrame = null
-          val q = s.readStream.schema(docsT.schema)
+          val q = s.readStream.schema(staged.schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir)
             .writeStream
             .option("checkpointLocation", s"$chkDir/_chk")

@@ -520,7 +520,7 @@ object Pipeline {
         // backlog; the driver checks the drained parquet against the
         // batch oracle = stream/batch equivalence.
         import org.apache.spark.sql.streaming.Trigger
-        val raw = s.read.parquet(s"$d/documents.parquet")
+        val raw = table(s, d, "documents")
         def bandsOf(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"), posexplode(
             graft.functions.GraftFunctions.minhashBands(s,
@@ -795,7 +795,7 @@ object Pipeline {
         // batches). That is the production ingest topology: a standing
         // membership sketch in executor memory, batches flowing past.
         import org.apache.spark.sql.streaming.Trigger
-        val raw = s.read.parquet(s"$d/documents.parquet")
+        val raw = table(s, d, "documents")
         val sk = graft.functions.BloomGate.sketch(raw,
           Dedup.digest(col("text")), expectedItems = 1000000L,
           numBits = 1L << 23).persist()
@@ -1157,7 +1157,7 @@ object Pipeline {
         // topology would keep the index/forest in.
         import org.apache.spark.sql.DataFrame
         import org.apache.spark.sql.streaming.Trigger
-        val raw = s.read.parquet(s"$d/documents.parquet")
+        val raw = table(s, d, "documents")
         def bandsOf(df: DataFrame): DataFrame =
           df.select(col("doc_id"), posexplode(
             graft.functions.GraftFunctions.minhashBands(s,

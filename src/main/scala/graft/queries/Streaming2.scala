@@ -99,7 +99,7 @@ object Streaming2 {
           graft.dedup.Dedup.shingleFrame(df, "doc_id", "text")
             .select(col("doc_id"), graft.functions.Hash32Arr
               .sortedDistinct(s, col("sh")).as("hs"))
-        val raw = s.read.parquet(s"$d/documents.parquet")
+        val raw = table(s, d, "documents")
         val train = hashFrame(raw.filter(col("doc_id") % 10 =!= 0))
           .toDF("t_id", "t_hs").localCheckpoint()
         // VERDICT-r9 item 2 (reshaped r17): the positional inverted

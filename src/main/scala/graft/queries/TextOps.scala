@@ -428,7 +428,7 @@ object TextOps {
         // after the backlog. Driver-checked against the batch oracle =
         // stream/batch equivalence as a correctness gate.
         import org.apache.spark.sql.streaming.Trigger
-        val raw = s.read.parquet(s"$d/documents.parquet")
+        val raw = table(s, d, "documents")
         val stream = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .filter(col("doc_id") % 10 === 0)

@@ -168,6 +168,27 @@ object ProbeR17 {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+    if (which.contains("tail")) {
+      // fixed-cost anatomy of the sub-second tail: split DataFrame
+      // CONSTRUCTION (read.parquet schema inference + plan build) from
+      // the ACTION for a few representative small queries
+      val names = Seq("q25_top_events", "q13_between", "q100_mix_report")
+        .map(p => graft.SparkEntry.queries.keys.toSeq.sorted
+          .find(_.startsWith(p.split('_').head + "_")).get)
+      // session warm-up
+      graft.SparkEntry.queries(names.head)(s, d).count()
+      for (qn <- names; rep <- 1 to 3) {
+        val fn = graft.SparkEntry.queries(qn)
+        val t0 = System.nanoTime()
+        val df = fn(s, d)
+        val t1 = System.nanoTime()
+        df.count()
+        val t2 = System.nanoTime()
+        println(f"[probe] $qn%-28s rep$rep construct=${(t1 - t0) / 1e9}%6.3f" +
+          f" action=${(t2 - t1) / 1e9}%6.3f s")
+      }
+    }
+
     if (which.contains("q257")) {
       t("whole q257 (warm-up)") {
         graft.SparkEntry.queries(
