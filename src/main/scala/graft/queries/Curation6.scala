@@ -313,17 +313,19 @@ object Curation6 {
         resolved.filter(col("full") && col("best") === BlockLen)
           .select(col("doc_id"), col("pos"), col("rem"),
             col("ngA").as("gA"), col("ngB").as("gB")))
-      // round 0's resolved ends in an UNPINNED broadcast-patch join
-      // (only its `pinned` input is checkpointed), so the isEmpty
-      // probe below and round 1's join would each execute that join
-      // over the corpus checkpoint — pin the (small: duplicated
-      // positions only) tied set once instead (ADVICE r16)
-      if (r == 0) tied = Common.checkpointSer(tied)
       // early exit: natural text decays the tied set geometrically;
       // once it is EMPTY the remaining rounds compute nothing but
       // would still pay join/window/checkpoint scheduling. The probe
       // is a take(1) over the round's checkpointed narrow frame.
-      if (tied.isEmpty) done = true
+      // SKIPPED at r=0 (ADVICE r16): round 0's resolved ends in an
+      // UNPINNED broadcast-patch join (only its `pinned` input is
+      // checkpointed), so the probe would execute that join over the
+      // corpus checkpoint a second time — and a corpus with ZERO
+      // 16-token duplicates exits one round later at round 1's
+      // (empty, cheap) probe instead. (r17: an explicit checkpointSer
+      // of the r0 tied set was measured SLOWER than the duplicate
+      // probe it saved — board 3.25 → 4.3 s — and reverted to this.)
+      if (r > 0 && tied.isEmpty) done = true
       r += 1
     }
     // survivors of all rounds share ≥ 16·Rounds tokens: saturated
